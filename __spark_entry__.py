@@ -1,38 +1,838 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent. Semantic (LLM) operators run with deterministic demo LMs
+(``lotus_spark/models/demo_lms.py``) whose behavior is exactly
+SQL-expressible, so the driver's hash-compare verifies the full semantic
+pipeline (prompt build → batched LM → postprocess → assembly), mirroring the
+reference's fake-completer test pattern.
+
+Cross-engine exactness rules used throughout:
+- money aggregates go through DECIMAL(12,2) (exact, order-independent) and
+  are cast to double at the end;
+- float similarity math is an explicit sequential left fold (bit-identical
+  in Spark `aggregate` and DuckDB `list_reduce`);
+- computed ints are cast to BIGINT on both sides; timestamps formatted to
+  strings; every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+MOD = 1_000_000_007
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # parquet timestamps are naive; pin the session to UTC so Spark's
+    # LTZ interpretation matches DuckDB's naive comparisons/formatting.
+    # events.ts is TIMESTAMP(NANOS), which Spark only reads as long.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(12,2)")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fold helpers (mirror lotus_spark.functions.vectors/text exactly)
+# ---------------------------------------------------------------------------
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), i -> {a}[i] * {a}[i])), "
+        f"(acc, x) -> acc + x))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def _sql_strhash(s: str) -> str:
+    """Polynomial string hash fold — mirrors functions.text.shingle_hash."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({s})+1), i -> CAST(ascii({s}[i]) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {MOD})"
+    )
+
+
+def _hash_params(j: int) -> tuple[int, int]:
+    a = (2_654_435_761 * (j + 1) + 1) % MOD
+    b = (40_503 * (j + 1) + 7) % MOD
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (smoke-checked at sf0.001)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: semantic keyword filter (deterministic LM) + text-quality
+    pipeline over the documents table — filter → score → rank."""
+    from lotus_spark import sem_filter
+    from lotus_spark.functions.text import lang_id, quality_score, token_count
+    from lotus_spark.models.fake_lm import KeywordBoolLM
 
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    kept = sem_filter(
+        docs, "{text} is about distributed computing", lm=KeywordBoolLM("spark")
+    )
+    return (
+        kept.select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang_guess"),
+        )
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational surface (SURVEY §2.2) — native Spark SQL, TPC-H-ish
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("dq"),
+            F.sum(_dec("l_extendedprice")).alias("dp"),
+            F.sum(disc).alias("ddp"),
+            F.sum(charge).alias("dch"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("dq").cast("double").alias("sum_qty"),
+            F.col("dp").cast("double").alias("sum_base_price"),
+            F.col("ddp").cast("double").alias("sum_disc_price"),
+            F.col("dch").cast("double").alias("sum_charge"),
+            F.round(F.col("dq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+            F.round(F.col("dp").cast("double") / F.col("count_order"), 4).alias("avg_price"),
+            "count_order",
+        )
+    )
+
+
+_SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc).alias("drev"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("drev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_TOP_REVENUE = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    re_ = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == na.n_nationkey)
+        .join(F.broadcast(re_), na.n_regionkey == re_.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(disc).alias("drev"))
+        .select("n_name", F.col("drev").cast("double").alias("revenue"))
+    )
+
+
+_SQL_REGION_REVENUE = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Customers with no recent orders (anti-join; window keeps it nonempty)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-06-01")
+    return cu.join(
+        od.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01')
+"""
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        od.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+_SQL_TOP3_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+FROM orders QUALIFY rank <= 3
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long when
+    # nanosAsLong is set (see _t); truncate to the hour in integer seconds
+    ev = _t(spark, sf_dir, "events")
+    secs = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    hour = F.from_unixtime(secs - secs % 3600)
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).alias("dv"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            F.col("dv").cast("double").alias("sum_value"),
+            "n_users",
+        )
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_distinct_priorities(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    return od.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+_SQL_DISTINCT_PRIORITIES = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def q_part_brand_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("dq"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_brand",
+            F.col("dq").cast("double").alias("total_qty"),
+            "n_items",
+        )
+    )
+
+
+_SQL_PART_BRAND = """
+SELECT p_brand,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_orders_union_extremes(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    hi = od.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_totalprice")
+    lo = od.filter(F.col("o_totalprice") < 2000).select("o_orderkey", "o_totalprice")
+    return hi.unionByName(lo)
+
+
+_SQL_ORDERS_UNION = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 2000
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic operators with deterministic demo LMs (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+def q_sem_filter(spark, sf_dir):
+    from lotus_spark import sem_filter
+    from lotus_spark.models.fake_lm import KeywordBoolLM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sem_filter(
+        docs, "{text} is about distributed computing", lm=KeywordBoolLM("spark")
+    )
+    return out.select("doc_id", "text")
+
+
+_SQL_SEM_FILTER = (
+    "SELECT doc_id, text FROM documents WHERE contains(lower(text), 'spark')"
+)
+
+
+def q_sem_filter_cascade(spark, sf_dir):
+    from lotus_spark import sem_filter
+    from lotus_spark.cascades.utils import CascadeArgs
+    from lotus_spark.models.fake_lm import KeywordBoolLM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sem_filter(
+        docs,
+        "{text} is about distributed computing",
+        lm=KeywordBoolLM("spark"),
+        helper_lm=KeywordBoolLM("spark"),
+        cascade_args=CascadeArgs(recall_target=0.8, precision_target=0.8),
+    )
+    return out.select("doc_id", "text")
+
+
+def q_sem_map(spark, sf_dir):
+    from lotus_spark import sem_map
+    from lotus_spark.models.fake_lm import RegexMapLM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sem_map(
+        docs,
+        "state the language {lang} in uppercase",
+        lm=RegexMapLM(r"\[lang\]: «(\w+)»", "upper"),
+    )
+    return out.select("doc_id", F.col("_map"))
+
+
+_SQL_SEM_MAP = "SELECT doc_id, upper(lang) AS _map FROM documents"
+
+
+def q_sem_extract(spark, sf_dir):
+    from lotus_spark import sem_extract
+    from lotus_spark.models.demo_lms import JSONExtractLM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sem_extract(
+        docs,
+        ["text"],
+        {"first_word": "the first word", "n_tokens": "number of tokens"},
+        lm=JSONExtractLM("text"),
+    )
+    return out.select("doc_id", "first_word", "n_tokens")
+
+
+_SQL_SEM_EXTRACT = r"""
+SELECT doc_id, split_part(trim(text), ' ', 1) AS first_word,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS VARCHAR) AS n_tokens
+FROM documents
+"""
+
+
+def q_sem_join(spark, sf_dir):
+    from lotus_spark import sem_join
+    from lotus_spark.models.demo_lms import PairKeywordJoinLM
+
+    docs = _t(spark, sf_dir, "documents")
+    kws = spark.createDataFrame([("spark",), ("vector",), ("merge",)], ["kw"])
+    out = sem_join(
+        docs,
+        kws,
+        "{text} mentions the concept {kw}",
+        lm=PairKeywordJoinLM("text", "kw"),
+    )
+    return out.select("doc_id", "kw")
+
+
+_SQL_SEM_JOIN = """
+SELECT doc_id, kw
+FROM documents, (VALUES ('spark'), ('vector'), ('merge')) AS k(kw)
+WHERE contains(text, kw)
+"""
+
+
+def q_sem_agg(spark, sf_dir):
+    from lotus_spark import sem_agg
+    from lotus_spark.models.demo_lms import CountingAggLM
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = CountingAggLM()
+    lm.max_ctx_len = 4096  # force a multi-level fold
+    out = sem_agg(docs, "Count the {text} documents", lm=lm, group_by=["lang"])
+    return out
+
+
+_SQL_SEM_AGG = """
+SELECT lang, CAST(COUNT(*) AS VARCHAR) AS _output FROM documents GROUP BY lang
+"""
+
+
+def q_sem_topk(spark, sf_dir):
+    from lotus_spark import sem_topk
+    from lotus_spark.models.demo_lms import FieldCompareLM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sem_topk(
+        docs,
+        "Rank documents by {n_chars} breaking ties by {doc_id}",
+        K=10,
+        lm=FieldCompareLM("n_chars", "doc_id"),
+        method="quick",
+    )
+    return out.select("doc_id", "n_chars", F.col("_rank"))
+
+
+_SQL_SEM_TOPK = """
+SELECT doc_id, n_chars,
+  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS _rank
+FROM documents QUALIFY _rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding operators — seeded vectors from the embeddings table (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    from lotus_spark.functions.ann import knn_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_topk(emb, "embedding", _query_vec(spark, sf_dir), k=10, id_col="vec_id")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_SQL_KNN = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, ROUND({_sql_cosine('e.v', 'q.qv')}, 6) AS score
+FROM e, q
+ORDER BY {_sql_cosine('e.v', 'q.qv')} DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    from lotus_spark.functions.ann import knn_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_topk_lsh(
+        emb, "embedding", _query_vec(spark, sf_dir), k=10, n_planes=4, seed=7,
+        id_col="vec_id",
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _sql_knn_lsh(qv: list[float]) -> str:
+    from lotus_spark.functions.ann import hyperplanes
+
+    planes = hyperplanes(4, len(qv), seed=7)
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(qv, plane)) > 0.0:
+            qbucket += 1 << p
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN {_sql_dot('e.v', f'CAST({lit} AS DOUBLE[])')} > 0.0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e)
+SELECT vec_id, ROUND({_sql_cosine('b.v', 'q.qv')}, 6) AS score
+FROM b, q WHERE bucket = {qbucket}
+ORDER BY {_sql_cosine('b.v', 'q.qv')} DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_sem_sim_join(spark, sf_dir):
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") >= 20)
+    out = sem_sim_join(
+        left,
+        right,
+        left_on="vec_id",
+        right_on="vec_id",
+        K=3,
+        left_emb_col="embedding",
+        right_emb_col="embedding",
+        tie_break="vec_id_right",
+    )
+    return out.select(
+        "vec_id",
+        F.col("vec_id_right"),
+        F.round("_scores", 6).alias("score"),
+    )
+
+
+_SQL_SIM_JOIN = f"""
+WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
+r AS (SELECT vec_id AS vec_id_right, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id >= 20),
+s AS (
+  SELECT l.vec_id, r.vec_id_right, {_sql_cosine('l.v', 'r.v')} AS raw,
+    row_number() OVER (PARTITION BY l.vec_id ORDER BY {_sql_cosine('l.v', 'r.v')} DESC, r.vec_id_right) AS rk
+  FROM l, r
+)
+SELECT vec_id, vec_id_right, ROUND(raw, 6) AS score FROM s WHERE rk <= 3
+"""
+
+
+def q_sem_cluster(spark, sf_dir):
+    """MLlib KMeans — no SQL oracle (rows-only check)."""
+    from lotus_spark.operators.sem_cluster_by import sem_cluster_by
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sem_cluster_by(emb, "embedding", ncentroids=8, emb_col="embedding", seed=42)
+    return out.select("vec_id", "cluster_id")
+
+
+def q_sem_dedup(spark, sf_dir):
+    """Embedding near-dup removal — rows-only check (iterative CC)."""
+    from lotus_spark.operators.sem_dedup import sem_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sem_dedup(emb, "embedding", threshold=0.35, id_col="vec_id",
+                    emb_col="embedding")
+    return out.select("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / fingerprint / text analysis (north star)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    from lotus_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "dup_key", F.concat_ws("_", F.col("lang"), (F.col("n_chars") % 10))
+    )
+    out = exact_dedup(docs, "dup_key", "doc_id")
+    return out.select("doc_id", "dup_key")
+
+
+_SQL_EXACT_DEDUP = """
+SELECT doc_id, dup_key FROM (
+  SELECT doc_id, lang || '_' || CAST(n_chars % 10 AS VARCHAR) AS dup_key,
+    row_number() OVER (PARTITION BY (lang || '_' || CAST(n_chars % 10 AS VARCHAR)) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    from lotus_spark.functions.dedup import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_signature(docs, "text", n_hashes=4, shingle_n=3)
+    return out.select(
+        "doc_id",
+        *[F.col("minhash")[j].alias(f"sig{j}") for j in range(4)],
+    )
+
+
+def _sql_minhash() -> str:
+    sig_exprs = []
+    for j in range(4):
+        a, b = _hash_params(j)
+        sig_exprs.append(
+            f"list_min(list_transform(shingles, sh -> ({a} * {_sql_strhash('sh')} + {b}) % {MOD})) AS sig{j}"
+        )
+    return f"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
+s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-3, 0)+2),
+        i -> array_to_string(words[i:i+2], ' '))) shingles FROM d)
+SELECT doc_id, {', '.join(sig_exprs)} FROM s
+"""
+
+
+def q_simhash(spark, sf_dir):
+    from lotus_spark.functions.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", n_bits=32).select("doc_id", "simhash")
+
+
+_SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+),
+th AS (SELECT doc_id, {_sql_strhash('t')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS b,
+    SUM((CAST(floor(h / pow(2.0, b.b)) AS BIGINT) % 2) * 2 - 1) AS s
+  FROM th, range(0, 32) AS b(b)
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from lotus_spark.functions.dedup import jaccard_sim_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_sim_pairs(
+        docs, "text", "doc_id", shingle_n=2, threshold=0.1, block_col="lang"
+    )
+
+
+_SQL_JACCARD = """
+WITH d AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
+s AS (SELECT DISTINCT doc_id, lang,
+        unnest(list_distinct(list_transform(range(1, greatest(len(words)-2, 0)+2),
+          i -> array_to_string(words[i:i+1], ' ')))) AS sh
+      FROM d),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+c AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
+      FROM s a JOIN s b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT c.a, c.b, ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.1
+"""
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup removal — rows-only check (CC is iterative); the
+    underlying signature + jaccard math is oracle-checked by
+    minhash_signature / jaccard_pairs."""
+    from lotus_spark.functions.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_dedup(
+        docs, "text", "doc_id", n_hashes=16, bands=4, shingle_n=2,
+        jaccard_threshold=0.5,
+    )
+    return out.select("doc_id")
+
+
+def q_text_stats(spark, sf_dir):
+    from lotus_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+_EN = "['the', 'a', 'of', 'and', 'to']"
+_ES = "['el', 'la', 'de', 'y', 'que']"
+_FR = "['le', 'la', 'et', 'les', 'des']"
+
+_SQL_TEXT_STATS = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') toks FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, t -> list_contains({_STOP}, t))) AS DOUBLE) / len(toks) END AS sw,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS al,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks) END AS atl,
+    len(list_filter(toks, t -> list_contains({_EN}, t))) AS c_en,
+    len(list_filter(toks, t -> list_contains({_ES}, t))) AS c_es,
+    len(list_filter(toks, t -> list_contains({_FR}, t))) AS c_fr
+  FROM d
+)
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(0.4 * least(sw * 5.0, 1.0) + 0.4 * al + 0.2 * (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.0 END), 4) AS quality,
+  CASE WHEN greatest(c_en, c_es, c_fr) > 0 AND c_en = greatest(c_en, c_es, c_fr) THEN 'en'
+       WHEN greatest(c_en, c_es, c_fr) > 0 AND c_es = greatest(c_en, c_es, c_fr) THEN 'es'
+       WHEN greatest(c_en, c_es, c_fr) > 0 AND c_fr = greatest(c_en, c_es, c_fr) THEN 'fr'
+       ELSE 'und' END AS lang_guess,
+  {_sql_strhash('text')} AS fp
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (SURVEY §2.2)
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "region_revenue": q_region_revenue,
+        "customers_no_orders": q_customers_no_orders,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "distinct_priorities": q_distinct_priorities,
+        "part_brand_stats": q_part_brand_stats,
+        "orders_union_extremes": q_orders_union_extremes,
+        # semantic ops, deterministic LMs (SURVEY §2.1)
+        "sem_filter": q_sem_filter,
+        "sem_filter_cascade": q_sem_filter_cascade,
+        "sem_map": q_sem_map,
+        "sem_extract": q_sem_extract,
+        "sem_join": q_sem_join,
+        "sem_agg": q_sem_agg,
+        "sem_topk": q_sem_topk,
+        # embedding ops
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "sem_sim_join": q_sem_sim_join,
+        "sem_cluster_by": q_sem_cluster,
+        "sem_dedup": q_sem_dedup,
+        # training-data pipeline
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "text_stats": q_text_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    sqls = {
+        "pricing_summary": _SQL_PRICING,
+        "top_revenue": _SQL_TOP_REVENUE,
+        "region_revenue": _SQL_REGION_REVENUE,
+        "customers_no_orders": _SQL_CUSTOMERS_NO_ORDERS,
+        "top3_orders_per_customer": _SQL_TOP3_ORDERS,
+        "events_hourly": _SQL_EVENTS_HOURLY,
+        "distinct_priorities": _SQL_DISTINCT_PRIORITIES,
+        "part_brand_stats": _SQL_PART_BRAND,
+        "orders_union_extremes": _SQL_ORDERS_UNION,
+        "sem_filter": _SQL_SEM_FILTER,
+        "sem_filter_cascade": _SQL_SEM_FILTER,
+        "sem_map": _SQL_SEM_MAP,
+        "sem_extract": _SQL_SEM_EXTRACT,
+        "sem_join": _SQL_SEM_JOIN,
+        "sem_agg": _SQL_SEM_AGG,
+        "sem_topk": _SQL_SEM_TOPK,
+        "knn_bruteforce": _SQL_KNN,
+        "sem_sim_join": _SQL_SIM_JOIN,
+        "exact_dedup": _SQL_EXACT_DEDUP,
+        "minhash_signature": _sql_minhash(),
+        "simhash": _SQL_SIMHASH,
+        "jaccard_pairs": _SQL_JACCARD,
+        "text_stats": _SQL_TEXT_STATS,
+    }
+    # knn_lsh oracle depends on the query vector — read it with duckdb (cheap)
+    try:
+        import duckdb
+
+        qv = duckdb.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
+        ).fetchone()[0]
+        sqls["knn_lsh"] = _sql_knn_lsh([float(x) for x in qv])
+    except Exception:
+        pass  # fall back to rows-only check for knn_lsh
+    return sqls

@@ -1,0 +1,96 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers (SURVEY north-star: similarity search as a first-class component):
+- ``knn_topk`` — exact brute-force cosine top-K: JVM-side fold arithmetic +
+  ``orderBy(desc).limit`` (TakeOrderedAndProject: K rows per partition cross
+  the shuffle, never the data). The correctness tier and the oracle.
+- ``lsh_bucket`` / ``knn_topk_lsh`` — random-hyperplane LSH: deterministic
+  seeded planes → sign-bit bucket id; candidate set = query's bucket (plus
+  optional multi-probe neighbors), exact rerank inside. The scale tier: the
+  bucket id is a plain column, so a 100 TB embedding table can be written
+  partitioned/bucketed by it and a query touches one partition.
+
+Planes are derived from a seeded counter hash (not RNG state), so Spark and
+any oracle implementation generate bit-identical buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.vectors import cosine_sim, dot
+
+
+def _plane_value(seed: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-gaussian-ish value in [-1, 1) from a counter hash."""
+    h = hashlib.blake2b(f"{seed}:{plane}:{dim}".encode(), digest_size=8).digest()
+    v = int.from_bytes(h, "big")
+    return (v / 2**63) - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    return [
+        [_plane_value(seed, p, d) for d in range(dim)] for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = Σ_p (dot(emb, plane_p) > 0) << p  — a plain long column."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(emb, plane_lit) > 0.0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit * F.lit(2**p).cast("long")
+    return bucket
+
+
+def knn_topk(
+    df: DataFrame,
+    emb_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact cosine top-K of ``query_vec`` over ``emb_col``."""
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.withColumn(score_col, cosine_sim(F.col(emb_col), qlit))
+    order = [F.desc(score_col)] + ([F.asc(id_col)] if id_col else [])
+    return scored.orderBy(*order).limit(k)
+
+
+def knn_topk_lsh(
+    df: DataFrame,
+    emb_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str | None = None,
+    score_col: str = "score",
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """LSH-bucketed ANN: prune to the query's hyperplane bucket, exact rerank.
+
+    ``bucket_col``: reuse a precomputed bucket column (e.g. the table is
+    stored partitioned by it) — then the scan prunes partitions natively.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(n_planes, dim, seed)
+    qbucket = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0.0:
+            qbucket += 1 << p
+    work = df
+    bcol = bucket_col
+    if bcol is None:
+        bcol = "__lsh_bucket"
+        work = work.withColumn(bcol, lsh_bucket(F.col(emb_col), planes))
+    pruned = work.filter(F.col(bcol) == qbucket)
+    out = knn_topk(pruned, emb_col, query_vec, k, id_col, score_col)
+    return out.drop("__lsh_bucket") if bucket_col is None else out

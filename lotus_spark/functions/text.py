@@ -1,0 +1,144 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage codegen) — language ID,
+quality scoring, token counting, document fingerprinting. Each has an exact
+ANSI-SQL equivalent (DuckDB oracle) because the math is defined as explicit
+integer/double folds, not library calls.
+
+These extend the reference's surface (which has no text-stats operators) with
+the standard pretraining-corpus pipeline stages (Gopher/C4-style quality
+heuristics, deterministic fingerprints for dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+BASE = 31
+
+# tiny per-language marker lexicons for the n-gram-free language-ID heuristic;
+# deterministic and SQL-expressible (argmax with alphabetical tie-break).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        _count_in(toks, STOPWORDS).cast("double") / n.cast("double")
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ascii letters."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        alpha.cast("double") / n.cast("double")
+    )
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: Gopher-ish mix of
+    stopword presence, alphabetic density, and sane mean token length."""
+    sw = stopword_ratio(text)
+    al = alpha_ratio(text)
+    atl = avg_token_len(text)
+    len_ok = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * F.least(sw * 5.0, F.lit(1.0)) + 0.4 * al + 0.2 * len_ok, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-lexicon language guess; argmax with alphabetical tie-break,
+    'und' when no marker hits."""
+    toks = tokens(text)
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # alphabetical tie-break: first lang (in sorted order) achieving the max wins
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        result = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash over character codes, mod 1e9+7.
+
+    fp = fold(codes, 0, (acc, c) -> (acc*31 + c) mod p). Deterministic,
+    SQL-expressible, and cheap — the exact-dedup / doc-identity key for
+    100 TB corpora (content-addressed, no Python in the loop).
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    )
+    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * BASE + c.cast("long")) % MOD,
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram strings (space-joined), for MinHash/Jaccard.
+
+    For a doc with < n tokens, returns a single shingle of all tokens.
+    """
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+    )
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """Polynomial hash of a shingle string (same fold as fingerprint)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(shingle)),
+        lambda i: F.ascii(shingle.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * BASE + c.cast("long")) % MOD
+    )

@@ -1,0 +1,94 @@
+"""Deterministic demo LMs whose behavior is exactly SQL-expressible.
+
+Each class here parses the operator's serialized prompt and computes its
+answer with simple string logic, so every semantic operator's *plumbing*
+(prompt build → LM batch → postprocess → DataFrame assembly) can be verified
+against a DuckDB SQL oracle end-to-end. This mirrors the reference's fake
+completer pattern (``tests/test_agentic_map_reduce.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from lotus_spark.models.fake_lm import FakeLM
+
+_VAL = r"\[{col}\]: «(.*?)»"
+
+
+def _field(prompt: str, col: str) -> str | None:
+    m = re.search(_VAL.format(col=re.escape(col)), prompt, re.DOTALL)
+    return m.group(1) if m else None
+
+
+class JSONExtractLM(FakeLM):
+    """sem_extract fake: emits {"first_word": ..., "n_tokens": ...} from the
+    serialized [text] field. Oracle: split_part / len(string_split...)."""
+
+    def __init__(self, col: str = "text"):
+        def fn(prompt: str) -> str:
+            v = _field(prompt, col) or ""
+            toks = v.split()
+            return json.dumps(
+                {"first_word": toks[0] if toks else "", "n_tokens": str(len(toks))}
+            )
+
+        super().__init__(fn)
+
+
+class PairKeywordJoinLM(FakeLM):
+    """sem_join fake: True iff the [kw] value is a substring of the [text]
+    value. Oracle: WHERE contains(text, kw)."""
+
+    def __init__(self, text_col: str = "text", kw_col: str = "kw"):
+        def fn(prompt: str) -> str:
+            text = _field(prompt, text_col) or ""
+            kw = _field(prompt, kw_col) or ""
+            return "True" if kw and kw in text else "False"
+
+        super().__init__(fn)
+
+
+class CountingAggLM(FakeLM):
+    """sem_agg fake: the hierarchical fold computes COUNT(*).
+
+    Leaf docs (serialized rows) count 1 each; node docs (previous numeric
+    answers) contribute their value — so any fold shape yields the exact
+    row count. Oracle: CAST(count(*) AS VARCHAR)."""
+
+    _DOC_SPLIT = re.compile(r"\tDocument \d+:\n")
+
+    def __init__(self) -> None:
+        def fn(prompt: str) -> str:
+            ctx = prompt
+            if "\n\nInstruction:" in ctx:
+                ctx = ctx.split("\n\nInstruction:")[0]
+            parts = self._DOC_SPLIT.split(ctx)[1:]
+            total = 0
+            for p in parts:
+                body = p.strip()
+                total += int(body) if re.fullmatch(r"\d+", body) else 1
+            return str(total)
+
+        super().__init__(fn)
+
+
+class FieldCompareLM(FakeLM):
+    """sem_topk fake: Document with larger (primary, -tiebreak) key wins —
+    a total order, so tournament top-K equals ORDER BY primary DESC,
+    tiebreak ASC LIMIT K."""
+
+    def __init__(self, primary: str = "n_chars", tiebreak: str = "doc_id"):
+        rx = re.compile(r"Document 1:\n(.*?)\n\nDocument 2:\n(.*)", re.DOTALL)
+
+        def fn(prompt: str) -> str:
+            m = rx.search(prompt)
+            if not m:
+                return "Document 1"
+            d1, d2 = m.group(1), m.group(2)
+            k1 = (float(_field(d1, primary) or 0), -float(_field(d1, tiebreak) or 0))
+            k2 = (float(_field(d2, primary) or 0), -float(_field(d2, tiebreak) or 0))
+            return "Document 1" if k1 > k2 else "Document 2"
+
+        super().__init__(fn)

@@ -1,0 +1,121 @@
+"""LM client interface.
+
+The reference's ``LM.__call__`` takes a *batch* of message-lists and returns
+``LMOutput(outputs, logprobs)`` with caching + usage accounting
+(``lotus/models/lm.py:169-236``). We keep that contract: semantic operators
+always call the LM with the whole Arrow batch so a real client can fan out
+concurrently (async HTTP) while fakes answer synchronously.
+
+Scale design: LM objects must be cheaply picklable (config only). Any network
+client is created lazily on first call *inside the executor process* — the
+object crosses the driver→executor boundary as pure config. Concurrency model
+on a cluster = (#partitions running) × (per-partition async fan-out), with
+RPM/TPM budgets enforced per-executor (global limits are documented to need a
+partition cap, as in SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+Messages = list[dict]  # [{"role": "...", "content": "..."}]
+
+
+@dataclass
+class UsageStats:
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+    total_calls: int = 0
+    virtual_calls: int = 0  # includes cache hits
+    cost: float = 0.0
+
+    def add(self, other: "UsageStats") -> None:
+        self.prompt_tokens += other.prompt_tokens
+        self.completion_tokens += other.completion_tokens
+        self.total_calls += other.total_calls
+        self.virtual_calls += other.virtual_calls
+        self.cost += other.cost
+
+
+@dataclass
+class LMOutput:
+    outputs: list[str]
+    # per-output token logprob maps for cascade confidence scoring:
+    # list of {token: logprob} for the first generated token, or None
+    logprobs: Optional[list[Optional[dict[str, float]]]] = None
+
+
+class LM:
+    """Abstract batched LM client."""
+
+    model: str = "abstract"
+    max_batch_size: int = 64
+    max_ctx_len: int = 128_000
+    max_tokens: int = 512
+
+    def __init__(self) -> None:
+        self.usage = UsageStats()
+
+    def __call__(self, batch: list[Messages], **kwargs: Any) -> LMOutput:
+        raise NotImplementedError
+
+    def count_tokens(self, text: str) -> int:
+        # cheap deterministic approximation (≈ GPT tokenization density);
+        # real clients may override with a tokenizer.
+        return max(1, len(text) // 4)
+
+
+class LiteLLMClient(LM):
+    """Real LM backed by litellm (optional dependency, lazily imported).
+
+    Mirrors the reference client's behavior: batch of message-lists →
+    concurrent completions, temperature 0 default, logprobs passthrough.
+    The litellm import happens on first call so this class can be shipped to
+    executors as config even when litellm is absent on the driver.
+    """
+
+    def __init__(
+        self,
+        model: str = "gpt-4o-mini",
+        temperature: float = 0.0,
+        max_tokens: int = 512,
+        max_batch_size: int = 64,
+        api_base: str | None = None,
+        **default_kwargs: Any,
+    ) -> None:
+        super().__init__()
+        self.model = model
+        self.temperature = temperature
+        self.max_tokens = max_tokens
+        self.max_batch_size = max_batch_size
+        self.api_base = api_base
+        self.default_kwargs = default_kwargs
+
+    def __call__(self, batch: list[Messages], **kwargs: Any) -> LMOutput:
+        try:
+            import litellm  # type: ignore
+        except ImportError as e:  # pragma: no cover - env without litellm
+            raise RuntimeError(
+                "litellm is not installed; use a FakeLM for hermetic runs or "
+                "install litellm for live model calls"
+            ) from e
+        merged = {**self.default_kwargs, **kwargs}
+        responses = litellm.batch_completion(
+            model=self.model,
+            messages=batch,
+            temperature=merged.pop("temperature", self.temperature),
+            max_tokens=merged.pop("max_tokens", self.max_tokens),
+            api_base=self.api_base,
+            **merged,
+        )
+        outputs = [r.choices[0].message.content or "" for r in responses]
+        self.usage.total_calls += len(batch)
+        self.usage.virtual_calls += len(batch)
+        return LMOutput(outputs=outputs)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["usage"] = UsageStats()  # don't ship accumulated usage to executors
+        return d

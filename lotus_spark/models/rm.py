@@ -1,0 +1,94 @@
+"""Embedding model (RM) interface + deterministic fake.
+
+Reference: ``lotus/models/rm.py:10-85`` — ``_embed(docs) -> ndarray`` with
+SentenceTransformers / LiteLLM / ColBERT implementations. In lotus_spark the
+RM runs inside an Arrow-batched pandas_udf returning ``array<float>``; the
+model is loaded once per executor (lazy init), never on the driver.
+
+``HashRM`` is the deterministic stand-in: a seeded feature-hashing embedding
+(token → bucket, l2-normalized counts). It is stable across processes and
+platforms, so embedding-op tests and DuckDB oracles are exactly reproducible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import numpy as np
+
+
+class RM:
+    """Abstract embedding model."""
+
+    dim: int = 0
+
+    def _embed(self, docs: list[str]) -> np.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, docs: list[str]) -> np.ndarray:
+        if not docs:
+            return np.zeros((0, self.dim), dtype=np.float32)
+        return self._embed(docs)
+
+
+class HashRM(RM):
+    """Deterministic feature-hashing embeddings (seeded, l2-normalized).
+
+    Token buckets come from blake2b(token || seed) so the mapping is stable
+    across Python processes (unlike builtin ``hash``). Cheap enough to run
+    on 100 TB of text inside a pandas_udf without any model weights.
+    """
+
+    def __init__(self, dim: int = 64, seed: int = 42, lowercase: bool = True):
+        self.dim = dim
+        self.seed = seed
+        self.lowercase = lowercase
+
+    def _bucket(self, token: str) -> tuple[int, float]:
+        h = hashlib.blake2b(
+            f"{token}\x00{self.seed}".encode(), digest_size=8
+        ).digest()
+        v = int.from_bytes(h, "big")
+        return v % self.dim, 1.0 if (v >> 63) & 1 else -1.0
+
+    def _embed(self, docs: list[str]) -> np.ndarray:
+        out = np.zeros((len(docs), self.dim), dtype=np.float64)
+        for i, doc in enumerate(docs):
+            text = doc.lower() if self.lowercase else doc
+            for tok in text.split():
+                b, sign = self._bucket(tok)
+                out[i, b] += sign
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return (out / norms).astype(np.float32)
+
+
+class SentenceTransformersRM(RM):
+    """Real embedding model (optional dependency, lazily imported per executor)."""
+
+    def __init__(self, model: str = "intfloat/e5-base-v2", batch_size: int = 64):
+        self.model_name = model
+        self.batch_size = batch_size
+        self._model: Any = None
+        self.dim = -1  # discovered on first embed
+
+    def _embed(self, docs: list[str]) -> np.ndarray:
+        if self._model is None:
+            try:
+                from sentence_transformers import SentenceTransformer  # type: ignore
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "sentence-transformers not installed; use HashRM for hermetic runs"
+                ) from e
+            self._model = SentenceTransformer(self.model_name)
+        emb = self._model.encode(
+            docs, batch_size=self.batch_size, normalize_embeddings=True
+        )
+        self.dim = emb.shape[1]
+        return np.asarray(emb, dtype=np.float32)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_model"] = None  # never ship live model weights driver→executor
+        return d

@@ -1,0 +1,50 @@
+"""sem_cluster_by — KMeans clustering of a column's embeddings.
+
+Reference semantics (``lotus/sem_ops/sem_cluster_by.py:57-86``,
+``lotus/utils.py:14-72``): KMeans (FAISS, ``niter`` iterations) over the
+indexed column's vectors; appends ``cluster_id``.
+
+Spark design: MLlib ``KMeans`` (distributed Lloyd's) on the embedding column
+(``array<float>`` → ml vector via ``array_to_vector``); ``prediction`` →
+``cluster_id``. Seeded for reproducibility. MLlib trains on a sampled/cached
+vector column and scales to arbitrary row counts — no driver materialization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lotus_spark.operators.sem_index import _resolve_rm, with_embeddings
+
+
+def sem_cluster_by(
+    df: DataFrame,
+    col: str,
+    ncentroids: int,
+    rm: Any = None,
+    niter: int = 20,
+    seed: int = 42,
+    cluster_col: str = "cluster_id",
+    emb_col: Optional[str] = None,
+) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    scored = df
+    ecol = emb_col
+    if ecol is None:
+        model = _resolve_rm(rm)
+        scored = with_embeddings(scored, col, model, "__emb")
+        ecol = "__emb"
+
+    vec_df = scored.withColumn("__features", array_to_vector(F.col(ecol).cast("array<double>")))
+    km = KMeans(k=ncentroids, maxIter=niter, seed=seed, featuresCol="__features",
+                predictionCol=cluster_col)
+    fitted = km.fit(vec_df)
+    out = fitted.transform(vec_df).drop("__features")
+    if emb_col is None:
+        out = out.drop("__emb")
+    return out.withColumn(cluster_col, F.col(cluster_col).cast("int"))

@@ -1,0 +1,85 @@
+"""sem_sim_join — embedding K-NN left join.
+
+Reference semantics (``lotus/sem_ops/sem_sim_join.py:84-166``): for each left
+row, the K most-similar right rows by embedding similarity of
+``left_on``/``right_on``; appends ``_scores``.
+
+Spark design (exact tier): embed both sides → join → JVM-side cosine →
+``row_number() OVER (PARTITION BY left_id ORDER BY score DESC, tie)`` ≤ K.
+The right side gets a broadcast hint when small (dimension-table shaped), so
+the pair generation is a broadcast nested-loop with no shuffle of the big
+left side; the only shuffle is the window partition by left_id (AQE coalesces
+it). Scale path for huge right sides: cluster/LSH blocking before the pair
+join (``sem_cluster_by`` ids as block keys) bounds candidates per left row.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.vectors import cosine_sim
+from lotus_spark.operators.sem_index import _resolve_rm, with_embeddings
+
+SCORE_COL = "_scores"
+
+
+def sem_sim_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    K: int = 1,
+    rm: Any = None,
+    lsuffix: str = "",
+    rsuffix: str = "_right",
+    return_scores: bool = True,
+    broadcast_right: bool = True,
+    left_emb_col: Optional[str] = None,
+    right_emb_col: Optional[str] = None,
+    tie_break: Optional[str] = None,
+) -> DataFrame:
+    model = None
+    if left_emb_col is None or right_emb_col is None:
+        model = _resolve_rm(rm)
+
+    l = left
+    if left_emb_col is None:
+        l = with_embeddings(l, left_on, model, "__l_emb")
+        left_emb_col = "__l_emb"
+    r = right
+    if right_emb_col is None:
+        r = with_embeddings(r, right_on, model, "__r_emb")
+        right_emb_col = "__r_emb"
+
+    # rename colliding right columns (pandas-join suffix semantics)
+    collisions = [c for c in r.columns if c in l.columns]
+    for c in collisions:
+        r = r.withColumnRenamed(c, f"{c}{rsuffix}")
+        if c == right_emb_col:
+            right_emb_col = f"{c}{rsuffix}"
+        if c == right_on:
+            right_on = f"{c}{rsuffix}"
+
+    l = l.withColumn("__l_id", F.monotonically_increasing_id())
+    pairs = l.join(F.broadcast(r) if broadcast_right else r, how="cross")
+    pairs = pairs.withColumn(
+        SCORE_COL, cosine_sim(F.col(left_emb_col), F.col(right_emb_col))
+    )
+    order = [F.desc(SCORE_COL)]
+    if tie_break is not None:
+        order.append(F.asc(tie_break))
+    w = Window.partitionBy("__l_id").orderBy(*order)
+    out = (
+        pairs.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= K)
+        .drop("__rank", "__l_id")
+    )
+    for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}", f"__r_emb{rsuffix}"):
+        if c in out.columns:
+            out = out.drop(c)
+    if not return_scores:
+        out = out.drop(SCORE_COL)
+    return out

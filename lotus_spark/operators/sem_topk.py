@@ -1,0 +1,197 @@
+"""sem_topk — LLM-comparison top-K ranking.
+
+Reference semantics (``lotus/sem_ops/sem_topk.py``): return the K rows that
+best satisfy an NL criterion, using pairwise LLM comparisons
+("Document 1 or 2" prompts, ``:16-80``). Methods:
+- ``quick``  — quickselect-style: compare all candidates against a pivot,
+  recurse only into the side containing rank K (``:347-488``)
+- ``quick-sem`` — same but candidates pre-sorted by embedding similarity
+  so pivots are informative early (``:407-423,782-788``)
+- ``heap``   — heapq.nsmallest with LLM ``__lt__`` (``:491-621``)
+- ``naive``  — all-pairs voting, O(n²) comparisons (``:276-344``)
+``group_by`` ranks within each group (``:762-780``).
+
+Spark design: grouped top-k runs the tournament inside ``applyInPandas`` (one
+task per group, all groups in parallel; each round's comparisons batched into
+ONE LM call). Global top-k over a big table first reduces the candidate pool
+with an embedding prefilter (``orderBy(desc(sim)).limit(cK)``) — the
+LLM tournament then runs on the bounded pool. Driver materialization is
+bounded to the candidate pool (reference behavior is a full in-memory sort).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any, Callable, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from lotus_spark.nl_expression import nle2str, parse_cols
+from lotus_spark.operators import prompts
+from lotus_spark.operators.sem_map import _resolve_lm
+from lotus_spark.serialization import docs_from_pdf
+from lotus_spark.session import settings
+
+
+def _parse_choice(output: str) -> int:
+    """'Document 1' / 'Document 2' → 0 / 1 (default 0 on parse failure)."""
+    if output:
+        low = output.lower()
+        i1, i2 = low.rfind("document 1"), low.rfind("document 2")
+        if i2 > i1:
+            return 1
+    return 0
+
+
+class BatchedComparator:
+    """Batches pairwise comparisons of one tournament round into one LM call."""
+
+    def __init__(self, lm: Any, instruction: str, **kw: Any):
+        self.lm = lm
+        self.instruction = instruction
+        self.kw = kw
+        self.calls = 0
+
+    def compare(self, pairs: list[tuple[str, str]]) -> list[int]:
+        """For each (doc_i, doc_j): 0 if doc_i wins else 1."""
+        if not pairs:
+            return []
+        msgs = [prompts.compare_messages(a, b, self.instruction) for a, b in pairs]
+        outs = self.lm(msgs, **self.kw).outputs
+        self.calls += len(pairs)
+        return [_parse_choice(o) for o in outs]
+
+
+def quickselect_topk(
+    docs: list[str], K: int, cmp: BatchedComparator, seed: int = 42
+) -> list[int]:
+    """Indices of the top-K docs; pivot comparisons batched per round."""
+    rng = random.Random(seed)
+    idx = list(range(len(docs)))
+
+    def select(pool: list[int], k: int) -> list[int]:
+        if k <= 0:
+            return []
+        if len(pool) <= k:
+            return pool
+        pivot = pool[rng.randrange(len(pool))]
+        others = [i for i in pool if i != pivot]
+        wins = cmp.compare([(docs[i], docs[pivot]) for i in others])
+        better = [i for i, w in zip(others, wins) if w == 0]  # doc_i beats pivot
+        worse = [i for i, w in zip(others, wins) if w == 1]
+        if len(better) == k:
+            return better
+        if len(better) == k - 1:
+            return better + [pivot]
+        if len(better) > k:
+            return select(better, k)
+        return better + [pivot] + select(worse, k - len(better) - 1)
+
+    top = select(idx, K)
+    # order the K winners: small, rank with repeated selection of the best
+    ordered: list[int] = []
+    pool = list(top)
+    while pool:
+        best = pool[0]
+        for cand in pool[1:]:
+            if cmp.compare([(docs[cand], docs[best])])[0] == 0:
+                best = cand
+        ordered.append(best)
+        pool.remove(best)
+    return ordered
+
+
+def heap_topk(docs: list[str], K: int, cmp: BatchedComparator) -> list[int]:
+    """Insertion-based top-K with LLM comparisons (reference 'heap' method)."""
+    top: list[int] = []  # kept sorted best→worst
+    for i in range(len(docs)):
+        lo, hi = 0, len(top)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if cmp.compare([(docs[i], docs[top[mid]])])[0] == 0:
+                hi = mid
+            else:
+                lo = mid + 1
+        top.insert(lo, i)
+        if len(top) > K:
+            top.pop()
+    return top
+
+
+def naive_topk(docs: list[str], K: int, cmp: BatchedComparator) -> list[int]:
+    """All-pairs voting; single batched LM call for every pair."""
+    n = len(docs)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    outs = cmp.compare([(docs[i], docs[j]) for i, j in pairs])
+    wins = [0] * n
+    for (i, j), w in zip(pairs, outs):
+        wins[i if w == 0 else j] += 1
+    order = sorted(range(n), key=lambda i: (-wins[i], i))
+    return order[:K]
+
+
+_METHODS: dict[str, Callable] = {
+    "quick": quickselect_topk,
+    "heap": heap_topk,
+    "naive": naive_topk,
+}
+
+
+def sem_topk(
+    df: DataFrame,
+    user_instruction: str,
+    K: int,
+    lm: Any = None,
+    method: str = "quick",
+    group_by: Optional[list[str]] = None,
+    prefilter_factor: int = 0,
+    rm: Any = None,
+    seed: int = 42,
+    **model_kwargs: Any,
+) -> DataFrame:
+    """Top-K rows per the NL criterion. ``prefilter_factor=c > 0`` bounds the
+    candidate pool to c*K rows by embedding similarity to the instruction
+    (the 'quick-sem' idea) before the LLM tournament."""
+    model = _resolve_lm(lm)
+    cols = parse_cols(user_instruction)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns referenced in instruction not in DataFrame: {missing}")
+    instr = nle2str(user_instruction, cols)
+    fmt = settings.serialization_format
+    if method not in _METHODS:
+        raise ValueError(f"unknown method {method!r}; pick from {sorted(_METHODS)}")
+    algo = _METHODS[method]
+
+    if group_by:
+        out_schema = StructType(df.schema.fields + [StructField("_rank", LongType())])
+
+        def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            docs = docs_from_pdf(pdf, cols, fmt)
+            cmp = BatchedComparator(model, instr, **model_kwargs)
+            top = algo(docs, K, cmp) if method != "quick" else algo(docs, K, cmp, seed)
+            out = pdf.iloc[top].copy()
+            out["_rank"] = range(1, len(top) + 1)
+            return out
+
+        return df.groupBy(*group_by).applyInPandas(rank_group, schema=out_schema)
+
+    pool_df = df
+    if prefilter_factor and prefilter_factor > 0:
+        from lotus_spark.operators.sem_search import sem_search
+
+        pool_df = sem_search(
+            df, cols[0], instr, K=prefilter_factor * K, rm=rm, return_scores=False
+        )
+    pdf = pool_df.toPandas()
+    docs = docs_from_pdf(pdf, cols, fmt)
+    cmp = BatchedComparator(model, instr, **model_kwargs)
+    top = algo(docs, K, cmp) if method != "quick" else algo(docs, K, cmp, seed)
+    out = pdf.iloc[top].copy()
+    out["_rank"] = range(1, len(top) + 1)
+    spark = df.sparkSession
+    out_schema = StructType(df.schema.fields + [StructField("_rank", LongType())])
+    return spark.createDataFrame(out, schema=out_schema)

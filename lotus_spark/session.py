@@ -1,0 +1,130 @@
+"""Session & settings for lotus_spark.
+
+The reference keeps a global ``settings`` singleton holding the model stack
+(``lotus/settings.py:15-30``): ``lm`` (main LM), ``helper_lm`` (cascade proxy),
+``rm`` (embedding model), ``reranker``, ``vs`` (vector store), plus flags.
+We reproduce that surface, and add a ``SemanticSession`` wrapper that pairs a
+SparkSession with the model stack, an index catalog (the reference stores index
+pointers in ``df.attrs["index_dirs"]`` — ``lotus/sem_ops/sem_index.py:61-77``),
+and usage accounting.
+
+Scale notes (100 TB design rule): model objects stored here must be *picklable
+configs* — actual network clients are created lazily per executor inside UDFs,
+never on the driver, and never serialized live.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import SparkSession
+
+
+class Settings:
+    """Global model-stack configuration (reference ``lotus/settings.py``)."""
+
+    _ATTRS = (
+        "lm",
+        "helper_lm",
+        "rm",
+        "reranker",
+        "vs",
+        "enable_cache",
+        "serialization_format",
+        "parallel_groupby_max_threads",
+    )
+
+    def __init__(self) -> None:
+        self.lm: Any = None
+        self.helper_lm: Any = None
+        self.rm: Any = None
+        self.reranker: Any = None
+        self.vs: Any = None
+        self.enable_cache: bool = False
+        self.serialization_format: str = "default"  # default | json | xml
+        self.parallel_groupby_max_threads: int = 8
+        self._local = threading.local()
+
+    def configure(self, **kwargs: Any) -> None:
+        for k, v in kwargs.items():
+            if k not in self._ATTRS:
+                raise ValueError(f"unknown setting: {k}")
+            setattr(self, k, v)
+
+    def clone(self) -> "Settings":
+        s = Settings()
+        for a in self._ATTRS:
+            setattr(s, a, getattr(self, a))
+        return s
+
+    @contextlib.contextmanager
+    def override(self, **kwargs: Any):
+        """Thread-local temporary override (reference ``settings.py:47-70``)."""
+        old = {k: getattr(self, k) for k in kwargs}
+        try:
+            self.configure(**kwargs)
+            yield self
+        finally:
+            for k, v in old.items():
+                setattr(self, k, v)
+
+
+settings = Settings()
+
+
+@dataclass
+class IndexEntry:
+    """Catalog entry for a semantic index (embeddings parquet)."""
+
+    column: str
+    path: str
+    id_col: str = "_lotus_id"
+    emb_col: str = "_lotus_emb"
+
+
+@dataclass
+class SemanticSession:
+    """Pairs a SparkSession with the semantic model stack and index catalog."""
+
+    spark: SparkSession
+    lm: Any = None
+    helper_lm: Any = None
+    rm: Any = None
+    reranker: Any = None
+    settings: Settings = field(default_factory=lambda: settings)
+    index_catalog: dict[str, IndexEntry] = field(default_factory=dict)
+
+    def register_index(self, name: str, entry: IndexEntry) -> None:
+        self.index_catalog[name] = entry
+
+    def get_index(self, name: str) -> Optional[IndexEntry]:
+        return self.index_catalog.get(name)
+
+
+def get_spark(
+    app_name: str = "lotus_spark",
+    shuffle_partitions: int = 32,
+    master: str | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the configs every operator here assumes.
+
+    AQE handles runtime re-planning (skew joins, partition coalescing) — the
+    local knobs mirror what a 1000-executor cluster deployment would set, with
+    shuffle_partitions sized to the cluster instead.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    return builder.getOrCreate()

@@ -1,0 +1,162 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+The reference's multimodal support is a pandas ExtensionDtype holding PIL
+images fetched lazily from paths/URLs/base64 (``lotus/dtype_extensions/
+image.py:12-61``, ``lotus/utils.py:75-120``). Spark-native model: media are
+opaque ``binary`` columns (or URI strings) plus a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.
+
+The decode step itself is STUBBED here (PIL/ffmpeg are not in this
+container): ``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, which produces a deterministic fake decode so the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real and
+tested. Swap ``_decode_image_bytes`` for a PIL call in production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# media column convention: binary payload + metadata struct
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("format", StringType()),      # png/jpeg/wav/mp4/...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", StringType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def _decode_image_bytes(data: bytes, fake: bool) -> dict:
+    """Decode image bytes → dict(width, height, mean_luma, phash).
+
+    Real implementation requires PIL:
+        from PIL import Image; img = Image.open(io.BytesIO(data)) ...
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires PIL, which is not installed in this "
+            "container; pass fake=True for the deterministic test decode"
+        )
+    h = hashlib.blake2b(data or b"", digest_size=16).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "mean_luma": f"{h[2] / 255:.4f}",
+        "phash": h[:8].hex(),
+    }
+
+
+def image_features(
+    df: DataFrame,
+    binary_col: str = "media",
+    uri_col: str = "uri",
+    fake: bool = False,
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction over a binary image column."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_image_bytes(
+                    bytes(b) if b is not None else b"", fake
+                )
+                for b in pdf[binary_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "uri": pdf[uri_col].astype(str),
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "mean_luma": [f["mean_luma"] for f in feats],
+                    "phash": [f["phash"] for f in feats],
+                }
+            )
+
+    return df.select(uri_col, binary_col).mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    binary_col: str = "media",
+    uri_col: str = "uri",
+    every_n: int = 30,
+    fake: bool = False,
+) -> DataFrame:
+    """Video → sampled frame rows (uri, frame_idx, frame binary).
+
+    Decode is stubbed (ffmpeg absent): with ``fake=True`` each video yields
+    deterministic pseudo-frames so downstream stages (explode shape, per-frame
+    features) are exercised for real.
+    """
+    schema = StructType(
+        [
+            StructField("uri", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for uri, b in zip(pdf[uri_col], pdf[binary_col]):
+                data = bytes(b) if b is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "video decoding requires ffmpeg; pass fake=True for "
+                        "the deterministic test decode"
+                    )
+                n_frames = 1 + (len(data) % 5)
+                for i in range(n_frames):
+                    fh = hashlib.blake2b(
+                        data + i.to_bytes(4, "big"), digest_size=32
+                    ).digest()
+                    rows.append((str(uri), i * every_n, fh))
+            yield pd.DataFrame(rows, columns=["uri", "frame_idx", "frame"])
+
+    return df.select(uri_col, binary_col).mapInPandas(run, schema=schema)
+
+
+def attach_media_meta(df: DataFrame, uri_col: str, media_type: str) -> DataFrame:
+    """Build the metadata struct from a URI column (format from extension)."""
+    fmt = F.lower(F.element_at(F.split(F.col(uri_col), r"\."), -1))
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.col(uri_col).alias("uri"),
+            F.lit(media_type).alias("media_type"),
+            fmt.alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
