@@ -58,8 +58,10 @@ def importance_sampling(
     max_sample: int = 2000,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sample indices with probability ∝ √score defensively mixed with
-    uniform; returns (indices, correction_weights) where correction weight
-    1/(n·p_i) unbiases any sample mean."""
+    uniform; returns (indices, correction_weights). Correction weight
+    1/(m·p_i) makes Σ x·w an (approximately, sampling is without
+    replacement) unbiased estimate of the population total; the threshold
+    learner only uses weighted *ratios*, where the scale cancels exactly."""
     n = len(scores)
     sqrt_s = np.sqrt(np.clip(scores, 0.0, None))
     total = sqrt_s.sum()
@@ -69,7 +71,7 @@ def importance_sampling(
     size = int(np.clip(round(n * sample_percentage), min(min_sample, n), min(max_sample, n)))
     rng = np.random.default_rng(seed)
     idx = rng.choice(n, size=size, replace=False, p=probs)
-    correction = 1.0 / (n * probs[idx])
+    correction = 1.0 / (size * probs[idx])
     return idx, correction
 
 

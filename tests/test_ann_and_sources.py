@@ -1,0 +1,86 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.ann import hyperplanes, knn_topk, knn_topk_lsh, lsh_bucket
+
+
+@pytest.fixture()
+def emb_df(spark):
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(100)]
+    return spark.createDataFrame(rows, ["id", "emb"]), rows
+
+
+def test_knn_topk_matches_numpy(emb_df):
+    df, rows = emb_df
+    q = rows[0][1]
+    out = knn_topk(df, "emb", q, k=5, id_col="id")
+    got = [r["id"] for r in out.collect()]
+
+    qv = np.array(q)
+    sims = []
+    for i, v in rows:
+        v = np.array(v)
+        sims.append((float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), i))
+    expected = [i for _, i in sorted(sims, key=lambda t: (-t[0], t[1]))[:5]]
+    assert got == expected
+
+
+def test_lsh_bucket_deterministic(emb_df, spark):
+    df, _ = emb_df
+    planes = hyperplanes(4, 8, seed=3)
+    b1 = df.select("id", lsh_bucket(F.col("emb"), planes).alias("b")).collect()
+    b2 = df.select("id", lsh_bucket(F.col("emb"), planes).alias("b")).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+    buckets = {r["b"] for r in b1}
+    assert len(buckets) > 1  # actually spreads
+
+
+def test_knn_lsh_subset_of_bucket(emb_df):
+    df, rows = emb_df
+    q = rows[0][1]
+    out = knn_topk_lsh(df, "emb", q, k=5, n_planes=3, seed=3, id_col="id")
+    ids = [r["id"] for r in out.collect()]
+    assert 0 < len(ids) <= 5
+    assert ids[0] == 0  # the query vector itself lands in its own bucket
+
+
+def test_load_files_reads_text(spark, tmp_path):
+    from lotus_spark.sources.connectors import load_files
+
+    (tmp_path / "a.txt").write_text("hello\fworld")
+    (tmp_path / "b.md").write_text("# title")
+    (tmp_path / "c.pdf").write_bytes(b"%PDF-fake")
+    out = load_files(spark, str(tmp_path)).collect()
+    by_content = {r["content"]: r for r in out}
+    assert "hello" in by_content and "world" in by_content  # per-page split
+    assert by_content["world"]["page_label"] == "2"
+    assert "# title" in by_content
+    assert any(c.startswith("[unextracted:pdf]") for c in by_content)
+
+
+def test_multimodal_image_features(spark):
+    from lotus_spark.sources.multimodal import frame_sample, image_features
+
+    df = spark.createDataFrame(
+        [("img://1", bytearray(b"abc")), ("img://2", bytearray(b"defg"))],
+        ["uri", "media"],
+    )
+    out = image_features(df, fake=True).collect()
+    assert len(out) == 2
+    assert all(64 <= r["width"] < 256 for r in out)
+    again = image_features(df, fake=True).collect()
+    assert sorted(r["phash"] for r in out) == sorted(r["phash"] for r in again)
+
+    frames = frame_sample(df, fake=True, every_n=10).collect()
+    assert len(frames) >= 2
+    assert all(r["frame_idx"] % 10 == 0 for r in frames)
+
+
+def test_multimodal_real_decode_raises(spark):
+    from lotus_spark.sources.multimodal import image_features
+
+    df = spark.createDataFrame([("u", bytearray(b"x"))], ["uri", "media"])
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        image_features(df, fake=False).collect()

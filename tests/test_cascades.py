@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+import lotus_spark as ls
+from lotus_spark.cascades.utils import (
+    CascadeArgs,
+    calibrate_scores,
+    importance_sampling,
+    learn_filter_thresholds,
+)
+from lotus_spark.models import KeywordBoolLM
+
+
+def test_calibrate_monotone():
+    s = np.array([0.9, 0.1, 0.5, 0.7])
+    cal = calibrate_scores(s, 10)
+    assert cal[np.argsort(s)].tolist() == sorted(cal.tolist())
+    assert (cal > 0).all() and (cal <= 1).all()
+
+
+def test_importance_sampling_unbiased_weights():
+    rng = np.random.default_rng(0)
+    scores = rng.random(1000)
+    idx, corr = importance_sampling(scores, 0.2, seed=1)
+    # self-normalized IS estimate of the mean should be close to the truth
+    est = float((scores[idx] * corr).sum() / corr.sum())
+    assert abs(est - scores.mean()) < 0.1
+    assert len(idx) == len(set(idx.tolist()))
+
+
+def test_learn_thresholds_perfect_proxy():
+    # scores perfectly separate labels → learner finds a usable split
+    scores = np.concatenate([np.full(50, 0.9), np.full(50, 0.1)])
+    labels = np.concatenate([np.ones(50, bool), np.zeros(50, bool)])
+    w = np.ones(100)
+    tp, tn = learn_filter_thresholds(scores, labels, w, 0.8, 0.8, 0.2)
+    assert tp <= 0.9  # accepts the high-score mass
+    assert tn >= 0.1 or tn == 0.0
+
+
+def test_learn_thresholds_hopeless_proxy_falls_back():
+    rng = np.random.default_rng(3)
+    scores = rng.random(60)
+    labels = rng.random(60) > 0.5  # uncorrelated
+    tp, tn = learn_filter_thresholds(scores, labels, np.ones(60), 0.99, 0.99, 0.05)
+    assert tp == 2.0  # accept nothing via proxy → oracle everything
+
+
+def test_simulated_cascade_meets_targets():
+    """Property test: on a simulated noisy proxy, routing with learned
+    thresholds meets recall/precision targets vs the full oracle."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    labels = rng.random(n) < 0.4
+    noise = rng.normal(0, 0.15, n)
+    scores = np.clip(labels * 0.7 + 0.15 + noise, 0, 1)
+    cal = calibrate_scores(scores, 50)
+    idx, corr = importance_sampling(cal, 0.1, seed=11)
+    tp, tn = learn_filter_thresholds(cal[idx], labels[idx], corr, 0.8, 0.8, 0.2)
+
+    accept = cal >= tp
+    reject = cal <= tn
+    gray = ~accept & ~reject
+    # gray zone goes to oracle → always correct there
+    predicted = accept | (gray & labels)
+    tp_count = (predicted & labels).sum()
+    recall = tp_count / labels.sum()
+    precision = tp_count / max(predicted.sum(), 1)
+    assert recall >= 0.8 - 0.05
+    assert precision >= 0.8 - 0.05
+
+
+def test_filter_cascade_end_to_end_equals_exact(spark):
+    rows = [(i, f"doc {i} {'spark' if i % 3 == 0 else 'other'}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    exact = ls.sem_filter(df, "{text} is about spark", lm=KeywordBoolLM("spark"))
+    cascaded = ls.sem_filter(
+        df,
+        "{text} is about spark",
+        lm=KeywordBoolLM("spark"),
+        helper_lm=KeywordBoolLM("spark"),
+        cascade_args=CascadeArgs(),
+    )
+    assert {r["id"] for r in cascaded.collect()} == {r["id"] for r in exact.collect()}
+
+
+def test_join_cascade_end_to_end(spark):
+    from lotus_spark.models.demo_lms import PairKeywordJoinLM
+    from lotus_spark.models import HashRM
+    from lotus_spark.session import settings
+
+    left = spark.createDataFrame(
+        [(i, f"row about {'spark' if i % 2 else 'cooking'}") for i in range(20)],
+        ["id", "text"],
+    )
+    right = spark.createDataFrame([("spark",), ("cooking",)], ["kw"])
+    with settings.override(rm=HashRM(dim=16)):
+        out = ls.sem_join(
+            left, right, "{text} mentions {kw}", lm=PairKeywordJoinLM(),
+            cascade_args=CascadeArgs(min_sample_size=10),
+        )
+    pairs = {(r["id"], r["kw"]) for r in out.collect()}
+    expected = {(i, "spark" if i % 2 else "cooking") for i in range(20)}
+    # cascade guarantees are statistical; with oracle-labeled gray zone and a
+    # clean proxy the result must contain every true pair (recall) and no
+    # false accepts come from the proxy-accept bucket here
+    assert expected <= pairs or pairs == expected

@@ -1,0 +1,108 @@
+import pytest
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.dedup import (
+    exact_dedup,
+    jaccard_sim_pairs,
+    minhash_lsh_dedup,
+    minhash_signature,
+    simhash,
+)
+from lotus_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+
+
+def _one(df, col):
+    return df.collect()[0][col]
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b c",), ("  x  ",), ("",)], ["t"])
+    got = [r["n"] for r in df.select(token_count(F.col("t")).alias("n")).collect()]
+    assert got == [3, 1, 0]
+
+
+def test_fingerprint_known_value(spark):
+    df = spark.createDataFrame([("ab",), ("",), ("ab",)], ["t"])
+    got = [r["f"] for r in df.select(fingerprint(F.col("t")).alias("f")).collect()]
+    # 'a'=97, 'b'=98 → 97*31+98 = 3105
+    assert got == [3105, 0, 3105]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("el gato y la casa",), ("xyzzy qwerty",)], ["t"]
+    )
+    got = [r["l"] for r in df.select(lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_score_range(spark):
+    df = spark.createDataFrame([("the quick brown fox and the dog",), ("!!!! ??",)], ["t"])
+    got = [r["q"] for r in df.select(quality_score(F.col("t")).alias("q")).collect()]
+    assert 0.0 <= got[1] < got[0] <= 1.0
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["t"])
+    got = [r["s"] for r in df.select(word_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]  # fewer tokens than n → single shingle
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], ["id", "t"]
+    )
+    out = exact_dedup(df, "t", "id")
+    assert {(r["id"], r["t"]) for r in out.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_minhash_signature_similar_docs_share_values(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "the quick brown fox jumps over the lazy dog tonight"
+    c = "completely unrelated text about cooking pasta dishes"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["id", "t"])
+    out = minhash_signature(df, "t", n_hashes=32, shingle_n=2)
+    sigs = {r["id"]: r["minhash"] for r in out.collect()}
+    sim_ab = sum(x == y for x, y in zip(sigs[0], sigs[1])) / 32
+    sim_ac = sum(x == y for x, y in zip(sigs[0], sigs[2])) / 32
+    assert sim_ab > 0.5 > sim_ac
+
+
+def test_minhash_lsh_dedup_removes_near_dup(spark):
+    a = "the quick brown fox jumps over the lazy dog every single day"
+    b = "the quick brown fox jumps over the lazy dog every single night"
+    c = "completely unrelated text about cooking pasta dishes at home"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["id", "t"])
+    out = minhash_lsh_dedup(df, "t", "id", n_hashes=16, bands=8, shingle_n=2,
+                            jaccard_threshold=0.5)
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [0, 2]
+
+
+def test_simhash_similarity_property(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    b = "the quick brown fox jumps over the lazy cat"
+    c = "astronomy telescopes observe distant galaxies nightly"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], ["id", "t"])
+    out = simhash(df, "t", n_bits=32)
+    h = {r["id"]: r["simhash"] for r in out.collect()}
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(h[0], h[1]) < hamming(h[0], h[2])
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # unigram shingles: {a,b,c} vs {a,b,d} → jaccard 2/4 = 0.5
+    df = spark.createDataFrame([(0, "a b c"), (1, "a b d")], ["id", "t"])
+    out = jaccard_sim_pairs(df, "t", "id", shingle_n=1, threshold=0.4)
+    r = out.collect()
+    assert len(r) == 1 and r[0]["jaccard"] == 0.5

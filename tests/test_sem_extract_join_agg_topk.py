@@ -1,0 +1,107 @@
+import json
+
+from pyspark.sql import functions as F
+
+import lotus_spark as ls
+from lotus_spark.models import FakeLM
+from lotus_spark.models.demo_lms import (
+    CountingAggLM,
+    FieldCompareLM,
+    JSONExtractLM,
+    PairKeywordJoinLM,
+)
+
+
+def test_sem_extract_fields(spark):
+    df = spark.createDataFrame([("great product here",), ("bad",)], ["text"])
+    out = ls.sem_extract(
+        df, ["text"], {"first_word": None, "n_tokens": None}, lm=JSONExtractLM("text")
+    )
+    got = {r["first_word"]: r["n_tokens"] for r in out.collect()}
+    assert got == {"great": "3", "bad": "1"}
+
+
+def test_sem_extract_quotes_schema(spark):
+    df = spark.createDataFrame([("x y",)], ["text"])
+    lm = FakeLM(lambda p: json.dumps({"f": "v", "f_quote": "q"}))
+    out = ls.sem_extract(df, ["text"], {"f": "desc"}, lm=lm, extract_quotes=True)
+    r = out.collect()[0]
+    assert r["f"] == "v" and r["f_quote"] == "q"
+
+
+def test_sem_join_pairs(spark):
+    left = spark.createDataFrame(
+        [(1, "the spark engine"), (2, "a cooking recipe")], ["id", "text"]
+    )
+    right = spark.createDataFrame([("spark",), ("recipe",), ("zzz",)], ["kw"])
+    out = ls.sem_join(left, right, "{text} mentions {kw}", lm=PairKeywordJoinLM())
+    pairs = {(r["id"], r["kw"]) for r in out.collect()}
+    assert pairs == {(1, "spark"), (2, "recipe")}
+
+
+def test_sem_join_colliding_columns(spark):
+    left = spark.createDataFrame([(1, "alpha beta")], ["id", "text"])
+    right = spark.createDataFrame([("beta",)], ["text"])  # collides with left
+    lm = FakeLM(lambda p: "True" if "beta" in p else "False")
+    out = ls.sem_join(left, right, "{text:left} relates to {text:right}", lm=lm)
+    assert out.count() == 1
+    assert "text:right" in out.columns
+
+
+def test_sem_agg_global_counts_rows(spark):
+    df = spark.createDataFrame([(f"doc {i}",) for i in range(37)], ["text"])
+    lm = CountingAggLM()
+    lm.max_ctx_len = 1200  # force multiple fold levels
+    out = ls.sem_agg(df, "Count the {text} docs", lm=lm)
+    assert out.collect()[0]["_output"] == "37"
+
+
+def test_sem_agg_grouped(spark):
+    rows = [("Mon", "a"), ("Tue", "b"), ("Tue", "c")]
+    df = spark.createDataFrame(rows, ["date", "journal"])
+    out = ls.sem_agg(df, "Summarize {journal}", lm=CountingAggLM(), group_by=["date"])
+    got = {r["date"]: r["_output"] for r in out.collect()}
+    assert got == {"Mon": "1", "Tue": "2"}
+
+
+def test_sem_topk_methods_agree(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], ["doc_id", "score"])
+    lm = FieldCompareLM("score", "doc_id")
+    expected = list(range(19, 14, -1))
+    for method in ("quick", "heap", "naive"):
+        out = ls.sem_topk(
+            df, "rank by {score} tie {doc_id}", K=5, lm=lm, method=method
+        )
+        got = [r["doc_id"] for r in out.orderBy("_rank").collect()]
+        assert got == expected, method
+
+
+def test_sem_topk_grouped(spark):
+    rows = [(g, i, g * 100 + i) for g in range(2) for i in range(6)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "score"])
+    out = ls.sem_topk(
+        df,
+        "rank by {score} tie {doc_id}",
+        K=2,
+        lm=FieldCompareLM("score", "doc_id"),
+        group_by=["grp"],
+    )
+    got = {(r["grp"], r["_rank"]): r["score"] for r in out.collect()}
+    assert got[(0, 1)] == 5 and got[(1, 1)] == 105
+
+
+def test_judges(spark):
+    df = spark.createDataFrame([("good", "bad")], ["A", "B"])
+    out = ls.pairwise_judge(
+        df, "A", "B", "overall quality",
+        lm=FakeLM(lambda p: "True" if "«good»" in p.split("Claim:")[0] else "False"),
+        permute_cols=True,
+    )
+    r = out.collect()[0]
+    assert r["_pairwise"] is True and r["_pairwise_swapped"] is True
+
+    judged = ls.llm_as_judge(
+        df, "rate {A}", lm=FakeLM(lambda p: "5"), n_trials=2
+    )
+    r = judged.collect()[0]
+    assert r["_judge_0"] == "5" and r["_judge_1"] == "5"
