@@ -669,15 +669,17 @@ def q_jaccard_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return jaccard_sim_pairs(
-        docs, "text", "doc_id", shingle_n=2, threshold=0.1, block_col="lang"
+        docs, "text", "doc_id", shingle_n=2, threshold=0.3, block_col="lang"
     )
 
 
-_SQL_JACCARD = """
+_SQL_JACCARD = f"""
 WITH d AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
-s AS (SELECT DISTINCT doc_id, lang,
-        unnest(list_distinct(list_transform(range(1, greatest(len(words)-2, 0)+2),
-          i -> array_to_string(words[i:i+1], ' ')))) AS sh
+s AS (SELECT doc_id, lang,
+        unnest(list_distinct(list_transform(
+          list_transform(range(1, greatest(len(words)-2, 0)+2),
+            i -> array_to_string(words[i:i+1], ' ')),
+          sh -> {_sql_strhash('sh')}))) AS sh
       FROM d),
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
 c AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
@@ -685,7 +687,7 @@ c AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS common
       GROUP BY a.doc_id, b.doc_id)
 SELECT c.a, c.b, ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
 FROM c JOIN sz sa ON c.a = sa.doc_id JOIN sz sb ON c.b = sb.doc_id
-WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.1
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.3
 """
 
 

@@ -161,31 +161,99 @@ def jaccard_sim_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    algorithm: str = "count",
 ) -> DataFrame:
-    """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold.
+    """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold. Exact.
 
-    Token-join based (explode shingles → equi-join on shingle → count),
-    optionally blocked by ``block_col`` (e.g. language) to bound the pair
-    space; the equi-join on shingles means only pairs sharing ≥1 shingle are
-    ever materialized — no cross product.
+    Two physical strategies, same result:
+    - ``algorithm="count"`` (default): posting-list join on *hashed* shingles
+      (long keys — cheap shuffles) → groupBy(a,b) count → join sizes. Rows
+      stay narrow (2-3 longs) through every shuffle. Only pairs sharing ≥1
+      shingle are materialized — no cross product. Best general choice.
+    - ``algorithm="prefix"``: AllPairs/PPJoin prefix filter — each doc's
+      shingles ordered rarest-first (global doc-frequency), only the first
+      ``len - ceil(t·len) + 1`` generate candidates (no true pair lost),
+      then candidates verify with an array-intersect join. Wins when the
+      threshold is high (≥~0.7) so prefixes collapse; loses at low
+      thresholds where it degrades to the count plan plus verify overhead.
+    ``block_col`` (e.g. language) bounds the pair space for both.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        *([F.col(block_col).alias("__blk")] if block_col else []),
-        F.explode(word_shingles(F.col(col), shingle_n)).alias("sh"),
-    ).dropDuplicates()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if algorithm not in ("count", "prefix"):
+        raise ValueError(f"unknown algorithm {algorithm!r}; pick 'count' or 'prefix'")
+    hashes = F.array_distinct(
+        F.transform(word_shingles(F.col(col), shingle_n), shingle_hash)
+    )
+    blk = [F.col(block_col).alias("__blk")] if block_col else []
+    sides = ["sh"] + (["__blk"] if block_col else [])
 
-    join_keys = ["sh"] + (["__blk"] if block_col else [])
-    a = sh.select(*[F.col(c) for c in join_keys], F.col("id").alias("a"))
-    b = sh.select(*[F.col(c) for c in join_keys], F.col("id").alias("b"))
+    if algorithm == "prefix":
+        base = df.select(F.col(id_col).alias("id"), *blk, hashes.alias("hs"))
+        base = base.withColumn("sz", F.size("hs"))
+        post = base.select("id", F.explode("hs").alias("sh"))
+        dfreq = post.groupBy("sh").agg(F.count("*").alias("df"))
+        ordered = (
+            post.join(dfreq, "sh")
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "sh"))),
+                    lambda s: s["sh"],
+                ).alias("ordered_hs")
+            )
+        )
+        prefix_len = (
+            F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        )
+        pref = base.join(ordered, "id").select(
+            "id",
+            *([F.col("__blk")] if block_col else []),
+            F.slice("ordered_hs", F.lit(1), prefix_len.cast("int")).alias("pref"),
+        )
+        # candidates stay narrow: (a, b) only; arrays join back after dedup
+        pa = pref.select(
+            F.explode("pref").alias("sh"),
+            *([F.col("__blk")] if block_col else []),
+            F.col("id").alias("a"),
+        )
+        pb = pref.select(
+            F.explode("pref").alias("sh"),
+            *([F.col("__blk")] if block_col else []),
+            F.col("id").alias("b"),
+        )
+        cand = pa.join(pb, sides).filter(F.col("a") < F.col("b")).select("a", "b").dropDuplicates()
+        sets = base.select("id", "hs", "sz")
+        cand = (
+            cand.join(sets.select(F.col("id").alias("a"), F.col("hs").alias("hsa"),
+                                  F.col("sz").alias("sza")), "a")
+            .join(sets.select(F.col("id").alias("b"), F.col("hs").alias("hsb"),
+                              F.col("sz").alias("szb")), "b")
+        )
+        common = F.size(F.array_intersect(F.col("hsa"), F.col("hsb")))
+        return (
+            cand.withColumn("__c", common)
+            .withColumn(
+                "jaccard",
+                F.col("__c").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("__c")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        )
+
+    sh = df.select(
+        F.col(id_col).alias("id"), *blk, F.explode(hashes).alias("sh")
+    )
+    sh = sh.repartition(*[F.col(c) for c in sides])
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(*[F.col(c) for c in sides], F.col("id").alias("a"))
+    b = sh.select(*[F.col(c) for c in sides], F.col("id").alias("b"))
     common = (
-        a.join(b, join_keys)
+        a.join(b, sides)
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))
     )
-    out = (
+    return (
         common.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
@@ -196,4 +264,3 @@ def jaccard_sim_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
