@@ -25,12 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from lotus_spark.cascades.utils import (
-    CascadeArgs,
-    calibrate_scores,
-    importance_sampling,
-    learn_filter_thresholds,
-)
+from lotus_spark.cascades.utils import CascadeArgs, learn_filter_thresholds
 from lotus_spark.operators import prompts
 from lotus_spark.operators.postprocessors import parse_bool
 from lotus_spark.serialization import docs_from_pdf
@@ -64,6 +59,102 @@ def proxy_score_udf(helper_lm: Any, instruction: str, cols: list[str],
     return _score
 
 
+def _bucketize(scored: DataFrame, n_q: int) -> DataFrame:
+    """Distributed quantile calibration: approxQuantile boundaries → bucket
+    index column (bucket k ⇔ calibrated score (k+1)/n_q). No full collect."""
+    probs = [i / n_q for i in range(1, n_q)]
+    boundaries = scored.approxQuantile(PROXY_SCORE_COL, probs, 0.001)
+    bucket_expr = F.lit(0)
+    for b, edge in enumerate(boundaries):
+        bucket_expr = F.when(F.col(PROXY_SCORE_COL) > edge, b + 1).otherwise(bucket_expr)
+    return scored.withColumn("__bucket", bucket_expr)
+
+
+def _sample_and_learn(
+    bucketed: DataFrame,
+    n_total: int,
+    cols: list[str],
+    instruction: str,
+    oracle_lm: Any,
+    default: bool,
+    output_tokens: tuple[str, str],
+    cascade_args: CascadeArgs,
+    fmt: str,
+    **model_kwargs: Any,
+) -> tuple[float, float]:
+    """Stratified-sample buckets ∝ √score (defensive uniform mixing), label
+    the sample with the oracle, learn (τ⁺, τ⁻). Only the sample is collected."""
+    n_q = cascade_args.cascade_num_calibration_quantiles
+    target = int(
+        np.clip(
+            round(n_total * cascade_args.sampling_percentage),
+            min(cascade_args.min_sample_size, n_total),
+            min(cascade_args.max_sample_size, n_total),
+        )
+    )
+    w = cascade_args.cascade_IS_weight
+    bucket_scores = np.array([(b + 1) / n_q for b in range(n_q)])
+    prop = np.sqrt(bucket_scores) / np.sqrt(bucket_scores).sum()
+    mix = w * prop + (1.0 - w) / n_q
+    per_bucket_n = n_total / n_q  # quantile buckets are ~equal-sized
+    fractions = {
+        b: float(min(1.0, target * mix[b] / max(per_bucket_n, 1.0)))
+        for b in range(n_q)
+    }
+    sample_pdf = (
+        bucketed.sampleBy("__bucket", fractions, seed=42)
+        .select("__bucket", *cols)
+        .toPandas()
+    )
+    if len(sample_pdf) == 0:
+        sample_pdf = bucketed.select("__bucket", *cols).limit(
+            cascade_args.min_sample_size
+        ).toPandas()
+
+    docs = docs_from_pdf(sample_pdf, cols, fmt)
+    msgs = [prompts.filter_messages(d, instruction, output_tokens) for d in docs]
+    oracle_out = oracle_lm(msgs, **model_kwargs).outputs
+    labels = np.array([parse_bool(o, default, output_tokens) for o in oracle_out])
+
+    cal_sample = (sample_pdf["__bucket"].to_numpy() + 1) / n_q
+    corr = np.array(
+        [1.0 / max(fractions.get(int(b), 1.0), 1e-9) for b in sample_pdf["__bucket"]]
+    )
+    return learn_filter_thresholds(
+        cal_sample, labels, corr,
+        cascade_args.recall_target,
+        cascade_args.precision_target,
+        cascade_args.failure_probability,
+    )
+
+
+def learn_taus_on(train_df: DataFrame, instruction: str, kwargs: dict) -> tuple[float, float]:
+    """Prewarm entry point (CascadePrewarmOptimizer): run the cascade's
+    calibrate→sample→label→learn phase on train data, return (τ⁺, τ⁻) in
+    calibrated space (transferable across datasets via quantile calibration)."""
+    from lotus_spark.nl_expression import nle2str, parse_cols
+    from lotus_spark.operators.sem_map import _resolve_lm
+
+    cols = parse_cols(instruction)
+    instr = nle2str(instruction, cols)
+    cascade_args: CascadeArgs = kwargs["cascade_args"]
+    oracle = _resolve_lm(kwargs.get("lm"))
+    helper = kwargs.get("helper_lm") or settings.helper_lm
+    output_tokens = kwargs.get("output_tokens", ("True", "False"))
+    fmt = settings.serialization_format
+    scored = train_df.withColumn(
+        PROXY_SCORE_COL,
+        proxy_score_udf(helper, instr, cols, output_tokens, fmt)(
+            F.struct(*[F.col(f"`{c}`") for c in cols])
+        ),
+    ).localCheckpoint()
+    bucketed = _bucketize(scored, cascade_args.cascade_num_calibration_quantiles)
+    return _sample_and_learn(
+        bucketed, scored.count(), cols, instr, oracle,
+        kwargs.get("default", True), output_tokens, cascade_args, fmt,
+    )
+
+
 def sem_filter_cascade(
     df: DataFrame,
     instruction: str,
@@ -92,58 +183,18 @@ def sem_filter_cascade(
         ),
     ).localCheckpoint()
 
-    # 2) quantile-calibrate scores distributedly (approxQuantile → bucket map;
-    #    no full collect), then stratified-sample buckets ∝ √score with
-    #    defensive uniform mixing — ONLY the sample reaches the driver.
     n_q = cascade_args.cascade_num_calibration_quantiles
-    probs = [i / n_q for i in range(1, n_q)]
-    boundaries = scored.approxQuantile(PROXY_SCORE_COL, probs, 0.001)
-    n_total = scored.count()
+    bucketed = _bucketize(scored, n_q)
 
-    bucket_expr = F.lit(0)
-    for b, edge in enumerate(boundaries):
-        bucket_expr = F.when(F.col(PROXY_SCORE_COL) > edge, b + 1).otherwise(bucket_expr)
-    bucketed = scored.withColumn("__bucket", bucket_expr)
-
-    # per-bucket sampling fraction ∝ √(calibrated bucket score), mixed uniform
-    target = int(
-        np.clip(
-            round(n_total * cascade_args.sampling_percentage),
-            min(cascade_args.min_sample_size, n_total),
-            min(cascade_args.max_sample_size, n_total),
+    # 2) thresholds: pre-warmed (pinned by CascadePrewarmOptimizer) or learned
+    #    now on a stratified oracle-labeled sample
+    if cascade_args.tau_pos is not None and cascade_args.tau_neg is not None:
+        tau_pos, tau_neg = cascade_args.tau_pos, cascade_args.tau_neg
+    else:
+        tau_pos, tau_neg = _sample_and_learn(
+            bucketed, scored.count(), cols, instruction, oracle_lm, default,
+            output_tokens, cascade_args, fmt, **model_kwargs,
         )
-    )
-    w = cascade_args.cascade_IS_weight
-    bucket_scores = np.array([(b + 1) / n_q for b in range(n_q)])
-    prop = np.sqrt(bucket_scores) / np.sqrt(bucket_scores).sum()
-    mix = w * prop + (1.0 - w) / n_q
-    per_bucket_n = n_total / n_q  # quantile buckets are ~equal-sized
-    fractions = {
-        b: float(min(1.0, target * mix[b] / max(per_bucket_n, 1.0)))
-        for b in range(n_q)
-    }
-    sampled_df = bucketed.sampleBy("__bucket", fractions, seed=42)
-    sample_pdf = sampled_df.select(PROXY_SCORE_COL, "__bucket", *cols).toPandas()
-    if len(sample_pdf) == 0:
-        sample_pdf = bucketed.select(PROXY_SCORE_COL, "__bucket", *cols).limit(
-            cascade_args.min_sample_size
-        ).toPandas()
-
-    docs = docs_from_pdf(sample_pdf, cols, fmt)
-    msgs = [prompts.filter_messages(d, instruction, output_tokens) for d in docs]
-    oracle_out = oracle_lm(msgs, **model_kwargs).outputs
-    labels = np.array([parse_bool(o, default, output_tokens) for o in oracle_out])
-
-    cal_sample = (sample_pdf["__bucket"].to_numpy() + 1) / n_q
-    corr = np.array(
-        [1.0 / max(fractions.get(int(b), 1.0), 1e-9) for b in sample_pdf["__bucket"]]
-    )
-    tau_pos, tau_neg = learn_filter_thresholds(
-        cal_sample, labels, corr,
-        cascade_args.recall_target,
-        cascade_args.precision_target,
-        cascade_args.failure_probability,
-    )
     # 3) route on the calibrated bucket index: bucket k has calibrated score
     # (k+1)/n_q, so cal ≥ τ⁺ ⟺ k ≥ ceil(τ⁺·n_q)−1 and cal ≤ τ⁻ ⟺ k < τ⁻·n_q.
     k_accept = int(np.ceil(tau_pos * n_q)) - 1 if tau_pos <= 1.0 else n_q + 1

@@ -37,6 +37,10 @@ class CascadeArgs:
     min_join_cascade_size: int = 100
     cascade_IS_weight: float = 0.5
     cascade_num_calibration_quantiles: int = 50
+    # pre-warmed thresholds in calibrated [0,1] space (CascadePrewarmOptimizer
+    # pins these; when set, execution skips sampling + oracle labeling)
+    tau_pos: Optional[float] = None
+    tau_neg: Optional[float] = None
 
 
 def calibrate_scores(scores: np.ndarray, n_quantiles: int = 50) -> np.ndarray:

@@ -1,0 +1,156 @@
+"""LM infrastructure: response cache, usage limits, rate limiting,
+long-context strategies (SURVEY §2.4 / §2.6)."""
+
+import pytest
+
+from lotus_spark.long_context import (
+    apply_long_context,
+    chunk_column,
+    split_tokenwise,
+    truncate_doc,
+)
+from lotus_spark.models import EchoLM, FakeLM, KeywordBoolLM
+from lotus_spark.models.cache import (
+    CachedLM,
+    InMemoryLRUCache,
+    SQLiteCache,
+    cache_key,
+    join_answer_cache,
+)
+from lotus_spark.models.limits import (
+    LimitedLM,
+    RateLimiter,
+    UsageLimit,
+    UsageLimitExceeded,
+)
+
+
+def _msgs(text):
+    return [{"role": "user", "content": text}]
+
+
+# ----------------------------------------------------------------- caching
+def test_cache_key_is_stable_and_sensitive():
+    k1 = cache_key("m", _msgs("a"), {"t": 0})
+    assert k1 == cache_key("m", _msgs("a"), {"t": 0})
+    assert k1 != cache_key("m", _msgs("b"), {"t": 0})
+    assert k1 != cache_key("m2", _msgs("a"), {"t": 0})
+    assert k1 != cache_key("m", _msgs("a"), {"t": 1})
+
+
+def test_cached_lm_avoids_repeat_calls():
+    inner = KeywordBoolLM("yes")
+    lm = CachedLM(inner)
+    out1 = lm([_msgs("yes please"), _msgs("no")])
+    assert out1.outputs == ["True", "False"]
+    assert inner.usage.total_calls == 2
+    out2 = lm([_msgs("yes please"), _msgs("no"), _msgs("yes!")])
+    assert out2.outputs == ["True", "False", "True"]
+    assert inner.usage.total_calls == 3  # only the new prompt hit the model
+    assert lm.hits == 2 and lm.misses == 3
+
+
+def test_lru_cache_evicts_oldest():
+    c = InMemoryLRUCache(max_size=2)
+    c.put("a", "1"); c.put("b", "2"); c.put("c", "3")
+    assert c.get("a") is None and c.get("b") == "2" and c.get("c") == "3"
+
+
+def test_sqlite_cache_persists_and_pickles(tmp_path):
+    import pickle
+
+    path = str(tmp_path / "lm.db")
+    c = SQLiteCache(path)
+    c.put("k", "v")
+    c2 = pickle.loads(pickle.dumps(c))  # ships as config
+    assert c2.get("k") == "v"
+    assert SQLiteCache(path).get("k") == "v"  # fresh process view
+
+
+def test_join_answer_cache_splits_hits_and_misses(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("p1",), ("p2",), ("p3",)], ["prompt"])
+    cache_df = spark.createDataFrame([("p2", "cached!")], ["raw", "answer"]) \
+        .select(F.sha2(F.col("raw"), 256).alias("prompt_hash"), "answer")
+    hits, misses = join_answer_cache(df, "prompt", cache_df)
+    assert [r["prompt"] for r in hits.collect()] == ["p2"]
+    assert hits.first()["answer"] == "cached!"
+    assert sorted(r["prompt"] for r in misses.collect()) == ["p1", "p3"]
+
+
+# ------------------------------------------------------------------ limits
+def test_usage_limit_raises_when_crossed():
+    lm = EchoLM()
+    limited = LimitedLM(lm, usage_limit=UsageLimit(max_calls=2))
+    limited([_msgs("a")])
+    limited([_msgs("b")])  # usage now == 2, not over
+    with pytest.raises(UsageLimitExceeded):
+        limited([_msgs("c")])
+
+
+def test_rate_limiter_blocks_until_window_frees():
+    t = {"now": 0.0}
+    sleeps = []
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        sleeps.append(s)
+        t["now"] += s
+
+    rl = RateLimiter(rpm=2, safety=0.0, clock=clock, sleep=sleep)
+    rl.acquire(); rl.acquire()
+    assert not sleeps
+    rl.acquire()  # window full → must wait until first request ages out
+    assert sleeps and t["now"] >= 60.0
+
+
+def test_rate_limiter_tpm():
+    t = {"now": 0.0}
+
+    def clock():
+        return t["now"]
+
+    def sleep(s):
+        t["now"] += s
+
+    rl = RateLimiter(tpm=100, safety=0.0, clock=clock, sleep=sleep)
+    rl.acquire(n_tokens=90)
+    rl.acquire(n_tokens=50)  # must wait for the 90 to age out
+    assert t["now"] >= 60.0
+
+
+# ------------------------------------------------------------ long context
+def test_truncate_doc_and_split():
+    lm = EchoLM()  # count_tokens = len//4 heuristic
+    long_doc = "word " * 400  # ~500 tokens
+    out = truncate_doc(long_doc, lm, budget_tokens=50)
+    assert lm.count_tokens(out) <= 60 and out.endswith("…")
+    assert truncate_doc("short", lm, 50) == "short"
+
+    pieces = split_tokenwise(long_doc.strip(), lm, budget_tokens=100)
+    assert len(pieces) > 1
+    assert all(lm.count_tokens(p) <= 110 for p in pieces)
+    assert " ".join(pieces).split() == long_doc.split()  # lossless
+
+    flat = apply_long_context([long_doc, "tiny"], lm, 100, strategy="chunk")
+    assert len(flat) > 2
+    with pytest.raises(ValueError):
+        apply_long_context(["x"], lm, 10, strategy="explode")
+
+
+def test_chunk_column_explodes_distributed(spark):
+    lm = EchoLM()
+    df = spark.createDataFrame(
+        [(1, "word " * 400), (2, "small doc")], ["id", "body"]
+    )
+    out = chunk_column(df, "body", lm, budget_tokens=100)
+    rows = out.collect()
+    small = [r for r in rows if r["id"] == 2]
+    assert len(small) == 1 and small[0]["_chunk_of"] == 1
+    big = sorted((r for r in rows if r["id"] == 1), key=lambda r: r["_chunk_id"])
+    assert len(big) > 1
+    assert big[0]["_chunk_of"] == len(big)
+    assert [r["_chunk_id"] for r in big] == list(range(len(big)))
