@@ -7,8 +7,16 @@ from lotus_spark.models.fake_lm import (
     RegexMapLM,
 )
 from lotus_spark.models.rm import RM, HashRM
+from lotus_spark.models.reranker import (
+    Reranker,
+    HashReranker,
+    CrossEncoderReranker,
+)
 
 __all__ = [
+    "Reranker",
+    "HashReranker",
+    "CrossEncoderReranker",
     "LM",
     "LMOutput",
     "UsageStats",

@@ -133,8 +133,57 @@ def naive_topk(docs: list[str], K: int, cmp: BatchedComparator) -> list[int]:
     return order[:K]
 
 
+def quicksem_topk(
+    docs: list[str], K: int, cmp: BatchedComparator, sims: list[float]
+) -> list[int]:
+    """Quickselect with similarity-informed pivots (reference 'quick-sem',
+    ``sem_topk.py:407-423``): instead of a random pivot, pick the pool
+    element most similar to the query — likely near the top, so the first
+    partition already discards most of the pool. Deterministic given sims."""
+    idx = list(range(len(docs)))
+
+    def select(pool: list[int], k: int) -> list[int]:
+        if k <= 0:
+            return []
+        if len(pool) <= k:
+            return pool
+        pivot = max(pool, key=lambda i: (sims[i], -i))
+        others = [i for i in pool if i != pivot]
+        wins = cmp.compare([(docs[i], docs[pivot]) for i in others])
+        better = [i for i, w in zip(others, wins) if w == 0]
+        worse = [i for i, w in zip(others, wins) if w == 1]
+        if len(better) == k:
+            return better
+        if len(better) == k - 1:
+            return better + [pivot]
+        if len(better) > k:
+            return select(better, k)
+        return better + [pivot] + select(worse, k - len(better) - 1)
+
+    top = select(idx, K)
+    ordered: list[int] = []
+    pool = list(top)
+    while pool:
+        best = pool[0]
+        for cand in pool[1:]:
+            if cmp.compare([(docs[cand], docs[best])])[0] == 0:
+                best = cand
+        ordered.append(best)
+        pool.remove(best)
+    return ordered
+
+
+def _instruction_sims(docs: list[str], instruction: str, rm: Any) -> list[float]:
+    import numpy as np
+
+    vecs = rm(docs)
+    q = rm([instruction])[0]
+    return [float(v) for v in np.asarray(vecs) @ np.asarray(q)]
+
+
 _METHODS: dict[str, Callable] = {
     "quick": quickselect_topk,
+    "quick-sem": quicksem_topk,
     "heap": heap_topk,
     "naive": naive_topk,
 }
@@ -165,6 +214,16 @@ def sem_topk(
     if method not in _METHODS:
         raise ValueError(f"unknown method {method!r}; pick from {sorted(_METHODS)}")
     algo = _METHODS[method]
+    rm_obj = rm if rm is not None else settings.rm
+    if method == "quick-sem" and rm_obj is None:
+        raise ValueError("method='quick-sem' needs an rm (arg or settings.rm)")
+
+    def run_algo(docs: list[str], cmp: BatchedComparator) -> list[int]:
+        if method == "quick":
+            return algo(docs, K, cmp, seed)
+        if method == "quick-sem":
+            return algo(docs, K, cmp, _instruction_sims(docs, instr, rm_obj))
+        return algo(docs, K, cmp)
 
     if group_by:
         out_schema = StructType(df.schema.fields + [StructField("_rank", LongType())])
@@ -172,7 +231,7 @@ def sem_topk(
         def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
             docs = docs_from_pdf(pdf, cols, fmt)
             cmp = BatchedComparator(model, instr, **model_kwargs)
-            top = algo(docs, K, cmp) if method != "quick" else algo(docs, K, cmp, seed)
+            top = run_algo(docs, cmp)
             out = pdf.iloc[top].copy()
             out["_rank"] = range(1, len(top) + 1)
             return out
@@ -189,7 +248,7 @@ def sem_topk(
     pdf = pool_df.toPandas()
     docs = docs_from_pdf(pdf, cols, fmt)
     cmp = BatchedComparator(model, instr, **model_kwargs)
-    top = algo(docs, K, cmp) if method != "quick" else algo(docs, K, cmp, seed)
+    top = run_algo(docs, cmp)
     out = pdf.iloc[top].copy()
     out["_rank"] = range(1, len(top) + 1)
     spark = df.sparkSession

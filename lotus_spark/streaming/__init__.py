@@ -1,0 +1,17 @@
+from lotus_spark.streaming.ops import (
+    read_parquet_stream,
+    sem_filter_stream,
+    sem_map_stream,
+    streaming_dedup,
+    running_doc_stats,
+    windowed_doc_stats,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "sem_filter_stream",
+    "sem_map_stream",
+    "streaming_dedup",
+    "running_doc_stats",
+    "windowed_doc_stats",
+]

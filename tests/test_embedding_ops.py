@@ -97,3 +97,20 @@ def test_sem_index_roundtrip(spark, tmp_path, courses_df):
     assert idx.count() == courses_df.count()
     assert set(idx.columns) == {"value", "_lotus_emb"}
     assert sess.get_index("Course Name").path == path
+
+
+def test_sem_search_rerank_path(courses_df):
+    """n_rerank + reranker reorders the candidate set through the
+    Reranker protocol (query, docs, K) -> indices."""
+    from lotus_spark.models import HashReranker
+
+    import lotus_spark as ls
+    from lotus_spark.models import HashRM
+
+    out = ls.sem_search(
+        courses_df, "Course Name", "Advanced Programming", K=4,
+        rm=HashRM(dim=64), n_rerank=2, reranker=HashReranker(dim=64),
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert rows[0]["Course Name"] == "Advanced Programming"

@@ -1,3 +1,4 @@
+import pytest
 import json
 
 from pyspark.sql import functions as F
@@ -105,3 +106,21 @@ def test_judges(spark):
     )
     r = judged.collect()[0]
     assert r["_judge_0"] == "5" and r["_judge_1"] == "5"
+
+
+def test_sem_topk_quick_sem_method(spark):
+    """quick-sem agrees with the other methods; pivots come from embedding
+    similarity (deterministic, no seed dependence)."""
+    from lotus_spark.models import HashRM
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], ["doc_id", "score"])
+    lm = FieldCompareLM("score", "doc_id")
+    out = ls.sem_topk(
+        df, "rank by {score} tie {doc_id}", K=5, lm=lm,
+        method="quick-sem", rm=HashRM(dim=32),
+    )
+    got = [r["doc_id"] for r in out.orderBy("_rank").collect()]
+    assert got == list(range(19, 14, -1))
+
+    with pytest.raises(ValueError, match="quick-sem"):
+        ls.sem_topk(df, "rank by {score}", K=5, lm=lm, method="quick-sem")

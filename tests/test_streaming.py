@@ -1,0 +1,131 @@
+"""Structured Streaming operators: semantic stages, watermarked windows,
+bounded-state dedup, and the applyInPandasWithState custom operator."""
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lotus_spark.functions import text as T
+from lotus_spark.models import KeywordBoolLM, RegexMapLM
+from lotus_spark.streaming import (
+    read_parquet_stream,
+    running_doc_stats,
+    sem_filter_stream,
+    sem_map_stream,
+    streaming_dedup,
+    windowed_doc_stats,
+)
+from lotus_spark.streaming.ops import _py_quality
+
+SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("body", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+ROWS = [
+    ("a", "the quick brown fox jumps over the lazy dog", "2026-01-01 00:00:05"),
+    ("b", "el rapido zorro marron salta sobre el perro", "2026-01-01 00:00:15"),
+    ("c", "the quick brown fox jumps over the lazy dog", "2026-01-01 00:01:05"),
+    ("d", "spark streams process unbounded data with watermarks", "2026-01-01 00:01:20"),
+]
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, b, t) for i, b, t in ROWS], ["id", "body", "ts_s"]
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df.coalesce(1).write.parquet(src)
+    yield src
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def _run(spark, stream_df, name, mode="append"):
+    """One availableNow pass into a memory sink; returns the sink table."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_rejects_batch_dataframes(spark):
+    df = spark.createDataFrame([("x", "y")], ["id", "body"])
+    with pytest.raises(ValueError, match="streaming"):
+        sem_map_stream(df, "summarize {body}")
+    with pytest.raises(ValueError, match="streaming"):
+        streaming_dedup(df, ["body"], "ts")
+
+
+def test_sem_filter_stream(spark, stream_dir):
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA,
+                                 max_files_per_trigger=1)
+    out = sem_filter_stream(stream, "{body} mentions an animal",
+                            lm=KeywordBoolLM("fox"))
+    got = _run(spark, out.select("id"), "t_filter")
+    assert sorted(r["id"] for r in got.collect()) == ["a", "c"]
+
+
+def test_sem_map_stream(spark, stream_dir):
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    out = sem_map_stream(stream, "first word of {body}",
+                         lm=RegexMapLM(r"«(\w+)"))
+    got = _run(spark, out.select("id", "body_map"), "t_map")
+    by_id = {r["id"]: r["body_map"] for r in got.collect()}
+    assert by_id["a"] == "the" and by_id["b"] == "el"
+
+
+def test_streaming_dedup_bounded_state(spark, stream_dir):
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    out = streaming_dedup(stream, ["body"], "ts", watermark="10 minutes")
+    got = _run(spark, out.select("id", "body"), "t_dedup")
+    bodies = [r["body"] for r in got.collect()]
+    assert len(bodies) == 3  # duplicate body (rows a & c) collapsed
+    assert len(set(bodies)) == 3
+
+
+def test_windowed_doc_stats(spark, stream_dir):
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    out = windowed_doc_stats(stream, "body", "ts", window="1 minute",
+                             watermark="5 minutes")
+    # complete mode: a single availableNow pass never advances the watermark
+    # past the last window, so append would emit nothing yet
+    got = _run(spark, out, "t_win", mode="complete").orderBy("window_start").collect()
+    assert len(got) == 2  # 00:00 and 00:01 windows
+    assert [r["n_docs"] for r in got] == [2, 2]
+    fox_tokens = 9  # "the quick brown fox jumps over the lazy dog"
+    assert got[0]["n_tokens"] == fox_tokens + 8
+    assert 0.0 <= got[0]["avg_quality"] <= 1.0
+
+
+def test_running_doc_stats_stateful(spark, stream_dir):
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    keyed = stream.withColumn("lang", T.lang_id(F.col("body")))
+    out = running_doc_stats(keyed, "lang", "body")
+    got = _run(spark, out, "t_state", mode="update")
+    # latest state per key
+    latest = {r["key"]: r for r in got.collect()}
+    assert latest["en"]["n_docs"] == 2   # a, c ("the" marker)
+    assert latest["es"]["n_docs"] == 1   # b
+    assert latest["und"]["n_docs"] == 1  # d: no marker words
+    assert latest["en"]["n_tokens"] == 9 + 9
+    assert 0.0 <= latest["en"]["avg_quality"] <= 1.0
+
+
+def test_py_quality_matches_column_quality(spark):
+    """The stateful op's Python twin must equal the JVM quality_score."""
+    texts = [r[1] for r in ROWS] + ["", "x", "THE THE THE", "a b c d e " * 30]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    jvm = [r["q"] for r in
+           df.select(T.quality_score(F.col("t")).alias("q")).collect()]
+    py = [_py_quality(t) for t in texts]
+    assert jvm == pytest.approx(py, abs=1e-9)
