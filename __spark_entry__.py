@@ -723,6 +723,25 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (the scale path:
+    block-local self-join, one shuffle on the block key)."""
+    from lotus_spark.functions.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.35, block_col="label"
+    )
+
+
+_SQL_EMB_NEARDUP = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b, ROUND({_sql_cosine('a.v', 'b.v')}, 6) AS score
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_cosine('a.v', 'b.v')} >= 0.35
+"""
+
+
 _STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
 _EN = "['the', 'a', 'of', 'and', 'to']"
 _ES = "['el', 'la', 'de', 'y', 'que']"
@@ -795,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "text_stats": q_text_stats,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -826,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SQL_SIMHASH,
         "jaccard_pairs": _SQL_JACCARD,
         "text_stats": _SQL_TEXT_STATS,
+        "embedding_neardup": _SQL_EMB_NEARDUP,
     }
     # knn_lsh oracle depends on the query vector — read it with duckdb (cheap)
     try:

@@ -264,3 +264,46 @@ def jaccard_sim_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b and
+    cosine >= threshold.
+
+    Extends the reference's ``sem_dedup`` (which collapses duplicates) with
+    the pair-listing primitive a curation pipeline audits.
+
+    Scale design: with ``block_col`` (a cluster id, LSH bucket, language,
+    shard key...) the self-join is block-local — one shuffle on the block
+    key, candidate set Σ|block|², never a global cross product. Without it,
+    a full cross join is used (exact; only for small/calibration tables).
+    """
+    from lotus_spark.functions.vectors import cosine_sim
+
+    keep = [id_col, emb_col] + ([block_col] if block_col else [])
+    a = df.select(*[F.col(c).alias(f"__a_{c}") for c in keep])
+    b = df.select(*[F.col(c).alias(f"__b_{c}") for c in keep])
+    if block_col:
+        joined = a.join(
+            b, F.col(f"__a_{block_col}") == F.col(f"__b_{block_col}")
+        )
+    else:
+        joined = a.crossJoin(b)
+    return (
+        joined.filter(F.col(f"__a_{id_col}") < F.col(f"__b_{id_col}"))
+        .withColumn(
+            "score", cosine_sim(F.col(f"__a_{emb_col}"), F.col(f"__b_{emb_col}"))
+        )
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col(f"__a_{id_col}").alias("a"),
+            F.col(f"__b_{id_col}").alias("b"),
+            F.round("score", 6).alias("score"),
+        )
+    )

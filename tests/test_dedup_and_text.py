@@ -106,3 +106,23 @@ def test_jaccard_pairs_exact_value(spark):
     out = jaccard_sim_pairs(df, "t", "id", shingle_n=1, threshold=0.4)
     r = out.collect()
     assert len(r) == 1 and r[0]["jaccard"] == 0.5
+
+
+def test_embedding_neardup_pairs(spark):
+    import lotus_spark.functions as fn
+
+    rows = [
+        (1, [1.0, 0.0], "x"), (2, [1.0, 0.01], "x"),   # near-dups, same block
+        (3, [0.0, 1.0], "x"),                           # same block, far
+        (4, [1.0, 0.0], "y"),                           # dup of 1 but other block
+    ]
+    df = spark.createDataFrame(rows, ["id", "emb", "blk"])
+    out = fn.embedding_neardup_pairs(df, "emb", "id", threshold=0.99,
+                                     block_col="blk").collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, 2)]
+    assert out[0]["score"] > 0.999
+
+    # unblocked: exact cross product finds the cross-block dup too
+    out2 = fn.embedding_neardup_pairs(df, "emb", "id", threshold=0.99)
+    pairs = sorted((r["a"], r["b"]) for r in out2.collect())
+    assert pairs == [(1, 2), (1, 4), (2, 4)]
