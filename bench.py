@@ -54,6 +54,10 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM + parquet footers so query 1 isn't charged ~4s of startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -30,6 +30,22 @@ def _hash_params(j: int) -> tuple[int, int]:
     return a, b
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism — but ONLY when the
+    input has fewer partitions than cores.
+
+    Why: a small/compacted parquet table (one file, one row group) arrives
+    as ONE partition, so a shingle-hash explode would run on a single core
+    (measured 1.5-2x slower end-to-end at sf0.1). At 100 TB the input
+    already has thousands of partitions and this is a no-op — no gratuitous
+    shuffle on the scale path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """Keep the min-id row per exact value of ``col`` (hash-aggregate dedup)."""
     w = Window.partitionBy(col).orderBy(F.asc(id_col))
@@ -47,6 +63,7 @@ def minhash_signature(df: DataFrame, col: str, n_hashes: int = 16,
     Map-side only: shingle → polynomial hash → per-hash-function min. At
     100 TB this runs inside the scan projection with zero shuffle.
     """
+    df = ensure_parallelism(df)
     hashes = F.transform(word_shingles(F.col(col), shingle_n), shingle_hash)
     sigs = []
     for j in range(n_hashes):
@@ -132,6 +149,7 @@ def simhash(df: DataFrame, col: str, n_bits: int = 32,
     """
     from lotus_spark.functions.text import tokens
 
+    df = ensure_parallelism(df)
     tok_hashes = F.transform(tokens(F.col(col)), shingle_hash)
     zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
     # ±1 per bit: bit_b(h) = floor(h / 2^b) mod 2 (exact in double for h < 2^52)
@@ -180,6 +198,7 @@ def jaccard_sim_pairs(
     """
     if algorithm not in ("count", "prefix"):
         raise ValueError(f"unknown algorithm {algorithm!r}; pick 'count' or 'prefix'")
+    df = ensure_parallelism(df)  # shingle hashing must not run on one core
     hashes = F.array_distinct(
         F.transform(word_shingles(F.col(col), shingle_n), shingle_hash)
     )
