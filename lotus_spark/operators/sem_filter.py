@@ -90,6 +90,8 @@ def sem_filter(
         raise ValueError(f"columns referenced in instruction not in DataFrame: {missing}")
     instr = nle2str(user_instruction, cols)
     fmt = settings.serialization_format
+    from lotus_spark.estimate import maybe_report_safe_mode
+    maybe_report_safe_mode(df, cols, instr, model, "sem_filter")
 
     if cascade_args is not None:
         from lotus_spark.cascades.filter_cascade import sem_filter_cascade

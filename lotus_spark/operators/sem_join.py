@@ -71,6 +71,8 @@ def sem_join(
             raise ValueError(f"right column {c!r} not found")
     instr = nle2str(join_instruction, lcols + rcols)
     fmt = settings.serialization_format
+    from lotus_spark.estimate import maybe_report_safe_mode
+    maybe_report_safe_mode(left, lcols, instr, model, "sem_join", right_df=right)
 
     # rename colliding right columns to "col:right" (reference tag convention)
     collisions = [c for c in right.columns if c in left.columns]

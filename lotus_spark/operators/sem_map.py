@@ -117,6 +117,8 @@ def sem_map(
         raise ValueError(f"columns referenced in instruction not in DataFrame: {missing}")
     instr = nle2str(user_instruction, cols)
     fmt = settings.serialization_format
+    from lotus_spark.estimate import maybe_report_safe_mode
+    maybe_report_safe_mode(df, cols, instr, model, "sem_map")
     udf = build_map_udf(
         model, instr, cols, _collect_examples(examples), strategy,
         system_prompt, fmt, postprocessor, **model_kwargs

@@ -47,22 +47,65 @@ def _parse_choice(output: str) -> int:
 
 
 class BatchedComparator:
-    """Batches pairwise comparisons of one tournament round into one LM call."""
+    """Batches pairwise comparisons of one tournament round into one LM call.
 
-    def __init__(self, lm: Any, instruction: str, **kw: Any):
+    Comparison cascade (reference ``sem_topk.py:176-273``): with a
+    ``helper_lm`` and ``cascade_threshold``, every pair is first answered by
+    the cheap helper; confidence = P(chosen doc-number token) normalized over
+    {1, 2} from first-token logprobs. Pairs below the threshold (or with no
+    logprobs) are re-asked to the oracle LM; the rest keep the helper's
+    verdict. ``calls`` counts all comparisons, ``oracle_calls`` only the
+    escalated ones.
+    """
+
+    def __init__(self, lm: Any, instruction: str,
+                 helper_lm: Any = None,
+                 cascade_threshold: Optional[float] = None, **kw: Any):
         self.lm = lm
         self.instruction = instruction
+        self.helper_lm = helper_lm
+        self.cascade_threshold = cascade_threshold
         self.kw = kw
         self.calls = 0
+        self.oracle_calls = 0
+
+    def _ask(self, lm: Any, pairs: list[tuple[str, str]], logprobs: bool):
+        msgs = [prompts.compare_messages(a, b, self.instruction) for a, b in pairs]
+        return lm(msgs, **({"logprobs": True} if logprobs else {}), **self.kw)
 
     def compare(self, pairs: list[tuple[str, str]]) -> list[int]:
         """For each (doc_i, doc_j): 0 if doc_i wins else 1."""
         if not pairs:
             return []
-        msgs = [prompts.compare_messages(a, b, self.instruction) for a, b in pairs]
-        outs = self.lm(msgs, **self.kw).outputs
         self.calls += len(pairs)
-        return [_parse_choice(o) for o in outs]
+        if self.helper_lm is None or self.cascade_threshold is None:
+            outs = self._ask(self.lm, pairs, logprobs=False).outputs
+            self.oracle_calls += len(pairs)
+            return [_parse_choice(o) for o in outs]
+
+        import math
+
+        helper_out = self._ask(self.helper_lm, pairs, logprobs=True)
+        choices = [_parse_choice(o) for o in helper_out.outputs]
+        escalate: list[int] = []
+        for i in range(len(pairs)):
+            lp = helper_out.logprobs[i] if helper_out.logprobs else None
+            if lp and "1" in lp and "2" in lp:
+                p1, p2 = math.exp(lp["1"]), math.exp(lp["2"])
+                chosen = p1 if choices[i] == 0 else p2
+                conf = chosen / (p1 + p2) if (p1 + p2) > 0 else 0.0
+            else:
+                conf = 0.0  # no confidence signal → never trust the helper
+            if conf < self.cascade_threshold:
+                escalate.append(i)
+        if escalate:
+            oracle_out = self._ask(
+                self.lm, [pairs[i] for i in escalate], logprobs=False
+            ).outputs
+            self.oracle_calls += len(escalate)
+            for j, i in enumerate(escalate):
+                choices[i] = _parse_choice(oracle_out[j])
+        return choices
 
 
 def quickselect_topk(
@@ -199,6 +242,8 @@ def sem_topk(
     prefilter_factor: int = 0,
     rm: Any = None,
     seed: int = 42,
+    helper_lm: Any = None,
+    cascade_threshold: Optional[float] = None,
     **model_kwargs: Any,
 ) -> DataFrame:
     """Top-K rows per the NL criterion. ``prefilter_factor=c > 0`` bounds the
@@ -230,7 +275,9 @@ def sem_topk(
 
         def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
             docs = docs_from_pdf(pdf, cols, fmt)
-            cmp = BatchedComparator(model, instr, **model_kwargs)
+            cmp = BatchedComparator(model, instr, helper_lm=helper_lm,
+                                    cascade_threshold=cascade_threshold,
+                                    **model_kwargs)
             top = run_algo(docs, cmp)
             out = pdf.iloc[top].copy()
             out["_rank"] = range(1, len(top) + 1)
@@ -247,7 +294,8 @@ def sem_topk(
         )
     pdf = pool_df.toPandas()
     docs = docs_from_pdf(pdf, cols, fmt)
-    cmp = BatchedComparator(model, instr, **model_kwargs)
+    cmp = BatchedComparator(model, instr, helper_lm=helper_lm,
+                            cascade_threshold=cascade_threshold, **model_kwargs)
     top = run_algo(docs, cmp)
     out = pdf.iloc[top].copy()
     out["_rank"] = range(1, len(top) + 1)

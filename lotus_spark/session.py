@@ -35,6 +35,7 @@ class Settings:
         "enable_cache",
         "serialization_format",
         "parallel_groupby_max_threads",
+        "safe_mode",
     )
 
     def __init__(self) -> None:
@@ -46,6 +47,7 @@ class Settings:
         self.enable_cache: bool = False
         self.serialization_format: str = "default"  # default | json | xml
         self.parallel_groupby_max_threads: int = 8
+        self.safe_mode: bool = False  # pre-run cost estimates (see estimate.py)
         self._local = threading.local()
 
     def configure(self, **kwargs: Any) -> None:

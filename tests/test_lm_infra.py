@@ -154,3 +154,39 @@ def test_chunk_column_explodes_distributed(spark):
     assert len(big) > 1
     assert big[0]["_chunk_of"] == len(big)
     assert [r["_chunk_id"] for r in big] == list(range(len(big)))
+
+
+# ---------------------------------------------------------- cost estimation
+def test_estimate_semantic_cost_and_safe_mode(spark, capsys):
+    import lotus_spark as ls
+    from lotus_spark.estimate import estimate_semantic_cost
+    from lotus_spark.models import KeywordBoolLM
+    from lotus_spark.session import settings
+
+    df = spark.createDataFrame([(f"doc {i} " + "w " * 20,) for i in range(40)],
+                               ["Text"])
+    lm = KeywordBoolLM("doc")
+    est = estimate_semantic_cost(df, ["Text"], "{Text} is relevant", lm,
+                                 op="sem_filter")
+    assert est["rows"] == 40 and est["lm_calls"] == 40
+    assert est["est_prompt_tokens"] > 40 * 60  # overhead counted per call
+
+    right = spark.createDataFrame([("a",), ("b",)], ["K"])
+    est_j = estimate_semantic_cost(df, ["Text"], "join", lm, op="sem_join",
+                                   right_df=right)
+    assert est_j["lm_calls"] == 80
+
+    est_c = estimate_semantic_cost(df, ["Text"], "x", lm, op="sem_map",
+                                   price_per_1k_prompt=0.15)
+    assert est_c["est_cost_usd"] > 0
+
+    # safe_mode: estimate logged to stderr before the stage runs
+    settings.safe_mode = True
+    try:
+        out = ls.sem_filter(df, "{Text} is relevant", lm=lm)
+        n = out.count()
+        captured = capsys.readouterr()
+        assert "safe_mode" in captured.err and "'lm_calls': 40" in captured.err
+        assert n == 40
+    finally:
+        settings.safe_mode = False

@@ -124,3 +124,46 @@ def test_sem_topk_quick_sem_method(spark):
 
     with pytest.raises(ValueError, match="quick-sem"):
         ls.sem_topk(df, "rank by {score}", K=5, lm=lm, method="quick-sem")
+
+
+def test_sem_topk_comparison_cascade(spark):
+    """Helper answers confidently-correct for far-apart pairs, unconfidently
+    WRONG for close ones; the cascade escalates only the unconfident pairs
+    to the oracle, so the final order is still exact."""
+    import math
+    import re as _re
+
+    from lotus_spark.models.demo_lms import _field
+
+    rx = _re.compile(r"Document 1:\n(.*?)\n\nDocument 2:\n(.*)", _re.DOTALL)
+
+    def keys(prompt):
+        m = rx.search(prompt)
+        return float(_field(m.group(1), "score") or 0), float(_field(m.group(2), "score") or 0)
+
+    def helper_fn(prompt):
+        k1, k2 = keys(prompt)
+        if abs(k1 - k2) >= 30:
+            return "Document 1" if k1 > k2 else "Document 2"  # confident+right
+        return "Document 1" if k1 < k2 else "Document 2"      # diffident+WRONG
+
+    def helper_lp(prompt):
+        k1, k2 = keys(prompt)
+        conf = 0.95 if abs(k1 - k2) >= 30 else 0.55
+        win_is_1 = helper_fn(prompt) == "Document 1"
+        p1 = conf if win_is_1 else 1 - conf
+        return {"1": math.log(p1), "2": math.log(1 - p1)}
+
+    helper = FakeLM(helper_fn, helper_lp)
+    oracle = FieldCompareLM("score", "doc_id")
+    df = spark.createDataFrame([(i, i * 10) for i in range(12)], ["doc_id", "score"])
+    out = ls.sem_topk(
+        df, "rank by {score} tie {doc_id}", K=4, lm=oracle, method="heap",
+        helper_lm=helper, cascade_threshold=0.9,
+    )
+    got = [r["doc_id"] for r in out.orderBy("_rank").collect()]
+    assert got == [11, 10, 9, 8]
+    # helper answered every comparison, oracle only the close (gray) ones
+    assert helper.usage.total_calls > 0
+    assert oracle.usage.total_calls > 0
+    assert oracle.usage.total_calls < helper.usage.total_calls
