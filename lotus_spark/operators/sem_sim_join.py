@@ -40,7 +40,16 @@ def sem_sim_join(
     left_emb_col: Optional[str] = None,
     right_emb_col: Optional[str] = None,
     tie_break: Optional[str] = None,
+    strategy: str = "crossjoin",
 ) -> DataFrame:
+    """``strategy``: ``"crossjoin"`` (exact tier — JVM cosine + window) or
+    ``"broadcast_ann"`` (speed tier — right side collected into a
+    :class:`~lotus_spark.models.vs.BroadcastVectorIndex`, probed per Arrow
+    batch with numpy/FAISS; right side must fit in executor memory)."""
+    if strategy not in ("crossjoin", "broadcast_ann"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}; pick 'crossjoin' or 'broadcast_ann'"
+        )
     model = None
     if left_emb_col is None or right_emb_col is None:
         model = _resolve_rm(rm)
@@ -62,6 +71,28 @@ def sem_sim_join(
             right_emb_col = f"{c}{rsuffix}"
         if c == right_on:
             right_on = f"{c}{rsuffix}"
+
+    if strategy == "broadcast_ann":
+        # speed tier (SURVEY §2.4 VS): index the right side once, probe each
+        # left Arrow batch with a vectorized matmul — zero shuffle, no
+        # n_left × n_right row explosion through the JVM. Exact same top-K
+        # as the crossjoin tier (ids break score ties when tie_break is the
+        # right id; otherwise ordering among exact ties may differ).
+        from lotus_spark.models.vs import BroadcastVectorIndex, ann_join
+
+        ridx = r.withColumn("__r_id", F.monotonically_increasing_id())
+        index = BroadcastVectorIndex.build(ridx, "__r_id", right_emb_col)
+        matched = ann_join(
+            l, index, left_emb_col, K, id_out="__r_id", score_out=SCORE_COL
+        )
+        out = matched.join(F.broadcast(ridx.drop(right_emb_col)), "__r_id") \
+                     .drop("__r_id", "_rank")
+        for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}", f"__r_emb{rsuffix}"):
+            if c in out.columns:
+                out = out.drop(c)
+        if not return_scores:
+            out = out.drop(SCORE_COL)
+        return out
 
     l = l.withColumn("__l_id", F.monotonically_increasing_id())
     pairs = l.join(F.broadcast(r) if broadcast_right else r, how="cross")

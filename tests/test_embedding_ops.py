@@ -114,3 +114,46 @@ def test_sem_search_rerank_path(courses_df):
     rows = out.collect()
     assert len(rows) == 2
     assert rows[0]["Course Name"] == "Advanced Programming"
+
+
+def test_broadcast_vector_index_and_ann_join(spark):
+    import numpy as np
+
+    from lotus_spark.models.vs import BroadcastVectorIndex, ann_join
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9])]
+    df = spark.createDataFrame(rows, ["id", "emb"])
+    ix = BroadcastVectorIndex.build(df, "id", "emb")
+    assert len(ix) == 4
+    ids, scores = ix.search(np.array([[1.0, 0.0]]), K=2)
+    assert ids[0].tolist() == [1, 2]
+    assert scores[0][0] == pytest.approx(1.0)
+
+    left = spark.createDataFrame([(10, [1.0, 0.05]), (20, [0.0, 1.0])],
+                                 ["lid", "emb"])
+    out = ann_join(left, ix, "emb", K=2)
+    got = {(r["lid"], r["_rank"]): r["match_id"] for r in out.collect()}
+    assert got[(10, 1)] == 1 and got[(20, 1)] == 3
+
+    # K larger than the index clamps; empty index returns no neighbors
+    ids3, _ = ix.search(np.array([[1.0, 0.0]]), K=99)
+    assert ids3.shape[1] == 4
+
+
+def test_sem_sim_join_broadcast_ann_matches_crossjoin(spark):
+    import lotus_spark as ls
+    from lotus_spark.models import HashRM
+
+    left = spark.createDataFrame(
+        [("apple pie",), ("c programming",)], ["q"])
+    right = spark.createDataFrame(
+        [("apple tart recipe",), ("programming in c",), ("river hike",)], ["d"])
+    kw = dict(K=2, rm=HashRM(dim=64), tie_break="d", return_scores=True)
+    a = ls.sem_sim_join(left, right, "q", "d", strategy="crossjoin", **kw)
+    b = ls.sem_sim_join(left, right, "q", "d", strategy="broadcast_ann", **kw)
+    pa = {(r["q"], r["d"]): round(r["_scores"], 5) for r in a.collect()}
+    pb = {(r["q"], r["d"]): round(r["_scores"], 5) for r in b.collect()}
+    assert pa == pb
+
+    with pytest.raises(ValueError, match="strategy"):
+        ls.sem_sim_join(left, right, "q", "d", strategy="faiss9000", **kw)
