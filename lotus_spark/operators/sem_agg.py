@@ -37,33 +37,41 @@ from lotus_spark.session import settings
 AGG_COL = "_output"
 
 
-def _truncate(doc: str, lm: Any, budget_tokens: int) -> str:
-    """TRUNCATE long-context strategy (token-approximate, deterministic)."""
-    if lm.count_tokens(doc) <= budget_tokens:
-        return doc
-    return doc[: budget_tokens * 4] + "…"
+def _pack(docs: list[str], lm: Any, budget: int,
+          strategy: str = "truncate") -> list[list[str]]:
+    """Greedy packing of docs into batches whose token total fits budget.
 
+    Oversized docs are bounded by the LongContextStrategy (SURVEY §2.6,
+    ``lotus/long_context_strategy.py``): TRUNCATE cuts token-targeted with
+    an ellipsis; CHUNK splits into budget-sized pieces that flow into the
+    fold as additional documents (nothing is dropped).
+    """
+    from lotus_spark.long_context import split_tokenwise, truncate_doc
 
-def _pack(docs: list[str], lm: Any, budget: int) -> list[list[str]]:
-    """Greedy packing of docs into batches whose token total fits budget."""
     batches: list[list[str]] = []
     cur: list[str] = []
     cur_tokens = 0
     for d in docs:
-        t = lm.count_tokens(d)
-        if cur and cur_tokens + t > budget:
-            batches.append(cur)
-            cur, cur_tokens = [], 0
-        cur.append(_truncate(d, lm, budget))
-        cur_tokens += t
+        if strategy == "chunk":
+            pieces = split_tokenwise(d, lm, budget)
+        else:
+            pieces = [truncate_doc(d, lm, budget)]
+        for piece in pieces:
+            t = lm.count_tokens(piece)
+            if cur and cur_tokens + t > budget:
+                batches.append(cur)
+                cur, cur_tokens = [], 0
+            cur.append(piece)
+            cur_tokens += t
     if cur:
         batches.append(cur)
     return batches
 
 
-def _fold_once(docs: list[str], lm: Any, instruction: str, leaf: bool, **kw) -> list[str]:
+def _fold_once(docs: list[str], lm: Any, instruction: str, leaf: bool,
+               strategy: str = "truncate", **kw) -> list[str]:
     budget = max(1024, lm.max_ctx_len - lm.max_tokens)
-    batches = _pack(docs, lm, budget)
+    batches = _pack(docs, lm, budget, strategy)
     fmt = prompts.agg_leaf_messages if leaf else prompts.agg_node_messages
     msgs = []
     for batch in batches:
@@ -74,12 +82,14 @@ def _fold_once(docs: list[str], lm: Any, instruction: str, leaf: bool, **kw) -> 
     return lm(msgs, **kw).outputs
 
 
-def fold_to_one(docs: list[str], lm: Any, instruction: str, **kw) -> str:
+def fold_to_one(docs: list[str], lm: Any, instruction: str,
+                strategy: str = "truncate", **kw) -> str:
     """Full hierarchical fold of a doc list down to a single answer."""
     if not docs:
         return ""
-    level = _fold_once(docs, lm, instruction, leaf=True, **kw)
+    level = _fold_once(docs, lm, instruction, leaf=True, strategy=strategy, **kw)
     while len(level) > 1:
+        # summaries are model-bounded; truncate guards the rare overflow
         level = _fold_once(level, lm, instruction, leaf=False, **kw)
     return level[0]
 
@@ -90,8 +100,11 @@ def sem_agg(
     lm: Any = None,
     group_by: Optional[list[str]] = None,
     suffix: str = AGG_COL,
+    long_context_strategy: str = "truncate",
     **model_kwargs: Any,
 ) -> DataFrame:
+    if long_context_strategy not in ("truncate", "chunk"):
+        raise ValueError("long_context_strategy must be 'truncate' or 'chunk'")
     model = _resolve_lm(lm)
     cols = parse_cols(user_instruction)
     all_cols = "{all}" in user_instruction or not cols
@@ -112,7 +125,8 @@ def sem_agg(
             if PARTITION_COL in pdf.columns:
                 pdf = pdf.sort_values(PARTITION_COL)
             docs = docs_from_pdf(pdf, use_cols, fmt)
-            answer = fold_to_one(docs, model, instr, **model_kwargs)
+            answer = fold_to_one(docs, model, instr,
+                                 strategy=long_context_strategy, **model_kwargs)
             return pd.DataFrame([list(key) + [answer]], columns=group_by + [suffix])
 
         return df.groupBy(*group_by).applyInPandas(fold_group, schema=out_schema)
@@ -135,7 +149,8 @@ def sem_agg(
                     docs.extend(pdf[suffix].astype(str))
             if not docs:
                 return
-            outs = _fold_once(docs, model, instr, leaf=is_leaf, **model_kwargs)
+            outs = _fold_once(docs, model, instr, leaf=is_leaf,
+                              strategy=long_context_strategy, **model_kwargs)
             while len(outs) > 1:
                 outs = _fold_once(outs, model, instr, leaf=False, **model_kwargs)
             yield pd.DataFrame({suffix: outs})

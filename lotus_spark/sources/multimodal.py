@@ -160,3 +160,56 @@ def attach_media_meta(df: DataFrame, uri_col: str, media_type: str) -> DataFrame
             F.lit(None).cast("int").alias("n_frames"),
         ),
     )
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("duration_s", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("rms_energy", StringType()),
+        StructField("afingerprint", StringType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    binary_col: str = "media",
+    uri_col: str = "uri",
+    fake: bool = False,
+) -> DataFrame:
+    """Audio binary column → (duration, sample_rate, RMS energy, fingerprint).
+
+    Decode is stubbed (no soundfile/librosa in this container): ``fake=True``
+    yields a deterministic pseudo-decode so the Spark plumbing (schema,
+    Arrow batching, partitioning) is exercised for real; the real
+    implementation drops in at the marked point.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for uri, b in zip(pdf[uri_col], pdf[binary_col]):
+                data = bytes(b) if b is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decoding requires soundfile/librosa; pass "
+                        "fake=True for the deterministic test decode"
+                    )
+                h = hashlib.blake2b(data, digest_size=16).digest()
+                rows.append((
+                    str(uri),
+                    f"{1 + h[0] % 300}.{h[1] % 100:02d}",
+                    (8000, 16000, 22050, 44100)[h[2] % 4],
+                    f"{h[3] / 255:.4f}",
+                    h[:8].hex(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["uri", "duration_s", "sample_rate", "rms_energy",
+                         "afingerprint"],
+            )
+
+    return df.select(uri_col, binary_col).mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )

@@ -84,3 +84,23 @@ def test_multimodal_real_decode_raises(spark):
     df = spark.createDataFrame([("u", bytearray(b"x"))], ["uri", "media"])
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         image_features(df, fake=False).collect()
+
+
+def test_multimodal_audio_features(spark):
+    import pytest as _pytest
+
+    from lotus_spark.sources.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [("s3://a/x.wav", b"\x01\x02\x03"), ("s3://a/y.wav", b"\x09" * 40)],
+        ["uri", "media"],
+    )
+    out = audio_features(df, fake=True).collect()
+    assert len(out) == 2
+    assert all(r["sample_rate"] in (8000, 16000, 22050, 44100) for r in out)
+    assert out[0]["afingerprint"] != out[1]["afingerprint"]
+    again = audio_features(df, fake=True).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]  # deterministic
+
+    with _pytest.raises(Exception, match="soundfile|NotImplemented"):
+        audio_features(df, fake=False).collect()

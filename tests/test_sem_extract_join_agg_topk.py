@@ -167,3 +167,38 @@ def test_sem_topk_comparison_cascade(spark):
     assert helper.usage.total_calls > 0
     assert oracle.usage.total_calls > 0
     assert oracle.usage.total_calls < helper.usage.total_calls
+
+
+def test_sem_agg_chunk_strategy_keeps_all_content(spark):
+    """CHUNK splits an oversized doc into budget-sized fold inputs instead of
+    truncating: the counting LM must see MORE documents than rows."""
+
+    class TinyCtxCountingLM(FakeLM):
+        model = "tiny"
+        max_ctx_len = 1600
+        max_tokens = 64
+
+        def __init__(self):
+            super().__init__(self._fn)
+
+        @staticmethod
+        def _fn(prompt):
+            import re as _re
+            docs = _re.findall(r"Document \d+:", prompt)
+            nums = [int(n) for n in _re.findall(r"SUBTOTAL=(\d+)", prompt)]
+            return f"SUBTOTAL={len(docs) + sum(nums) - len(nums)}"
+
+    big = "tok " * 3000  # ~3000 tokens, double the ctx budget
+    df = spark.createDataFrame([(big,), ("small doc",)], ["text"]).coalesce(1)
+    trunc = ls.sem_agg(df, "Count the {text} docs", lm=TinyCtxCountingLM(),
+                       long_context_strategy="truncate")
+    chunk = ls.sem_agg(df, "Count the {text} docs", lm=TinyCtxCountingLM(),
+                       long_context_strategy="chunk")
+    n_trunc = int(trunc.first()["_output"].split("=")[1])
+    n_chunk = int(chunk.first()["_output"].split("=")[1])
+    assert n_trunc == 2            # truncated: one (cut) doc per row
+    assert n_chunk > 2             # chunked: the big doc became several docs
+
+    with pytest.raises(ValueError, match="long_context_strategy"):
+        ls.sem_agg(df, "x {text}", lm=TinyCtxCountingLM(),
+                   long_context_strategy="summarize")
