@@ -339,6 +339,46 @@ SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 2000
 """
 
 
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP (priority, status) — subtotal + grand-total rows; Catalyst
+    expands grouping sets in ONE aggregation pass."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.count("*").alias("n"))
+    )
+
+
+_SQL_ORDERS_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_supplier_intersect(spark, sf_dir):
+    """Suppliers shipping in BOTH halves of 1997 — INTERSECT (hash
+    semi-join under Catalyst, distinct pushed to both sides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    h1 = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    ).select("l_suppkey")
+    h2 = li.filter(
+        (F.col("l_shipdate") >= "1997-07-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_suppkey")
+    return h1.intersect(h2)
+
+
+_SQL_SUPPLIER_INTERSECT = """
+SELECT l_suppkey FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'
+INTERSECT
+SELECT l_suppkey FROM lineitem
+WHERE l_shipdate >= '1997-07-01' AND l_shipdate < '1998-01-01'
+"""
+
+
 # ---------------------------------------------------------------------------
 # semantic operators with deterministic demo LMs (SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -572,6 +612,20 @@ SELECT vec_id, vec_id_right, ROUND(raw, 6) AS score FROM s WHERE rk <= 3
 """
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer + n_probe cell scan) — rows-only
+    check (KMeans isn't SQL-expressible); recall vs exact is asserted in
+    tests/test_ann_and_sources.py."""
+    from lotus_spark.functions.ann import ivf_index, knn_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    indexed, cents = ivf_index(emb, "embedding", n_cells=16)
+    out = knn_topk_ivf(indexed, cents, "embedding", q, k=10, n_probe=8,
+                       id_col="vec_id")
+    return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
+
+
 def q_sem_cluster(spark, sf_dir):
     """MLlib KMeans — no SQL oracle (rows-only check)."""
     from lotus_spark.operators.sem_cluster_by import sem_cluster_by
@@ -793,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_priorities": q_distinct_priorities,
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
+        "orders_rollup": q_orders_rollup,
+        "supplier_intersect": q_supplier_intersect,
         # semantic ops, deterministic LMs (SURVEY §2.1)
         "sem_filter": q_sem_filter,
         "sem_filter_cascade": q_sem_filter_cascade,
@@ -804,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding ops
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "sem_sim_join": q_sem_sim_join,
         "sem_cluster_by": q_sem_cluster,
         "sem_dedup": q_sem_dedup,
@@ -832,6 +889,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_priorities": _SQL_DISTINCT_PRIORITIES,
         "part_brand_stats": _SQL_PART_BRAND,
         "orders_union_extremes": _SQL_ORDERS_UNION,
+        "orders_rollup": _SQL_ORDERS_ROLLUP,
+        "supplier_intersect": _SQL_SUPPLIER_INTERSECT,
         "sem_filter": _SQL_SEM_FILTER,
         "sem_filter_cascade": _SQL_SEM_FILTER,
         "sem_map": _SQL_SEM_MAP,

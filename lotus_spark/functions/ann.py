@@ -94,3 +94,59 @@ def knn_topk_lsh(
     pruned = work.filter(F.col(bcol) == qbucket)
     out = knn_topk(pruned, emb_col, query_vec, k, id_col, score_col)
     return out.drop("__lsh_bucket") if bucket_col is None else out
+
+
+def ivf_index(
+    df: DataFrame,
+    emb_col: str,
+    n_cells: int = 64,
+    seed: int = 42,
+    cell_col: str = "__ivf_cell",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF (inverted-file) coarse quantizer: KMeans centroids + cell ids.
+
+    Returns (df + cell column, centroids). The scale pattern: write the
+    table partitioned by ``cell_col`` once; each query then scans only
+    ``n_probe`` cells — the Spark analog of a FAISS IVF list scan, with
+    partition pruning doing the inverted-list lookup.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.withColumn("__ivf_vec", array_to_vector(F.col(emb_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__ivf_vec",
+                predictionCol=cell_col)
+    model = km.fit(vecs)
+    out = model.transform(vecs).drop("__ivf_vec")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return out, centroids
+
+
+def knn_topk_ivf(
+    indexed_df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str | None = None,
+    score_col: str = "score",
+    cell_col: str = "__ivf_cell",
+) -> DataFrame:
+    """ANN over an IVF-indexed table: probe the ``n_probe`` cells whose
+    centroids are nearest the query (driver-side — centroids are tiny),
+    exact cosine rerank inside. Cell filter is a plain predicate → partition
+    pruning when the table is stored partitioned by ``cell_col``."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(y * y for y in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(range(len(centroids)),
+                    key=lambda c: -cos(query_vec, centroids[c]))
+    probe = ranked[:max(1, n_probe)]
+    pruned = indexed_df.filter(F.col(cell_col).isin(probe))
+    return knn_topk(pruned, emb_col, query_vec, k, id_col, score_col)

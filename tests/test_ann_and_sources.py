@@ -104,3 +104,58 @@ def test_multimodal_audio_features(spark):
 
     with _pytest.raises(Exception, match="soundfile|NotImplemented"):
         audio_features(df, fake=False).collect()
+
+
+def test_ivf_ann_recall(spark):
+    from lotus_spark.functions.ann import ivf_index, knn_topk, knn_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             knn_topk(emb, "embedding", q, 10, "vec_id").collect()]
+    indexed, cents = ivf_index(emb, "embedding", n_cells=16)
+    indexed = indexed.localCheckpoint()
+    assert len(cents) == 16
+
+    full = [r["vec_id"] for r in
+            knn_topk_ivf(indexed, cents, "embedding", q, 10, n_probe=16,
+                         id_col="vec_id").collect()]
+    assert full == exact  # probing every cell == exact search
+
+    part = [r["vec_id"] for r in
+            knn_topk_ivf(indexed, cents, "embedding", q, 10, n_probe=8,
+                         id_col="vec_id").collect()]
+    recall = len(set(exact) & set(part)) / 10
+    assert recall >= 0.7  # hash embeddings, 8/16 cells
+
+
+def test_salted_join_and_agg_match_plain(spark):
+    from lotus_spark.functions.joins import salted_agg, salted_join
+
+    import pytest as _pytest
+
+    # skewed left: one hot key with 500 rows
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(500)] + [("cold", i) for i in range(5)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C"), ("never", "N")],
+                                  ["k", "tag"])
+    plain = {(r["k"], r["v"], r["tag"])
+             for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["v"], r["tag"])
+              for r in salted_join(left, right, "k", salt=8).collect()}
+    assert salted == plain and len(plain) == 505
+
+    agg = {(r["k"]): (r["count_v"], r["sum_v"], r["max_v"])
+           for r in salted_agg(left, ["k"],
+                               {"v": "count"} | {}, salt=8)
+           .join(salted_agg(left, ["k"], {"v": "sum"}, salt=8), "k")
+           .join(salted_agg(left, ["k"], {"v": "max"}, salt=8), "k").collect()}
+    assert agg["hot"] == (500, sum(range(500)), 499)
+    assert agg["cold"] == (5, 10, 4)
+
+    with _pytest.raises(ValueError, match="supports how"):
+        salted_join(left, right, "k", how="right")
+    with _pytest.raises(ValueError, match="unsupported agg"):
+        salted_agg(left, ["k"], {"v": "avg"})
