@@ -601,11 +601,15 @@ def q_sem_sim_join(spark, sf_dir):
 
 
 _SQL_SIM_JOIN = f"""
-WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
-r AS (SELECT vec_id AS vec_id_right, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id >= 20),
+WITH l0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
+r0 AS (SELECT vec_id AS vec_id_right, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id >= 20),
+l AS (SELECT vec_id, CASE WHEN {_sql_norm('v')} = 0 THEN v
+        ELSE list_transform(v, x -> x / {_sql_norm('v')}) END AS u FROM l0),
+r AS (SELECT vec_id_right, CASE WHEN {_sql_norm('v')} = 0 THEN v
+        ELSE list_transform(v, x -> x / {_sql_norm('v')}) END AS u FROM r0),
 s AS (
-  SELECT l.vec_id, r.vec_id_right, {_sql_cosine('l.v', 'r.v')} AS raw,
-    row_number() OVER (PARTITION BY l.vec_id ORDER BY {_sql_cosine('l.v', 'r.v')} DESC, r.vec_id_right) AS rk
+  SELECT l.vec_id, r.vec_id_right, {_sql_dot('l.u', 'r.u')} AS raw,
+    row_number() OVER (PARTITION BY l.vec_id ORDER BY {_sql_dot('l.u', 'r.u')} DESC, r.vec_id_right) AS rk
   FROM l, r
 )
 SELECT vec_id, vec_id_right, ROUND(raw, 6) AS score FROM s WHERE rk <= 3
@@ -789,10 +793,16 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 _SQL_EMB_NEARDUP = f"""
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-SELECT a.vec_id AS a, b.vec_id AS b, ROUND({_sql_cosine('a.v', 'b.v')}, 6) AS score
+WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+e AS (
+  SELECT vec_id, label,
+    CASE WHEN {_sql_norm('v')} = 0 THEN v
+         ELSE list_transform(v, x -> x / {_sql_norm('v')}) END AS u
+  FROM e0
+)
+SELECT a.vec_id AS a, b.vec_id AS b, ROUND({_sql_dot('a.u', 'b.u')}, 6) AS score
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_sql_cosine('a.v', 'b.v')} >= 0.35
+WHERE {_sql_dot('a.u', 'b.u')} >= 0.35
 """
 
 

@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "simhash",
     "jaccard_pairs",
     "text_stats",
+    "orders_rollup",
+    "supplier_intersect",
+    "embedding_neardup",
 ]
 
 

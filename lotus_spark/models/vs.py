@@ -149,3 +149,92 @@ def ann_join(
             yield rep
 
     return left.mapInPandas(run, schema=out_schema)
+
+
+class QdrantVS:
+    """Qdrant-backed vector store (reference ``lotus/vector_store/qdrant_vs``).
+
+    Thin adapter with the same ``search(queries, K) -> (ids, scores)``
+    contract as :class:`BroadcastVectorIndex`; the client is created lazily
+    per process (object ships as config). Requires ``qdrant-client``.
+    """
+
+    def __init__(self, collection: str, url: str = "http://localhost:6333",
+                 api_key: Optional[str] = None):
+        self.collection = collection
+        self.url = url
+        self.api_key = api_key
+        self._client = None
+
+    def _c(self):  # pragma: no cover - qdrant not in this container
+        if self._client is None:
+            try:
+                from qdrant_client import QdrantClient  # type: ignore
+            except ImportError as e:
+                raise RuntimeError(
+                    "qdrant-client is not installed; use BroadcastVectorIndex "
+                    "for the in-memory tier"
+                ) from e
+            self._client = QdrantClient(url=self.url, api_key=self.api_key)
+        return self._client
+
+    def upsert(self, ids, vectors) -> None:  # pragma: no cover
+        from qdrant_client.models import PointStruct  # type: ignore
+
+        self._c().upsert(self.collection, [
+            PointStruct(id=int(i), vector=[float(x) for x in v])
+            for i, v in zip(ids, vectors)
+        ])
+
+    def search(self, queries, K: int):  # pragma: no cover
+        ids, scores = [], []
+        for q in np.atleast_2d(np.asarray(queries, dtype=np.float32)):
+            hits = self._c().search(self.collection, q.tolist(), limit=K)
+            ids.append([h.id for h in hits])
+            scores.append([h.score for h in hits])
+        return np.asarray(ids), np.asarray(scores, dtype=np.float32)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_client"] = None
+        return d
+
+
+class WeaviateVS:
+    """Weaviate-backed vector store (reference ``lotus/vector_store/
+    weaviate_vs``); same lazy-client config-only shape as QdrantVS."""
+
+    def __init__(self, collection: str, url: str = "http://localhost:8080",
+                 api_key: Optional[str] = None):
+        self.collection = collection
+        self.url = url
+        self.api_key = api_key
+        self._client = None
+
+    def _c(self):  # pragma: no cover - weaviate not in this container
+        if self._client is None:
+            try:
+                import weaviate  # type: ignore
+            except ImportError as e:
+                raise RuntimeError(
+                    "weaviate-client is not installed; use "
+                    "BroadcastVectorIndex for the in-memory tier"
+                ) from e
+            self._client = weaviate.connect_to_custom(http_host=self.url)
+        return self._client
+
+    def search(self, queries, K: int):  # pragma: no cover
+        ids, scores = [], []
+        coll = self._c().collections.get(self.collection)
+        for q in np.atleast_2d(np.asarray(queries, dtype=np.float32)):
+            res = coll.query.near_vector(q.tolist(), limit=K,
+                                         return_metadata=["distance"])
+            ids.append([o.uuid for o in res.objects])
+            scores.append([1.0 - (o.metadata.distance or 0.0)
+                           for o in res.objects])
+        return np.asarray(ids), np.asarray(scores, dtype=np.float32)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_client"] = None
+        return d
