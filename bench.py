@@ -57,8 +57,14 @@ def main() -> None:
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so query 1 isn't charged ~4s of startup
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the JVM + parquet footers + Python worker pool so query 1 isn't
+    # charged ~4s of one-time startup (workers persist per session)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(1_000_000).repartition(int(cpus)).select(
+        F.sum(_warm("id"))
+    ).collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
 
     qs = entry.queries()
