@@ -84,12 +84,18 @@ def sem_join(
     r_actual = [f"{c}:right" if c in collisions else c for c in rcols]
 
     if cascade_args is not None:
-        from lotus_spark.cascades.join_cascade import sem_join_cascade
+        # the cascade only pays off above a minimum pair count (reference
+        # ``sem_join.py:761-775``, ``types.py:182``): below it, sampling +
+        # calibration would cost more oracle calls than the product itself
+        n_pairs = left.count() * right_sel.count()
+        if n_pairs >= cascade_args.min_join_cascade_size:
+            from lotus_spark.cascades.join_cascade import sem_join_cascade
 
-        return sem_join_cascade(
-            left, right_sel, instr, lcols, r_actual, rename_map,
-            oracle_lm=model, cascade_args=cascade_args, fmt=fmt, **model_kwargs
-        )
+            return sem_join_cascade(
+                left, right_sel, instr, lcols, r_actual, rename_map,
+                oracle_lm=model, cascade_args=cascade_args, fmt=fmt,
+                **model_kwargs
+            )
 
     crossed = left.crossJoin(F.broadcast(right_sel) if broadcast_right else right_sel)
 

@@ -105,3 +105,25 @@ def test_join_cascade_end_to_end(spark):
     # clean proxy the result must contain every true pair (recall) and no
     # false accepts come from the proxy-accept bucket here
     assert expected <= pairs or pairs == expected
+
+
+def test_join_cascade_size_gate(spark):
+    """Below min_join_cascade_size the nested-loop path runs even when
+    cascade_args is set (reference sem_join.py:761-775)."""
+    import lotus_spark as ls
+    from lotus_spark.cascades.utils import CascadeArgs
+    from lotus_spark.models import KeywordBoolLM
+
+    left = spark.createDataFrame([("apple",), ("rust",)], ["fruit"])
+    right = spark.createDataFrame([("apple pie",), ("steel beam",)], ["dish"])
+    # 4 pairs < min_join_cascade_size=100 -> nested loop (no sampling phase);
+    # helper_lm/settings.rm are NOT configured, which would crash the
+    # cascade path — passing proves the gate routed around it
+    out = ls.sem_join(
+        left, right, "{dish} contains {fruit}",
+        lm=KeywordBoolLM("apple"), cascade_args=CascadeArgs(),
+    )
+    rows = {(r["fruit"], r["dish"]) for r in out.collect()}
+    # keyword LM fires on 'apple' in EITHER side of the serialized pair
+    assert rows == {("apple", "apple pie"), ("apple", "steel beam"),
+                    ("rust", "apple pie")}
