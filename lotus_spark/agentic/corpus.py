@@ -90,6 +90,14 @@ class Corpus:
         out = self.df.withColumn("_shard", F.floor(rn / size).cast("int"))
         return out.repartition(F.col("_shard"))
 
+    def agent(self, task: str, **kwargs: Any):
+        """Run an agentic op pipeline over this corpus (reference
+        ``Corpus.agent``; see :func:`lotus_spark.agentic.run_pipeline` for
+        the full signature — ops/tools/plan/completer_factory/...)."""
+        from lotus_spark.agentic.pipeline import run_pipeline
+
+        return run_pipeline(self, task, **kwargs)
+
     def count(self) -> int:
         return self.df.count()
 

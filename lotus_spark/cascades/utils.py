@@ -41,6 +41,9 @@ class CascadeArgs:
     # pins these; when set, execution skips sampling + oracle labeling)
     tau_pos: Optional[float] = None
     tau_neg: Optional[float] = None
+    # join-cascade plan: 'search_filter' | 'map_search_filter' | None
+    # (None = learn both, run the one with the smaller gray zone)
+    join_cascade_strategy: Optional[str] = None
 
 
 def calibrate_scores(scores: np.ndarray, n_quantiles: int = 50) -> np.ndarray:

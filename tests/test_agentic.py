@@ -186,3 +186,14 @@ def test_pipeline_executor_side_tool_calls(spark):
                        tools=[PythonREPLTool(timeout=15)],
                        completer_factory=factory, plan=plan)
     assert res.corpus.count() == 3
+
+
+def test_corpus_agent_method(spark):
+    """Corpus.agent(...) is the reference's fluent entry point."""
+    _kw_factory = _make_kw_factory()
+    corpus = Corpus.from_text(spark, ["cs: a", "art: b"])
+    res = corpus.agent(
+        "t", ops=["filter"], completer_factory=_kw_factory,
+        plan=Plan(ops=["filter"], instructions={"filter": "f"}),
+    )
+    assert res.corpus.count() == 1

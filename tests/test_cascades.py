@@ -127,3 +127,70 @@ def test_join_cascade_size_gate(spark):
     # keyword LM fires on 'apple' in EITHER side of the serialized pair
     assert rows == {("apple", "apple pie"), ("apple", "steel beam"),
                     ("rust", "apple pie")}
+
+
+def test_join_cascade_map_search_filter_plan_wins(spark):
+    """When left/right vocabularies are disjoint, the raw-similarity proxy is
+    useless (gray zone = everything) but the map-search-filter proxy is
+    discriminative — the plan chooser must pick it and save oracle calls."""
+    from lotus_spark.cascades.utils import CascadeArgs
+    from lotus_spark.models import FakeLM, HashRM
+    from lotus_spark.session import settings
+
+    n = 25
+    left = spark.createDataFrame([(f"item{i}",) for i in range(n)], ["thing"])
+    right = spark.createDataFrame(
+        [(f"object{i} text",) for i in range(n)], ["target"]
+    )
+
+    def oracle_fn(prompt):
+        import re as _re
+        nums = _re.findall(r"(?:item|object)(\d+)", prompt)
+        return "True" if len(set(nums)) == 1 and len(nums) >= 2 else "False"
+
+    def map_fn(prompt):
+        import re as _re
+        m = _re.search(r"item(\d+)", prompt)
+        return f"object{m.group(1)}" if m else "nothing"
+
+    oracle = FakeLM(oracle_fn)
+    # route the plan-B sem_map through the same oracle LM object (the
+    # reference maps with the main LM); the fake answers both prompt kinds
+    def routed(prompt):
+        return map_fn(prompt) if "identify the most relevant" in prompt else oracle_fn(prompt)
+
+    lm = FakeLM(routed)
+    settings.rm = HashRM(dim=64)
+    try:
+        out = __import__("lotus_spark").sem_join(
+            left, right, "{thing} corresponds to {target}",
+            lm=lm,
+            cascade_args=CascadeArgs(recall_target=0.8, precision_target=0.8,
+                                     sampling_percentage=0.3),
+        )
+        rows = {(r["thing"], r["target"]) for r in out.collect()}
+        expected = {(f"item{i}", f"object{i} text") for i in range(n)}
+        assert rows == expected
+        # far fewer oracle calls than the 625-pair product:
+        # 2x sample labeling + 25 map calls + gray zone
+        assert lm.usage.total_calls < 450, lm.usage.total_calls
+    finally:
+        settings.rm = None
+
+
+def test_join_cascade_strategy_override_validated(spark):
+    from lotus_spark.cascades.utils import CascadeArgs
+    from lotus_spark.models import FakeLM, HashRM
+    from lotus_spark.session import settings
+
+    left = spark.createDataFrame([(f"a{i}",) for i in range(12)], ["x"])
+    right = spark.createDataFrame([(f"a{i} b",) for i in range(12)], ["y"])
+    settings.rm = HashRM(dim=32)
+    try:
+        with pytest.raises(ValueError, match="join_cascade_strategy"):
+            __import__("lotus_spark").sem_join(
+                left, right, "{x} matches {y}", lm=FakeLM(lambda p: "True"),
+                cascade_args=CascadeArgs(join_cascade_strategy="hash_join"),
+            )
+    finally:
+        settings.rm = None
