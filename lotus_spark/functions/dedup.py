@@ -30,20 +30,7 @@ def _hash_params(j: int) -> tuple[int, int]:
     return a, b
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to cluster parallelism — but ONLY when the
-    input has fewer partitions than cores.
-
-    Why: a small/compacted parquet table (one file, one row group) arrives
-    as ONE partition, so a shingle-hash explode would run on a single core
-    (measured 1.5-2x slower end-to-end at sf0.1). At 100 TB the input
-    already has thousands of partitions and this is a no-op — no gratuitous
-    shuffle on the scale path.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from lotus_spark.partitioning import ensure_parallelism  # noqa: F401  (re-export)
 
 
 def exact_dedup(df: DataFrame, col: str, id_col: str) -> DataFrame:
@@ -105,7 +92,13 @@ def minhash_lsh_dedup(
         )
         for i in range(bands)
     ]
-    banded = sigd.withColumn("__band", F.explode(F.array(*band_keys)))
+    # both join sides consume `banded`; persist so signature + shingle
+    # computation (the expensive map stage) runs once, not twice
+    from pyspark import StorageLevel
+
+    banded = sigd.withColumn("__band", F.explode(F.array(*band_keys))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     left = banded.select(
         F.col("__band"),
@@ -259,15 +252,35 @@ def jaccard_sim_pairs(
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         )
 
+    # The narrow posting relation (id, [blk], sh) is consumed three times
+    # (both join sides + sizes). Spark does NOT reuse the exchange across
+    # these branches (plans differ above the scan), so without a persist
+    # the shingle-hash projection — the single most expensive map stage —
+    # runs 3x. Persist it: O(postings) longs, proportional to input size,
+    # the standard move for multi-consumer narrow intermediates.
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("id"), *blk, F.explode(hashes).alias("sh")
-    )
-    sh = sh.repartition(*[F.col(c) for c in sides])
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(*[F.col(c) for c in sides], F.col("id").alias("a"))
-    b = sh.select(*[F.col(c) for c in sides], F.col("id").alias("b"))
+    # Salt the self-join: a hot shingle with posting frequency f generates
+    # f^2 pair rows in ONE reduce task (all rows of a join key co-locate).
+    # Giving the a-side a deterministic salt in [0, S) and replicating the
+    # b-side S times splits each hot key into S tasks; every (a, b) pair
+    # still joins exactly once (at a's salt). b-side blowup is S * postings
+    # narrow rows — cheap next to the f^2 pair skew it removes.
+    S = 8
+    a = sh.select(
+        *[F.col(c) for c in sides],
+        F.col("id").alias("a"),
+        F.pmod(F.hash("id"), F.lit(S)).alias("__slt"),
+    )
+    b = sh.select(*[F.col(c) for c in sides], F.col("id").alias("b")).withColumn(
+        "__slt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
     common = (
-        a.join(b, sides)
+        a.join(b, sides + ["__slt"])
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("common"))

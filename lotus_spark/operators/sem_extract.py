@@ -65,8 +65,10 @@ def sem_extract(
         data["__raw"] = raw
         return pd.DataFrame(data)
 
+    from lotus_spark.partitioning import ensure_parallelism
+
     struct_col = F.struct(*[F.col(f"`{c}`") for c in input_cols])
-    out = df.withColumn("__sem_extract_out", _extract_udf(struct_col))
+    out = ensure_parallelism(df).withColumn("__sem_extract_out", _extract_udf(struct_col))
     for f in fields:
         out = out.withColumn(f, F.col(f"__sem_extract_out.`{f}`"))
     if return_raw_outputs:

@@ -114,8 +114,10 @@ def sem_filter(
         model, instr, cols, default, output_tokens,
         _collect_examples(examples), strategy, system_prompt, fmt, **model_kwargs
     )
+    from lotus_spark.partitioning import ensure_parallelism
+
     struct_col = F.struct(*[F.col(f"`{c}`") for c in cols])
-    out = df.withColumn("__sem_filter_out", udf(struct_col))
+    out = ensure_parallelism(df).withColumn("__sem_filter_out", udf(struct_col))
     out = out.withColumn(suffix, F.col("__sem_filter_out.label"))
     if return_explanations:
         out = out.withColumn(f"explanation{suffix}", F.col("__sem_filter_out.explanation"))

@@ -97,7 +97,13 @@ def sem_join(
                 **model_kwargs
             )
 
-    crossed = left.crossJoin(F.broadcast(right_sel) if broadcast_right else right_sel)
+    from lotus_spark.partitioning import ensure_parallelism
+
+    # the pair-evaluation UDF's wall-clock is (pairs / cores); a
+    # single-partition left side would serialize every LM call onto one core
+    crossed = ensure_parallelism(left).crossJoin(
+        F.broadcast(right_sel) if broadcast_right else right_sel
+    )
 
     @F.pandas_udf(_OUT_SCHEMA)
     def _join_udf(batch: pd.DataFrame) -> pd.DataFrame:

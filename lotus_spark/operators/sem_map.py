@@ -123,8 +123,10 @@ def sem_map(
         model, instr, cols, _collect_examples(examples), strategy,
         system_prompt, fmt, postprocessor, **model_kwargs
     )
+    from lotus_spark.partitioning import ensure_parallelism
+
     struct_col: Column = F.struct(*[F.col(f"`{c}`") for c in cols])
-    out = df.withColumn("__sem_map_out", udf(struct_col))
+    out = ensure_parallelism(df).withColumn("__sem_map_out", udf(struct_col))
     out = out.withColumn(suffix, F.col("__sem_map_out.answer"))
     if return_explanations:
         out = out.withColumn(f"explanation{suffix}", F.col("__sem_map_out.explanation"))
