@@ -165,6 +165,103 @@ def simhash(df: DataFrame, col: str, n_bits: int = 32,
     return df.withColumn(out_col, fp)
 
 
+def _hash_strings_np(strs, np):
+    """Vectorized polynomial string hash: fold (acc*31 + codepoint) % MOD
+    over a padded codepoint matrix — identical values to ``shingle_hash``
+    (F.ascii returns the codepoint; utf-32-le decode gives the same), but
+    ~len(str) vectorized numpy steps instead of per-char interpreted
+    Catalyst lambda evals. No int64 overflow: acc < 1e9+7, so
+    acc*31 + code < 3.2e10 « 2^63."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bufs = [s.encode("utf-32-le") for s in strs]
+    lens = np.fromiter((len(b) // 4 for b in bufs), dtype=np.int64, count=n)
+    max_len = int(lens.max())
+    codes = np.zeros((n, max(max_len, 1)), dtype=np.int64)
+    for i, b in enumerate(bufs):
+        if b:
+            codes[i, : len(b) // 4] = np.frombuffer(b, dtype=np.uint32).astype(np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for j in range(max_len):
+        active = j < lens
+        out = np.where(active, (out * 31 + codes[:, j]) % MOD, out)
+    return out
+
+
+def _shingle_postings_pandas(df, col, id_col, shingle_n, block_col):
+    """Exploded posting relation (id, [__blk], sh) via mapInPandas.
+
+    Value-identical to
+    ``explode(array_distinct(transform(word_shingles(col, n), shingle_hash)))``
+    but built in vectorized numpy — the Catalyst higher-order-function
+    evaluators are interpreted (never codegen'd) and their throughput
+    degrades badly once a long-lived session has run many distinct lambda
+    shapes (megamorphic call sites), which made this map stage the dominant,
+    high-variance cost. Tokenization mirrors Spark's Java semantics:
+    trim = strip codepoints <= U+0020, split on Java ``\\s`` = ASCII
+    [ \\t\\n\\x0b\\f\\r] only (Python ``\\s`` would also eat unicode spaces).
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = [StructField("id", df.schema[id_col].dataType)]
+    if block_col:
+        fields.append(StructField("__blk", df.schema[block_col].dataType))
+    fields.append(StructField("sh", LongType()))
+    schema = StructType(fields)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    java_trim = "".join(chr(i) for i in range(0x21))
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blks, doc_counts, shingles = [], [], [], []
+            texts = pdf[col]
+            id_vals = pdf[id_col]
+            blk_vals = pdf[block_col] if block_col else None
+            for i in range(len(pdf)):
+                text = texts.iat[i]
+                if text is None:
+                    continue  # expr path: transform(null) -> explode drops it
+                toks = ws.split(text.strip(java_trim).lower())
+                if len(toks) <= shingle_n:
+                    doc_sh = [" ".join(toks)]
+                else:
+                    doc_sh = list(
+                        dict.fromkeys(
+                            " ".join(toks[j : j + shingle_n])
+                            for j in range(len(toks) - shingle_n + 1)
+                        )
+                    )
+                shingles.extend(doc_sh)
+                doc_counts.append(len(doc_sh))
+                ids.append(id_vals.iat[i])
+                if block_col:
+                    blks.append(blk_vals.iat[i])
+            hashes = _hash_strings_np(shingles, np)
+            # per-doc distinct over HASH values (matches array_distinct on
+            # the hashed array: distinct strings could still collide)
+            out_id, out_blk, out_sh = [], [], []
+            pos = 0
+            for k, cnt in enumerate(doc_counts):
+                uniq = np.unique(hashes[pos : pos + cnt])
+                pos += cnt
+                out_sh.append(uniq)
+                out_id.extend([ids[k]] * len(uniq))
+                if block_col:
+                    out_blk.extend([blks[k]] * len(uniq))
+            data = {"id": out_id}
+            if block_col:
+                data["__blk"] = out_blk
+            data["sh"] = np.concatenate(out_sh) if out_sh else np.empty(0, np.int64)
+            yield pd.DataFrame(data)
+
+    return df.mapInPandas(gen, schema)
+
+
 def jaccard_sim_pairs(
     df: DataFrame,
     col: str,
@@ -255,14 +352,16 @@ def jaccard_sim_pairs(
     # The narrow posting relation (id, [blk], sh) is consumed three times
     # (both join sides + sizes). Spark does NOT reuse the exchange across
     # these branches (plans differ above the scan), so without a persist
-    # the shingle-hash projection — the single most expensive map stage —
-    # runs 3x. Persist it: O(postings) longs, proportional to input size,
-    # the standard move for multi-consumer narrow intermediates.
+    # the shingle hashing — the single most expensive map stage — runs 3x.
+    # Persist it: O(postings) longs, proportional to input size, the
+    # standard move for multi-consumer narrow intermediates. The postings
+    # are built by the vectorized numpy stage, not the column expression —
+    # see _shingle_postings_pandas for why.
     from pyspark import StorageLevel
 
-    sh = df.select(
-        F.col(id_col).alias("id"), *blk, F.explode(hashes).alias("sh")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _shingle_postings_pandas(df, col, id_col, shingle_n, block_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     # Salt the self-join: a hot shingle with posting frequency f generates
     # f^2 pair rows in ONE reduce task (all rows of a join key co-locate).
@@ -312,11 +411,63 @@ def embedding_neardup_pairs(
     the pair-listing primitive a curation pipeline audits.
 
     Scale design: with ``block_col`` (a cluster id, LSH bucket, language,
-    shard key...) the self-join is block-local — one shuffle on the block
-    key, candidate set Σ|block|², never a global cross product. Without it,
-    a full cross join is used (exact; only for small/calibration tables).
+    shard key...) the pair space is block-local: one shuffle on the block
+    key, candidate set Σ|block|², never a global cross product. The blocked
+    path runs as ``applyInPandas`` — each block's vectors cross the wire
+    ONCE (n rows, not n² pair rows) and the pairwise scores are a
+    vectorized numpy loop *over dimensions in order*, which reproduces the
+    sequential fold ``acc + u_a[d]*u_b[d]`` bit-for-bit (same ops, same
+    order as the SQL list_reduce oracle) while doing the n² work in C
+    instead of ~|pairs|·d interpreted lambda evals. A block must fit one
+    task's memory — the same constraint block-locality already implies.
+    Without ``block_col``, a full cross join with a column-expression dot
+    is used (exact; only for small/calibration tables).
     """
+    import numpy as np
+    import pandas as pd
+
     from lotus_spark.functions.vectors import dot, l2_norm
+
+    if block_col is not None:
+        src = df.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            F.col(emb_col).cast("array<double>").alias("v"),
+        )
+
+        def _score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id")
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
+                    {"a": "int64", "b": "int64", "score": "float64"}
+                )
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            d = V.shape[1]
+            # norm via sequential accumulate over dims (== fold order)
+            acc = np.zeros(n)
+            for j in range(d):
+                acc = acc + V[:, j] * V[:, j]
+            norms = np.sqrt(acc)
+            safe = np.where(norms == 0.0, 1.0, norms)
+            U = V / safe[:, None]
+            U[norms == 0.0] = V[norms == 0.0]
+            # pairwise dot, accumulated dim-by-dim (== fold order per pair)
+            S = np.zeros((n, n))
+            for j in range(d):
+                S = S + np.outer(U[:, j], U[:, j])
+            ia, ib = np.triu_indices(n, k=1)
+            keep = S[ia, ib] >= threshold
+            ids = pdf["id"].to_numpy()
+            return pd.DataFrame(
+                {"a": ids[ia[keep]], "b": ids[ib[keep]], "score": S[ia, ib][keep]}
+            )
+
+        return (
+            src.groupBy("blk")
+            .applyInPandas(_score_block, "a long, b long, score double")
+            .select("a", "b", F.round("score", 6).alias("score"))
+        )
 
     # normalize per ROW (once), so the per-PAIR work is a single dot fold —
     # 3x less fold arithmetic than cosine-per-pair; score is identical
@@ -327,15 +478,10 @@ def embedding_neardup_pairs(
         F.transform(F.col(emb_col).cast("array<double>"), lambda x: x / norm)
     )
     src = df.withColumn("__unit", unit)
-    keep = {id_col: id_col, "__unit": "__unit", **({block_col: block_col} if block_col else {})}
+    keep = {id_col: id_col, "__unit": "__unit"}
     a = src.select(*[F.col(c).alias(f"__a_{c}") for c in keep])
     b = src.select(*[F.col(c).alias(f"__b_{c}") for c in keep])
-    if block_col:
-        joined = a.join(
-            b, F.col(f"__a_{block_col}") == F.col(f"__b_{block_col}")
-        )
-    else:
-        joined = a.crossJoin(b)
+    joined = a.crossJoin(b)
     return (
         joined.filter(F.col(f"__a_{id_col}") < F.col(f"__b_{id_col}"))
         .withColumn("score", dot(F.col("__a___unit"), F.col("__b___unit")))
