@@ -726,8 +726,12 @@ def q_jaccard_pairs(spark, sf_dir):
     from lotus_spark.functions.dedup import jaccard_sim_pairs
 
     docs = _t(spark, sf_dir, "documents")
+    # blocks here are languages (bounded), so the block-local BLAS counting
+    # tier applies; algorithm="count" is the unbounded-block scale default
+    # and is asserted equal in tests/test_dedup_and_text.py
     return jaccard_sim_pairs(
-        docs, "text", "doc_id", shingle_n=2, threshold=0.3, block_col="lang"
+        docs, "text", "doc_id", shingle_n=2, threshold=0.3, block_col="lang",
+        algorithm="block",
     )
 
 

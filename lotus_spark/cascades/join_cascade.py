@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lotus_spark.cascades.utils import CascadeArgs, learn_filter_thresholds
-from lotus_spark.functions.vectors import cosine_sim
+from lotus_spark.functions.vectors import pair_cosine
 from lotus_spark.operators import prompts
 from lotus_spark.operators.postprocessors import parse_bool
 from lotus_spark.serialization import docs_from_pdf
@@ -100,7 +100,7 @@ def _score_pairs(
         l = with_embeddings(left, lcols[0], rm, "__le")
     r = with_embeddings(right, rcols[0], rm, "__re")
     pairs = l.crossJoin(F.broadcast(r))
-    pairs = pairs.withColumn(SCORE, cosine_sim(F.col("__le"), F.col("__re")))
+    pairs = pairs.withColumn(SCORE, pair_cosine(F.col("__le"), F.col("__re")))
     return pairs.drop("__le", "__re")
 
 

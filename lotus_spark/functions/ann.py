@@ -18,10 +18,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lotus_spark.functions.vectors import cosine_sim, dot
+from lotus_spark.functions.vectors import query_cosine  # noqa: F401
 
 
 def _plane_value(seed: int, plane: int, dim: int) -> float:
@@ -38,15 +40,29 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = Σ_p (dot(emb, plane_p) > 0) << p  — a plain long column."""
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(emb, plane_lit) > 0.0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket + bit * F.lit(2**p).cast("long")
-    return bucket
+    """Bucket id = Σ_p (dot(emb, plane_p) > 0) << p  — a plain long column.
+
+    Vectorized pandas UDF; per-plane dots accumulate dimension-by-dimension,
+    reproducing the sequential fold's op order bit-for-bit (the bucket id is
+    a sum of integer bits, so the plane summation order is exact anyway).
+    """
+    P = np.asarray(planes, dtype=np.float64)  # n_planes x dim
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _udf(embs: pd.Series) -> pd.Series:
+        valid = embs.notna().to_numpy()
+        out = np.zeros(len(embs), dtype=np.float64)
+        if valid.any():
+            V = np.stack(embs[valid].to_numpy()).astype(np.float64)
+            acc = np.zeros((V.shape[0], P.shape[0]))
+            for j in range(V.shape[1]):
+                acc = acc + V[:, j : j + 1] * P[:, j]
+            out[valid] = ((acc > 0.0) * weights).sum(axis=1)
+        res = pd.Series(out).astype("int64")
+        return res.where(pd.Series(valid), None)
+
+    return _udf(emb.cast("array<double>"))
 
 
 def knn_topk(
@@ -58,8 +74,9 @@ def knn_topk(
     score_col: str = "score",
 ) -> DataFrame:
     """Exact cosine top-K of ``query_vec`` over ``emb_col``."""
-    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = df.withColumn(score_col, cosine_sim(F.col(emb_col), qlit))
+    from lotus_spark.functions.vectors import query_cosine
+
+    scored = df.withColumn(score_col, query_cosine(F.col(emb_col), query_vec))
     order = [F.desc(score_col)] + ([F.asc(id_col)] if id_col else [])
     return scored.orderBy(*order).limit(k)
 

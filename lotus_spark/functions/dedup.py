@@ -284,10 +284,96 @@ def jaccard_sim_pairs(
       then candidates verify with an array-intersect join. Wins when the
       threshold is high (≥~0.7) so prefixes collapse; loses at low
       thresholds where it degrades to the count plan plus verify overhead.
-    ``block_col`` (e.g. language) bounds the pair space for both.
+    - ``algorithm="block"``: block-local dense counting — one
+      ``applyInPandas`` per ``block_col`` group builds the doc×shingle 0/1
+      matrix and computes ALL pairwise common-shingle counts as one BLAS
+      matmul (exact: counts ≤ 2^53 in float64). No pair rows ever shuffle;
+      each block's postings cross the wire once. Requires every block to
+      fit one task's memory — the right tier when blocks are bounded
+      (language, LSH bucket, cluster id); use ``"count"`` when a block can
+      be unboundedly large.
+    ``block_col`` (e.g. language) bounds the pair space for all three.
     """
-    if algorithm not in ("count", "prefix"):
-        raise ValueError(f"unknown algorithm {algorithm!r}; pick 'count' or 'prefix'")
+    if algorithm not in ("count", "prefix", "block"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; pick 'count', 'prefix' or 'block'"
+        )
+    if algorithm == "block":
+        import numpy as np
+        import pandas as pd
+
+        # Chunked all-pairs matmul: docs hash into `s` chunks per block; each
+        # unordered chunk-pair (ci <= cj) is one applyInPandas task that
+        # counts common shingles for its docs with a single BLAS matmul.
+        # Every unordered doc pair lives in exactly one chunk-pair group, so
+        # pairs are emitted exactly once. This (a) splits a hot block's n^2
+        # work across s(s+1)/2 tasks, and (b) bounds task memory by chunk
+        # size, not block size. Replication cost: each posting row is
+        # shipped to ~s/2 groups — linear in s, versus the f^2 pair-row
+        # shuffle it replaces.
+        s = 8
+        post = _shingle_postings_pandas(df, col, id_col, shingle_n, block_col)
+        if block_col is None:
+            post = post.withColumn("__blk", F.lit(1))
+        base = post.withColumn("__c", F.pmod(F.hash("id"), F.lit(s)))
+        as_l = base.withColumn(
+            "__cj", F.explode(F.sequence(F.col("__c"), F.lit(s - 1)))
+        ).select(
+            "__blk", F.col("__c").alias("__ci"), "__cj",
+            F.lit("L").alias("__side"), "id", "sh",
+        )
+        as_r = base.filter(F.col("__c") > 0).withColumn(
+            "__ci", F.explode(F.sequence(F.lit(0), F.col("__c") - 1))
+        ).select(
+            "__blk", "__ci", F.col("__c").alias("__cj"),
+            F.lit("R").alias("__side"), "id", "sh",
+        )
+
+        def _count_chunk_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            _, ci, cj = key
+            empty = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+                {"a": "int64", "b": "int64", "jaccard": "float64"}
+            )
+            _, inv_sh = np.unique(pdf["sh"].to_numpy(), return_inverse=True)
+            n_sh = inv_sh.max() + 1
+            is_l = (pdf["__side"] == "L").to_numpy()
+            lids, linv = np.unique(pdf["id"].to_numpy()[is_l], return_inverse=True)
+            ML = np.zeros((len(lids), n_sh))
+            ML[linv, inv_sh[is_l]] = 1.0
+            szl = ML.sum(axis=1)
+            if ci == cj:  # diagonal group: self pairs among L
+                if len(lids) < 2:
+                    return empty
+                C = ML @ ML.T
+                ia, ib = np.triu_indices(len(lids), k=1)
+                common = C[ia, ib]
+                jac = common / (szl[ia] + szl[ib] - common)
+                keep = (jac >= threshold) & (common > 0)
+                return pd.DataFrame(
+                    {"a": lids[ia[keep]], "b": lids[ib[keep]], "jaccard": jac[keep]}
+                )
+            rids, rinv = np.unique(pdf["id"].to_numpy()[~is_l], return_inverse=True)
+            if len(lids) == 0 or len(rids) == 0:
+                return empty
+            MR = np.zeros((len(rids), n_sh))
+            MR[rinv, inv_sh[~is_l]] = 1.0
+            szr = MR.sum(axis=1)
+            C = ML @ MR.T
+            il, ir = np.nonzero(C > 0)
+            common = C[il, ir]
+            jac = common / (szl[il] + szr[ir] - common)
+            keep = jac >= threshold
+            aa, bb = lids[il[keep]], rids[ir[keep]]
+            return pd.DataFrame(
+                {"a": np.minimum(aa, bb), "b": np.maximum(aa, bb), "jaccard": jac[keep]}
+            )
+
+        return (
+            as_l.unionByName(as_r)
+            .groupBy("__blk", "__ci", "__cj")
+            .applyInPandas(_count_chunk_pair, "a long, b long, jaccard double")
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        )
     df = ensure_parallelism(df)  # shingle hashing must not run on one core
     hashes = F.array_distinct(
         F.transform(word_shingles(F.col(col), shingle_n), shingle_hash)

@@ -19,7 +19,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lotus_spark.functions.vectors import cosine_sim
+from lotus_spark.functions.vectors import pair_cosine
 from lotus_spark.operators.sem_index import _resolve_rm, with_embeddings
 
 _DRIVER_CC_MAX_EDGES = 1_000_000
@@ -113,7 +113,7 @@ def sem_dedup(
     b = work.select(F.col(id_col).alias("dst"), F.col(ecol).alias("__eb"))
     pairs = a.join(b, a.src < b.dst)  # i<j halves the pair space
     edges = (
-        pairs.withColumn("__s", cosine_sim(F.col("__ea"), F.col("__eb")))
+        pairs.withColumn("__s", pair_cosine(F.col("__ea"), F.col("__eb")))
         .filter(F.col("__s") > threshold)
         .select("src", "dst")
     )

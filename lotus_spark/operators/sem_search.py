@@ -20,7 +20,6 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lotus_spark.functions.vectors import cosine_sim
 from lotus_spark.operators.sem_index import EMB_COL, _resolve_rm, with_embeddings
 
 SCORE_COL = "vec_scores_sim_score"
@@ -52,8 +51,9 @@ def sem_search(
     if ecol is None:
         scored = with_embeddings(scored, col, model, EMB_COL)
         ecol = EMB_COL
-    qlit = F.array(*[F.lit(v) for v in qvec])
-    scored = scored.withColumn(SCORE_COL, cosine_sim(F.col(ecol), qlit))
+    from lotus_spark.functions.vectors import query_cosine
+
+    scored = scored.withColumn(SCORE_COL, query_cosine(F.col(ecol), qvec))
 
     order = [F.desc(SCORE_COL)]
     if tie_break is not None:

@@ -106,8 +106,10 @@ def sem_sim_join(
     r = r.withColumn("__r_unit", _unit(right_emb_col))
     l = l.withColumn("__l_id", F.monotonically_increasing_id())
     pairs = l.join(F.broadcast(r) if broadcast_right else r, how="cross")
+    from lotus_spark.functions.vectors import pair_dot
+
     pairs = pairs.withColumn(
-        SCORE_COL, dot(F.col("__l_unit"), F.col("__r_unit"))
+        SCORE_COL, pair_dot(F.col("__l_unit"), F.col("__r_unit"))
     ).drop("__l_unit", "__r_unit")
     order = [F.desc(SCORE_COL)]
     if tie_break is not None:

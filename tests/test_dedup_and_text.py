@@ -108,6 +108,29 @@ def test_jaccard_pairs_exact_value(spark):
     assert len(r) == 1 and r[0]["jaccard"] == 0.5
 
 
+def test_jaccard_pairs_algorithms_agree(spark):
+    """count (posting join), prefix (PPJoin) and block (BLAS per block)
+    must produce identical pair sets and scores."""
+    texts = [
+        (0, "the quick brown fox jumps", "en"),
+        (1, "the quick brown fox leaps", "en"),
+        (2, "a very different document entirely", "en"),
+        (3, "the quick brown fox jumps", "de"),
+        (4, "the quick brown fox jumps high", "de"),
+    ]
+    df = spark.createDataFrame(texts, ["id", "t", "lang"])
+    results = {}
+    for alg in ("count", "prefix", "block"):
+        rows = (
+            jaccard_sim_pairs(df, "t", "id", shingle_n=2, threshold=0.2,
+                              block_col="lang", algorithm=alg)
+            .orderBy("a", "b").collect()
+        )
+        results[alg] = [(r["a"], r["b"], r["jaccard"]) for r in rows]
+    assert results["count"] == results["prefix"] == results["block"]
+    assert len(results["count"]) > 0
+
+
 def test_embedding_neardup_pairs(spark):
     import lotus_spark.functions as fn
 
