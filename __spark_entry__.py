@@ -886,7 +886,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "text_stats": q_text_stats,
         "embedding_neardup": q_embedding_neardup,
+        # operator-level coverage (SURVEY §2.1 evals + search)
+        "sem_search": q_sem_search,
+        "pairwise_judge": q_pairwise_judge,
+        "llm_judge": q_llm_judge,
     }
+
+
+def q_sem_search(spark, sf_dir):
+    """sem_search operator path (scores col, tie-break, vector entry point)
+    over the stored embedding column — reference sem_search.py:91-157."""
+    from lotus_spark.operators.sem_search import sem_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = sem_search(
+        emb, col="vec_id", query="", query_vec=qv, K=10,
+        emb_col="embedding", tie_break="vec_id", return_scores=True,
+    )
+    return out.select(
+        "vec_id", F.round("vec_scores_sim_score", 6).alias("score")
+    )
+
+
+def q_pairwise_judge(spark, sf_dir):
+    """pairwise_judge with permuted trials; 'better' = longer string
+    (LongerFieldLM) — reference pairwise_judge.py:27-251."""
+    from lotus_spark.models.demo_lms import LongerFieldLM
+    from lotus_spark.operators.judge import pairwise_judge
+
+    pa = _t(spark, sf_dir, "part")
+    out = pairwise_judge(
+        pa, "p_name", "p_type", "more descriptive",
+        lm=LongerFieldLM(), permute_cols=True,
+    )
+    return out.select(
+        "p_partkey",
+        F.col("_pairwise").alias("a_better"),
+        F.col("_pairwise_swapped").alias("b_better"),
+    )
+
+
+_SQL_PAIRWISE_JUDGE = """
+SELECT p_partkey,
+  length(p_name) > length(p_type) AS a_better,
+  length(p_type) > length(p_name) AS b_better
+FROM part
+"""
+
+
+def q_llm_judge(spark, sf_dir):
+    """llm_as_judge with n_trials=2 (deterministic judge → equal verdicts;
+    exercises the multi-trial column plumbing) — reference
+    llm_as_judge.py:16-115."""
+    from lotus_spark.models.demo_lms import TokenCountJudgeLM
+    from lotus_spark.operators.judge import llm_as_judge
+
+    docs = _t(spark, sf_dir, "documents")
+    out = llm_as_judge(
+        docs, "Rate the {text} by its token count", lm=TokenCountJudgeLM(),
+        n_trials=2,
+    )
+    return out.select(
+        "doc_id",
+        F.col("_judge_0").alias("verdict_0"),
+        F.col("_judge_1").alias("verdict_1"),
+    )
+
+
+_SQL_LLM_JUDGE = r"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS VARCHAR) AS verdict_0,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS VARCHAR) AS verdict_1
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -920,6 +993,9 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _SQL_JACCARD,
         "text_stats": _SQL_TEXT_STATS,
         "embedding_neardup": _SQL_EMB_NEARDUP,
+        "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
+        "pairwise_judge": _SQL_PAIRWISE_JUDGE,
+        "llm_judge": _SQL_LLM_JUDGE,
     }
     # knn_lsh oracle depends on the query vector — read it with duckdb (cheap)
     try:

@@ -74,6 +74,37 @@ class CountingAggLM(FakeLM):
         super().__init__(fn)
 
 
+class LongerFieldLM(FakeLM):
+    """pairwise_judge fake: "better" = strictly longer string value, judged
+    POSITIONALLY (first serialized field vs second) so the permuted trial
+    genuinely swaps the comparison, like a position-biased judge would see
+    it. Oracle: length(first col) > length(second col) per trial."""
+
+    _FIELDS = re.compile(r"\[[^\]]+\]: «(.*?)»", re.DOTALL)
+
+    def __init__(self):
+        def fn(prompt: str) -> str:
+            vals = self._FIELDS.findall(prompt)
+            if len(vals) < 2:
+                return "False"
+            return "True" if len(vals[0]) > len(vals[1]) else "False"
+
+        super().__init__(fn)
+
+
+class TokenCountJudgeLM(FakeLM):
+    """llm_as_judge fake: the judge's verdict is the serialized [text]
+    field's whitespace token count. Oracle:
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS VARCHAR)."""
+
+    def __init__(self, col: str = "text"):
+        def fn(prompt: str) -> str:
+            v = _field(prompt, col) or ""
+            return str(len(v.split()) if v.strip() else 1)
+
+        super().__init__(fn)
+
+
 class FieldCompareLM(FakeLM):
     """sem_topk fake: Document with larger (primary, -tiebreak) key wins —
     a total order, so tournament top-K equals ORDER BY primary DESC,

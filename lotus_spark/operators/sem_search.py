@@ -36,15 +36,23 @@ def sem_search(
     reranker: Any = None,
     emb_col: Optional[str] = None,
     tie_break: Optional[str] = None,
+    query_vec: Optional[list] = None,
 ) -> DataFrame:
     """Top-K rows of ``df`` whose ``col`` embedding is most similar to ``query``.
 
     ``emb_col``: reuse an existing embedding column (indexed df); otherwise
     embeddings are computed on the fly with the RM.
     ``tie_break``: optional column for deterministic ordering on score ties.
+    ``query_vec``: search by a precomputed query vector instead of embedding
+    ``query`` with the RM (vector-database-style entry point; no RM needed
+    when ``emb_col`` is also given).
     """
-    model = _resolve_rm(rm)
-    qvec = [float(x) for x in model([query])[0]]
+    if query_vec is not None:
+        qvec = [float(x) for x in query_vec]
+        model = None if emb_col is not None else _resolve_rm(rm)
+    else:
+        model = _resolve_rm(rm)
+        qvec = [float(x) for x in model([query])[0]]
 
     scored = df
     ecol = emb_col
