@@ -104,6 +104,39 @@ def query_cosine(emb: Column, query_vec: Sequence[float]) -> Column:
     return _udf(emb.cast("array<double>"))
 
 
+def unit_vector(a: Column) -> Column:
+    """Row-normalized copy of an array column (zero vectors pass through
+    unchanged), as a vectorized pandas UDF — value-identical to
+    ``transform(a, x -> x / l2_norm(a))`` with the fold-order norm."""
+    @F.pandas_udf("array<double>")
+    def _udf(sa: pd.Series) -> pd.Series:
+        def norm_one(v):
+            if v is None:
+                return None
+            V = np.asarray(v, dtype=np.float64)
+            acc = 0.0
+            for x in V:
+                acc = acc + x * x
+            n = math.sqrt(acc)
+            return V if n == 0.0 else V / n
+
+        valid = sa.notna()
+        if valid.all() and len(sa) > 0:
+            try:
+                V = np.stack(sa.to_numpy()).astype(np.float64)
+                acc = _fold_dot_norm(V, np)
+                n = np.sqrt(acc)
+                safe = np.where(n == 0.0, 1.0, n)
+                U = V / safe[:, None]
+                U[n == 0.0] = V[n == 0.0]
+                return pd.Series(list(U))
+            except ValueError:  # ragged rows — fall back to per-row
+                pass
+        return sa.map(norm_one)
+
+    return _udf(a.cast("array<double>"))
+
+
 def pair_dot(a: Column, b: Column) -> Column:
     """``dot(a, b)`` as a vectorized pandas UDF — value-identical
     (dim-ordered accumulation of products)."""

@@ -20,7 +20,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lotus_spark.functions.vectors import cosine_sim, dot, l2_norm
+
 from lotus_spark.operators.sem_index import _resolve_rm, with_embeddings
 
 SCORE_COL = "_scores"
@@ -94,16 +94,12 @@ def sem_sim_join(
             out = out.drop(SCORE_COL)
         return out
 
-    # normalize each side per ROW so the per-PAIR work is one dot fold
-    # (identical score; 3x less fold arithmetic than cosine-per-pair)
-    def _unit(col: str) -> Any:
-        n = l2_norm(F.col(col))
-        return F.when(n == 0.0, F.col(col).cast("array<double>")).otherwise(
-            F.transform(F.col(col).cast("array<double>"), lambda x: x / n)
-        )
+    # normalize each side per ROW so the per-PAIR work is one dot
+    # (identical score; 3x less arithmetic than cosine-per-pair)
+    from lotus_spark.functions.vectors import unit_vector
 
-    l = l.withColumn("__l_unit", _unit(left_emb_col))
-    r = r.withColumn("__r_unit", _unit(right_emb_col))
+    l = l.withColumn("__l_unit", unit_vector(F.col(left_emb_col)))
+    r = r.withColumn("__r_unit", unit_vector(F.col(right_emb_col)))
     l = l.withColumn("__l_id", F.monotonically_increasing_id())
     pairs = l.join(F.broadcast(r) if broadcast_right else r, how="cross")
     from lotus_spark.functions.vectors import pair_dot
