@@ -640,13 +640,36 @@ def q_sem_cluster(spark, sf_dir):
 
 
 def q_sem_dedup(spark, sf_dir):
-    """Embedding near-dup removal — rows-only check (iterative CC)."""
+    """Embedding near-dup removal. Oracle: recursive-CTE transitive closure
+    over the thresholded cosine graph, min-reachable-id representative —
+    exactly the iterative min-label CC the Spark side converges to."""
     from lotus_spark.operators.sem_dedup import sem_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     out = sem_dedup(emb, "embedding", threshold=0.35, id_col="vec_id",
                     emb_col="embedding")
     return out.select("vec_id")
+
+
+_SQL_SEM_DEDUP = f"""
+WITH RECURSIVE
+e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+  WHERE CASE WHEN {_sql_norm('a.v')} = 0 OR {_sql_norm('b.v')} = 0 THEN 0.0
+        ELSE {_sql_dot('a.v', 'b.v')} / ({_sql_norm('a.v')} * {_sql_norm('b.v')}) END > 0.35
+),
+sym AS (SELECT src AS s, dst AS d FROM edges UNION ALL SELECT dst, src FROM edges),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+),
+rep AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM rep WHERE comp < id)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -753,10 +776,50 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.3
 """
 
 
+def _sql_minhash_lsh_dedup() -> str:
+    """Full MinHash-LSH dedup oracle: 16-hash signature → 4 band keys →
+    bucket candidates → exact shingle-set Jaccard verify ≥ 0.5 →
+    recursive-CTE connected components → keep min-id per component."""
+    sig_exprs = []
+    for j in range(16):
+        a, b = _hash_params(j)
+        sig_exprs.append(
+            f"list_min(list_transform(shingles, sh -> ({a} * {_sql_strhash('sh')} + {b}) % {MOD})) AS sig{j}"
+        )
+    band_keys = []
+    for i in range(4):
+        parts = " || '_' || ".join(f"CAST(sig{i*4+j} AS VARCHAR)" for j in range(4))
+        band_keys.append(f"CAST({i} AS VARCHAR) || '_' || {parts}")
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
+s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-2, 0)+2),
+        i -> array_to_string(words[i:i+1], ' '))) shingles FROM d),
+g AS (SELECT doc_id, shingles, {', '.join(sig_exprs)} FROM s),
+banded AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band FROM g),
+cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+edges AS (
+  SELECT src, dst FROM cand
+  JOIN s sa ON cand.src = sa.doc_id JOIN s sb ON cand.dst = sb.doc_id
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE) >= 0.5
+),
+sym AS (SELECT src AS s, dst AS d FROM edges UNION ALL SELECT dst, src FROM edges),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
+),
+rep AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM rep WHERE comp < id)
+"""
+
+
 def q_minhash_lsh_dedup(spark, sf_dir):
-    """MinHash-LSH near-dup removal — rows-only check (CC is iterative); the
-    underlying signature + jaccard math is oracle-checked by
-    minhash_signature / jaccard_pairs."""
+    """MinHash-LSH near-dup removal; oracle = full SQL replica of the
+    pipeline (signature → banding → verify → recursive-CTE CC)."""
     from lotus_spark.functions.dedup import minhash_lsh_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -993,6 +1056,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _SQL_JACCARD,
         "text_stats": _SQL_TEXT_STATS,
         "embedding_neardup": _SQL_EMB_NEARDUP,
+        "sem_dedup": _SQL_SEM_DEDUP,
+        "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
