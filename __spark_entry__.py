@@ -592,6 +592,7 @@ def q_sem_sim_join(spark, sf_dir):
         left_emb_col="embedding",
         right_emb_col="embedding",
         tie_break="vec_id_right",
+        strategy="broadcast_exact",
     )
     return out.select(
         "vec_id",

@@ -262,6 +262,60 @@ def _shingle_postings_pandas(df, col, id_col, shingle_n, block_col):
     return df.mapInPandas(gen, schema)
 
 
+def _cooccurrence_counts(l_docs, l_sh, r_docs, r_sh, n_l, n_r):
+    """Dense (n_l × n_r) matrix of common-shingle counts from two posting
+    lists (doc index, shingle group id) — sparse path: expand only actual
+    co-occurrences (Σ f_l·f_r pair emissions) and bincount them, instead of
+    a dense doc×shingle matmul that multiplies ~99.9% zeros. Falls back to
+    the BLAS matmul when the posting density makes the dense product
+    competitive (co-occurrences ≳ cells). Exact either way: counts are
+    integers ≤ 2^53 in float64.
+    """
+    import numpy as np
+
+    ol = np.argsort(l_sh, kind="stable")
+    l_sh_s, l_docs_s = l_sh[ol], l_docs[ol]
+    orr = np.argsort(r_sh, kind="stable")
+    r_sh_s, r_docs_s = r_sh[orr], r_docs[orr]
+    ul, l_start = np.unique(l_sh_s, return_index=True)
+    cl = np.diff(np.append(l_start, len(l_sh_s)))
+    ur, r_start = np.unique(r_sh_s, return_index=True)
+    cr = np.diff(np.append(r_start, len(r_sh_s)))
+    _, ia, ib = np.intersect1d(ul, ur, assume_unique=True, return_indices=True)
+    C = np.zeros((n_l, n_r))
+    if not len(ia):
+        return C
+    cl_c, cls = cl[ia], l_start[ia]
+    cr_c, crs = cr[ib], r_start[ib]
+    T = int((cl_c * cr_c).sum())
+    n_sh = max(len(ul), len(ur))
+    if T > n_l * n_r * max(n_sh, 1) // 8:  # dense matmul cheaper
+        ML = np.zeros((n_l, n_sh + 1))
+        ML[l_docs, np.searchsorted(ul, l_sh)] = 1.0
+        MR = np.zeros((n_r, n_sh + 1))
+        rpos = np.searchsorted(ul, r_sh)
+        in_l = (rpos < len(ul)) & (ul[np.minimum(rpos, len(ul) - 1)] == r_sh)
+        MR[r_docs[in_l], rpos[in_l]] = 1.0
+        return ML @ MR.T
+
+    def ranges(counts):
+        total = int(counts.sum())
+        starts = np.cumsum(counts) - counts
+        return np.arange(total) - np.repeat(starts, counts)
+
+    # one row per L posting of a common shingle, paired with every R posting
+    # of the same shingle (grouped-arange expansion, fully vectorized)
+    lpos = np.repeat(cls, cl_c) + ranges(cl_c)
+    lgrp = np.repeat(np.arange(len(ia)), cl_c)
+    reps = cr_c[lgrp]
+    l_pair = np.repeat(l_docs_s[lpos], reps)
+    r_pair = r_docs_s[np.repeat(crs[lgrp], reps) + ranges(reps)]
+    codes = l_pair.astype(np.int64) * n_r + r_pair
+    return np.bincount(codes, minlength=n_l * n_r).astype(np.float64).reshape(
+        n_l, n_r
+    )
+
+
 def jaccard_sim_pairs(
     df: DataFrame,
     col: str,
@@ -270,6 +324,7 @@ def jaccard_sim_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     algorithm: str = "count",
+    chunks: int = 8,
 ) -> DataFrame:
     """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold. Exact.
 
@@ -294,13 +349,29 @@ def jaccard_sim_pairs(
       be unboundedly large.
     ``block_col`` (e.g. language) bounds the pair space for all three.
     """
-    if algorithm not in ("count", "prefix", "block"):
+    if algorithm not in ("count", "prefix", "block", "auto"):
         raise ValueError(
-            f"unknown algorithm {algorithm!r}; pick 'count', 'prefix' or 'block'"
+            f"unknown algorithm {algorithm!r}; pick 'count', 'prefix', "
+            "'block' or 'auto'"
         )
+    if algorithm == "auto":
+        # one column-pruned aggregation decides the plan: bounded blocks →
+        # block-local counting (no pair-row shuffle); unbounded → posting
+        # join. The cutoff keeps a block's postings in one task's memory
+        # (~200k docs × ~50 shingles ≈ 10M posting rows per block).
+        if block_col is None:
+            max_block = df.count()
+        else:
+            max_block = (
+                df.groupBy(block_col).count()
+                .agg(F.max("count").alias("m")).first()["m"]
+            ) or 0
+        algorithm = "block" if max_block <= 200_000 else "count"
     if algorithm == "block":
         import numpy as np
         import pandas as pd
+
+        df = ensure_parallelism(df)  # shingle hashing must not run on one core
 
         # Chunked all-pairs matmul: docs hash into `s` chunks per block; each
         # unordered chunk-pair (ci <= cj) is one applyInPandas task that
@@ -310,8 +381,11 @@ def jaccard_sim_pairs(
         # work across s(s+1)/2 tasks, and (b) bounds task memory by chunk
         # size, not block size. Replication cost: each posting row is
         # shipped to ~s/2 groups — linear in s, versus the f^2 pair-row
-        # shuffle it replaces.
-        s = 8
+        # shuffle it replaces. `chunks` trades shuffle volume (∝ s) against
+        # task-level parallelism (s(s+1)/2 tasks/block) and task memory
+        # (chunk = block/s): raise it for huge blocks, lower it when blocks
+        # are small and the posting replication dominates.
+        s = max(1, chunks)
         post = _shingle_postings_pandas(df, col, id_col, shingle_n, block_col)
         if block_col is None:
             post = post.withColumn("__blk", F.lit(1))
@@ -335,19 +409,22 @@ def jaccard_sim_pairs(
                 {"a": "int64", "b": "int64", "jaccard": "float64"}
             )
             _, inv_sh = np.unique(pdf["sh"].to_numpy(), return_inverse=True)
-            n_sh = inv_sh.max() + 1
             is_l = (pdf["__side"] == "L").to_numpy()
             lids, linv = np.unique(pdf["id"].to_numpy()[is_l], return_inverse=True)
-            ML = np.zeros((len(lids), n_sh))
-            ML[linv, inv_sh[is_l]] = 1.0
-            szl = ML.sum(axis=1)
+            szl = np.bincount(linv, minlength=len(lids)).astype(np.float64)
             if ci == cj:  # diagonal group: self pairs among L
                 if len(lids) < 2:
                     return empty
-                C = ML @ ML.T
+                C = _cooccurrence_counts(
+                    linv, inv_sh[is_l], linv, inv_sh[is_l], len(lids), len(lids)
+                )
                 ia, ib = np.triu_indices(len(lids), k=1)
                 common = C[ia, ib]
-                jac = common / (szl[ia] + szl[ib] - common)
+                jac = np.divide(
+                    common, szl[ia] + szl[ib] - common,
+                    out=np.zeros_like(common, dtype=np.float64),
+                    where=common > 0,
+                )
                 keep = (jac >= threshold) & (common > 0)
                 return pd.DataFrame(
                     {"a": lids[ia[keep]], "b": lids[ib[keep]], "jaccard": jac[keep]}
@@ -355,10 +432,10 @@ def jaccard_sim_pairs(
             rids, rinv = np.unique(pdf["id"].to_numpy()[~is_l], return_inverse=True)
             if len(lids) == 0 or len(rids) == 0:
                 return empty
-            MR = np.zeros((len(rids), n_sh))
-            MR[rinv, inv_sh[~is_l]] = 1.0
-            szr = MR.sum(axis=1)
-            C = ML @ MR.T
+            szr = np.bincount(rinv, minlength=len(rids)).astype(np.float64)
+            C = _cooccurrence_counts(
+                linv, inv_sh[is_l], rinv, inv_sh[~is_l], len(lids), len(rids)
+            )
             il, ir = np.nonzero(C > 0)
             common = C[il, ir]
             jac = common / (szl[il] + szr[ir] - common)

@@ -26,6 +26,120 @@ from lotus_spark.operators.sem_index import _resolve_rm, with_embeddings
 SCORE_COL = "_scores"
 
 
+def _fold_unit_rows(M):
+    """Row-normalize a matrix with the sequential-fold norm (dim-ordered
+    accumulation); zero-norm rows pass through — value-identical to
+    ``functions.vectors.unit_vector``."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for j in range(M.shape[1]):
+        acc = acc + M[:, j] * M[:, j]
+    n = np.sqrt(acc)
+    safe = np.where(n == 0.0, 1.0, n)
+    U = M / safe[:, None]
+    U[n == 0.0] = M[n == 0.0]
+    return U
+
+
+def _broadcast_exact_join(l, r, left_emb_col, right_emb_col, K, tie_break):
+    """Exact top-K join with the right side broadcast: scores are computed
+    with dim-ordered rank-1 accumulation (bit-identical to the sequential
+    fold the DuckDB oracle runs), ranked ``score DESC NULLS LAST,
+    tie_break ASC`` — the same total order as the crossjoin tier's window.
+    One mapInPandas stage, zero shuffle; left streams at any scale, right
+    must fit in task memory (the reference's single-node FAISS constraint,
+    ``lotus/vector_store/faiss_vs.py:14``)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    r_cols = [c for c in r.columns if c != right_emb_col]
+    r_pdf = r.toPandas()
+    n_r = len(r_pdf)
+    # fold-exact unit vectors for the collected side, built once on the driver
+    if n_r:
+        r_valid = r_pdf[right_emb_col].notna().to_numpy()
+        RU = np.full((n_r, 0), 0.0)
+        if r_valid.any():
+            R = np.stack(
+                r_pdf.loc[r_valid, right_emb_col].map(
+                    lambda v: np.asarray(v, dtype=np.float64)
+                ).to_list()
+            )
+            RU = np.zeros((n_r, R.shape[1]))
+            RU[r_valid] = _fold_unit_rows(R)
+    else:
+        r_valid = np.zeros(0, dtype=bool)
+        RU = np.zeros((0, 0))
+    # pre-sort the collected side by the tie key once: a *stable* per-row
+    # argsort on -score alone then yields ties in tie-ASC order, so ranking
+    # in the UDF is fully vectorized
+    if tie_break is not None and n_r:
+        perm = np.argsort(r_pdf[tie_break].to_numpy(), kind="stable")
+        r_pdf = r_pdf.iloc[perm].reset_index(drop=True)
+        RU = RU[perm]
+        r_valid = r_valid[perm]
+    r_rows = r_pdf[r_cols]
+    sc = l.sparkSession.sparkContext
+    bc = sc.broadcast((r_rows, RU, r_valid))
+
+    out_schema = StructType(
+        l.schema.fields
+        + [r.schema[c] for c in r_cols]
+        + [StructField(SCORE_COL, DoubleType())]
+    )
+    l_emb_name = left_emb_col
+
+    def run(batches):
+        r_rows, RU, r_valid = bc.value
+        nr = len(r_rows)
+        k = min(K, nr)
+        for pdf in batches:
+            if not len(pdf) or k == 0:
+                continue
+            # fold-exact scores in left sub-chunks so the score block stays
+            # bounded (~64 MB) regardless of batch size
+            chunk = max(1, 8_000_000 // max(nr, 1))
+            outs = []
+            for s in range(0, len(pdf), chunk):
+                part = pdf.iloc[s : s + chunk]
+                nl = len(part)
+                S = np.full((nl, nr), np.nan)
+                l_valid = part[l_emb_name].notna().to_numpy()
+                if l_valid.any() and r_valid.any() and RU.shape[1]:
+                    L = np.stack(
+                        part.loc[l_valid, l_emb_name].map(
+                            lambda v: np.asarray(v, dtype=np.float64)
+                        ).to_list()
+                    )
+                    LU = _fold_unit_rows(L)
+                    RV = RU[r_valid]
+                    # dim-ordered rank-1 updates: per-pair op order is the
+                    # sequential fold's, bit-for-bit
+                    acc = np.zeros((LU.shape[0], RV.shape[0]))
+                    for j in range(LU.shape[1]):
+                        acc = acc + LU[:, j : j + 1] * RV[:, j]
+                    S[np.ix_(np.nonzero(l_valid)[0], np.nonzero(r_valid)[0])] = acc
+                # score DESC with NaN last; stable sort keeps equal scores
+                # (and NaNs) in the pre-sorted tie-ASC order
+                order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+                scores = np.take_along_axis(S, order, axis=1).ravel()
+                left_rep = part.iloc[np.repeat(np.arange(nl), k)].reset_index(
+                    drop=True
+                )
+                right_sel = r_rows.iloc[order.ravel()].reset_index(drop=True)
+                merged = pd.concat([left_rep, right_sel], axis=1)
+                merged[SCORE_COL] = pd.Series(scores).where(
+                    ~np.isnan(scores), None
+                )
+                outs.append(merged)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return l.mapInPandas(run, schema=out_schema)
+
+
 def sem_sim_join(
     left: DataFrame,
     right: DataFrame,
@@ -42,13 +156,26 @@ def sem_sim_join(
     tie_break: Optional[str] = None,
     strategy: str = "crossjoin",
 ) -> DataFrame:
-    """``strategy``: ``"crossjoin"`` (exact tier — JVM cosine + window) or
-    ``"broadcast_ann"`` (speed tier — right side collected into a
-    :class:`~lotus_spark.models.vs.BroadcastVectorIndex`, probed per Arrow
-    batch with numpy/FAISS; right side must fit in executor memory)."""
-    if strategy not in ("crossjoin", "broadcast_ann"):
+    """``strategy``:
+
+    - ``"broadcast_exact"`` (default exact tier when the right side fits in
+      executor memory): the right side is collected once and broadcast; one
+      ``mapInPandas`` over the left computes fold-order-exact cosine scores
+      (dim-ordered rank-1 accumulation — bit-identical to the sequential
+      fold) and takes top-K per left row ordered ``(score DESC NULLS LAST,
+      tie_break ASC)``. Zero shuffle, one Python stage; the left side
+      streams at any scale.
+    - ``"crossjoin"``: pair explosion through the JVM (broadcast
+      nested-loop) + window ``row_number``. Same values; the fallback when
+      the right side is too big to collect (pairs then shuffle).
+    - ``"broadcast_ann"`` (speed tier): right side collected into a
+      :class:`~lotus_spark.models.vs.BroadcastVectorIndex`, probed per Arrow
+      batch with a float32 numpy/FAISS matmul — fastest, but scores are
+      float32 (not fold-exact)."""
+    if strategy not in ("crossjoin", "broadcast_ann", "broadcast_exact"):
         raise ValueError(
-            f"unknown strategy {strategy!r}; pick 'crossjoin' or 'broadcast_ann'"
+            f"unknown strategy {strategy!r}; pick 'crossjoin', "
+            "'broadcast_exact' or 'broadcast_ann'"
         )
     model = None
     if left_emb_col is None or right_emb_col is None:
@@ -71,6 +198,17 @@ def sem_sim_join(
             right_emb_col = f"{c}{rsuffix}"
         if c == right_on:
             right_on = f"{c}{rsuffix}"
+
+    if strategy == "broadcast_exact":
+        out = _broadcast_exact_join(
+            l, r, left_emb_col, right_emb_col, K, tie_break
+        )
+        for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}", f"__r_emb{rsuffix}"):
+            if c in out.columns:
+                out = out.drop(c)
+        if not return_scores:
+            out = out.drop(SCORE_COL)
+        return out
 
     if strategy == "broadcast_ann":
         # speed tier (SURVEY §2.4 VS): index the right side once, probe each

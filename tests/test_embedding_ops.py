@@ -151,9 +151,15 @@ def test_sem_sim_join_broadcast_ann_matches_crossjoin(spark):
     kw = dict(K=2, rm=HashRM(dim=64), tie_break="d", return_scores=True)
     a = ls.sem_sim_join(left, right, "q", "d", strategy="crossjoin", **kw)
     b = ls.sem_sim_join(left, right, "q", "d", strategy="broadcast_ann", **kw)
+    c = ls.sem_sim_join(left, right, "q", "d", strategy="broadcast_exact", **kw)
     pa = {(r["q"], r["d"]): round(r["_scores"], 5) for r in a.collect()}
     pb = {(r["q"], r["d"]): round(r["_scores"], 5) for r in b.collect()}
+    pc = {(r["q"], r["d"]): r["_scores"] for r in c.collect()}
     assert pa == pb
+    # broadcast_exact is bit-identical to the crossjoin tier, not just approx
+    pa_raw = {(r["q"], r["d"]): r["_scores"] for r in a.collect()}
+    assert pa_raw == pc
+    assert sorted(a.columns) == sorted(c.columns)
 
     with pytest.raises(ValueError, match="strategy"):
         ls.sem_sim_join(left, right, "q", "d", strategy="faiss9000", **kw)
