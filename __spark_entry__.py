@@ -618,26 +618,113 @@ SELECT vec_id, vec_id_right, ROUND(raw, 6) AS score FROM s WHERE rk <= 3
 
 
 def q_knn_ivf(spark, sf_dir):
-    """IVF ANN (KMeans coarse quantizer + n_probe cell scan) — rows-only
-    check (KMeans isn't SQL-expressible); recall vs exact is asserted in
-    tests/test_ann_and_sources.py."""
+    """IVF ANN: deterministic integer-quantized Lloyd's coarse quantizer
+    (``functions/kmeans.py``) + n_probe cell scan + exact cosine rerank.
+    Oracle: the same unrolled Lloyd's in SQL (``_sql_kmeans_ctes``) +
+    quantized-L2 probe ranking + fold cosine. MLlib KMeans remains the
+    float speed tier (``method="mllib"``; recall vs exact asserted in
+    tests/test_ann_and_sources.py)."""
     from lotus_spark.functions.ann import ivf_index, knn_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    indexed, cents = ivf_index(emb, "embedding", n_cells=16)
+    indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
+                               method="deterministic", id_col="vec_id")
     out = knn_topk_ivf(indexed, cents, "embedding", q, k=10, n_probe=8,
-                       id_col="vec_id")
+                       id_col="vec_id", probe_method="quantized")
     return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
 
 
 def q_sem_cluster(spark, sf_dir):
-    """MLlib KMeans — no SQL oracle (rows-only check)."""
+    """sem_cluster_by on the reproducible tier: integer-quantized Lloyd's
+    (order-independent arithmetic — bit-identical assignments on any
+    topology), hash-checked against the unrolled SQL replica."""
     from lotus_spark.operators.sem_cluster_by import sem_cluster_by
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = sem_cluster_by(emb, "embedding", ncentroids=8, emb_col="embedding", seed=42)
+    out = sem_cluster_by(emb, "embedding", ncentroids=8, emb_col="embedding",
+                         seed=42, niter=3, method="deterministic",
+                         id_col="vec_id")
     return out.select("vec_id", "cluster_id")
+
+
+def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int) -> str:
+    """Unrolled deterministic-Lloyd's CTE chain (mirrors
+    ``functions/kmeans.py`` exactly): quantize → seeded-hash init →
+    (assign → integer-mean update) × iters → final assignment ``afinal``.
+    All arithmetic BIGINT → order-independent → engine-exact."""
+    from lotus_spark.functions.kmeans import QUANT, SHIFT, kmeans_init_params
+
+    a, b = kmeans_init_params(seed)
+    quant = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor((x + {SHIFT!r}) * {float(QUANT)!r}) AS BIGINT))"
+    )
+    h = f"(({a} * vec_id + {b}) % {MOD})"
+
+    def dist(xq: str, v: str) -> str:
+        return " + ".join(
+            f"({xq}[{j}]-{v}[{j}])*({xq}[{j}]-{v}[{j}])"
+            for j in range(1, d + 1)
+        )
+
+    ctes = [
+        f"p AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, "
+        f"xq AS v FROM p ORDER BY {h}, vec_id LIMIT {k})",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, xq, c FROM (SELECT p.vec_id, p.xq, "
+            f"c{t}.c, row_number() OVER (PARTITION BY p.vec_id "
+            f"ORDER BY {dist('p.xq', f'c{t}.v')}, c{t}.c) AS rk "
+            f"FROM p, c{t}) WHERE rk = 1)"
+        )
+        sums = ", ".join(f"SUM(xq[{j}]) AS s{j}" for j in range(1, d + 1))
+        ctes.append(
+            f"s{t} AS (SELECT c, COUNT(*) AS n, {sums} FROM a{t} GROUP BY c)"
+        )
+        newv = ", ".join(f"(2*s.s{j}+s.n)//(2*s.n)" for j in range(1, d + 1))
+        ctes.append(
+            f"c{t+1} AS (SELECT prev.c, CASE WHEN s.n IS NULL THEN prev.v "
+            f"ELSE [{newv}] END AS v "
+            f"FROM c{t} prev LEFT JOIN s{t} s ON prev.c = s.c)"
+        )
+    ctes.append(
+        f"afinal AS (SELECT vec_id, c FROM (SELECT p.vec_id, c{iters}.c, "
+        f"row_number() OVER (PARTITION BY p.vec_id "
+        f"ORDER BY {dist('p.xq', f'c{iters}.v')}, c{iters}.c) AS rk "
+        f"FROM p, c{iters}) WHERE rk = 1)"
+    )
+    return ",\n".join(ctes)
+
+
+def _sql_sem_cluster(d: int) -> str:
+    return (
+        "WITH " + _sql_kmeans_ctes(k=8, iters=3, seed=42, d=d)
+        + "\nSELECT vec_id, c AS cluster_id FROM afinal"
+    )
+
+
+def _sql_knn_ivf(qv: list[float], d: int) -> str:
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    qq = quantize_vector(qv)
+    qdist = " + ".join(
+        f"(v[{j}]-({qq[j-1]}))*(v[{j}]-({qq[j-1]}))" for j in range(1, d + 1)
+    )
+    return f"""
+WITH {_sql_kmeans_ctes(k=16, iters=3, seed=42, d=d)},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (SELECT c FROM c3 ORDER BY {qdist}, c LIMIT 8),
+sel AS (SELECT e.vec_id, e.v FROM e JOIN afinal a ON e.vec_id = a.vec_id
+        WHERE a.c IN (SELECT c FROM probe))
+SELECT vec_id, ROUND({_sql_cosine('sel.v', 'q.qv')}, 6) AS score
+FROM sel, q
+ORDER BY {_sql_cosine('sel.v', 'q.qv')} DESC, vec_id
+LIMIT 10
+"""
 
 
 def q_sem_dedup(spark, sf_dir):
@@ -1070,7 +1157,10 @@ def oracle_sql() -> dict[str, str]:
         qv = duckdb.sql(
             f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
         ).fetchone()[0]
-        sqls["knn_lsh"] = _sql_knn_lsh([float(x) for x in qv])
+        qv = [float(x) for x in qv]
+        sqls["knn_lsh"] = _sql_knn_lsh(qv)
+        sqls["sem_cluster_by"] = _sql_sem_cluster(d=len(qv))
+        sqls["knn_ivf"] = _sql_knn_ivf(qv, d=len(qv))
     except Exception:
-        pass  # fall back to rows-only check for knn_lsh
+        pass  # fall back to rows-only checks for the vector-dependent oracles
     return sqls

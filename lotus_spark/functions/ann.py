@@ -119,6 +119,8 @@ def ivf_index(
     n_cells: int = 64,
     seed: int = 42,
     cell_col: str = "__ivf_cell",
+    method: str = "mllib",
+    id_col: str | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) coarse quantizer: KMeans centroids + cell ids.
 
@@ -126,7 +128,22 @@ def ivf_index(
     table partitioned by ``cell_col`` once; each query then scans only
     ``n_probe`` cells — the Spark analog of a FAISS IVF list scan, with
     partition pruning doing the inverted-list lookup.
+
+    ``method="deterministic"`` uses the integer-quantized Lloyd's
+    (``functions/kmeans.py``; requires ``id_col``): centroids are then
+    returned in the *quantized integer* domain and cell-probing must use
+    :func:`rank_cells_quantized` — reproducible across engines.
     """
+    if method == "deterministic":
+        from lotus_spark.functions.kmeans import deterministic_kmeans
+
+        if id_col is None:
+            raise ValueError("method='deterministic' requires id_col")
+        out, cent = deterministic_kmeans(
+            df, emb_col, id_col, n_cells, iters=3, seed=seed,
+            cluster_col=cell_col,
+        )
+        return out, [list(map(int, c)) for c in cent]
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -139,6 +156,22 @@ def ivf_index(
     return out, centroids
 
 
+def rank_cells_quantized(
+    centroids: list[list[int]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """Probe-cell choice for deterministic-IVF: integer L2 distance of the
+    quantized query to each integer centroid, ties to the smaller cell id —
+    exactly reproducible in SQL."""
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    qq = quantize_vector(query_vec)
+    dists = [
+        (sum((x - c) * (x - c) for x, c in zip(qq, cent)), i)
+        for i, cent in enumerate(centroids)
+    ]
+    return [i for _, i in sorted(dists)[: max(1, n_probe)]]
+
+
 def knn_topk_ivf(
     indexed_df: DataFrame,
     centroids: list[list[float]],
@@ -149,21 +182,28 @@ def knn_topk_ivf(
     id_col: str | None = None,
     score_col: str = "score",
     cell_col: str = "__ivf_cell",
+    probe_method: str = "cosine",
 ) -> DataFrame:
     """ANN over an IVF-indexed table: probe the ``n_probe`` cells whose
     centroids are nearest the query (driver-side — centroids are tiny),
     exact cosine rerank inside. Cell filter is a plain predicate → partition
-    pruning when the table is stored partitioned by ``cell_col``."""
+    pruning when the table is stored partitioned by ``cell_col``.
+
+    ``probe_method="cosine"`` for float (MLlib) centroids;
+    ``"quantized"`` for deterministic-tier integer centroids."""
     import math
 
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a)) or 1.0
-        nb = math.sqrt(sum(y * y for y in b)) or 1.0
-        return d / (na * nb)
+    if probe_method == "quantized":
+        probe = rank_cells_quantized(centroids, query_vec, n_probe)
+    else:
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(y * y for y in b)) or 1.0
+            return d / (na * nb)
 
-    ranked = sorted(range(len(centroids)),
-                    key=lambda c: -cos(query_vec, centroids[c]))
-    probe = ranked[:max(1, n_probe)]
+        ranked = sorted(range(len(centroids)),
+                        key=lambda c: -cos(query_vec, centroids[c]))
+        probe = ranked[:max(1, n_probe)]
     pruned = indexed_df.filter(F.col(cell_col).isin(probe))
     return knn_topk(pruned, emb_col, query_vec, k, id_col, score_col)

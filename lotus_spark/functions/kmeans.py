@@ -1,0 +1,149 @@
+"""Deterministic Lloyd's KMeans over integer-quantized embeddings.
+
+Reference parity target: ``lotus/sem_ops/sem_cluster_by.py:57-86`` /
+``lotus/utils.py:14-72`` run FAISS ``Kmeans`` — float arithmetic whose
+result depends on reduction order, so it can never hash-match a SQL oracle.
+This module is the *reproducible tier*: the same Lloyd's structure
+(init → assign → mean-update × ``iters``) but with every step in
+order-independent integer arithmetic, so any aggregation topology — Spark
+partial aggregates, DuckDB single-node, a 1000-executor shuffle tree —
+produces bit-identical assignments:
+
+- **Quantize** each embedding value once: ``xq = floor((x + shift) * quant)``
+  as BIGINT (shift makes the domain non-negative so floor == truncation and
+  integer division below is unambiguous).
+- **Init**: the k rows with the smallest ``(a*id + b) mod M`` (seeded affine
+  hash; ties by id) are the initial centroids — SQL-expressible, no RNG.
+- **Assign**: ``argmin_c Σ_j (xq_j - C_cj)²`` — integer distances (≤ ~2^50
+  for 64 dims at quant 2^20: exact in int64 *and* float64), ties to the
+  smaller cluster id.
+- **Update**: per-dim BIGINT sums (order-independent) + counts; new centroid
+  ``C_cj = (2·S_cj + n_c) div (2·n_c)`` (round-half-up integer division).
+  Empty clusters keep their previous centroid.
+
+The per-iteration aggregation runs as ``posexplode → groupBy(c, dim).sum``:
+map-side partial aggregation reduces the shuffle to k×d longs per partition,
+and only k×d totals ever reach the driver — scales to arbitrary row counts.
+
+The matching unrolled SQL oracle is generated in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.text import MOD
+from lotus_spark.partitioning import ensure_parallelism
+
+QUANT = 1 << 20
+SHIFT = 2.0
+
+
+def kmeans_init_params(seed: int) -> tuple[int, int]:
+    """Seeded affine-hash params for the init ordering (same family as the
+    minhash signature hashes)."""
+    a = (2_654_435_761 * (seed + 1) + 1) % MOD
+    b = (40_503 * (seed + 1) + 7) % MOD
+    return a, b
+
+
+def quantize_embedding(emb):  # Column -> array<bigint>
+    """``floor((x + SHIFT) * QUANT)`` per element — the same float64 op
+    order DuckDB's ``CAST(floor((x + 2.0) * 1048576.0) AS BIGINT)`` runs."""
+    return F.transform(
+        emb.cast("array<double>"),
+        lambda x: F.floor((x + F.lit(SHIFT)) * F.lit(float(QUANT))).cast("long"),
+    )
+
+
+def _update_centroids(sums: list[tuple], prev: np.ndarray, k: int) -> np.ndarray:
+    """New centroids from collected (c, n, [S_j]) rows; round-half-up
+    integer division; clusters with no points keep their previous centroid."""
+    cent = prev.copy()
+    for c, n, svec in sums:
+        s = np.asarray(svec, dtype=np.int64)
+        cent[c] = (2 * s + n) // (2 * n)
+    return cent
+
+
+def deterministic_kmeans(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    k: int,
+    iters: int = 3,
+    seed: int = 42,
+    cluster_col: str = "cluster_id",
+) -> tuple[DataFrame, np.ndarray]:
+    """Returns (input df + ``cluster_col``, final centroids [k, d] int64).
+
+    Driver state is k×d integers per iteration; everything row-scaled stays
+    distributed (quantize/assign are map-only; the update is one partially-
+    aggregated groupBy per iteration).
+    """
+    a, b = kmeans_init_params(seed)
+    q = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
+    q = ensure_parallelism(q)
+    q.persist()
+    try:
+        init_rows = (
+            q.select(id_col, "__xq")
+            .withColumn("__h", (F.lit(a) * F.col(id_col) + F.lit(b)) % F.lit(MOD))
+            .orderBy("__h", id_col)
+            .limit(k)
+            .collect()
+        )
+        cent = np.asarray([r["__xq"] for r in init_rows], dtype=np.int64)
+        d = cent.shape[1]
+
+        def assign_expr(centroids: np.ndarray):
+            C = centroids.copy()
+
+            @F.pandas_udf("int")
+            def _assign(xq_s):
+                import pandas as pd
+
+                X = np.stack(xq_s.to_numpy()).astype(np.int64)
+                # [n, k, d] diffs are int64-exact (≤ ~2^50 per distance)
+                dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                return pd.Series(np.argmin(dists, axis=1).astype(np.int32))
+
+            return _assign(F.col("__xq"))
+
+        for _ in range(iters):
+            assigned = q.withColumn("__c", assign_expr(cent))
+            sums = (
+                assigned.select("__c", F.posexplode("__xq").alias("__j", "__v"))
+                .groupBy("__c", "__j")
+                .agg(F.sum("__v").alias("__s"), F.count("*").alias("__n"))
+                .groupBy("__c")
+                .agg(
+                    F.max("__n").alias("n"),
+                    F.array_sort(
+                        F.collect_list(F.struct("__j", "__s"))
+                    ).alias("js"),
+                )
+                .collect()
+            )
+            rows = [
+                (r["__c"], r["n"], [e["__s"] for e in r["js"]]) for r in sums
+            ]
+            cent = _update_centroids(rows, cent, k)
+
+        out = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
+        out = out.withColumn(cluster_col, assign_expr(cent)).drop("__xq")
+        return out, cent
+    finally:
+        q.unpersist()
+
+
+def quantize_vector(vec, shift: float = SHIFT, quant: int = QUANT) -> list[int]:
+    """Driver-side quantization of a plain query vector (same op order)."""
+    import math
+
+    return [int(math.floor((float(x) + shift) * float(quant))) for x in vec]

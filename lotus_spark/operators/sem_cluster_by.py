@@ -29,7 +29,17 @@ def sem_cluster_by(
     seed: int = 42,
     cluster_col: str = "cluster_id",
     emb_col: Optional[str] = None,
+    method: str = "mllib",
+    id_col: Optional[str] = None,
 ) -> DataFrame:
+    """``method="mllib"`` (default): MLlib KMeans — float treeAggregate,
+    fastest, but reduction-order-dependent (not reproducible across
+    engines/topologies). ``method="deterministic"``: integer-quantized
+    Lloyd's (``functions/kmeans.py``) — bit-identical assignments on any
+    topology and SQL-oracle-checkable; requires a numeric ``id_col`` for
+    the seeded init."""
+    if method not in ("mllib", "deterministic"):
+        raise ValueError(f"unknown method {method!r}")
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -39,6 +49,19 @@ def sem_cluster_by(
         model = _resolve_rm(rm)
         scored = with_embeddings(scored, col, model, "__emb")
         ecol = "__emb"
+
+    if method == "deterministic":
+        if id_col is None:
+            raise ValueError("method='deterministic' requires id_col")
+        from lotus_spark.functions.kmeans import deterministic_kmeans
+
+        out, _ = deterministic_kmeans(
+            scored, ecol, id_col, ncentroids, iters=niter,
+            seed=seed, cluster_col=cluster_col,
+        )
+        if emb_col is None:
+            out = out.drop("__emb")
+        return out
 
     vec_df = scored.withColumn("__features", array_to_vector(F.col(ecol).cast("array<double>")))
     km = KMeans(k=ncentroids, maxIter=niter, seed=seed, featuresCol="__features",

@@ -68,6 +68,44 @@ def test_sem_cluster_by_separates(spark):
     assert got["cooking food food"] != got["math algebra proofs"]
 
 
+def test_deterministic_kmeans_separates_and_is_stable(spark):
+    from lotus_spark.functions.kmeans import deterministic_kmeans
+
+    rows = [
+        (0, [0.1, 0.1]), (1, [0.12, 0.09]), (2, [0.11, 0.12]),
+        (3, [-0.4, -0.4]), (4, [-0.38, -0.41]), (5, [-0.42, -0.39]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "emb"])
+    out1, cent1 = deterministic_kmeans(df, "emb", "id", k=2, iters=3, seed=7)
+    got = {r["id"]: r["cluster_id"] for r in out1.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+    # bit-identical across runs and partitioning (order-independent ints)
+    out2, cent2 = deterministic_kmeans(
+        df.repartition(5), "emb", "id", k=2, iters=3, seed=7
+    )
+    assert (cent1 == cent2).all()
+    assert {r["id"]: r["cluster_id"] for r in out2.collect()} == got
+
+
+def test_sem_cluster_by_deterministic_method(spark):
+    rows = [(0, "cooking cooking cooking"), (1, "cooking food food"),
+            (2, "math numbers algebra"), (3, "math algebra proofs")]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    # seed chosen so the hash init picks one point from each group (plain
+    # Lloyd's shares the reference FAISS-Kmeans property that a bad init
+    # can split a natural cluster; no kmeans++ in the reproducible tier)
+    out = ls.sem_cluster_by(df, "t", 2, rm=HashRM(dim=32), seed=6,
+                            niter=3, method="deterministic", id_col="id")
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+
+    with pytest.raises(ValueError, match="id_col"):
+        ls.sem_cluster_by(df, "t", 2, rm=HashRM(dim=32),
+                          method="deterministic")
+
+
 def test_sem_dedup_removes_near_dupes(spark):
     rows = [(0, "the spark engine is fast"), (1, "the spark engine is fast"),
             (2, "the spark engine is quick"), (3, "completely different topic entirely")]
