@@ -23,6 +23,7 @@ these optimizers reorder and parameterize the *semantic* ops:
 from __future__ import annotations
 
 import copy
+from dataclasses import dataclass
 from dataclasses import replace as dc_replace
 from typing import Any, Callable, Optional
 
@@ -136,6 +137,177 @@ class InstructionSearchOptimizer:
             return self.eval_fn(LazyFrame(ops).execute(self.train_df))
         except Exception:
             return float("-inf")
+
+
+@dataclass(frozen=True)
+class ParamPath:
+    """Address of one optimizable NL parameter inside an op list (reference
+    ``ast/optimizer/gepa_optimizer.py:45-53`` param registry +
+    ``nodes.py:90-292`` nested param paths)."""
+
+    node_idx: int
+    slot: str = "args"   # "args" | "kwargs"
+    key: Any = 0         # tuple index or kwarg name
+
+
+# per-op optimizable NL parameters (reference gepa_optimizer.py:45-53:
+# user_instruction / join_instruction / query / judge criteria)
+OPTIMIZABLE_PARAMS: dict[str, list[tuple[str, Any]]] = {
+    "sem_filter": [("args", 0)],
+    "sem_map": [("args", 0)],
+    "sem_join": [("args", 0)],
+    "sem_agg": [("args", 0)],
+    "sem_topk": [("args", 0)],
+    "sem_search": [("kwargs", "query")],
+    "llm_as_judge": [("args", 0)],
+    "pairwise_judge": [("args", 2)],
+}
+
+
+def _get_param(ops: list[OpNode], p: ParamPath):
+    node = ops[p.node_idx]
+    if p.slot == "args":
+        return node.args[p.key] if p.key < len(node.args) else None
+    return node.kwargs.get(p.key)
+
+
+def _set_param(ops: list[OpNode], p: ParamPath, value: str) -> list[OpNode]:
+    out = list(ops)
+    node = out[p.node_idx]
+    if p.slot == "args":
+        args = list(node.args)
+        args[p.key] = value
+        out[p.node_idx] = OpNode(op=node.op, args=tuple(args),
+                                 kwargs=node.kwargs, fn=node.fn)
+    else:
+        out[p.node_idx] = replace_node_kwargs(node, **{p.key: value})
+    return out
+
+
+def discover_params(ops: list[OpNode]) -> list[ParamPath]:
+    """All optimizable NL params in a plan, per the op registry."""
+    paths = []
+    for i, node in enumerate(ops):
+        for slot, key in OPTIMIZABLE_PARAMS.get(node.op, []):
+            if isinstance(_get_param(ops, ParamPath(i, slot, key)), str):
+                paths.append(ParamPath(i, slot, key))
+    return paths
+
+
+class GEPAOptimizer:
+    """Evolutionary instruction search with Pareto selection (reference
+    ``ast/optimizer/gepa_optimizer.py:249-366`` — `gepa.optimize_anything`
+    over per-node NL params; this is a self-contained reimplementation of
+    the loop's structure: population of candidate plans → LM-reflective
+    mutation of one param at a time → per-example score vectors → keep the
+    Pareto frontier, return the best-total candidate).
+
+    - ``eval_examples``: list of ``(train_df, eval_fn)`` — each eval_fn
+      scores an executed pipeline on its df (higher better). Per-example
+      scores form the vector used for Pareto pruning, which preserves
+      candidates that excel on *different* examples instead of collapsing
+      to one greedy winner. A single ``(df, fn)`` degrades gracefully to
+      hill-climbing with restarts.
+    - ``propose_fn(instruction, feedback) -> list[str]``: mutation
+      operator; defaults to an LM reflection prompt including the current
+      score feedback. 1-arg callables are also accepted.
+    - ``paths``: explicit ``ParamPath`` marks; default = discover from the
+      op registry (the reference's ``mark_optimizable`` analog).
+    """
+
+    def __init__(
+        self,
+        eval_examples: list[tuple[DataFrame, Callable[[DataFrame], float]]],
+        propose_fn: Optional[Callable] = None,
+        generations: int = 3,
+        population: int = 6,
+        paths: Optional[list[ParamPath]] = None,
+    ):
+        self.eval_examples = eval_examples
+        self.propose_fn = propose_fn or _lm_reflect
+        self.generations = generations
+        self.population = population
+        self.paths = paths
+
+    def _propose(self, instruction: str, feedback: str) -> list[str]:
+        try:
+            return list(self.propose_fn(instruction, feedback))
+        except TypeError:
+            return list(self.propose_fn(instruction))
+
+    def _score_vec(self, ops: list[OpNode]) -> list[float]:
+        vec = []
+        for df, fn in self.eval_examples:
+            try:
+                vec.append(float(fn(LazyFrame(ops).execute(df))))
+            except Exception:
+                vec.append(float("-inf"))
+        return vec
+
+    @staticmethod
+    def _pareto_prune(pool, cap: int):
+        """Drop dominated candidates; cap by total score (frontier first)."""
+        survivors = []
+        for ops_i, vec_i in pool:
+            dominated = any(
+                all(b >= a for a, b in zip(vec_i, vec_j))
+                and any(b > a for a, b in zip(vec_i, vec_j))
+                for ops_j, vec_j in pool
+                if vec_j is not vec_i
+            )
+            if not dominated:
+                survivors.append((ops_i, vec_i))
+        survivors.sort(key=lambda c: -sum(c[1]))
+        return survivors[:cap]
+
+    def __call__(self, ops: list[OpNode], **_: Any) -> list[OpNode]:
+        paths = self.paths if self.paths is not None else discover_params(ops)
+        if not paths:
+            return list(ops)
+        pool = [(list(ops), self._score_vec(ops))]
+        for _gen in range(self.generations):
+            new_cands = []
+            for pi, path in enumerate(paths):
+                # parent choice rotates across the frontier so different
+                # Pareto survivors all get mutation budget
+                parent_ops, parent_vec = pool[pi % len(pool)]
+                cur = _get_param(parent_ops, path)
+                if not isinstance(cur, str):
+                    continue
+                feedback = (
+                    f"per-example scores {parent_vec}; "
+                    f"op {parent_ops[path.node_idx].op}"
+                )
+                for cand in self._propose(cur, feedback):
+                    if cand == cur:
+                        continue
+                    trial = _set_param(parent_ops, path, cand)
+                    new_cands.append((trial, self._score_vec(trial)))
+            if not new_cands:
+                break
+            pool = self._pareto_prune(pool + new_cands, self.population)
+        return max(pool, key=lambda c: sum(c[1]))[0]
+
+
+def _lm_reflect(instruction: str, feedback: str = "") -> list[str]:
+    """LM reflection mutation: rewrite given the observed feedback."""
+    from lotus_spark.session import settings
+
+    if settings.lm is None:
+        return []
+    msgs = [[
+        {"role": "system", "content": (
+            "You are improving a data-processing instruction. Given the "
+            "instruction and evaluation feedback, propose 3 improved "
+            "rewrites, one per line, preserving the {column} placeholders "
+            "exactly."
+        )},
+        {"role": "user", "content": f"Instruction: {instruction}\n"
+                                    f"Feedback: {feedback}"},
+    ]]
+    out = settings.lm(msgs).outputs[0]
+    cands = [ln.strip("-• \t") for ln in out.splitlines() if ln.strip()]
+    return [c for c in cands if "{" in c][:3]
 
 
 def _lm_paraphrases(instruction: str) -> list[str]:

@@ -96,6 +96,74 @@ def test_instruction_search_keeps_best(spark, courses_df):
         settings.lm = None
 
 
+def test_gepa_discover_and_set_params():
+    from lotus_spark.plans import ParamPath, discover_params
+    from lotus_spark.plans.optimizers import _get_param, _set_param
+
+    lf = (LazyFrame()
+          .sem_filter("{t} is good")
+          .filter("x > 1")
+          .sem_search(col="t", query="find docs", K=5))
+    paths = discover_params(lf.ops)
+    assert ParamPath(0, "args", 0) in paths
+    assert ParamPath(2, "kwargs", "query") in paths
+    assert len(paths) == 2
+
+    ops2 = _set_param(lf.ops, ParamPath(2, "kwargs", "query"), "better query")
+    assert _get_param(ops2, ParamPath(2, "kwargs", "query")) == "better query"
+    assert lf.ops[2].kwargs["query"] == "find docs"  # original untouched
+
+
+def test_gepa_pareto_prune_keeps_frontier():
+    from lotus_spark.plans import GEPAOptimizer
+
+    o = object
+    pool = [
+        (["a"], [1.0, 0.0]),
+        (["b"], [0.0, 1.0]),
+        (["c"], [0.6, 0.5]),
+        (["d"], [0.4, 0.4]),  # dominated by c
+    ]
+    kept = GEPAOptimizer._pareto_prune(pool, cap=10)
+    names = sorted(k[0][0] for k in kept)
+    assert names == ["a", "b", "c"]
+    # cap orders by total score
+    capped = GEPAOptimizer._pareto_prune(pool, cap=1)
+    assert capped[0][0] == ["c"]
+
+
+def test_gepa_optimizer_picks_best_total(spark, courses_df):
+    from lotus_spark.session import settings
+
+    from lotus_spark.plans import GEPAOptimizer
+
+    settings.lm = KeywordBoolLM("programming")
+    try:
+        seen_feedback = []
+
+        def propose(instr, feedback):
+            seen_feedback.append(feedback)
+            return ["{Course Name} has programming content"]
+
+        # ex1 rewards keeping rows (keyword instr keeps 8/8), ex2 mildly
+        # penalizes them — the keyword candidate wins on total but doesn't
+        # dominate, so both plans stay on the Pareto frontier
+        opt = GEPAOptimizer(
+            eval_examples=[
+                (courses_df, lambda df: float(df.count())),
+                (courses_df, lambda df: -0.5 * df.count()),
+            ],
+            propose_fn=propose,
+            generations=2,
+        )
+        lf = LazyFrame().sem_filter("{Course Name} teaches you to code")
+        best = lf.optimize([opt])
+        assert "programming" in best.ops[0].args[0]
+        assert seen_feedback and "scores" in seen_feedback[0]
+    finally:
+        settings.lm = None
+
+
 def test_explain_renders_plan():
     s = LazyFrame().sem_filter("{x} ok").filter("y > 1").explain()
     assert "SEM" in s and "nat" in s and "sem_filter" in s
