@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         # operator-level coverage (SURVEY §2.1 evals + search)
         "sem_search": q_sem_search,
+        "sem_search_rerank": q_sem_search_rerank,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1058,6 +1059,41 @@ def q_sem_search(spark, sf_dir):
     return out.select(
         "vec_id", F.round("vec_scores_sim_score", 6).alias("score")
     )
+
+
+def q_sem_search_rerank(spark, sf_dir):
+    """sem_search's cross-encoder rerank path (reference
+    sem_search.py:148-155): cosine top-10 retrieval, then PolyHashReranker
+    keeps 5 — rerank scoring is the SQL-expressible polynomial char fold,
+    so the full retrieve→rerank pipeline is hash-checked."""
+    from lotus_spark.models.reranker import PolyHashReranker
+    from lotus_spark.operators.sem_search import sem_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = sem_search(
+        emb, col="vec_id", query="q", query_vec=qv, K=10,
+        emb_col="embedding", tie_break="vec_id", return_scores=True,
+        n_rerank=5, reranker=PolyHashReranker(),
+    )
+    return out.select(
+        "vec_id", F.round("vec_scores_sim_score", 6).alias("score")
+    )
+
+
+_SQL_SEM_SEARCH_RERANK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, ROUND({_sql_cosine('e.v', 'q.qv')}, 6) AS score,
+    row_number() OVER (ORDER BY {_sql_cosine('e.v', 'q.qv')} DESC, vec_id) AS rn
+  FROM e, q
+  ORDER BY rn LIMIT 10
+)
+SELECT vec_id, score FROM cand
+ORDER BY {_sql_strhash('CAST(vec_id AS VARCHAR)')} DESC, rn
+LIMIT 5
+"""
 
 
 def q_pairwise_judge(spark, sf_dir):
@@ -1147,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "sem_dedup": _SQL_SEM_DEDUP,
         "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
+        "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

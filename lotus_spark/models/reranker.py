@@ -40,6 +40,25 @@ class HashReranker(Reranker):
         return order[:K]
 
 
+class PolyHashReranker(Reranker):
+    """Deterministic demo reranker whose scoring is exactly SQL-expressible
+    (the polynomial char fold ``(acc*31 + ord(c)) % MOD`` from
+    ``functions.text.shingle_hash``): score desc, candidate order as tie.
+    Used by the driver-checked ``sem_search_rerank`` oracle query."""
+
+    def __call__(self, query: str, docs: Sequence[str], K: int) -> list[int]:
+        from lotus_spark.functions.text import MOD
+
+        def strhash(s: str) -> int:
+            acc = 0
+            for ch in s:
+                acc = (acc * 31 + ord(ch)) % MOD
+            return acc
+
+        order = sorted(range(len(docs)), key=lambda i: (-strhash(docs[i]), i))
+        return order[:K]
+
+
 class CrossEncoderReranker(Reranker):
     """Real cross-encoder (optional dependency; reference
     ``lotus/models/cross_encoder_reranker.py``). Lazily imports

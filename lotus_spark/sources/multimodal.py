@@ -146,6 +146,116 @@ def frame_sample(
     return df.select(uri_col, binary_col).mapInPandas(run, schema=schema)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("uri", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("media", BinaryType()),
+    ]
+)
+
+
+def image_resize(
+    df: DataFrame,
+    width: int,
+    height: int,
+    binary_col: str = "media",
+    uri_col: str = "uri",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize an image binary column to (width, height) — Arrow-batched
+    binary-in/binary-out ``mapInPandas``.
+
+    Real implementation requires PIL (``Image.open(...).resize(...)``);
+    with ``fake=True`` the payload is a deterministic function of
+    (input bytes, target dims) sized ∝ the target area, so batch shapes,
+    binary round-tripping and downstream feature stages are exercised for
+    real.
+    """
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for uri, b in zip(pdf[uri_col], pdf[binary_col]):
+                data = bytes(b) if b is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "image resizing requires PIL, which is not installed "
+                        "in this container; pass fake=True for the "
+                        "deterministic test path"
+                    )
+                seed = hashlib.blake2b(
+                    data + width.to_bytes(4, "big") + height.to_bytes(4, "big"),
+                    digest_size=32,
+                ).digest()
+                n = max(1, (width * height) // 256)
+                payload = (seed * (n // len(seed) + 1))[:n]
+                out.append((str(uri), width, height, payload))
+            yield pd.DataFrame(
+                out, columns=["uri", "width", "height", "media"]
+            )
+
+    return df.select(uri_col, binary_col).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def fetch_media(
+    df: DataFrame,
+    uri_col: str,
+    out_col: str = "media",
+) -> DataFrame:
+    """Materialize a URI column into binary payloads — the Spark analog of
+    the reference's lazy image fetch (``lotus/utils.py:75-120``: local
+    paths, ``file://``, ``data:`` base64, ``http(s)://``, ``s3://``).
+
+    ``data:`` URIs and local paths decode with the standard library;
+    http(s) needs ``requests`` and s3 needs ``boto3`` — both import-gated
+    per executor (absent in this container). Fetching runs inside
+    ``mapInPandas``, so reads are distributed and batched per task, never
+    driver-side.
+    """
+    out_schema = StructType(df.schema.fields + [StructField(out_col, BinaryType())])
+
+    def fetch_one(uri) -> bytes | None:
+        if uri is None:
+            return None
+        uri = str(uri)
+        if uri.startswith("data:"):
+            import base64
+
+            payload = uri.split(",", 1)[1] if "," in uri else ""
+            return base64.b64decode(payload)
+        if uri.startswith(("http://", "https://")):
+            try:
+                import requests  # type: ignore
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "http(s) media fetch requires `requests`"
+                ) from e
+            return requests.get(uri, timeout=30).content  # pragma: no cover
+        if uri.startswith("s3://"):
+            try:
+                import boto3  # type: ignore
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "s3 media fetch requires `boto3`"
+                ) from e
+            bucket, key = uri[5:].split("/", 1)  # pragma: no cover
+            return boto3.client("s3").get_object(  # pragma: no cover
+                Bucket=bucket, Key=key)["Body"].read()
+        path = uri[7:] if uri.startswith("file://") else uri
+        with open(path, "rb") as f:
+            return f.read()
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [fetch_one(u) for u in pdf[uri_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def attach_media_meta(df: DataFrame, uri_col: str, media_type: str) -> DataFrame:
     """Build the metadata struct from a URI column (format from extension)."""
     fmt = F.lower(F.element_at(F.split(F.col(uri_col), r"\."), -1))

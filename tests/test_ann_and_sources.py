@@ -78,6 +78,40 @@ def test_multimodal_image_features(spark):
     assert all(r["frame_idx"] % 10 == 0 for r in frames)
 
 
+def test_multimodal_resize_and_fetch(spark, tmp_path):
+    import base64
+
+    from lotus_spark.sources.multimodal import fetch_media, image_resize
+
+    df = spark.createDataFrame(
+        [("img://1", bytearray(b"abc")), ("img://2", bytearray(b"defg"))],
+        ["uri", "media"],
+    )
+    out = image_resize(df, 32, 16, fake=True).collect()
+    assert len(out) == 2
+    assert all(r["width"] == 32 and r["height"] == 16 for r in out)
+    assert all(len(r["media"]) == 32 * 16 // 256 for r in out)
+    # deterministic in (payload, dims); different dims → different payload
+    out2 = image_resize(df, 64, 64, fake=True).collect()
+    assert {r["uri"]: r["media"] for r in out}["img://1"] != \
+           {r["uri"]: r["media"] for r in out2}["img://1"]
+    with pytest.raises(Exception):
+        image_resize(df, 8, 8, fake=False).collect()
+
+    # fetch: data: URI + local file path + file:// scheme + null
+    p = tmp_path / "img.bin"
+    p.write_bytes(b"filebytes")
+    b64 = "data:image/png;base64," + base64.b64encode(b"inline").decode()
+    src = spark.createDataFrame(
+        [(b64,), (str(p),), (f"file://{p}",), (None,)], ["uri"]
+    )
+    got = {r["uri"]: r["media"] for r in fetch_media(src, "uri").collect()}
+    assert bytes(got[b64]) == b"inline"
+    assert bytes(got[str(p)]) == b"filebytes"
+    assert bytes(got[f"file://{p}"]) == b"filebytes"
+    assert got[None] is None
+
+
 def test_multimodal_real_decode_raises(spark):
     from lotus_spark.sources.multimodal import image_features
 
