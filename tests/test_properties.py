@@ -120,3 +120,38 @@ def test_parse_choice_total(garbage):
     assert _parse_choice(garbage) in (0, 1)
     assert _parse_choice(garbage + " Document 2") == 1
     assert _parse_choice("Document 2 then Document 1") == 0
+
+
+# ------------------------------------------------------- jaccard counting
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 30)),
+        min_size=0, max_size=200,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 30)),
+        min_size=0, max_size=200,
+    ),
+)
+def test_cooccurrence_sparse_equals_dense(l_post, r_post):
+    """The sparse bincount expansion must equal the dense posting-matrix
+    matmul it replaces, for any posting lists (incl. duplicates/empties)."""
+    from lotus_spark.functions.dedup import _cooccurrence_counts
+
+    n_l, n_r = 8, 6
+    # dedupe (doc, shingle) pairs — postings are sets per doc
+    l_post = sorted(set(l_post))
+    r_post = sorted(set(r_post))
+    l_docs = np.array([d for d, _ in l_post], dtype=np.int64)
+    l_sh = np.array([s for _, s in l_post], dtype=np.int64)
+    r_docs = np.array([d for d, _ in r_post], dtype=np.int64)
+    r_sh = np.array([s for _, s in r_post], dtype=np.int64)
+
+    got = _cooccurrence_counts(l_docs, l_sh, r_docs, r_sh, n_l, n_r)
+
+    ML = np.zeros((n_l, 31))
+    ML[l_docs, l_sh] = 1.0
+    MR = np.zeros((n_r, 31))
+    MR[r_docs, r_sh] = 1.0
+    want = ML @ MR.T
+    assert (got == want).all()
