@@ -936,6 +936,70 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+_EN = "['the', 'a', 'of', 'and', 'to']"
+_ES = "['el', 'la', 'de', 'y', 'que']"
+_FR = "['le', 'la', 'et', 'les', 'des']"
+
+
+def q_quality_signals(spark, sf_dir):
+    """Training-data quality pipeline signals (Gopher/C4-style): duplicate
+    n-gram / line repetition, PII pattern counts, and the composite
+    gopher_keep gate — all pure Column expressions (whole-stage codegen)."""
+    from lotus_spark.functions.text import (
+        dup_line_ratio,
+        dup_ngram_ratio,
+        gopher_keep,
+        pii_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        dup_ngram_ratio(F.col("text"), 2).alias("dup2"),
+        dup_line_ratio(F.col("text")).alias("dup_lines"),
+        pii_count(F.col("text"), "emails").cast("long").alias("emails"),
+        pii_count(F.col("text"), "ipv4s").cast("long").alias("ipv4s"),
+        pii_count(F.col("text"), "phones").cast("long").alias("phones"),
+        gopher_keep(F.col("text"), min_words=20).alias("keep"),
+    )
+
+
+_SQL_QUALITY_SIGNALS = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') toks FROM documents
+),
+g AS (
+  SELECT doc_id, text, toks,
+    list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS grams,
+    string_split(text, chr(10)) AS lines,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+  FROM d
+),
+m AS (
+  SELECT doc_id, text, toks, n_tokens,
+    CASE WHEN len(grams) <= 0 THEN 0.0
+         ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) END AS dup2,
+    CASE WHEN len(lines) <= 0 THEN 0.0
+         ELSE ROUND(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6) END AS dup_lines,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks) END AS atl,
+    len(list_filter(toks, t -> list_contains({_STOP}, t))) AS stop_hits,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE ROUND(CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / n_tokens, 6) END AS symr
+  FROM g
+)
+SELECT doc_id, dup2, dup_lines,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS emails,
+  CAST(len(regexp_extract_all(text, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}')) AS BIGINT) AS ipv4s,
+  CAST(len(regexp_extract_all(text, '[0-9]{{3}}[-.][0-9]{{3}}[-.][0-9]{{4}}')) AS BIGINT) AS phones,
+  (n_tokens >= 20 AND n_tokens <= 100000 AND atl >= 3.0 AND atl <= 10.0
+   AND stop_hits >= 2 AND symr <= 0.1 AND dup2 <= 0.2) AS keep
+FROM m
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label (the scale path:
     block-local self-join, one shuffle on the block key)."""
@@ -960,11 +1024,6 @@ FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_sql_dot('a.u', 'b.u')} >= 0.35
 """
 
-
-_STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
-_EN = "['the', 'a', 'of', 'and', 'to']"
-_ES = "['el', 'la', 'de', 'y', 'que']"
-_FR = "['le', 'la', 'et', 'les', 'des']"
 
 _SQL_TEXT_STATS = f"""
 WITH d AS (
@@ -1040,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operator-level coverage (SURVEY §2.1 evals + search)
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
+        "quality_signals": q_quality_signals,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1184,6 +1244,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
+        "quality_signals": _SQL_QUALITY_SIGNALS,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

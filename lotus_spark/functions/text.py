@@ -115,6 +115,106 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+# PII patterns — restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs, `-` at class
+# edges. Counts, not redaction, so downstream policy stays composable.
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4s": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phones": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (``emails``/``ipv4s``/``phones``)."""
+    return F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0))
+
+
+def pii_redact(text: Column, replacement: str = "[PII]") -> Column:
+    """All PII patterns replaced — the scrub stage of a training-data
+    pipeline (JVM-side regexp_replace chain, no Python)."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All word n-grams (non-distinct, space-joined) — the multiset
+    repetition metrics need, unlike ``word_shingles`` (distinct)."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def dup_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats (1 − distinct/total) —
+    the Gopher-style repetition signal. 0.0 for empty docs."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double")
+            / total.cast("double"),
+            6,
+        )
+    )
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line (C4-style
+    boilerplate signal)."""
+    lines = F.split(text, "\n")
+    total = F.size(lines)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)).cast("double")
+            / total.cast("double"),
+            6,
+        )
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# count + ellipsis count) / word count — Gopher's symbol-to-word
+    ratio signal."""
+    n = token_count(text)
+    hashes = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ell = (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / 3
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round((hashes + ell).cast("double") / n.cast("double"), 6)
+    )
+
+
+def gopher_keep(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    min_stopword_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+    max_dup2_ratio: float = 0.2,
+) -> Column:
+    """Gopher-style quality gate (Rae et al. 2021, §A1.1 heuristics,
+    parameterized): word-count bounds, mean-word-length bounds, ≥N stopword
+    hits, symbol-to-word ratio cap, duplicate-2-gram cap. Pure Column
+    expression → whole-stage codegen, pushes down to the scan."""
+    n = token_count(text)
+    atl = avg_token_len(text)
+    stop_hits = _count_in(tokens(text), STOPWORDS)
+    return (
+        (n >= min_words) & (n <= max_words)
+        & (atl >= min_avg_len) & (atl <= max_avg_len)
+        & (stop_hits >= min_stopword_hits)
+        & (symbol_word_ratio(text) <= max_symbol_ratio)
+        & (dup_ngram_ratio(text, 2) <= max_dup2_ratio)
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram strings (space-joined), for MinHash/Jaccard.
 

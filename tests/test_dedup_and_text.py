@@ -149,3 +149,53 @@ def test_embedding_neardup_pairs(spark):
     out2 = fn.embedding_neardup_pairs(df, "emb", "id", threshold=0.99)
     pairs = sorted((r["a"], r["b"]) for r in out2.collect())
     assert pairs == [(1, 2), (1, 4), (2, 4)]
+
+
+def test_quality_signals_functions(spark):
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.text import (
+        dup_line_ratio,
+        dup_ngram_ratio,
+        gopher_keep,
+        pii_count,
+        pii_redact,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat and the cat sat again"),
+        (1, "go go go go go"),                     # all bigrams identical
+        (2, "line one\nline two\nline one"),       # 1 of 3 lines duplicate
+        (3, "mail me at bob@example.com or 10.0.0.1 or 555-123-4567"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r["id"]: r for r in df.select(
+        "id",
+        dup_ngram_ratio(F.col("t"), 2).alias("dup2"),
+        dup_line_ratio(F.col("t")).alias("dupl"),
+        pii_count(F.col("t"), "emails").alias("em"),
+        pii_count(F.col("t"), "ipv4s").alias("ip"),
+        pii_count(F.col("t"), "phones").alias("ph"),
+        pii_redact(F.col("t")).alias("red"),
+    ).collect()}
+    # "go go go go go": 4 bigrams, 1 distinct -> 0.75
+    assert out[1]["dup2"] == 0.75
+    assert out[0]["dup2"] > 0
+    assert out[2]["dupl"] == round(1 - 2 / 3, 6)
+    assert (out[3]["em"], out[3]["ip"], out[3]["ph"]) == (1, 1, 1)
+    assert "bob@example.com" not in out[3]["red"]
+    assert "[PII]" in out[3]["red"]
+    assert out[4]["dup2"] == 0.0 and out[4]["dupl"] == 0.0
+
+    # gopher gate: a sane long doc passes; a tiny or repetitive one fails
+    good = " ".join(
+        f"the w{i}abc of x{i}abc and y{i}abc is z{i}abc in q{i}abc"
+        for i in range(8)
+    )
+    gdf = spark.createDataFrame(
+        [(0, good), (1, "go go go go go"), (2, "short text")], ["id", "t"])
+    keep = {r["id"]: r["k"] for r in gdf.select(
+        "id", gopher_keep(F.col("t"), min_words=20).alias("k")).collect()}
+    assert keep[0] is True
+    assert keep[1] is False and keep[2] is False
