@@ -924,16 +924,55 @@ def q_text_stats(spark, sf_dir):
         lang_id,
         quality_score,
         token_count,
+        token_count_bpe,
     )
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
+        token_count_bpe(F.col("text")).cast("long").alias("bpe_tokens"),
         quality_score(F.col("text")).alias("quality"),
         lang_id(F.col("text")).alias("lang_guess"),
         fingerprint(F.col("text")).alias("fp"),
     )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check: eval slice (doc_id < 50) vs the rest
+    of the corpus as training data; fraction of each eval doc's word
+    3-grams present anywhere in train."""
+    from lotus_spark.functions.dedup import contamination_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = contamination_overlap(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        "text", "doc_id", shingle_n=3,
+    )
+    return out
+
+
+_SQL_CONTAMINATION = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    list_transform(range(1, greatest(len(words)-3, 0)+2),
+                   i -> array_to_string(words[i:i+2], ' ')),
+    g -> {_sql_strhash('g')}))) AS sh
+  FROM d
+),
+t AS (SELECT DISTINCT sh FROM s WHERE doc_id >= 50),
+e AS (SELECT doc_id, sh FROM s WHERE doc_id < 50),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM e GROUP BY doc_id),
+h AS (SELECT doc_id, COUNT(*) AS hit FROM e WHERE sh IN (SELECT sh FROM t)
+      GROUP BY doc_id)
+SELECT sz.doc_id,
+  ROUND(CAST(COALESCE(h.hit, 0) AS DOUBLE) / sz.sz, 6) AS contamination
+FROM sz LEFT JOIN h ON sz.doc_id = h.doc_id
+"""
 
 
 _STOP = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
@@ -1045,6 +1084,7 @@ m AS (
 )
 SELECT doc_id,
   CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')) AS BIGINT) AS bpe_tokens,
   ROUND(0.4 * least(sw * 5.0, 1.0) + 0.4 * al + 0.2 * (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.0 END), 4) AS quality,
   CASE WHEN greatest(c_en, c_es, c_fr) > 0 AND c_en = greatest(c_en, c_es, c_fr) THEN 'en'
        WHEN greatest(c_en, c_es, c_fr) > 0 AND c_es = greatest(c_en, c_es, c_fr) THEN 'es'
@@ -1100,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
         "quality_signals": q_quality_signals,
+        "contamination": q_contamination,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1245,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "quality_signals": _SQL_QUALITY_SIGNALS,
+        "contamination": _SQL_CONTAMINATION,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

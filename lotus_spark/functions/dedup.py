@@ -560,6 +560,63 @@ def jaccard_sim_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    col: str,
+    id_col: str,
+    shingle_n: int = 8,
+    out_col: str = "contamination",
+) -> DataFrame:
+    """Benchmark-contamination check (GPT-3/Llama-style): for each eval
+    document, the fraction of its word ``shingle_n``-grams that appear
+    anywhere in the training corpus.
+
+    Plan: distinct hashed postings on both sides → distinct train-shingle
+    relation → left semi join of eval postings → per-doc match count /
+    size. Shuffles carry only (id, hash) longs; the train side partially
+    aggregates to distinct hashes before the join. At 100 TB the eval set
+    is typically tiny — its postings broadcast, so the train scan is one
+    map-side pass with no train-side shuffle at all (Catalyst picks this
+    when the eval side is under the broadcast threshold).
+    """
+    t_post = (
+        ensure_parallelism(train)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(word_shingles(F.col(col), shingle_n), shingle_hash)
+                )
+            ).alias("sh")
+        )
+        .distinct()
+    )
+    e_post = ensure_parallelism(eval_df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(col), shingle_n), shingle_hash)
+            )
+        ).alias("sh"),
+    )
+    sizes = e_post.groupBy("id").agg(F.count("*").alias("sz"))
+    hits = (
+        e_post.join(t_post, "sh", "left_semi")
+        .groupBy("id").agg(F.count("*").alias("hit"))
+    )
+    return (
+        sizes.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(
+                F.coalesce(F.col("hit"), F.lit(0)).cast("double")
+                / F.col("sz").cast("double"),
+                6,
+            ).alias(out_col),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     emb_col: str,

@@ -215,6 +215,21 @@ def gopher_keep(
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to an ASCII-safe subset whose
+# semantics are identical in Java regex (Spark) and RE2 (DuckDB):
+# contractions, space-prefixed letter/digit/punctuation runs, whitespace.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer regex.
+    The standard cost estimator for LLM-pipeline budgeting (≈1 BPE token
+    per pre-token for ASCII text); JVM-side, no tokenizer library."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Array of word n-gram strings (space-joined), for MinHash/Jaccard.
 

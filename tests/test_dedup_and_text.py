@@ -199,3 +199,32 @@ def test_quality_signals_functions(spark):
         "id", gopher_keep(F.col("t"), min_words=20).alias("k")).collect()}
     assert keep[0] is True
     assert keep[1] is False and keep[2] is False
+
+
+def test_contamination_and_bpe_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup import contamination_overlap
+    from lotus_spark.functions.text import token_count_bpe
+
+    train = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["id", "t"])
+    evals = spark.createDataFrame(
+        [(0, "the quick brown fox jumps somewhere else now"),  # partial overlap
+         (1, "completely novel content with zero matching spans here")],
+        ["id", "t"])
+    out = {r["id"]: r["contamination"]
+           for r in contamination_overlap(train, evals, "t", "id",
+                                          shingle_n=3).collect()}
+    # eval 0: 6 trigrams, 3 appear in train ("the quick brown",
+    # "quick brown fox", "brown fox jumps") -> 0.5
+    assert out[0] == 0.5
+    assert out[1] == 0.0
+
+    bpe = spark.createDataFrame(
+        [(0, "it's a test-case with 42 tokens!"), (1, "")], ["id", "t"])
+    got = {r["id"]: r["n"] for r in bpe.select(
+        "id", token_count_bpe(F.col("t")).alias("n")).collect()}
+    # it|'s| a| test|-|case| with| 42| tokens|! -> 10
+    assert got[0] == 10
+    assert got[1] == 0
