@@ -981,6 +981,37 @@ _ES = "['el', 'la', 'de', 'y', 'que']"
 _FR = "['le', 'la', 'et', 'les', 'des']"
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator — Spark has no native one; union+window
+    implementation in functions/joins.py): each click event picks up the
+    most recent prior error event of the same user. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from lotus_spark.functions.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value")
+    out = asof_join(clicks, errors, on="ts", by="user_id")
+    # DuckDB reads TIMESTAMP(NANOS) at µs precision; emit µs on both sides
+    return out.select(
+        "event_id", "user_id",
+        F.expr("ts_right div 1000").alias("err_us"),
+        F.col("value").alias("err_value"),
+    )
+
+
+_SQL_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+      WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, r.us AS err_us, r.value AS err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
+"""
+
+
 def q_quality_signals(spark, sf_dir):
     """Training-data quality pipeline signals (Gopher/C4-style): duplicate
     n-gram / line repetition, PII pattern counts, and the composite
@@ -1141,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_search_rerank": q_sem_search_rerank,
         "quality_signals": q_quality_signals,
         "contamination": q_contamination,
+        "asof_join": q_asof_join,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1287,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "quality_signals": _SQL_QUALITY_SIGNALS,
         "contamination": _SQL_CONTAMINATION,
+        "asof_join": _SQL_ASOF_JOIN,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

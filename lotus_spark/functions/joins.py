@@ -57,6 +57,85 @@ def salted_join(
     return l.join(r, keys + [_SALT], how).drop(_SALT)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str | None = None,
+    direction: str = "backward",
+    tolerance: Optional[int] = None,
+    rsuffix: str = "_right",
+) -> DataFrame:
+    """As-of join — for each left row, the single right row with the
+    largest ``on`` ≤ left's (``direction="backward"``, inclusive) or the
+    smallest ``on`` ≥ left's (``"forward"``), optionally matching ``by``
+    keys, optionally within ``tolerance`` (same units as ``on``).
+
+    Spark has no native as-of join; the scalable pattern here is
+    union-the-sides + one window pass: tag rows, sort by
+    ``(by, on, side)`` inside a single shuffle, and carry the latest right
+    payload forward with ``last(ignorenulls)`` — O(n log n) in the
+    partition, no per-row subquery, no range-explosion. Right rows sort
+    before left rows at equal ``on`` so the match is inclusive. Exactly
+    DuckDB's ``ASOF LEFT JOIN`` semantics (the oracle), which resolves
+    duplicate right timestamps to the last row in ``(on, tie)`` order —
+    dedupe the right side first if that matters.
+
+    ``on`` must be numeric-ordered (epoch ns, long). All left rows are
+    kept; unmatched left rows carry nulls (left-join shape).
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+
+    r_payload_cols = [c for c in right.columns if c not in keys]
+    payload = F.struct(*[F.col(c) for c in r_payload_cols])
+    r_tagged = right.select(
+        *[F.col(c) for c in keys],
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__side"),
+        payload.alias("__rp"),
+    )
+    l_tagged = left.select(
+        "*",
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__rp"].dataType).alias("__rp"),
+    )
+    # align schemas: left carries its own columns; right rows carry nulls
+    for c in left.columns:
+        if c not in keys and c != "__on":
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=False)
+
+    asc = direction == "backward"
+    order = [F.col("__on").asc() if asc else F.col("__on").desc(),
+             F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*keys).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__rp")
+    )
+    if tolerance is not None:
+        delta = (F.col("__on") - F.col(f"__match.{on}")) if asc else (
+            F.col(f"__match.{on}") - F.col("__on"))
+        matched = matched.withColumn(
+            "__match",
+            F.when(delta <= F.lit(tolerance), F.col("__match")),
+        )
+    out = matched
+    for c in r_payload_cols:
+        name = f"{c}{rsuffix}" if c in out.columns or c == on else c
+        out = out.withColumn(name, F.col(f"__match.{c}"))
+    return out.drop("__match", "__on")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

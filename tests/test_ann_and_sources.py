@@ -193,3 +193,41 @@ def test_salted_join_and_agg_match_plain(spark):
         salted_join(left, right, "k", how="right")
     with _pytest.raises(ValueError, match="unsupported agg"):
         salted_agg(left, ["k"], {"v": "avg"})
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from lotus_spark.functions.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 205), (3, "a", 50), (4, "b", 100)],
+        ["lid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [("a", 100, "r100"), ("a", 200, "r200"), ("b", 300, "r300")],
+        ["k", "t", "tag"],
+    )
+    back = {r["lid"]: (r["tag"], r["t_right"]) for r in
+            asof_join(left, right, on="t", by="k").collect()}
+    assert back[1] == ("r100", 100)   # inclusive: equal ts matches
+    assert back[2] == ("r200", 200)   # most recent prior
+    assert back[3] == (None, None)    # nothing earlier
+    assert back[4] == (None, None)    # right has only t=300 for b
+
+    fwd = {r["lid"]: r["tag"] for r in
+           asof_join(left, right, on="t", by="k",
+                     direction="forward").collect()}
+    assert fwd[1] == "r100" and fwd[2] is None
+    assert fwd[3] == "r100" and fwd[4] == "r300"
+
+    tol = {r["lid"]: r["tag"] for r in
+           asof_join(left, right, on="t", by="k", tolerance=5).collect()}
+    assert tol[1] == "r100"   # delta 0 <= 5
+    assert tol[2] == "r200"   # boundary: delta == tolerance is kept
+    tight = {r["lid"]: r["tag"] for r in
+             asof_join(left, right, on="t", by="k", tolerance=4).collect()}
+    assert tight[2] is None   # delta 5 > 4 -> match nulled, row kept
+
+    # no 'by' keys: global as-of over the timeline
+    g = {r["lid"]: r["tag"] for r in
+         asof_join(left, right.drop("k"), on="t").collect()}
+    assert g[3] is None and g[1] in ("r100",)
