@@ -1012,6 +1012,41 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.us >= r.us
 """
 
 
+def q_range_join(spark, sf_dir):
+    """Range (point-in-interval) join — custom operator (Spark's native plan
+    for a non-equi join is BroadcastNestedLoopJoin): each click event joined
+    to every error of the same user in the preceding 24 hours, via the
+    bucketized equi-join in functions/joins.py. Oracle: DuckDB inequality
+    join."""
+    from lotus_spark.functions.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("p"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("lo"),
+        (F.col("ts") + F.lit(86400 * 10**9)).alias("hi"))
+    out = range_join(clicks, errors, "p", "lo", "hi", by="user_id")
+    # µs on both sides (DuckDB reads TIMESTAMP(NANOS) at µs precision);
+    # delta computed µs-from-µs so truncation matches the oracle exactly
+    return out.select(
+        "event_id", "user_id",
+        F.expr("lo div 1000").alias("err_us"),
+        F.expr("p div 1000 - lo div 1000").alias("delta_us"),
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, r.us AS err_us, l.us - r.us AS delta_us
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.us >= r.us AND l.us <= r.us + 86400000000
+"""
+
+
 def q_quality_signals(spark, sf_dir):
     """Training-data quality pipeline signals (Gopher/C4-style): duplicate
     n-gram / line repetition, PII pattern counts, and the composite
@@ -1173,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         "contamination": q_contamination,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1320,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_signals": _SQL_QUALITY_SIGNALS,
         "contamination": _SQL_CONTAMINATION,
         "asof_join": _SQL_ASOF_JOIN,
+        "range_join": _SQL_RANGE_JOIN,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

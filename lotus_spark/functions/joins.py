@@ -136,6 +136,76 @@ def asof_join(
     return out.drop("__match", "__on")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    lo: str,
+    hi: str,
+    by: list[str] | str | None = None,
+    bucket_width: Optional[int] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join: left rows whose ``point`` lies in a right
+    row's ``[lo, hi]`` (inclusive both ends), optionally also matching
+    ``by`` keys.
+
+    A naive ``l.join(r, (l.point >= r.lo) & (l.point <= r.hi))`` has no
+    equi-keys, so Spark plans BroadcastNestedLoopJoin — O(|L|·|R|) and a
+    full broadcast of one side; unusable at scale. The scalable pattern is
+    bucketization: chop the domain into width-``w`` buckets, explode each
+    right interval into every bucket it covers (``(hi-lo)/w + 1`` rows),
+    tag each left point with its single bucket, equi-join on
+    ``(by, bucket)`` — a plain shuffled hash join Catalyst/AQE can
+    optimize — then re-check the exact predicate. Each (left, right)
+    match meets in exactly one bucket (the point's), so no dedup pass.
+
+    ``bucket_width`` defaults to the sampled median interval width (so a
+    typical interval explodes into ~2 buckets); pass it explicitly in
+    production jobs. ``point``/``lo``/``hi`` must be integer-ordered
+    (epoch ns/µs, long). ``how`` is 'inner' or 'left' (unmatched left
+    rows keep nulls).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports how='inner'|'left'")
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    overlap = set(left.columns) & set(right.columns) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"ambiguous non-key columns on both sides: {sorted(overlap)}; "
+            "rename before joining"
+        )
+    if bucket_width is None:
+        # one aggregation over a sample decides the bucket size; median
+        # width keeps replication ~2 rows/interval without a user knob
+        med = (
+            right.sample(0.1, seed=7).select(
+                F.expr(f"percentile_approx({hi} - {lo}, 0.5)").alias("m"))
+            .first()["m"]
+        )
+        if med is None:  # sample may be empty at tiny sizes
+            med = right.select(
+                F.expr(f"percentile_approx({hi} - {lo}, 0.5)").alias("m")
+            ).first()["m"]
+        bucket_width = max(int(med or 0) + 1, 1)
+    w = F.lit(int(bucket_width))
+    r_exp = right.withColumn(
+        "__bkt",
+        F.explode(F.sequence(F.floor(F.col(lo) / w), F.floor(F.col(hi) / w))),
+    )
+    l_tag = left.withColumn("__bkt", F.floor(F.col(point) / w))
+    cond = [l_tag[k] == r_exp[k] for k in keys] + [
+        l_tag["__bkt"] == r_exp["__bkt"],
+        l_tag[point] >= r_exp[lo],
+        l_tag[point] <= r_exp[hi],
+    ]
+    joined = l_tag.join(r_exp, cond, how)
+    out_cols = [l_tag[c] for c in left.columns] + [
+        r_exp[c] for c in right.columns if c not in keys
+    ]
+    return joined.select(*out_cols)
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

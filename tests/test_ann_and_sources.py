@@ -231,3 +231,37 @@ def test_asof_join_backward_forward_tolerance(spark):
     g = {r["lid"]: r["tag"] for r in
          asof_join(left, right.drop("k"), on="t").collect()}
     assert g[3] is None and g[1] in ("r100",)
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    from lotus_spark.functions.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 10), (3, "a", 99), (4, "b", 10), (5, "b", 0)],
+        ["lid", "k", "p"],
+    )
+    right = spark.createDataFrame(
+        [("a", 0, 10, "i1"), ("a", 10, 20, "i2"), ("b", 5, 6, "i3")],
+        ["k", "lo", "hi", "iv"],
+    )
+    got = sorted((r["lid"], r["iv"]) for r in
+                 range_join(left, right, "p", "lo", "hi", by="k").collect())
+    # p=10 in [0,10] AND [10,20] (inclusive both ends) -> two matches
+    assert got == [(1, "i1"), (2, "i1"), (2, "i2")]
+
+    # left join keeps unmatched rows with nulls; explicit bucket width
+    lj = {r["lid"]: r["iv"] for r in
+          range_join(left, right, "p", "lo", "hi", by="k", how="left",
+                     bucket_width=3).collect()}
+    assert lj[3] is None and lj[4] is None and lj[5] is None
+
+    # no by-keys: intervals apply across groups
+    g = sorted((r["lid"], r["iv"]) for r in
+               range_join(left, right.drop("k"), "p", "lo", "hi").collect())
+    assert (5, "i1") in g and (4, "i1") in g and (4, "i2") in g
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner"):
+        range_join(left, right, "p", "lo", "hi", how="full")
+    with _pytest.raises(ValueError, match="ambiguous"):
+        range_join(left.withColumnRenamed("p", "lo"), right, "lid", "lo", "hi")
