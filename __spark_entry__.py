@@ -1047,6 +1047,54 @@ FROM l JOIN r ON l.user_id = r.user_id
 """
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup (functions/timeseries.py):
+    hour/day/month aggregates of events by type in ONE raw-table pass —
+    coarser grains cascade from the finest level's partials instead of
+    re-scanning (or Expand-replicating) the fact table. Oracle: per-grain
+    GROUP BY date_trunc UNION ALL."""
+    from lotus_spark.functions.timeseries import time_rollup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("tsc"),
+        _dec("value").alias("v"),
+    )
+    out = time_rollup(
+        ev, "tsc",
+        {"n": ("v", "count"), "sv": ("v", "sum"),
+         "mn": ("v", "min"), "mx": ("v", "max")},
+        grains=("hour", "day", "month"), by="event_type",
+    )
+    return out.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "event_type", "n",
+        F.col("sv").cast("double").alias("sum_value"),
+        F.col("mn").cast("double").alias("min_value"),
+        F.col("mx").cast("double").alias("max_value"),
+        (F.col("sv").cast("double") / F.col("n")).alias("avg_value"),
+    )
+
+
+_SQL_TIME_ROLLUP = """
+WITH e AS (SELECT event_type, ts, CAST(value AS DECIMAL(12,2)) AS v
+           FROM events),
+h AS (SELECT 'hour' AS grain, date_trunc('hour', ts) AS b, event_type,
+             COUNT(*) AS n, SUM(v) AS sv, MIN(v) AS mn, MAX(v) AS mx
+      FROM e GROUP BY 1, 2, 3),
+d AS (SELECT 'day', date_trunc('day', ts), event_type,
+             COUNT(*), SUM(v), MIN(v), MAX(v) FROM e GROUP BY 1, 2, 3),
+m AS (SELECT 'month', date_trunc('month', ts), event_type,
+             COUNT(*), SUM(v), MIN(v), MAX(v) FROM e GROUP BY 1, 2, 3),
+u AS (SELECT * FROM h UNION ALL SELECT * FROM d UNION ALL SELECT * FROM m)
+SELECT grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, event_type, n,
+       CAST(sv AS DOUBLE) AS sum_value, CAST(mn AS DOUBLE) AS min_value,
+       CAST(mx AS DOUBLE) AS max_value, CAST(sv AS DOUBLE) / n AS avg_value
+FROM u
+"""
+
+
 def q_quality_signals(spark, sf_dir):
     """Training-data quality pipeline signals (Gopher/C4-style): duplicate
     n-gram / line repetition, PII pattern counts, and the composite
@@ -1209,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1357,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _SQL_CONTAMINATION,
         "asof_join": _SQL_ASOF_JOIN,
         "range_join": _SQL_RANGE_JOIN,
+        "time_rollup": _SQL_TIME_ROLLUP,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

@@ -1,0 +1,103 @@
+"""Time-series rollups (hypertable-style continuous-aggregate shape).
+
+``time_rollup`` computes the same aggregates at several time
+granularities in one pass. The naive plans both scale badly: per-grain
+re-scans read the fact table G times, and GROUPING SETS plans go through
+Spark's Expand operator, which replicates every input row once per
+grouping set *before* the shuffle (G× shuffle volume on the raw data).
+
+The scalable shape is the rollup cascade: aggregate the raw table once
+at the FINEST grain (the only shuffle that sees raw rows), then derive
+each coarser grain by re-aggregating the previous level's partial
+aggregates — inputs shrink by orders of magnitude after the first level,
+so levels 2..G are near-free. Exact for algebraic aggregates
+(count/sum/min/max, avg as sum÷count), which is why the agg spec is a
+closed vocabulary rather than arbitrary expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# coarser-to-the-right; a rollup must request grains in ascending coarseness
+_GRAIN_ORDER = ["minute", "hour", "day", "week", "month", "year"]
+
+_PARTIAL = {
+    "count": ("sum", lambda c: F.count(c)),   # partial counts merge by sum
+    "sum": ("sum", lambda c: F.sum(c)),
+    "min": ("min", lambda c: F.min(c)),
+    "max": ("max", lambda c: F.max(c)),
+}
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict[str, tuple[str, str]],
+    grains: tuple[str, ...] = ("hour", "day"),
+    by: list[str] | str | None = None,
+) -> DataFrame:
+    """Multi-granularity rollup of ``df`` over timestamp ``ts_col``.
+
+    ``aggs`` maps output column name -> ``(input_col, fn)`` with ``fn`` in
+    ``count | sum | min | max | avg``; ``grains`` are ``date_trunc`` units
+    ordered finest-first (each must be coarser than the last). Returns the
+    long format ``(grain STRING, bucket TIMESTAMP, *by, *aggs)`` — one row
+    per (grain, bucket, by-keys).
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    order = [g for g in _GRAIN_ORDER if g in grains]
+    if list(grains) != order or len(set(grains)) != len(grains):
+        raise ValueError(
+            f"grains must be unique and finest-first, one of {_GRAIN_ORDER}"
+        )
+    bad = [f for _, (_, f) in aggs.items()
+           if f not in ("count", "sum", "min", "max", "avg")]
+    if bad:
+        raise ValueError(f"unsupported agg fns {bad}; "
+                         "use count/sum/min/max/avg")
+
+    # partial-aggregate plan: avg carries (sum, count) until final emit
+    partials: dict[str, tuple[str, object]] = {}   # pcol -> (merge_fn, first_agg)
+    emit: dict[str, object] = {}                   # out_name -> fn(pcols)->Column
+    for name, (col, fn) in aggs.items():
+        if fn == "avg":
+            partials[f"__{name}_s"] = ("sum", F.sum(col))
+            partials[f"__{name}_c"] = ("sum", F.count(col))
+            emit[name] = (lambda s=f"__{name}_s", c=f"__{name}_c":
+                          F.col(s) / F.col(c))
+        else:
+            merge, first = _PARTIAL[fn]
+            partials[f"__{name}"] = (merge, first(col))
+            emit[name] = (lambda p=f"__{name}": F.col(p))
+
+    finest = order[0]
+    if finest == "week" and len(order) > 1:
+        # week boundaries cross month/year boundaries — coarser grains are
+        # not derivable from week-truncated buckets
+        raise ValueError("cannot roll up coarser grains from 'week'; "
+                         "use a finer finest grain (day/hour/minute)")
+    base = df.groupBy(
+        *keys, F.date_trunc(finest, F.col(ts_col)).alias("bucket")
+    ).agg(*[first.alias(p) for p, (_, first) in partials.items()])
+    # every coarser grain re-aggregates the (small) finest-level partials,
+    # never the raw table: truncating an already-truncated bucket is exact
+    # because minute/hour/day/month all nest, and week nests in day
+    base = base.persist()
+
+    def _emit(lv: DataFrame, grain: str) -> DataFrame:
+        return lv.select(
+            F.lit(grain).alias("grain"), "bucket", *keys,
+            *[fn().alias(name) for name, fn in emit.items()],
+        )
+
+    out = _emit(base, finest)
+    for grain in order[1:]:
+        level = base.groupBy(
+            *keys, F.date_trunc(grain, F.col("bucket")).alias("bucket")
+        ).agg(*[
+            getattr(F, merge)(p).alias(p) for p, (merge, _) in partials.items()
+        ])
+        out = out.unionByName(_emit(level, grain))
+    return out
