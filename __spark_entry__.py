@@ -1095,6 +1095,73 @@ FROM u
 """
 
 
+_MIX_BUCKETS = 1_000_003
+_MIX_CONST = 2654435761
+_MIX_RATES = {"en": 0.5, "de": 0.2, "fr": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic content-hash stratified sampling (data mixing): keep
+    50% of en, 20% of de, all of fr, drop other langs — membership is a
+    pure function of doc_id (rerun-stable under any partitioning, unlike
+    seeded Bernoulli sampling). functions/sampling.py."""
+    from lotus_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _MIX_RATES, "doc_id").select("doc_id", "lang")
+
+
+_SQL_STRATIFIED_SAMPLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    ({_sql_strhash('CAST(doc_id AS VARCHAR)')} * {_MIX_CONST})
+      % {_MIX_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE bucket < CASE lang
+  {' '.join(f"WHEN '{k}' THEN {int(round(v * _MIX_BUCKETS))}" for k, v in _MIX_RATES.items())}
+  END
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    token tape (ordered by doc_id, capacity 2048): which training
+    sequence each document starts in, at what offset, spanning how many.
+    Distributed prefix-sum, not a single-partition global window
+    (functions/sampling.py). Oracle: DuckDB global window cumsum."""
+    from lotus_spark.functions.sampling import pack_sequences
+    from lotus_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("toks"))
+    out = pack_sequences(docs, "toks", 2048, "doc_id")
+    return out.select("doc_id", "toks", "seq_id", "seq_offset", "n_seqs")
+
+
+_SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, toks,
+  CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
+  CAST((cum - toks) % 2048 AS BIGINT) AS seq_offset,
+  CAST((CASE WHEN toks > 0 THEN (cum - 1) // 2048
+        ELSE (cum - toks) // 2048 END) - (cum - toks) // 2048 + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
 def q_quality_signals(spark, sf_dir):
     """Training-data quality pipeline signals (Gopher/C4-style): duplicate
     n-gram / line repetition, PII pattern counts, and the composite
@@ -1258,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1407,6 +1476,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _SQL_ASOF_JOIN,
         "range_join": _SQL_RANGE_JOIN,
         "time_rollup": _SQL_TIME_ROLLUP,
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

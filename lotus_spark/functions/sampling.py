@@ -1,0 +1,137 @@
+"""Training-data mixing ops: deterministic sampling + sequence packing.
+
+Reference scope: the reference (lotus) has no sampling/packing operators —
+these belong to the "large-scale training-data pipeline" surface the task
+brief asks for beyond reference parity.
+
+Why not ``df.sampleBy(seed=...)``: Bernoulli sampling keys the RNG on
+(seed, partition-id, position), so the *same row* flips in/out when the
+upstream partitioning changes, a task retries, or the table is re-read
+with a different split — poison for resumable 100 TB pipelines and for
+keeping a sampled `documents` consistent with its sampled `embeddings`.
+``stratified_sample`` instead hashes row CONTENT (a stable id), so
+membership is a pure deterministic function of the row: rerun-stable,
+join-consistent across derived tables, and a narrow no-shuffle filter.
+
+``pack_sequences`` implements concat-and-chunk packing (GPT-style: lay
+all documents on one token tape in a deterministic order, cut every
+``capacity`` tokens). The core is a global running token offset — a scan.
+A naive ``Window.orderBy(order_col)`` with no partition key collapses to
+ONE task; here the scan is distributed: range-partition by the order
+column, per-partition cumulative sums, then add each partition's
+exclusive prefix total (tiny driver collect, one number per partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import shingle_hash
+
+_BUCKETS = 1_000_003   # prime
+_MIX = 2654435761      # Knuth multiplicative constant (odd)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default: float | None = None,
+) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each stratum.
+
+    A row survives iff ``(hash(id) * 2654435761) % 1000003 < fraction *
+    1000003`` — membership depends only on the row's id, never on
+    partitioning, task retries, or a seed. The multiply-mod finalizer
+    matters: the raw polynomial fold of SHORT id strings is small and
+    structured (parity/digit patterns), so without it per-stratum rates
+    skew badly; multiplication by an odd constant mod a prime is a
+    residue bijection that scatters those clusters (hash*_MIX stays
+    < 2^63 because the fold is < 1e9+7). Strata absent from ``fractions`` keep rate ``default`` (drop
+    all when None). Rates outside [0, 1] are rejected.
+    """
+    rates = dict(fractions)
+    if default is not None:
+        rates["__default__"] = default
+    for k, v in rates.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    bucket = F.pmod(
+        shingle_hash(F.col(id_col).cast("string")) * F.lit(_MIX),
+        F.lit(_BUCKETS),
+    )
+    if fractions:
+        rate_map = F.create_map(
+            *[x for k, v in fractions.items()
+              for x in (F.lit(k), F.lit(int(round(v * _BUCKETS))))]
+        )
+        cut = rate_map[F.col(strata_col)]
+    else:
+        cut = F.lit(None).cast("long")
+    if default is not None:
+        cut = F.coalesce(cut, F.lit(int(round(default * _BUCKETS))))
+    return df.filter(bucket < cut)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    order_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing metadata.
+
+    Documents are laid end-to-end on a token tape in ``order_col`` order
+    (must be unique — it defines the tape); sequences are the tape cut
+    every ``capacity`` tokens. Appends:
+
+    - ``seq_id``     — sequence holding the document's FIRST token
+    - ``seq_offset`` — the first token's position within that sequence
+    - ``n_seqs``     — how many sequences the document spans (≥ 1;
+      documents straddle cuts, exactly like GPT-style pretraining packing)
+
+    Distributed scan, not a global window: ``repartitionByRange`` on
+    ``order_col`` (range partitioner keeps partition ids in key order) →
+    per-partition cumsum → add exclusive per-partition prefix totals
+    (one long per partition via the driver). Zero-token docs occupy no
+    tape but still get the position they would start at.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid").orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
+    totals = {
+        r["__pid"]: r["t"]
+        for r in d.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid] or 0
+    off_map = F.create_map(
+        *[x for pid, p in prefix.items() for x in (F.lit(pid), F.lit(p))]
+    )
+    end = F.col("__cum") + off_map.getItem(F.col("__pid"))
+    start = end - F.col(token_col)
+    last = F.when(F.col(token_col) > 0, end - 1).otherwise(start)
+    # integer `div`, not double division: tape offsets stay exact past 2^53
+    return (
+        d.withColumn("__start", start).withColumn("__last", last)
+        .withColumn("seq_id", F.expr(f"__start div {int(capacity)}"))
+        .withColumn("seq_offset", F.expr(f"__start % {int(capacity)}"))
+        .withColumn(
+            "n_seqs",
+            F.expr(f"__last div {int(capacity)} - __start div {int(capacity)} + 1"),
+        )
+        .drop("__pid", "__cum", "__start", "__last")
+    )
