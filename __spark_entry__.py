@@ -1162,6 +1162,70 @@ FROM c
 """
 
 
+def q_profile(spark, sf_dir):
+    """One-pass multi-column data-QA profiler (functions/profile.py):
+    rows/nulls/distinct/min/max/mean/exact-p50 for lineitem measure +
+    key + flag columns in a single aggregation. Measures pre-cast to
+    decimal so mean sums are accumulation-order exact."""
+    from lotus_spark.functions.profile import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        _dec("l_quantity").alias("l_quantity"),
+        _dec("l_extendedprice").alias("l_extendedprice"),
+        _dec("l_discount").alias("l_discount"),
+        "l_returnflag",
+    )
+    return profile_columns(li)
+
+
+_SQL_PROFILE = """
+WITH t AS (
+  SELECT l_orderkey,
+         CAST(l_quantity AS DECIMAL(12,2)) AS l_quantity,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS l_extendedprice,
+         CAST(l_discount AS DECIMAL(12,2)) AS l_discount,
+         l_returnflag
+  FROM lineitem
+), n AS (
+  SELECT 'l_orderkey' AS column, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+         COUNT(DISTINCT l_orderkey) AS n_distinct,
+         CAST(MIN(l_orderkey) AS DOUBLE) AS min,
+         CAST(MAX(l_orderkey) AS DOUBLE) AS max,
+         CAST(SUM(l_orderkey) AS DOUBLE) / COUNT(l_orderkey) AS mean,
+         CAST(quantile_cont(l_orderkey, 0.5) AS DOUBLE) AS p50
+  FROM t
+  UNION ALL
+  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+         COUNT(DISTINCT l_quantity), CAST(MIN(l_quantity) AS DOUBLE),
+         CAST(MAX(l_quantity) AS DOUBLE),
+         CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity),
+         CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE)
+  FROM t
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+         COUNT(DISTINCT l_extendedprice), CAST(MIN(l_extendedprice) AS DOUBLE),
+         CAST(MAX(l_extendedprice) AS DOUBLE),
+         CAST(SUM(l_extendedprice) AS DOUBLE) / COUNT(l_extendedprice),
+         CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)
+  FROM t
+  UNION ALL
+  SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+         COUNT(DISTINCT l_discount), CAST(MIN(l_discount) AS DOUBLE),
+         CAST(MAX(l_discount) AS DOUBLE),
+         CAST(SUM(l_discount) AS DOUBLE) / COUNT(l_discount),
+         CAST(quantile_cont(l_discount, 0.5) AS DOUBLE)
+  FROM t
+  UNION ALL
+  SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+         COUNT(DISTINCT l_returnflag), NULL, NULL, NULL, NULL
+  FROM t
+)
+SELECT * FROM n
+"""
+
+
 def q_quality_signals(spark, sf_dir):
     """Training-data quality pipeline signals (Gopher/C4-style): duplicate
     n-gram / line repetition, PII pattern counts, and the composite
@@ -1327,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "profile": q_profile,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1478,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _SQL_TIME_ROLLUP,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "profile": _SQL_PROFILE,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }
