@@ -1226,6 +1226,93 @@ SELECT * FROM n
 """
 
 
+_BM25_QUERY = "spark window merge join"
+
+
+def q_bm25_search(spark, sf_dir):
+    """Lexical BM25 top-10 over documents (functions/bm25.py): postings /
+    doc-length / term-df relations from one scan, per-query broadcast
+    semi-join on the query terms, order-independent decimal score
+    accumulation. Oracle: full Okapi BM25 replicated in SQL."""
+    from lotus_spark.functions.bm25 import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_search(docs, "text", "doc_id", _BM25_QUERY, k=10)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_SQL_BM25_COMMON = r"""
+tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok WHERE term != ''
+         GROUP BY 1, 2),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok WHERE term != '' GROUP BY 1),
+tdf AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dlen),
+q AS (SELECT unnest(['spark', 'window', 'merge', 'join']) AS term),
+hits AS (SELECT p.doc_id, p.tf, t.df, l.dl
+         FROM post p JOIN q USING (term) JOIN tdf t USING (term)
+         JOIN dlen l USING (doc_id)),
+part AS (SELECT doc_id,
+           CAST(ROUND(
+             ln(1 + (g.n - df + 0.5) / (df + 0.5))
+             * (tf * (1.0 + 1.2))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / g.avgdl)), 9)
+           AS DECIMAL(28,10)) AS p
+         FROM hits, g),
+bm AS (SELECT doc_id, CAST(SUM(p) AS DOUBLE) AS score FROM part
+       GROUP BY doc_id)
+"""
+
+_SQL_BM25 = f"""
+WITH {_SQL_BM25_COMMON}
+SELECT doc_id, ROUND(score, 6) AS score FROM bm
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
+    the embedding-cosine top-20 (doc_id ≡ vec_id in the synthetic data).
+    Rank fusion sidesteps calibrating incomparable score scales."""
+    from lotus_spark.functions.ann import knn_topk
+    from lotus_spark.functions.bm25 import bm25_search, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_search(docs, "text", "doc_id", _BM25_QUERY, k=20)
+    vec = (
+        knn_topk(emb, "embedding", _query_vec(spark, sf_dir), k=20,
+                 id_col="vec_id")
+        .select(F.col("vec_id").alias("doc_id"), "score")
+    )
+    out = rrf_fuse([lex, vec], "doc_id", k=10)
+    return out.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+_SQL_HYBRID_TMPL = f"""
+WITH {_SQL_BM25_COMMON},
+lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 20)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v AS qvec FROM e WHERE vec_id = 0),
+vs AS (SELECT vec_id AS doc_id, {{cos}} AS score FROM e, qv
+       ORDER BY score DESC, vec_id LIMIT 20),
+vec AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM vs),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+    COALESCE(1.0 / (60 + lex.r), 0.0) + COALESCE(1.0 / (60 + vec.r), 0.0)
+      AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, ROUND(rrf_score, 6) AS rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+_SQL_HYBRID = _SQL_HYBRID_TMPL.format(cos=_sql_cosine("e.v", "qv.qvec"))
+
+
 def q_quality_signals(spark, sf_dir):
     """Training-data quality pipeline signals (Gopher/C4-style): duplicate
     n-gram / line repetition, PII pattern counts, and the composite
@@ -1392,6 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "profile": q_profile,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
     }
@@ -1544,6 +1633,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "profile": _SQL_PROFILE,
+        "bm25_search": _SQL_BM25,
+        "hybrid_search": _SQL_HYBRID,
         "pairwise_judge": _SQL_PAIRWISE_JUDGE,
         "llm_judge": _SQL_LLM_JUDGE,
     }

@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "sem_agg",
     "sem_topk",
     "knn_bruteforce",
+    "bm25_search",
+    "hybrid_search",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "pack_sequences",
     "knn_lsh",
     "sem_sim_join",
     "exact_dedup",
