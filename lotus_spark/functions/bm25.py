@@ -29,18 +29,27 @@ from .text import tokens
 RRF_K = 60  # standard reciprocal-rank-fusion constant
 
 
-def bm25_index(df: DataFrame, col: str, id_col: str) -> dict[str, DataFrame]:
+def bm25_index(
+    df: DataFrame, col: str, id_col: str, persist: bool = True
+) -> dict[str, DataFrame]:
     """Build the BM25 statistics relations for ``df[col]``.
 
     Returns ``postings`` (term, id, tf), ``doclens`` (id, dl) and
-    ``termdf`` (term, df) — persist all three for a serving index.
+    ``termdf`` (term, df) — persist all three as Parquet for a serving
+    index. One tokenize/explode pass: ``doclens`` (dl = Σ tf) and
+    ``termdf`` re-aggregate the postings partials instead of re-scanning
+    the corpus (the same partial-cascade shape as ``time_rollup``).
     """
-    toks = df.select(
+    from lotus_spark.partitioning import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(col))).alias("term"),
     ).filter(F.col("term") != "")
     postings = toks.groupBy("term", "id").agg(F.count("*").alias("tf"))
-    doclens = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    if persist:
+        postings = postings.persist()
+    doclens = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
     termdf = postings.groupBy("term").agg(F.count("*").alias("df"))
     return {"postings": postings, "doclens": doclens, "termdf": termdf}
 
@@ -62,28 +71,26 @@ def bm25_scores(
     terms = sorted(set(t for t in query_terms if t))
     if not terms:
         raise ValueError("empty query")
-    spark = postings.sparkSession
-    qdf = F.broadcast(spark.createDataFrame([(t,) for t in terms], ["term"]))
 
-    # N and avgdl are two scalars — computed once, folded in as literals
-    g = doclens.agg(
-        F.count("*").alias("n"),
-        F.sum("dl").cast("double").alias("s")).first()
-    n_docs, avgdl = g["n"], (g["s"] or 0.0) / max(g["n"], 1)
+    # N and avgdl fold in as a broadcast 1-row cross join — no blocking
+    # driver action, the whole search stays one lazy job
+    g = F.broadcast(doclens.agg(
+        F.count("*").cast("double").alias("__n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl")))
 
-    hits = (
-        postings.join(qdf, "term")          # broadcast semi-join on term
-        .join(termdf, "term")
-        .join(doclens, "id")
-    )
+    # literal IN-list filter pushes down to the postings scan (no join for
+    # term selection); per-term df is tiny after the filter → broadcast
+    qpost = postings.filter(F.col("term").isin(terms))
+    qtermdf = F.broadcast(termdf.filter(F.col("term").isin(terms)))
+    hits = qpost.join(qtermdf, "term").join(doclens, "id").crossJoin(g)
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     partial = (
         idf * (F.col("tf") * (1.0 + k1))
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl")))
     )
     # round→decimal before the sum: order-independent accumulation
     return (
@@ -100,14 +107,81 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    index: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
-    """Top-``k`` lexical search over ``df[col]``; ties break on id."""
-    idx = bm25_index(df, col, id_col)
-    terms = [t for t in query.strip().lower().split() if t]
-    scored = bm25_scores(idx, terms, k1=k1, b=b)
+    """Top-``k`` lexical search over ``df[col]``; ties break on id.
+
+    Without a prebuilt ``index``, runs the one-pass plan: per-doc term
+    frequencies are computed MAP-SIDE on the token array
+    (``size(arr) - size(array_remove(arr, term))`` — codegen'd collection
+    functions, not interpreted lambdas), corpus stats (N, avgdl, per-term
+    df) come from one tree-aggregate over those counts, and the score is
+    a pure expression followed by top-k. Zero wide shuffles — no postings
+    explode — so the plan's cost is one scan of the corpus regardless of
+    scale. With ``index`` (the persisted relations from
+    :func:`bm25_index`), delegates to :func:`bm25_scores` instead — the
+    serving shape when many queries amortize one indexing pass.
+
+    Score parity with the indexed path: per-(doc, term) partials round
+    to 9 decimals and sum as DECIMAL (order-independent), so both plans
+    and the DuckDB oracle agree bit-for-bit.
+    """
+    terms = sorted(set(query.strip().lower().split()))
+    if not terms:
+        raise ValueError("empty query")
+    if index is not None:
+        scored = bm25_scores(index, terms, k1=k1, b=b)
+        return (
+            scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+            .withColumnRenamed("id", id_col)
+        )
+
+    arr = F.array_remove(tokens(F.col(col)), "")
+    counts = df.select(
+        F.col(id_col).alias("id"),
+        F.size(arr).alias("dl"),
+        *[
+            (F.size(arr) - F.size(F.array_remove(arr, t))).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).persist()  # id + k ints per doc — tiny vs the corpus; read twice
+    g = F.broadcast(counts.agg(
+        F.count("*").cast("double").alias("__n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    ))
+
+    def partial(i: int):
+        tf = F.col(f"__tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5))
+        )
+        raw = idf * (tf * (1.0 + k1)) / (
+            tf + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        )
+        return F.when(
+            F.col(f"__tf{i}") > 0, F.round(raw, 9).cast("decimal(28,10)")
+        ).otherwise(F.lit(None).cast("decimal(28,10)"))
+
+    # decimal zeros are exact, so coalesce-to-0 summation is value-identical
+    # to summing only the matching terms (and to the oracle's decimal SUM)
+    zero = F.lit(0).cast("decimal(28,10)")
+    total = F.coalesce(partial(0), zero)
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(partial(i), zero)
+    hit = None
+    for i in range(len(terms)):
+        c = F.col(f"__tf{i}") > 0
+        hit = c if hit is None else (hit | c)
     return (
-        scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
-        .withColumnRenamed("id", id_col)
+        counts.filter(hit).crossJoin(g)
+        .select(F.col("id").alias(id_col), total.cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     )
 
 
