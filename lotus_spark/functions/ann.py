@@ -95,22 +95,71 @@ def knn_topk_lsh(
     """LSH-bucketed ANN: prune to the query's hyperplane bucket, exact rerank.
 
     ``bucket_col``: reuse a precomputed bucket column (e.g. the table is
-    stored partitioned by it) — then the scan prunes partitions natively.
+    stored partitioned by it) — then the scan prunes partitions natively and
+    only the query's partition is read + exactly reranked.
+
+    Without a precomputed bucket the whole table must be scanned once; that
+    scan runs as ONE fused ``mapInPandas`` kernel (bucket → in-kernel prune →
+    fold-exact cosine) emitting only the query-bucket rows with their score:
+    the embedding column crosses the Arrow boundary once instead of twice
+    (separate bucket + cosine UDF stages), and non-matching rows (all but
+    ~1/2^n_planes) never leave Python. Values are bit-identical to
+    ``lsh_bucket`` + ``query_cosine`` (same dim-ordered accumulation).
     """
+    from lotus_spark.functions.vectors import _fold_dot_norm
+
     dim = len(query_vec)
     planes = hyperplanes(n_planes, dim, seed)
     qbucket = 0
     for p, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query_vec, plane)) > 0.0:
             qbucket += 1 << p
-    work = df
-    bcol = bucket_col
-    if bcol is None:
-        bcol = "__lsh_bucket"
-        work = work.withColumn(bcol, lsh_bucket(F.col(emb_col), planes))
-    pruned = work.filter(F.col(bcol) == qbucket)
-    out = knn_topk(pruned, emb_col, query_vec, k, id_col, score_col)
-    return out.drop("__lsh_bucket") if bucket_col is None else out
+    if bucket_col is not None:
+        pruned = df.filter(F.col(bucket_col) == qbucket)
+        return knn_topk(pruned, emb_col, query_vec, k, id_col, score_col)
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    P = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(P.shape[0])).astype(np.int64)
+    q = [float(v) for v in query_vec]
+    nq_acc = 0.0
+    for v in q:
+        nq_acc = nq_acc + v * v
+    nq = float(np.sqrt(nq_acc))
+    qa = np.asarray(q, dtype=np.float64)
+    out_schema = StructType(
+        df.schema.fields + [StructField(score_col, DoubleType())]
+    )
+    emb_name = emb_col
+
+    def gen(batches):
+        for pdf in batches:
+            embs = pdf[emb_name]
+            valid = embs.notna().to_numpy()
+            if not valid.any():
+                continue
+            V = np.stack(embs[valid].to_numpy()).astype(np.float64)
+            acc = np.zeros((V.shape[0], P.shape[0]))
+            for j in range(V.shape[1]):
+                acc = acc + V[:, j : j + 1] * P[:, j]
+            bucket = ((acc > 0.0) * weights).sum(axis=1).astype(np.int64)
+            hit = bucket == qbucket
+            if not hit.any():
+                continue
+            W = V[hit]
+            accd = np.zeros(W.shape[0])
+            for j in range(W.shape[1]):
+                accd = accd + W[:, j] * qa[j]
+            na = np.sqrt(_fold_dot_norm(W, np))
+            scores = np.where((na == 0.0) | (nq == 0.0), 0.0, accd / (na * nq))
+            out = pdf.iloc[np.nonzero(valid)[0][hit]].copy()
+            out[score_col] = scores
+            yield out
+
+    scored = df.mapInPandas(gen, schema=out_schema)
+    order = [F.desc(score_col)] + ([F.asc(id_col)] if id_col else [])
+    return scored.orderBy(*order).limit(k)
 
 
 def ivf_index(
