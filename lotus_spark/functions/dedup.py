@@ -324,7 +324,7 @@ def jaccard_sim_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     algorithm: str = "count",
-    chunks: int = 8,
+    chunks: int | str = 8,
 ) -> DataFrame:
     """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold. Exact.
 
@@ -354,19 +354,39 @@ def jaccard_sim_pairs(
             f"unknown algorithm {algorithm!r}; pick 'count', 'prefix', "
             "'block' or 'auto'"
         )
-    if algorithm == "auto":
-        # one column-pruned aggregation decides the plan: bounded blocks →
-        # block-local counting (no pair-row shuffle); unbounded → posting
-        # join. The cutoff keeps a block's postings in one task's memory
-        # (~200k docs × ~50 shingles ≈ 10M posting rows per block).
+    max_block: int | None = None
+    n_blocks = 1
+    if algorithm == "auto" or (chunks == "auto" and algorithm == "block"):
+        # one column-pruned aggregation (map-side-combined count per block)
+        # sizes the plan: bounded blocks → block-local counting (no pair-row
+        # shuffle); unbounded → posting join. The same pass yields the block
+        # count that sizes the chunk fan-out below.
         if block_col is None:
             max_block = df.count()
         else:
-            max_block = (
+            g = (
                 df.groupBy(block_col).count()
-                .agg(F.max("count").alias("m")).first()["m"]
-            ) or 0
+                .agg(F.max("count").alias("m"), F.count("*").alias("b"))
+                .first()
+            )
+            max_block = g["m"] or 0
+            n_blocks = max(g["b"] or 1, 1)
+    if algorithm == "auto":
         algorithm = "block" if max_block <= 200_000 else "count"
+    if chunks == "auto":
+        # Two constraints, take the max: (a) enough chunk-pair groups that
+        # the counting stage saturates the cluster even with few blocks
+        # (n_blocks · s(s+1)/2 ≳ 3·cores — measured: parallelism beats the
+        # ∝s posting-replication cost until s is large); (b) the dense
+        # chunk-pair count matrix stays ~0.5 GB (chunk ≤ 8192 docs, so a
+        # 200k-doc hot block splits into 25 chunks / 325 bounded tasks).
+        import math
+
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        want_groups = max(1, (3 * cores) // n_blocks)
+        s_par = math.ceil((math.sqrt(8 * want_groups + 1) - 1) / 2)
+        s_mem = -(-int(max_block or 0) // 8192)
+        chunks = max(s_par, s_mem, 1)
     if algorithm == "block":
         import numpy as np
         import pandas as pd

@@ -129,6 +129,13 @@ def test_jaccard_pairs_algorithms_agree(spark):
         results[alg] = [(r["a"], r["b"], r["jaccard"]) for r in rows]
     assert results["count"] == results["prefix"] == results["block"]
     assert len(results["count"]) > 0
+    # auto plan + auto chunk sizing (stats-driven) picks one of the above
+    auto = (
+        jaccard_sim_pairs(df, "t", "id", shingle_n=2, threshold=0.2,
+                          block_col="lang", algorithm="auto", chunks="auto")
+        .orderBy("a", "b").collect()
+    )
+    assert [(r["a"], r["b"], r["jaccard"]) for r in auto] == results["count"]
 
 
 def test_embedding_neardup_pairs(spark):
