@@ -1162,6 +1162,143 @@ FROM c
 """
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """End-to-end pretraining-corpus cleaning pipeline composed as ONE lazy
+    Spark plan — the north-star composition of the training-data operators:
+
+    1. Gopher-style quality gate (``functions/text.py::gopher_keep``) — pure
+       Column expressions, evaluated inside the scan's codegen stage; at
+       100 TB this is a map-only pass with zero shuffle.
+    2. Exact content dedup on the polynomial text fingerprint
+       (``functions/dedup.py::exact_dedup``) — one narrow (fp, id) hash
+       shuffle, min-id row wins.
+    3. Benchmark-contamination filter vs the eval slice (doc_id < 50):
+       fraction of each survivor's hashed word 3-grams present in the eval
+       set (``contamination_overlap`` with roles swapped) — the eval
+       shingle relation is tiny and broadcasts, so the corpus side is one
+       map-side semi-join probe.
+    4. GPT-style concat-and-chunk sequence packing of the clean corpus
+       (``functions/sampling.py::pack_sequences``) — distributed
+       prefix-sum via repartitionByRange, no single-partition global
+       window.
+
+    Reference parity: composes the reference's cleaning-adjacent surface
+    (dedup `lotus/sem_ops/sem_dedup.py`, filters) with the standard
+    pretraining pipeline stages (Gopher quality, contamination, packing).
+    """
+    from lotus_spark.functions.dedup import contamination_overlap, exact_dedup
+    from lotus_spark.functions.sampling import pack_sequences
+    from lotus_spark.functions.text import (
+        fingerprint,
+        gopher_keep,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_slice = docs.filter(F.col("doc_id") < 50)
+    train = docs.filter(F.col("doc_id") >= 50)
+    kept = train.filter(gopher_keep(F.col("text"), min_words=20))
+    # multi-consumer intermediates persist: `deduped` feeds both the
+    # contamination probe and the final join (no cross-branch exchange
+    # reuse in Spark), and `clean` is scanned twice by the prefix-sum
+    # (per-partition totals job + final). Without these the gopher+dedup
+    # subplan re-executes up to 4x.
+    deduped = exact_dedup(
+        kept.withColumn("fp", fingerprint(F.col("text"))), "fp", "doc_id"
+    ).persist()
+    cont = contamination_overlap(
+        eval_slice, deduped, "text", "doc_id", shingle_n=3
+    )
+    clean = (
+        deduped.join(cont, "doc_id")
+        .filter(F.col("contamination") <= 0.5)
+        .select(
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("toks"),
+            "contamination",
+        )
+        .persist()
+    )
+    out = pack_sequences(clean, "toks", 2048, "doc_id")
+    return out.select(
+        "doc_id", "toks", "contamination", "seq_id", "seq_offset", "n_seqs"
+    )
+
+
+_SQL_PIPELINE_CLEAN = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') toks FROM documents
+  WHERE doc_id >= 50
+),
+g AS (
+  SELECT doc_id, text, toks,
+    list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS grams,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+  FROM d
+),
+m AS (
+  SELECT doc_id, text, n_tokens,
+    CASE WHEN len(grams) <= 0 THEN 0.0
+         ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) END AS dup2,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks) END AS atl,
+    len(list_filter(toks, t -> list_contains({_STOP}, t))) AS stop_hits,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE ROUND(CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / n_tokens, 6) END AS symr
+  FROM g
+),
+kept AS (
+  SELECT doc_id, text FROM m
+  WHERE n_tokens >= 20 AND n_tokens <= 100000 AND atl >= 3.0 AND atl <= 10.0
+    AND stop_hits >= 2 AND symr <= 0.1 AND dup2 <= 0.2
+),
+dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      row_number() OVER (PARTITION BY {_sql_strhash('text')} ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+ew AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words
+       FROM documents WHERE doc_id < 50),
+et AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         list_transform(range(1, greatest(len(words)-3, 0)+2),
+                        i -> array_to_string(words[i:i+2], ' ')),
+         g -> {_sql_strhash('g')}))) AS sh FROM ew),
+dw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM dd),
+sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         list_transform(range(1, greatest(len(words)-3, 0)+2),
+                        i -> array_to_string(words[i:i+2], ' ')),
+         g -> {_sql_strhash('g')}))) AS sh FROM dw),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sp GROUP BY doc_id),
+h AS (SELECT doc_id, COUNT(*) AS hit FROM sp WHERE sh IN (SELECT sh FROM et)
+      GROUP BY doc_id),
+cont AS (SELECT sz.doc_id,
+           ROUND(CAST(COALESCE(h.hit, 0) AS DOUBLE) / sz.sz, 6) AS contamination
+         FROM sz LEFT JOIN h ON sz.doc_id = h.doc_id),
+clean AS (
+  SELECT dd.doc_id,
+    CASE WHEN trim(dd.text) = '' THEN 0
+         ELSE len(string_split_regex(trim(dd.text), '\\s+')) END AS toks,
+    cont.contamination
+  FROM dd JOIN cont ON dd.doc_id = cont.doc_id
+  WHERE cont.contamination <= 0.5
+),
+c AS (
+  SELECT doc_id, toks, contamination,
+    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM clean
+)
+SELECT doc_id, CAST(toks AS BIGINT) AS toks, contamination,
+  CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
+  CAST((cum - toks) % 2048 AS BIGINT) AS seq_offset,
+  CAST((CASE WHEN toks > 0 THEN (cum - 1) // 2048
+        ELSE (cum - toks) // 2048 END) - (cum - toks) // 2048 + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
 def q_profile(spark, sf_dir):
     """One-pass multi-column data-QA profiler (functions/profile.py):
     rows/nulls/distinct/min/max/mean/exact-p50 for lineitem measure +
@@ -1478,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "pipeline_clean": q_pipeline_clean,
         "profile": q_profile,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
@@ -1632,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _SQL_TIME_ROLLUP,
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "pipeline_clean": _SQL_PIPELINE_CLEAN,
         "profile": _SQL_PROFILE,
         "bm25_search": _SQL_BM25,
         "hybrid_search": _SQL_HYBRID,
