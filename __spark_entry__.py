@@ -30,9 +30,7 @@ MOD = 1_000_000_007
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # parquet timestamps are naive; pin the session to UTC so Spark's
     # LTZ interpretation matches DuckDB's naive comparisons/formatting.
-    # events.ts is TIMESTAMP(NANOS), which Spark only reads as long.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -259,11 +257,10 @@ FROM orders QUALIFY rank <= 3
 
 
 def q_events_hourly(spark, sf_dir):
-    # events.ts is parquet TIMESTAMP(NANOS) — Spark reads it as long when
-    # nanosAsLong is set (see _t); truncate to the hour in integer seconds
+    # events.ts is parquet timestamp[us] (TIMESTAMP_NTZ); truncate natively
     ev = _t(spark, sf_dir, "events")
-    secs = F.floor(F.col("ts") / F.lit(1_000_000_000)).cast("long")
-    hour = F.from_unixtime(secs - secs % 3600)
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                         "yyyy-MM-dd HH:mm:ss")
     return (
         ev.groupBy(hour.alias("hour"), "event_type")
         .agg(
@@ -674,11 +671,14 @@ def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int) -> str:
         f"xq AS v FROM p ORDER BY {h}, vec_id LIMIT {k})",
     ]
     for t in range(iters):
+        # min_by over [dist, c] == argmin with smallest-c tiebreak; a hash
+        # aggregate, far lighter than sorting the n×k cartesian in a window
         ctes.append(
-            f"a{t} AS (SELECT vec_id, xq, c FROM (SELECT p.vec_id, p.xq, "
-            f"c{t}.c, row_number() OVER (PARTITION BY p.vec_id "
-            f"ORDER BY {dist('p.xq', f'c{t}.v')}, c{t}.c) AS rk "
-            f"FROM p, c{t}) WHERE rk = 1)"
+            f"a{t} AS (SELECT vec_id, any_value(xq) AS xq, "
+            f"CAST(min([dst, CAST(c AS HUGEINT)])[2] AS BIGINT) AS c "
+            f"FROM (SELECT p.vec_id, p.xq, c{t}.c, "
+            f"{dist('p.xq', f'c{t}.v')} AS dst FROM p, c{t}) "
+            f"GROUP BY vec_id)"
         )
         sums = ", ".join(f"SUM(xq[{j}]) AS s{j}" for j in range(1, d + 1))
         ctes.append(
@@ -691,10 +691,10 @@ def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int) -> str:
             f"FROM c{t} prev LEFT JOIN s{t} s ON prev.c = s.c)"
         )
     ctes.append(
-        f"afinal AS (SELECT vec_id, c FROM (SELECT p.vec_id, c{iters}.c, "
-        f"row_number() OVER (PARTITION BY p.vec_id "
-        f"ORDER BY {dist('p.xq', f'c{iters}.v')}, c{iters}.c) AS rk "
-        f"FROM p, c{iters}) WHERE rk = 1)"
+        f"afinal AS (SELECT vec_id, "
+        f"CAST(min([dst, CAST(c AS HUGEINT)])[2] AS BIGINT) AS c FROM "
+        f"(SELECT p.vec_id, c{iters}.c, {dist('p.xq', f'c{iters}.v')} AS dst "
+        f"FROM p, c{iters}) GROUP BY vec_id)"
     )
     return ",\n".join(ctes)
 
@@ -994,10 +994,10 @@ def q_asof_join(spark, sf_dir):
     errors = ev.filter(F.col("event_type") == "error").select(
         "user_id", "ts", "value")
     out = asof_join(clicks, errors, on="ts", by="user_id")
-    # DuckDB reads TIMESTAMP(NANOS) at µs precision; emit µs on both sides
+    # ts is timestamp[us] (NTZ); emit epoch-µs on both sides for comparison
     return out.select(
         "event_id", "user_id",
-        F.expr("ts_right div 1000").alias("err_us"),
+        F.unix_micros(F.col("ts_right").cast("timestamp")).alias("err_us"),
         F.col("value").alias("err_value"),
     )
 
@@ -1021,18 +1021,17 @@ def q_range_join(spark, sf_dir):
     from lotus_spark.functions.joins import range_join
 
     ev = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.col("ts").alias("p"))
+        "event_id", "user_id", us("ts").alias("p"))
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("ts").alias("lo"),
-        (F.col("ts") + F.lit(86400 * 10**9)).alias("hi"))
+        "user_id", us("ts").alias("lo"),
+        (us("ts") + F.lit(86400 * 10**6)).alias("hi"))
     out = range_join(clicks, errors, "p", "lo", "hi", by="user_id")
-    # µs on both sides (DuckDB reads TIMESTAMP(NANOS) at µs precision);
-    # delta computed µs-from-µs so truncation matches the oracle exactly
     return out.select(
         "event_id", "user_id",
-        F.expr("lo div 1000").alias("err_us"),
-        F.expr("p div 1000 - lo div 1000").alias("delta_us"),
+        F.col("lo").alias("err_us"),
+        (F.col("p") - F.col("lo")).alias("delta_us"),
     )
 
 
@@ -1057,7 +1056,7 @@ def q_time_rollup(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("tsc"),
+        F.col("ts").alias("tsc"),
         _dec("value").alias("v"),
     )
     out = time_rollup(

@@ -4,12 +4,24 @@ Reference semantics (``lotus/sem_ops/sem_dedup.py:32-91``): self sim-join,
 keep pairs with ``_scores > threshold``, build the duplicate graph, connected
 components, drop all but one representative (minimum id) per component.
 
-Spark design: embeddings → pair generation (full self-join for the exact
-tier; cluster-blocked at scale) → JVM-side cosine threshold → connected
-components. Components are computed by driver union-find when the edge set is
-small (duplicate edges are sparse by construction), else by iterative min-
-label propagation over DataFrames (each round is one join + groupBy; loops
-until a fixpoint — the standard large-scale CC algorithm without GraphFrames).
+Spark design: embeddings → pair generation → connected components. Pair
+generation never emits a cartesian/BroadcastNestedLoop stage:
+
+- ``strategy="exact"`` — chunk-pair blocking (``functions.dedup.scored_pairs``):
+  rows hash into memory-bounded chunks, every chunk-pair is one
+  ``applyInPandas`` task scoring its block with numpy (dim-ordered fold,
+  value-identical to ``pair_cosine``). Exact at any N; Σ work is still
+  O(n²) so it is the ≲10⁶-row tier.
+- ``strategy="lsh"`` — multi-table random-hyperplane LSH candidate
+  generation (``functions.dedup.lsh_candidate_pairs``) + exact within-bucket
+  verify. Approximate recall (documented there), the 100 TB tier.
+- ``strategy="auto"`` (default) — bounded count picks exact below
+  ``exact_max`` rows, LSH above.
+
+Components are computed by driver union-find when the edge set is small
+(duplicate edges are sparse by construction), else by iterative min-label
+propagation over DataFrames (each round is one join + groupBy; loops until a
+fixpoint — the standard large-scale CC algorithm without GraphFrames).
 """
 
 from __future__ import annotations
@@ -19,7 +31,7 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lotus_spark.functions.vectors import pair_cosine
+from lotus_spark.functions.dedup import lsh_candidate_pairs, scored_pairs
 from lotus_spark.operators.sem_index import _resolve_rm, with_embeddings
 
 _DRIVER_CC_MAX_EDGES = 1_000_000
@@ -91,12 +103,20 @@ def sem_dedup(
     rm: Any = None,
     id_col: Optional[str] = None,
     emb_col: Optional[str] = None,
+    strategy: str = "auto",
+    exact_max: int = 200_000,
+    max_block_rows: int = 2048,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Remove semantic near-duplicates of ``col`` at cosine > ``threshold``.
 
     Keeps the minimum-id representative of each duplicate component.
     ``id_col`` should be a stable unique long column; if absent one is
     derived (and the df persisted so ids stay consistent across the plan).
+    ``strategy``: "auto" | "exact" (chunk-pair blocked, exact) | "lsh"
+    (multi-table LSH candidates, approximate recall at scale).
     """
     work = df
     own_id = id_col is None
@@ -109,14 +129,24 @@ def sem_dedup(
         work = with_embeddings(work, col, _resolve_rm(rm), "__emb")
         ecol = "__emb"
 
-    a = work.select(F.col(id_col).alias("src"), F.col(ecol).alias("__ea"))
-    b = work.select(F.col(id_col).alias("dst"), F.col(ecol).alias("__eb"))
-    pairs = a.join(b, a.src < b.dst)  # i<j halves the pair space
-    edges = (
-        pairs.withColumn("__s", pair_cosine(F.col("__ea"), F.col("__eb")))
-        .filter(F.col("__s") > threshold)
-        .select("src", "dst")
-    )
+    if strategy == "auto":
+        # bounded count: scans at most exact_max+1 rows, never the full table
+        n_bounded = work.select(id_col).limit(exact_max + 1).count()
+        strategy = "exact" if n_bounded <= exact_max else "lsh"
+    if strategy == "exact":
+        pairs = scored_pairs(
+            work, id_col, ecol, threshold,
+            max_block_rows=max_block_rows, strict=True,
+        )
+    elif strategy == "lsh":
+        pairs = lsh_candidate_pairs(
+            work, id_col, ecol, threshold,
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
+            max_block_rows=max_block_rows, strict=True,
+        )
+    else:
+        raise ValueError(f"unknown sem_dedup strategy: {strategy!r}")
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     comps = connected_components_edges(edges)
     # representative = min id per component; drop every other member
     removal = (

@@ -201,3 +201,65 @@ def test_sem_sim_join_broadcast_ann_matches_crossjoin(spark):
 
     with pytest.raises(ValueError, match="strategy"):
         ls.sem_sim_join(left, right, "q", "d", strategy="faiss9000", **kw)
+
+
+def _dedup_fixture(spark, n_clusters=6, per=4, dim=16, seed=3):
+    """Tight duplicate clusters (cosine ≈ 1 within, ≈ 0 across)."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_clusters, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        for k in range(per):
+            v = base[c] + 0.001 * rng.normal(size=dim)
+            rows.append((c * per + k, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["id", "emb"])
+
+
+def test_sem_dedup_exact_plan_has_no_cartesian(spark):
+    """The exact tier must never plan a BroadcastNestedLoop/cartesian —
+    pair space is covered by chunk-pair applyInPandas tasks (VERDICT #1)."""
+    df = _dedup_fixture(spark)
+    out = ls.sem_dedup(df, "emb", threshold=0.9, id_col="id",
+                       emb_col="emb", strategy="exact", max_block_rows=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    kept = sorted(r["id"] for r in out.collect())
+    assert kept == [0, 4, 8, 12, 16, 20]  # min id per cluster
+
+
+def test_sem_dedup_lsh_matches_exact_on_tight_clusters(spark):
+    df = _dedup_fixture(spark)
+    exact = sorted(r["id"] for r in ls.sem_dedup(
+        df, "emb", threshold=0.9, id_col="id", emb_col="emb",
+        strategy="exact").collect())
+    lsh = sorted(r["id"] for r in ls.sem_dedup(
+        df, "emb", threshold=0.9, id_col="id", emb_col="emb",
+        strategy="lsh", max_block_rows=8).collect())
+    assert lsh == exact == [0, 4, 8, 12, 16, 20]
+
+
+def test_sem_dedup_auto_picks_lsh_above_exact_max(spark):
+    df = _dedup_fixture(spark)
+    # exact_max below n forces the LSH tier via the bounded count
+    out = ls.sem_dedup(df, "emb", threshold=0.9, id_col="id",
+                       emb_col="emb", strategy="auto", exact_max=10)
+    assert sorted(r["id"] for r in out.collect()) == [0, 4, 8, 12, 16, 20]
+    with pytest.raises(ValueError, match="strategy"):
+        ls.sem_dedup(df, "emb", threshold=0.9, id_col="id",
+                     emb_col="emb", strategy="bogus")
+
+
+def test_scored_pairs_chunked_equals_single_block(spark):
+    from lotus_spark.functions.dedup import scored_pairs
+
+    df = _dedup_fixture(spark, n_clusters=3, per=5)
+    one = scored_pairs(df, "id", "emb", 0.9).collect()
+    many = scored_pairs(df, "id", "emb", 0.9, max_block_rows=4).collect()
+    key = lambda r: (r["a"], r["b"])  # noqa: E731
+    assert sorted(map(key, many)) == sorted(map(key, one))
+    # scores bit-identical regardless of chunking (dim-ordered fold)
+    s1 = {key(r): r["score"] for r in one}
+    for r in many:
+        assert s1[key(r)] == r["score"]
