@@ -837,12 +837,12 @@ def q_jaccard_pairs(spark, sf_dir):
     from lotus_spark.functions.dedup import jaccard_sim_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    # blocks here are languages (bounded), so the block-local BLAS counting
-    # tier applies; algorithm="count" is the unbounded-block scale default
-    # and is asserted equal in tests/test_dedup_and_text.py
+    # algorithm defaults to "auto": blocks here are languages (bounded), so
+    # the stats pass picks the block-local BLAS counting tier (no pair-row
+    # shuffle); "count" is what it picks for unbounded blocks and is
+    # asserted equal in tests/test_dedup_and_text.py
     return jaccard_sim_pairs(
         docs, "text", "doc_id", shingle_n=2, threshold=0.3, block_col="lang",
-        algorithm="block",
     )
 
 
@@ -1620,7 +1620,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
+        "sem_index_roundtrip": q_sem_index_roundtrip,
+        "sem_partition_agg": q_sem_partition_agg,
     }
+
+
+def q_sem_index_roundtrip(spark, sf_dir):
+    """sem_index → persist parquet → read_index → sem_search over the
+    reloaded index (reference sem_index.py:61-77 + load_sem_index.py:49-51).
+    The RM is the SQL-expressible PolyHashRM, so the WHOLE pipeline —
+    embed, distinct, parquet round-trip, reload, cosine top-K — is
+    hash-checked against DuckDB recomputing the same embeddings."""
+    import tempfile
+
+    from lotus_spark.models.demo_lms import PolyHashRM
+    from lotus_spark.operators.sem_index import read_index, sem_index
+    from lotus_spark.operators.sem_search import sem_search
+
+    docs = _t(spark, sf_dir, "documents")
+    rm = PolyHashRM(dim=4)
+    idx_dir = tempfile.mkdtemp(prefix="lotus_semidx_")
+    sem_index(docs, "text", idx_dir, rm=rm)
+    idx = read_index(spark, idx_dir)  # (value, _lotus_emb) from parquet
+    qv = [float(x) for x in rm(["sample query text"])[0]]
+    out = sem_search(
+        idx, col="value", query="", query_vec=qv, K=10,
+        emb_col="_lotus_emb", tie_break="value", return_scores=True,
+    )
+    return out.select(
+        "value", F.round("vec_scores_sim_score", 6).alias("score")
+    )
+
+
+def _sql_sem_index_roundtrip() -> str:
+    from lotus_spark.models.demo_lms import PolyHashRM
+
+    comps = []
+    for j in range(1, 5):
+        a, b = _hash_params(j)
+        comps.append(
+            f"CAST(CAST((({a} * h + {b}) % {MOD}) AS DOUBLE) / {MOD} AS REAL)"
+        )
+    qv = [float(x) for x in PolyHashRM(dim=4)(["sample query text"])[0]]
+    qlit = "[" + ", ".join(repr(x) for x in qv) + "]"
+    return f"""
+WITH t AS (SELECT DISTINCT text AS value FROM documents),
+hh AS (SELECT value, {_sql_strhash('value')} AS h FROM t),
+e AS (SELECT value, CAST([{', '.join(comps)}] AS DOUBLE[]) AS v FROM hh),
+q AS (SELECT CAST({qlit} AS DOUBLE[]) AS qv)
+SELECT value, ROUND({_sql_cosine('e.v', 'q.qv')}, 6) AS score
+FROM e, q
+ORDER BY {_sql_cosine('e.v', 'q.qv')} DESC, value
+LIMIT 10
+"""
+
+
+def q_sem_partition_agg(spark, sf_dir):
+    """sem_partition_by → sem_agg pipeline (reference
+    sem_partition_by.py:60-67): a deterministic partition_fn attaches
+    _lotus_partition_id, rows are physically co-located on it, and the
+    grouped fold aggregates per partition."""
+    from lotus_spark import sem_agg
+    from lotus_spark.models.demo_lms import CountingAggLM
+    from lotus_spark.operators.sem_partition_by import (
+        PARTITION_COL,
+        sem_partition_by,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    part = sem_partition_by(
+        docs,
+        partition_fn=lambda d: d.withColumn(
+            PARTITION_COL, (F.col("n_chars") % 3).cast("int")
+        ),
+    )
+    lm = CountingAggLM()
+    lm.max_ctx_len = 4096  # force a multi-level fold
+    out = sem_agg(part, "Count the {text} documents", lm=lm,
+                  group_by=[PARTITION_COL])
+    return out
+
+
+_SQL_SEM_PARTITION_AGG = """
+SELECT CAST(n_chars % 3 AS INT) AS _lotus_partition_id,
+       CAST(COUNT(*) AS VARCHAR) AS _output
+FROM documents GROUP BY 1
+"""
 
 
 def q_sem_search(spark, sf_dir):
@@ -1789,4 +1874,6 @@ def oracle_sql() -> dict[str, str]:
         sqls["knn_ivf"] = _sql_knn_ivf(qv, d=len(qv))
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
+    sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()
+    sqls["sem_partition_agg"] = _SQL_SEM_PARTITION_AGG
     return sqls

@@ -323,13 +323,17 @@ def jaccard_sim_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
-    algorithm: str = "count",
-    chunks: int | str = 8,
+    algorithm: str = "auto",
+    chunks: int | str = "auto",
 ) -> DataFrame:
     """All pairs (a, b), a<b, with shingle-set Jaccard ≥ threshold. Exact.
 
-    Two physical strategies, same result:
-    - ``algorithm="count"`` (default): posting-list join on *hashed* shingles
+    ``algorithm="auto"`` (default) sizes the plan from one cheap
+    aggregation: bounded blocks → ``"block"`` (no pair-row shuffle),
+    unbounded → ``"count"``.
+
+    Physical strategies, same result:
+    - ``algorithm="count"``: posting-list join on *hashed* shingles
       (long keys — cheap shuffles) → groupBy(a,b) count → join sizes. Rows
       stay narrow (2-3 longs) through every shuffle. Only pairs sharing ≥1
       shingle are materialized — no cross product. Best general choice.

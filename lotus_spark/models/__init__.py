@@ -6,7 +6,7 @@ from lotus_spark.models.fake_lm import (
     EchoLM,
     RegexMapLM,
 )
-from lotus_spark.models.rm import RM, HashRM
+from lotus_spark.models.rm import RM, HashRM, LiteLLMRM, SentenceTransformersRM
 from lotus_spark.models.reranker import (
     Reranker,
     HashReranker,
@@ -27,4 +27,6 @@ __all__ = [
     "RegexMapLM",
     "RM",
     "HashRM",
+    "LiteLLMRM",
+    "SentenceTransformersRM",
 ]

@@ -123,3 +123,33 @@ class FieldCompareLM(FakeLM):
             return "Document 1" if k1 > k2 else "Document 2"
 
         super().__init__(fn)
+
+
+class PolyHashRM:
+    """SQL-expressible demo RM: component j of a doc's embedding is
+    ``float32(((a_j·H + b_j) mod M) / M)`` where H is the polynomial char
+    fold (``functions.text.shingle_hash``) of the doc and (a_j, b_j) the
+    affine family of ``functions.dedup._hash_params``. Every value is exact
+    integer math + one double divide + one float32 round — bit-replicable
+    in DuckDB, so index/search pipelines built on it hash-match end to end
+    (the RM analogue of the SQL-expressible fake LMs above; reference test
+    pattern ``lotus/tests``)."""
+
+    def __init__(self, dim: int = 4):
+        self.dim = dim
+
+    def __call__(self, docs):
+        import numpy as np
+
+        from lotus_spark.functions.dedup import _hash_params
+        from lotus_spark.functions.text import BASE, MOD
+
+        out = np.zeros((len(docs), self.dim), dtype=np.float32)
+        for i, doc in enumerate(docs):
+            h = 0
+            for ch in str(doc):
+                h = (h * BASE + ord(ch)) % MOD
+            for j in range(self.dim):
+                a, b = _hash_params(j + 1)
+                out[i, j] = np.float32(((a * h + b) % MOD) / MOD)
+        return out

@@ -92,3 +92,75 @@ class SentenceTransformersRM(RM):
         d = dict(self.__dict__)
         d["_model"] = None  # never ship live model weights driver→executor
         return d
+
+
+class LiteLLMRM(RM):
+    """API-backed embeddings through litellm (reference
+    ``lotus/models/litellm_rm.py:11-81`` semantics): batched ``embedding()``
+    calls of at most ``max_batch_size`` docs, optional per-doc character
+    ``truncate_limit``, rows returned in request order.
+
+    ``transport`` injects the embedding callable for hermetic tests (and is
+    how an executor-local stub can be wired); by default the real
+    ``litellm.embedding`` is imported lazily on first use — per executor,
+    never at module import, matching SentenceTransformersRM's pattern.
+    """
+
+    def __init__(
+        self,
+        model: str = "text-embedding-3-small",
+        max_batch_size: int = 64,
+        truncate_limit: int | None = None,
+        transport: Any = None,
+    ):
+        self.model = model
+        self.max_batch_size = max_batch_size
+        self.truncate_limit = truncate_limit
+        self._transport = transport
+        self.dim = -1  # discovered on first embed
+
+    def _embed(self, docs: list[str]) -> np.ndarray:
+        fn = self._transport
+        if fn is None:
+            try:
+                from litellm import embedding as fn  # type: ignore
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "litellm not installed; pass transport= or use HashRM "
+                    "for hermetic runs"
+                ) from e
+            self._transport = fn
+        if self.truncate_limit is not None:
+            docs = [d[: self.truncate_limit] for d in docs]
+        rows: list[list[float]] = []
+        for s in range(0, len(docs), self.max_batch_size):
+            resp = fn(model=self.model, input=docs[s : s + self.max_batch_size])
+            data = resp["data"] if isinstance(resp, dict) else resp.data
+            # API may reorder; restore request order by the index field
+            ordered = sorted(
+                data,
+                key=lambda item: (
+                    item["index"] if isinstance(item, dict) else item.index
+                ),
+            )
+            rows.extend(
+                item["embedding"] if isinstance(item, dict) else item.embedding
+                for item in ordered
+            )
+        out = np.asarray(rows, dtype=np.float32)
+        if out.ndim == 2:
+            self.dim = out.shape[1]
+        return out
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        # a captured real client is not picklable driver→executor; the
+        # executor re-imports lazily. Probe with cloudpickle (what Spark
+        # actually ships closures with) so injected test transports survive.
+        try:
+            from pyspark import cloudpickle
+
+            cloudpickle.dumps(d["_transport"])
+        except Exception:
+            d["_transport"] = None
+        return d

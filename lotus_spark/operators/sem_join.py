@@ -85,10 +85,15 @@ def sem_join(
 
     if cascade_args is not None:
         # the cascade only pays off above a minimum pair count (reference
-        # ``sem_join.py:761-775``, ``types.py:182``): below it, sampling +
-        # calibration would cost more oracle calls than the product itself
-        n_pairs = left.count() * right_sel.count()
-        if n_pairs >= cascade_args.min_join_cascade_size:
+        # ``sem_join.py:761-775``, ``types.py:182``). Gate with BOUNDED
+        # counts — scan at most ceil(min_size) rows per side instead of
+        # executing both full subtrees just to compare against a constant
+        # (full counts here were a full-pipeline run per side at scale)
+        min_size = max(int(cascade_args.min_join_cascade_size), 1)
+        nl = left.limit(min_size).count()
+        nr = right_sel.limit(min_size).count()
+        n_pairs = nl * nr
+        if n_pairs >= min_size:
             from lotus_spark.cascades.join_cascade import sem_join_cascade
 
             return sem_join_cascade(

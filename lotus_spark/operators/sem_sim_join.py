@@ -154,11 +154,16 @@ def sem_sim_join(
     left_emb_col: Optional[str] = None,
     right_emb_col: Optional[str] = None,
     tie_break: Optional[str] = None,
-    strategy: str = "crossjoin",
+    strategy: str = "auto",
+    broadcast_max_rows: int = 200_000,
 ) -> DataFrame:
     """``strategy``:
 
-    - ``"broadcast_exact"`` (default exact tier when the right side fits in
+    - ``"auto"`` (default): bounded count of the right side — at most
+      ``broadcast_max_rows + 1`` rows scanned — picks ``broadcast_exact``
+      when it fits, else ``crossjoin``. Kills the silent pair-shuffle
+      footgun without ever executing the full right subtree to decide.
+    - ``"broadcast_exact"`` (exact tier when the right side fits in
       executor memory): the right side is collected once and broadcast; one
       ``mapInPandas`` over the left computes fold-order-exact cosine scores
       (dim-ordered rank-1 accumulation — bit-identical to the sequential
@@ -172,11 +177,16 @@ def sem_sim_join(
       :class:`~lotus_spark.models.vs.BroadcastVectorIndex`, probed per Arrow
       batch with a float32 numpy/FAISS matmul — fastest, but scores are
       float32 (not fold-exact)."""
-    if strategy not in ("crossjoin", "broadcast_ann", "broadcast_exact"):
+    if strategy not in ("auto", "crossjoin", "broadcast_ann", "broadcast_exact"):
         raise ValueError(
-            f"unknown strategy {strategy!r}; pick 'crossjoin', "
+            f"unknown strategy {strategy!r}; pick 'auto', 'crossjoin', "
             "'broadcast_exact' or 'broadcast_ann'"
         )
+    if strategy == "auto":
+        fits = (
+            right.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows
+        )
+        strategy = "broadcast_exact" if fits else "crossjoin"
     model = None
     if left_emb_col is None or right_emb_col is None:
         model = _resolve_rm(rm)

@@ -239,16 +239,26 @@ def sem_topk(
     lm: Any = None,
     method: str = "quick",
     group_by: Optional[list[str]] = None,
-    prefilter_factor: int = 0,
+    prefilter_factor: Optional[int] = None,
     rm: Any = None,
     seed: int = 42,
     helper_lm: Any = None,
     cascade_threshold: Optional[float] = None,
+    max_collect: int = 50_000,
     **model_kwargs: Any,
 ) -> DataFrame:
     """Top-K rows per the NL criterion. ``prefilter_factor=c > 0`` bounds the
     candidate pool to c*K rows by embedding similarity to the instruction
-    (the 'quick-sem' idea) before the LLM tournament."""
+    (the 'quick-sem' idea) before the LLM tournament.
+
+    Driver-collect bound (the LLM tournament is inherently driver-side, as
+    in the reference — but the pool must not be the whole table at scale):
+    ``prefilter_factor=None`` (default) auto-enables the embedding
+    prefilter at c=10 whenever an RM is available; pass ``0`` to force the
+    full-table pool (reference-exact). Whatever the pool, collecting more
+    than ``max_collect`` rows raises instead of OOMing the driver — use a
+    prefilter (pass ``rm=``), ``group_by``, or a pre-``filter`` to shrink
+    the pool, or raise ``max_collect`` deliberately."""
     model = _resolve_lm(lm)
     cols = parse_cols(user_instruction)
     missing = [c for c in cols if c not in df.columns]
@@ -285,12 +295,25 @@ def sem_topk(
 
         return df.groupBy(*group_by).applyInPandas(rank_group, schema=out_schema)
 
+    if prefilter_factor is None:
+        # auto: bound the pool whenever an embedding prefilter is possible
+        prefilter_factor = 10 if rm_obj is not None else 0
     pool_df = df
     if prefilter_factor and prefilter_factor > 0:
         from lotus_spark.operators.sem_search import sem_search
 
         pool_df = sem_search(
-            df, cols[0], instr, K=prefilter_factor * K, rm=rm, return_scores=False
+            df, cols[0], instr, K=prefilter_factor * K, rm=rm_obj,
+            return_scores=False,
+        )
+    # bounded existence check — scans at most max_collect+1 rows, and the
+    # pool (not the input table) is what crosses to the driver
+    if pool_df.limit(max_collect + 1).count() > max_collect:
+        raise ValueError(
+            f"sem_topk would collect more than max_collect={max_collect} "
+            "rows to the driver; pass rm= to enable the embedding "
+            "prefilter, use group_by, pre-filter the input, or raise "
+            "max_collect explicitly"
         )
     pdf = pool_df.toPandas()
     docs = docs_from_pdf(pdf, cols, fmt)

@@ -95,22 +95,99 @@ def load_from_s3(
     return reader.format(fmt).load(f"s3a://{bucket}/{key}")
 
 
+def _text_extractor(path: str, content: bytes) -> list[str]:
+    """Built-in text-like extractor: utf-8 decode, form-feed page breaks."""
+    try:
+        text = bytes(content).decode("utf-8", errors="replace")
+    except Exception:
+        text = ""
+    return text.split("\f")
+
+
+def _pdf_extractor(path: str, content: bytes) -> list[str]:  # pragma: no cover
+    """PDF per-page text via pymupdf when importable (reference
+    ``lotus/file_extractors/pdf_reader`` semantics)."""
+    import io
+
+    import fitz  # pymupdf
+
+    with fitz.open(stream=io.BytesIO(content), filetype="pdf") as doc:
+        return [page.get_text() for page in doc]
+
+
+def _docx_extractor(path: str, content: bytes) -> list[str]:  # pragma: no cover
+    import io
+
+    import docx
+
+    d = docx.Document(io.BytesIO(content))
+    return ["\n".join(p.text for p in d.paragraphs)]
+
+
+_TEXT_EXTS = ("txt", "md", "csv", "json", "log", "py", "html")
+
+
+def default_extractors() -> dict:
+    """Per-extension extractor registry. An extractor is
+    ``(file_path, content_bytes) -> list[str]`` (one string per page).
+    Rich-format readers register only when their lib imports (pymupdf,
+    python-docx) — mirroring the reference's optional file_extractors."""
+    reg: dict = {ext: _text_extractor for ext in _TEXT_EXTS}
+    try:  # pragma: no cover - pymupdf absent in the test container
+        import fitz  # noqa: F401
+
+        reg["pdf"] = _pdf_extractor
+    except ImportError:
+        pass
+    try:  # pragma: no cover - python-docx absent in the test container
+        import docx  # noqa: F401
+
+        reg["docx"] = _docx_extractor
+    except ImportError:
+        pass
+    return reg
+
+
 def load_files(
     spark: SparkSession,
     path: str,
     glob: Optional[str] = None,
     per_page: bool = True,
+    page_separator: str = "\n",
+    custom_extractors: Optional[dict] = None,
+    chunk: bool = False,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 50,
 ) -> DataFrame:
     """DirectoryReader-equivalent (reference
     ``lotus/file_extractors/directory_reader.py:141-571``): binary scan of a
     directory tree → one row per page with ``content``/``file_path``/
-    ``page_label`` columns. PDF/DOCX parsing libs are not in this container,
-    so extraction handles text-like files and falls back to a clearly marked
-    stub for rich formats (the Spark plumbing — binaryFile scan, partitioned
-    extraction, page explode — is real).
+    ``page_label`` columns.
+
+    Extraction is pluggable per extension: ``custom_extractors`` maps
+    ``ext -> (file_path, bytes) -> list[str]`` and overlays
+    :func:`default_extractors` (text-likes built in; PDF/DOCX auto-register
+    behind import-try — reference ``custom_reader_configs``). Unknown
+    extensions emit one clearly marked ``[unextracted:ext]`` row so the
+    pipeline shape stays observable.
+
+    Reference ``load_data`` parity: ``per_page=False`` merges a file's pages
+    with ``page_separator``; ``chunk=True`` re-splits extracted text into
+    whitespace-token windows of ``chunk_size`` with ``chunk_overlap``
+    (reference TokenTextSplitter shape), labeling rows ``chunk_id``.
+
+    Scale: the binaryFile scan distributes files across tasks; extraction is
+    one Arrow-batched pass (``mapInPandas``), so a million-file corpus
+    extracts with no driver involvement and no shuffle.
     """
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
+
+    registry = default_extractors()
+    if custom_extractors:
+        registry.update(
+            {k.lstrip(".").lower(): v for k, v in custom_extractors.items()}
+        )
 
     reader = spark.read.format("binaryFile")
     if glob:
@@ -131,19 +208,34 @@ def load_files(
             for _, r in pdf.iterrows():
                 fp = r["path"]
                 ext = fp.rsplit(".", 1)[-1].lower()
-                if ext in ("txt", "md", "csv", "json", "log", "py", "html"):
+                fn = registry.get(ext)
+                if fn is not None:
                     try:
-                        text = bytes(r["content"]).decode("utf-8", errors="replace")
-                    except Exception:
-                        text = ""
-                    pages = text.split("\f") if per_page else [text]
+                        pages = list(fn(fp, bytes(r["content"])))
+                    except Exception as e:  # noqa: BLE001 - per-file isolation
+                        rows.append((fp, "1", f"[extract-error:{ext}:{e}]"))
+                        continue
+                else:
+                    # no extractor for this extension — emit a marked row so
+                    # the pipeline shape is observable, never silently drop
+                    rows.append((fp, "1", f"[unextracted:{ext}]"))
+                    continue
+                if chunk:
+                    step = max(chunk_size - chunk_overlap, 1)
+                    n_chunk = 0
+                    for page in pages:
+                        toks = page.split()
+                        for s in range(0, max(len(toks), 1), step):
+                            piece = " ".join(toks[s : s + chunk_size])
+                            rows.append((fp, f"chunk_{n_chunk}", piece))
+                            n_chunk += 1
+                            if s + chunk_size >= len(toks):
+                                break
+                elif per_page:
                     for i, page in enumerate(pages):
                         rows.append((fp, str(i + 1), page))
                 else:
-                    # rich-format extraction (pdf/docx/pptx) requires pymupdf
-                    # et al. — not available here; emit a marker row so the
-                    # pipeline shape is testable end-to-end
-                    rows.append((fp, "1", f"[unextracted:{ext}]"))
+                    rows.append((fp, "1", page_separator.join(pages)))
             yield pd.DataFrame(rows, columns=["file_path", "page_label", "content"])
 
     return binary.select("path", "content").mapInPandas(extract, schema=out_schema)

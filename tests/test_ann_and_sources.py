@@ -60,6 +60,57 @@ def test_load_files_reads_text(spark, tmp_path):
     assert any(c.startswith("[unextracted:pdf]") for c in by_content)
 
 
+def test_load_files_custom_extractor_per_page(spark, tmp_path):
+    """Pluggable extractor registry (VERDICT #3): a fake rich-format reader
+    produces per-page rows through the distributed extraction path."""
+    from lotus_spark.sources.connectors import load_files
+
+    (tmp_path / "doc.pdf").write_bytes(b"FAKEPDF:alpha|beta|gamma")
+
+    def fake_pdf(path, content):
+        return content.decode().split(":", 1)[1].split("|")
+
+    out = load_files(spark, str(tmp_path),
+                     custom_extractors={".pdf": fake_pdf}).collect()
+    got = {(r["page_label"], r["content"]) for r in out}
+    assert got == {("1", "alpha"), ("2", "beta"), ("3", "gamma")}
+
+
+def test_load_files_merge_and_chunk(spark, tmp_path):
+    from lotus_spark.sources.connectors import load_files
+
+    (tmp_path / "a.txt").write_text("p one\fp two")
+    merged = load_files(spark, str(tmp_path), per_page=False,
+                        page_separator=" || ").collect()
+    assert len(merged) == 1 and merged[0]["content"] == "p one || p two"
+
+    (tmp_path / "b.txt").write_text(" ".join(f"w{i}" for i in range(10)))
+    chunks = load_files(
+        spark, str(tmp_path), glob="b.txt", chunk=True,
+        chunk_size=4, chunk_overlap=1,
+    ).collect()
+    texts = {r["page_label"]: r["content"] for r in chunks}
+    assert texts["chunk_0"] == "w0 w1 w2 w3"
+    assert texts["chunk_1"] == "w3 w4 w5 w6"  # overlap of 1 token
+    assert all(lbl.startswith("chunk_") for lbl in texts)
+
+
+def test_load_files_extractor_error_isolated(spark, tmp_path):
+    from lotus_spark.sources.connectors import load_files
+
+    (tmp_path / "good.txt").write_text("fine")
+    (tmp_path / "bad.xyz").write_text("boom")
+
+    def explode(path, content):
+        raise RuntimeError("corrupt")
+
+    out = load_files(spark, str(tmp_path),
+                     custom_extractors={"xyz": explode}).collect()
+    by_path = {r["file_path"].rsplit("/", 1)[-1]: r["content"] for r in out}
+    assert by_path["good.txt"] == "fine"
+    assert by_path["bad.xyz"].startswith("[extract-error:xyz:")
+
+
 def test_multimodal_image_features(spark):
     from lotus_spark.sources.multimodal import frame_sample, image_features
 

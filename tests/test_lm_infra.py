@@ -190,3 +190,51 @@ def test_estimate_semantic_cost_and_safe_mode(spark, capsys):
         assert n == 40
     finally:
         settings.safe_mode = False
+
+
+def test_litellm_rm_with_fake_transport():
+    """LiteLLMRM (reference litellm_rm.py parity): batching, truncation,
+    index-ordered assembly — hermetic via an injected transport."""
+    import numpy as np
+
+    from lotus_spark.models import LiteLLMRM
+
+    calls = []
+
+    def transport(model, input):
+        calls.append(list(input))
+        # return out of order to prove index-based reassembly
+        data = [
+            {"index": i, "embedding": [float(len(t)), float(i)]}
+            for i, t in enumerate(input)
+        ][::-1]
+        return {"data": data}
+
+    rm = LiteLLMRM(model="fake-embed", max_batch_size=2, truncate_limit=3,
+                   transport=transport)
+    out = rm(["aaaaa", "b", "cc", "ddd", "e"])
+    assert out.shape == (5, 2)
+    assert rm.dim == 2
+    # truncate_limit=3 applied before embedding: len("aaaaa"[:3]) == 3
+    np.testing.assert_array_equal(out[0], [3.0, 0.0])
+    np.testing.assert_array_equal(out[1], [1.0, 1.0])
+    # batches of at most 2 (indices restart per batch)
+    assert [len(c) for c in calls] == [2, 2, 1]
+
+
+def test_litellm_rm_drives_embedding_ops(spark):
+    """LiteLLMRM plugs into the with_embeddings / sem_search path."""
+    from lotus_spark.models import LiteLLMRM
+    from lotus_spark.operators.sem_index import with_embeddings
+
+    def transport(model, input):
+        return {"data": [
+            {"index": i, "embedding": [float(t.count("a")), 1.0]}
+            for i, t in enumerate(input)
+        ]}
+
+    rm = LiteLLMRM(transport=transport)
+    df = spark.createDataFrame([("aaa",), ("b",)], ["t"])
+    out = with_embeddings(df, "t", rm, "emb").collect()
+    got = {r["t"]: r["emb"] for r in out}
+    assert got["aaa"] == [3.0, 1.0] and got["b"] == [0.0, 1.0]
