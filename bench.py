@@ -54,7 +54,36 @@ BENCH_QUERIES = [
     "orders_rollup",
     "supplier_intersect",
     "embedding_neardup",
+    "sem_search_rerank",
 ]
+
+
+def bench_streaming(spark, sf_dir: str) -> int:
+    """Structured Streaming micro-bench: file-source stream over the
+    documents table → watermarked windowed corpus stats → memory sink,
+    Trigger.AvailableNow (bounded, deterministic). Times the full
+    plan-build + all micro-batches."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.streaming.ops import read_parquet_stream, windowed_doc_stats
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_parquet_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    )
+    stream = stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") % 600)
+    )
+    stats = windowed_doc_stats(stream, "text", "ts", window="1 minute")
+    qname = f"bench_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stats.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).count()
 
 
 def main() -> None:
@@ -111,7 +140,45 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
+    # streaming micro-bench (not in queries() — a streaming query has no
+    # batch DuckDB oracle; rows-only sanity + timing visibility here)
+    try:
+        t0 = time.time()
+        n = bench_streaming(spark, sf_dir)
+        timings["streaming_doc_stats"] = round(time.time() - t0, 3)
+        print(f"# streaming_doc_stats: {n} rows in "
+              f"{timings['streaming_doc_stats']:.2f}s", file=sys.stderr)
+    except Exception as exc:  # streaming must never fail the batch bench
+        print(f"# streaming_doc_stats failed: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
+
+    # round-over-round delta: compare against the newest BENCH_r*.json so
+    # per-query regressions are visible in the output, not just the total
+    prev_name, regressions = None, {}
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        benches = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        )
+        for path in reversed(benches):
+            with open(path) as f:
+                rec = json.load(f)
+            prev_q = (rec.get("parsed") or {}).get("queries") or rec.get("queries")
+            if prev_q:
+                prev_name = os.path.basename(path)
+                for k, v in timings.items():
+                    p = prev_q.get(k)
+                    if p and p > 0.05 and v > 1.5 * p:
+                        regressions[k] = {"prev": p, "now": v}
+                break
+    except Exception as exc:
+        print(f"# bench-delta failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -120,6 +187,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "prev_bench": prev_name,
+                "regressions_vs_prev": regressions,
             }
         )
     )

@@ -190,17 +190,26 @@ def rrf_fuse(
     id_col: str,
     k: int = 10,
     rrf_k: int = RRF_K,
+    max_list_size: int = 1000,
 ) -> DataFrame:
     """Reciprocal-rank fusion of ranked lists (each ``(id_col, score)``,
     higher better): fused = Σ 1/(rrf_k + rank). Documents absent from a
     list contribute nothing for it. Rank fusion avoids calibrating
-    incomparable score scales (BM25 vs cosine)."""
+    incomparable score scales (BM25 vs cosine).
+
+    Each input is truncated to its top ``max_list_size`` rows FIRST via
+    ``orderBy().limit()`` (TakeOrderedAndProject — k rows per partition
+    cross the shuffle), so the subsequent global rank window only ever
+    sorts a bounded list: the API stays safe when handed an arbitrary
+    score relation instead of a pre-cut top-N list. A rank beyond
+    max_list_size contributes < 1/(rrf_k + max_list_size) ≈ nothing."""
     from pyspark.sql import Window
 
     fused = None
     for i, r in enumerate(ranked):
+        bounded = r.orderBy(F.desc("score"), F.asc(id_col)).limit(max_list_size)
         w = Window.orderBy(F.desc("score"), F.asc(id_col))
-        ranks = r.select(
+        ranks = bounded.select(
             id_col, F.row_number().over(w).alias(f"__r{i}"))
         fused = ranks if fused is None else fused.join(
             ranks, id_col, "full_outer")

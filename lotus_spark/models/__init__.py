@@ -6,6 +6,7 @@ from lotus_spark.models.fake_lm import (
     EchoLM,
     RegexMapLM,
 )
+from lotus_spark.models.colbert_rm import ColBERTv2RM, RMOutput
 from lotus_spark.models.rm import RM, HashRM, LiteLLMRM, SentenceTransformersRM
 from lotus_spark.models.reranker import (
     Reranker,
@@ -26,7 +27,9 @@ __all__ = [
     "EchoLM",
     "RegexMapLM",
     "RM",
+    "ColBERTv2RM",
     "HashRM",
     "LiteLLMRM",
+    "RMOutput",
     "SentenceTransformersRM",
 ]

@@ -121,16 +121,73 @@ class LazyFrame:
 
     # -- execution ----------------------------------------------------------
 
-    def execute(self, df: DataFrame) -> DataFrame:
+    def _prefix_keys(self, source_token: str) -> list[str]:
+        """Content-address every plan prefix: key_i = H(key_{i-1} || node_i).
+
+        The reference caches per-node results keyed by (node config hash,
+        input content hash) (``lotus/ast/run.py:128-160``,
+        ``ast/cache.py:62-79``). Content-hashing a distributed DataFrame is
+        itself a full job, so the Spark restatement keys on the *plan
+        prefix* + a caller-supplied source token (e.g. input path +
+        snapshot version) — same reuse semantics whenever the source is
+        versioned, zero extra jobs. ``from_fn`` nodes hash by qualname
+        (identity caveat: a changed closure body with the same name is the
+        caller's responsibility, as with the reference's callable-by-
+        identity hashing)."""
+        import hashlib
+
+        keys = []
+        h = hashlib.blake2b(source_token.encode(), digest_size=16)
+        for node in self._ops:
+            fn_tag = getattr(node.fn, "__qualname__", "") if node.fn else ""
+            part = f"{node.op}|{node.args!r}|{sorted(node.kwargs.items())!r}|{fn_tag}"
+            h = hashlib.blake2b(
+                h.digest() + part.encode(), digest_size=16
+            )
+            keys.append(h.hexdigest())
+        return keys
+
+    def execute(
+        self,
+        df: DataFrame,
+        checkpoint_dir: Optional[str] = None,
+        source_token: Optional[str] = None,
+    ) -> DataFrame:
+        """Replay the recorded ops onto ``df``.
+
+        With ``checkpoint_dir`` + ``source_token``, semantic-node outputs
+        are persisted as parquet addressed by the plan prefix; a re-run of
+        the same (source, plan prefix) resumes from the longest existing
+        checkpoint instead of re-paying the LLM stages.
+        """
         import lotus_spark as ls
 
+        keys = None
+        start = 0
         cur = df
-        for node in self._ops:
+        if checkpoint_dir is not None and source_token is not None:
+            import os
+
+            keys = self._prefix_keys(source_token)
+            for i in range(len(self._ops) - 1, -1, -1):
+                ck = os.path.join(checkpoint_dir, keys[i])
+                if os.path.exists(os.path.join(ck, "_SUCCESS")):
+                    cur = df.sparkSession.read.parquet(ck)
+                    start = i + 1
+                    break
+        for i in range(start, len(self._ops)):
+            node = self._ops[i]
             if node.op == "from_fn":
                 cur = node.fn(cur, *node.args)
             elif node.is_semantic:
                 fn = getattr(ls, node.op)
                 cur = fn(cur, *node.args, **node.kwargs)
+                if keys is not None:
+                    import os
+
+                    ck = os.path.join(checkpoint_dir, keys[i])
+                    cur.write.mode("overwrite").parquet(ck)
+                    cur = df.sparkSession.read.parquet(ck)
             elif node.is_native:
                 method = node.op.split(":", 1)[1]
                 cur = getattr(cur, method)(*node.args, **node.kwargs)

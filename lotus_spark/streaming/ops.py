@@ -44,13 +44,17 @@ def read_parquet_stream(
     path: str,
     schema: Any,
     max_files_per_trigger: Optional[int] = None,
+    glob: Optional[str] = None,
 ) -> DataFrame:
     """File-based streaming source over a parquet directory (the standard
     ingest shape for a training-data pipeline: files land, Spark picks
-    them up incrementally)."""
+    them up incrementally). ``glob`` filters file names within the
+    directory (Spark's file source requires a directory path)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
     return reader.parquet(path)
 
 

@@ -238,3 +238,33 @@ def test_litellm_rm_drives_embedding_ops(spark):
     out = with_embeddings(df, "t", rm, "emb").collect()
     got = {r["t"]: r["emb"] for r in out}
     assert got["aaa"] == [3.0, 1.0] and got["b"] == [0.0, 1.0]
+
+
+def test_colbert_rm_hash_backend_roundtrip(tmp_path):
+    """ColBERTv2RM surface (reference colbertv2_rm.py): index → persist →
+    load_index in a fresh instance → late-interaction MaxSim search."""
+    from lotus_spark.models import ColBERTv2RM
+
+    docs = [
+        "spark engine for big data",
+        "cooking pasta with tomato sauce",
+        "distributed query engine internals",
+        "gardening tips for spring",
+    ]
+    rm = ColBERTv2RM(backend="hash")
+    rm.index(docs, str(tmp_path / "cidx"))
+    out = rm("query engine", K=2)
+    assert len(out.indices[0]) == 2
+    top = {docs[i] for i in out.indices[0]}
+    assert "distributed query engine internals" in top
+    assert out.distances[0] == sorted(out.distances[0], reverse=True)
+
+    rm2 = ColBERTv2RM(backend="hash")
+    rm2.load_index(str(tmp_path / "cidx"))
+    out2 = rm2(["query engine", "pasta recipe"], K=2)
+    assert out2.indices[0] == out.indices[0]
+    assert out2.distances[0] == out.distances[0]
+    assert docs[1] == docs[out2.indices[1][0]]  # pasta doc tops query 2
+
+    with pytest.raises(ValueError, match="no index"):
+        ColBERTv2RM(backend="hash")("q", K=1)

@@ -167,3 +167,52 @@ def test_gepa_optimizer_picks_best_total(spark, courses_df):
 def test_explain_renders_plan():
     s = LazyFrame().sem_filter("{x} ok").filter("y > 1").explain()
     assert "SEM" in s and "nat" in s and "sem_filter" in s
+
+
+def test_lazyframe_checkpoint_reuse(spark, tmp_path):
+    """Plan-prefix checkpoint store (reference ast/run.py:128-160 parity):
+    a re-run of the same (source_token, plan) resumes from the persisted
+    semantic-node output — the LM is not called again."""
+    import glob
+    import os
+    import uuid
+
+    from lotus_spark.models import FakeLM
+
+    marker_dir = str(tmp_path / "calls")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def fn(prompt, _d=marker_dir):
+        # executor-side counter: a marker file per LM call (local-mode FS
+        # is shared, so the driver can count them)
+        open(os.path.join(_d, uuid.uuid4().hex), "w").close()
+        return "True" if "keep" in prompt else "False"
+
+    def n_calls():
+        return len(glob.glob(os.path.join(marker_dir, "*")))
+
+    df = spark.createDataFrame(
+        [("keep me",), ("drop me",), ("keep too",)], ["text"]
+    )
+    lf = (LazyFrame()
+          .sem_filter("{text} should be kept", lm=FakeLM(fn))
+          .select("text"))
+    ckdir = str(tmp_path / "ck")
+
+    out1 = lf.execute(df, checkpoint_dir=ckdir, source_token="src@v1")
+    rows1 = sorted(r["text"] for r in out1.collect())
+    assert rows1 == ["keep me", "keep too"]
+    n_after_first = n_calls()
+    assert n_after_first >= 3
+
+    out2 = lf.execute(df, checkpoint_dir=ckdir, source_token="src@v1")
+    assert sorted(r["text"] for r in out2.collect()) == rows1
+    assert n_calls() == n_after_first  # resumed from checkpoint, no LM calls
+
+    # a different source token must NOT reuse the checkpoint
+    lf.execute(df, checkpoint_dir=ckdir, source_token="src@v2").collect()
+    assert n_calls() > n_after_first
+
+    # plain execute (no checkpoint args) still works and re-runs
+    out3 = lf.execute(df)
+    assert sorted(r["text"] for r in out3.collect()) == rows1
