@@ -1622,6 +1622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_judge": q_llm_judge,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
+        "sessionize": q_sessionize,
+        "paragraph_dedup": q_paragraph_dedup,
+        "ngram_stats": q_ngram_stats,
     }
 
 
@@ -1705,6 +1708,96 @@ _SQL_SEM_PARTITION_AGG = """
 SELECT CAST(n_chars % 3 AS INT) AS _lotus_partition_id,
        CAST(COUNT(*) AS VARCHAR) AS _output
 FROM documents GROUP BY 1
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based event sessionization (functions/timeseries.py): one
+    shuffle on user_id, lag + conditional cumsum — no self-join. Oracle:
+    the same window algebra in DuckDB."""
+    from lotus_spark.functions.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(ev, "ts", "user_id", gap="30 minutes",
+                     tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH l AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+n AS (SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS isnew FROM l),
+s AS (SELECT *, SUM(isnew) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM n)
+SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id,
+       strftime(MIN(ts) OVER (PARTITION BY user_id, session_id),
+                '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Cross-document unit-level exact dedup (CCNet paragraph dedup shape,
+    functions/dedup.py::paragraph_dedup): each distinct unit survives only
+    in the min-doc_id document, docs reassembled in order. Units here are
+    words (the synthetic docs have no paragraph breaks); the plan is
+    identical at any unit granularity."""
+    from lotus_spark.functions.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    out = paragraph_dedup(docs, "text", "doc_id", sep=" ")
+    return out.select("doc_id", F.col("text").alias("kept_text"))
+
+
+_SQL_PARAGRAPH_DEDUP = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+p0 AS (SELECT doc_id, string_split(text, ' ') AS parts FROM d),
+p AS (SELECT doc_id, i - 1 AS pos, trim(parts[i]) AS para
+      FROM p0, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)
+      WHERE length(trim(parts[i])) >= 1),
+w AS (SELECT *, row_number() OVER (PARTITION BY para
+        ORDER BY doc_id, pos) AS rn FROM p),
+k AS (SELECT doc_id, pos, para FROM w WHERE rn = 1)
+SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS kept_text
+FROM k GROUP BY doc_id
+"""
+
+
+def q_ngram_stats(spark, sf_dir):
+    """Corpus top-K word bigrams with occurrence + document frequency
+    (functions/dedup.py::ngram_stats): map-side explode + hash aggregate +
+    TakeOrderedAndProject — the full vocabulary never sorts globally."""
+    from lotus_spark.functions.dedup import ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_stats(docs, "text", n=2, top_k=20)
+
+
+_SQL_NGRAM_STATS = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(t) - 2, 0) + 2),
+                       i -> array_to_string(t[i:i+1], ' ')) AS grams
+      FROM w),
+occ AS (SELECT unnest(grams) AS ngram FROM g),
+oc AS (SELECT ngram, COUNT(*) AS n_occurrences FROM occ GROUP BY ngram),
+dfq AS (SELECT ngram, COUNT(*) AS doc_freq
+        FROM (SELECT doc_id, unnest(list_distinct(grams)) AS ngram FROM g)
+        GROUP BY ngram)
+SELECT oc.ngram, oc.n_occurrences, dfq.doc_freq
+FROM oc JOIN dfq USING (ngram)
+ORDER BY n_occurrences DESC, ngram
+LIMIT 20
 """
 
 
@@ -1876,4 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()
     sqls["sem_partition_agg"] = _SQL_SEM_PARTITION_AGG
+    sqls["sessionize"] = _SQL_SESSIONIZE
+    sqls["paragraph_dedup"] = _SQL_PARAGRAPH_DEDUP
+    sqls["ngram_stats"] = _SQL_NGRAM_STATS
     return sqls

@@ -908,3 +908,99 @@ def lsh_candidate_pairs(
         exploded, id_col, emb_col, threshold,
         group_col="__g", max_block_rows=max_block_rows, strict=strict,
     ).dropDuplicates(["a", "b"])
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (CCNet-style): split
+    ``col`` on ``sep``, keep each distinct (trimmed) paragraph only in the
+    document with the smallest ``id_col`` containing it, reassemble the
+    survivors in original order.
+
+    Plan: explode paragraphs (posexplode keeps order) → one hash shuffle
+    on the paragraph hash (min-id winner per paragraph via window) →
+    groupBy doc reassembly. Rows stay narrow (id, pos, hash) through the
+    dedup shuffle; paragraph TEXT only travels in the final reassembly.
+    No pair joins anywhere, so it scales like exact_dedup.
+    """
+    out_col = out_col or col
+    paras = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__did"),
+            # \Q..\E: literal separator (F.split's pattern is a Java regex)
+            F.posexplode(
+                F.split(F.col(col), "\\Q" + sep + "\\E", -1)
+            ).alias("__pos", "__para"),
+        )
+        .withColumn("__para", F.trim(F.col("__para")))
+        .filter(F.length("__para") >= min_chars)
+    )
+    w = Window.partitionBy("__para").orderBy(F.asc("__did"), F.asc("__pos"))
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = (
+        kept.groupBy("__did")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias(out_col + "__rebuilt")
+        )
+    )
+    joined = df.join(
+        rebuilt, df[id_col] == rebuilt["__did"], "inner"
+    ).drop("__did")
+    if out_col == col:
+        joined = joined.drop(col)
+    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)
+
+
+def ngram_stats(
+    df: DataFrame,
+    col: str,
+    n: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus-level top-K word n-grams with document frequency — the
+    standard corpus-inspection primitive (vocabulary/boilerplate audit).
+
+    Plan: map-side n-gram explode → hash aggregate (partial map-side
+    combine) → ``orderBy().limit(top_k)`` (TakeOrderedAndProject: only K
+    rows per partition cross the final shuffle). Never a global sort of
+    the full n-gram vocabulary.
+    """
+    from lotus_spark.functions.text import word_ngrams
+
+    grams = ensure_parallelism(df).select(
+        F.col(col),
+        F.explode(word_ngrams(F.col(col), n)).alias("ngram"),
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.count("*").alias("n_occurrences"),
+    )
+    docfreq = (
+        ensure_parallelism(df)
+        .select(F.explode(F.array_distinct(word_ngrams(F.col(col), n))).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return (
+        counts.join(docfreq, "ngram")
+        .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+        .limit(top_k)
+    )

@@ -101,3 +101,45 @@ def time_rollup(
         ])
         out = out.unionByName(_emit(level, grain))
     return out
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    by: str | list[str],
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same key exceeds ``gap``.
+
+    The classic event-pipeline operator (absent from the reference's
+    pandas surface; a first-class need for training-data event logs).
+    Plan: one shuffle on the key (window partition), ``lag`` + conditional
+    cumulative sum — no self-join, no driver state. ``session_id`` is the
+    per-key session ordinal (0-based); ``session_start`` tags each row
+    with its session's first timestamp so downstream aggs can group by
+    (key, session_start) without a second pass.
+
+    At 100 TB: a single hash shuffle on the by-key; per-key rows sort
+    within partition (spillable). Skewed keys (one bot user) are the
+    caveat — pre-split with a salt + merge pass if a key exceeds a task's
+    sort budget.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    out = df.withColumn("__new", is_new).withColumn(
+        session_col,
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.lit(1),
+    ).drop("__new")
+    sess_w = Window.partitionBy(*keys, session_col)
+    return out.withColumn("session_start", F.min(ts_col).over(sess_w))
