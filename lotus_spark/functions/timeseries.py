@@ -17,7 +17,7 @@ closed vocabulary rather than arbitrary expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # coarser-to-the-right; a rollup must request grains in ascending coarseness
@@ -110,6 +110,7 @@ def sessionize(
     gap: str = "30 minutes",
     session_col: str = "session_id",
     tiebreak: str | None = None,
+    salt_sessions: int | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
     the previous event of the same key exceeds ``gap``.
@@ -123,12 +124,27 @@ def sessionize(
     (key, session_start) without a second pass.
 
     At 100 TB: a single hash shuffle on the by-key; per-key rows sort
-    within partition (spillable). Skewed keys (one bot user) are the
-    caveat — pre-split with a salt + merge pass if a key exceeds a task's
-    sort budget.
+    within partition (spillable). Skewed keys (one bot user with a
+    billion events) would exceed a task's sort budget — pass
+    ``salt_sessions=N`` to pre-split every key's timeline into N
+    time-range blocks, sessionize each block locally, and stitch the
+    block-boundary sessions back together with a second window over the
+    tiny per-(key, block) summary table. The salted result is identical
+    to the unsalted one (property-tested); it trades one extra small
+    shuffle for bounded per-task sort size.
     """
     keys = [by] if isinstance(by, str) else list(by)
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    if salt_sessions is not None and salt_sessions > 1:
+        lo, hi = df.select(
+            F.min(F.col(ts_col).cast("double")),
+            F.max(F.col(ts_col).cast("double")),
+        ).first()
+        if lo is not None and hi > lo:
+            return _sessionize_salted(
+                df, ts_col, keys, order, gap, session_col,
+                salt_sessions, lo, hi,
+            )
     w = Window.partitionBy(*keys).orderBy(*order)
     gap_expr = F.expr(f"INTERVAL {gap}")
     prev = F.lag(F.col(ts_col)).over(w)
@@ -141,5 +157,85 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ) - F.lit(1),
     ).drop("__new")
+    sess_w = Window.partitionBy(*keys, session_col)
+    return out.withColumn("session_start", F.min(ts_col).over(sess_w))
+
+
+def _sessionize_salted(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    order: list,
+    gap: str,
+    session_col: str,
+    n_blocks: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Skew-safe sessionize: time-range blocking + boundary merge.
+
+    1. Split the global time range into ``n_blocks`` equal blocks; each
+       (key, block) sessionizes independently — the big window sorts at
+       most 1/N of a hot key's rows per task.
+    2. A per-(key, block) summary (first/last ts, local session count) —
+       N rows per key, tiny — decides which block-boundary sessions
+       merge (first event of block b within ``gap`` of last event of
+       block b-1) and assigns each block a cumulative session-id offset.
+    3. Join the offsets back on (key, block) — the big side is already
+       hash-partitioned on exactly those columns from the window, so the
+       join adds no raw-row shuffle (AQE broadcasts when small) — and
+       renumber.
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    width = (hi - lo) / n_blocks
+    blk = F.least(
+        F.floor((F.col(ts_col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.lit(n_blocks - 1),
+    ).cast("int")
+    local = df.withColumn("__blk", blk)
+
+    w = Window.partitionBy(*keys, "__blk").orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col(ts_col) > prev + gap_expr), F.lit(1)
+    ).otherwise(F.lit(0))
+    local = local.withColumn("__new", is_new).withColumn(
+        "__lsid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ) - F.lit(1),
+    ).drop("__new")
+
+    # summary: N rows per key — the only data the merge pass touches
+    meta = local.groupBy(*keys, "__blk").agg(
+        F.min(ts_col).alias("__first_ts"),
+        F.max(ts_col).alias("__last_ts"),
+        (F.max("__lsid") + 1).alias("__nsess"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("__blk")
+    prev_last = F.lag("__last_ts").over(w2)
+    merge = F.when(
+        prev_last.isNotNull()
+        & (F.col("__first_ts") <= prev_last + gap_expr),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    meta = meta.withColumn("__merge", merge)
+    # offset for block b = sessions in earlier blocks minus merges so far
+    cum_n = F.coalesce(
+        F.sum("__nsess").over(
+            w2.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    cum_m = F.sum("__merge").over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = meta.withColumn("__adj", cum_n - cum_m).select(
+        *keys, "__blk", "__adj"
+    )
+
+    out = local.join(offsets, on=[*keys, "__blk"]).withColumn(
+        session_col, (F.col("__lsid") + F.col("__adj")).cast("long")
+    ).drop("__blk", "__lsid", "__adj")
     sess_w = Window.partitionBy(*keys, session_col)
     return out.withColumn("session_start", F.min(ts_col).over(sess_w))

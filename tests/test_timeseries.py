@@ -75,3 +75,83 @@ def test_time_rollup_matches_per_grain_rescan(facts):
         got = {(str(r["bucket"]), r["k"]): r["sv"]
                for r in out.filter(F.col("grain") == grain).collect()}
         assert got == naive, grain
+
+
+# ---------------------------------------------------------------- sessionize
+
+from lotus_spark.functions.timeseries import sessionize  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user u1: two sessions split by a >30min gap; boundary event at
+        # exactly gap (same session) and gap+1s (new session)
+        ("u1", _ts("2024-03-01 10:00:00"), "a"),
+        ("u1", _ts("2024-03-01 10:30:00"), "b"),   # exactly 30min: same
+        ("u1", _ts("2024-03-01 11:00:01"), "c"),   # 30min+1s: NEW session
+        # user u2: single event (its own session)
+        ("u2", _ts("2024-03-01 09:00:00"), "d"),
+        # user u1 much later: third session
+        ("u1", _ts("2024-03-02 10:00:00"), "e"),
+    ]
+    return spark.createDataFrame(rows, ["user", "ts", "ev"])
+
+
+def test_sessionize_gap_boundary(events):
+    out = sessionize(events, "ts", "user", gap="30 minutes").collect()
+    sid = {r["ev"]: r["session_id"] for r in out}
+    assert sid["a"] == 0 and sid["b"] == 0          # <= gap stays
+    assert sid["c"] == 1                            # > gap splits
+    assert sid["e"] == 2
+    assert sid["d"] == 0                            # single-event session
+    start = {r["ev"]: str(r["session_start"]) for r in out}
+    assert start["b"] == "2024-03-01 10:00:00"
+    assert start["c"] == "2024-03-01 11:00:01"
+    assert start["d"] == "2024-03-01 09:00:00"
+
+
+def test_sessionize_multi_key_and_tiebreak(spark):
+    rows = [
+        ("u", "web", _ts("2024-01-01 00:00:00"), 2),
+        ("u", "web", _ts("2024-01-01 00:00:00"), 1),  # tie → tiebreak col
+        ("u", "app", _ts("2024-01-01 02:00:00"), 3),  # other key: own sid 0
+    ]
+    df = spark.createDataFrame(rows, ["user", "chan", "ts", "seq"])
+    out = sessionize(df, "ts", ["user", "chan"], gap="1 hour",
+                     tiebreak="seq").collect()
+    by_seq = {r["seq"]: r for r in out}
+    assert by_seq[1]["session_id"] == 0 and by_seq[2]["session_id"] == 0
+    assert by_seq[3]["session_id"] == 0  # separate (user, chan) key
+    assert str(by_seq[3]["session_start"]) == "2024-01-01 02:00:00"
+
+
+def test_sessionize_salted_equals_unsalted(spark):
+    import random
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        user = f"u{rng.randrange(5)}"
+        t = base + dt.timedelta(seconds=rng.randrange(0, 7 * 86400))
+        rows.append((user, t, i))
+    df = spark.createDataFrame(rows, ["user", "ts", "seq"])
+    plain = sessionize(df, "ts", "user", gap="45 minutes", tiebreak="seq")
+    for n in (2, 3, 8):
+        salted = sessionize(df, "ts", "user", gap="45 minutes",
+                            tiebreak="seq", salt_sessions=n)
+        a = {(r["user"], r["seq"]): (r["session_id"], str(r["session_start"]))
+             for r in plain.collect()}
+        b = {(r["user"], r["seq"]): (r["session_id"], str(r["session_start"]))
+             for r in salted.collect()}
+        assert a == b, f"salt_sessions={n}"
+
+
+def test_sessionize_salted_degenerate_range(spark):
+    # all events at one instant → falls back to unsalted path
+    t = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", t, 0), ("u", t, 1)], ["user", "ts", "seq"])
+    out = sessionize(df, "ts", "user", tiebreak="seq",
+                     salt_sessions=4).collect()
+    assert {r["session_id"] for r in out} == {0}
