@@ -1569,6 +1569,14 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Newest / previously-unchecked queries FIRST: the driver checks
+        # at most 50 entries in dict order, so the rotation policy is
+        # "new queries lead; the redundant, multi-round-verified
+        # relational demos absorb the tail positions" (see end of dict).
+        "sessionize": q_sessionize,
+        "ngram_stats": q_ngram_stats,
+        "streaming_doc_stats": q_streaming_doc_stats,
+        "paragraph_dedup": q_paragraph_dedup,
         # relational (SURVEY §2.2)
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -1576,11 +1584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "events_hourly": q_events_hourly,
-        "distinct_priorities": q_distinct_priorities,
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "orders_rollup": q_orders_rollup,
-        "supplier_intersect": q_supplier_intersect,
         # semantic ops, deterministic LMs (SURVEY §2.1)
         "sem_filter": q_sem_filter,
         "sem_filter_cascade": q_sem_filter_cascade,
@@ -1622,9 +1628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_judge": q_llm_judge,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
-        "sessionize": q_sessionize,
-        "paragraph_dedup": q_paragraph_dedup,
-        "ngram_stats": q_ngram_stats,
+        # tail positions (>50): redundant relational demos, hash-verified
+        # in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json); they rotate back in
+        # once the 50-query driver window has room.
+        "distinct_priorities": q_distinct_priorities,
+        "supplier_intersect": q_supplier_intersect,
     }
 
 
@@ -1801,6 +1809,75 @@ LIMIT 20
 """
 
 
+def q_streaming_doc_stats(spark, sf_dir):
+    """Structured Streaming end-to-end: file-source stream over the
+    documents table → watermarked 1-minute windowed corpus stats →
+    memory sink under Trigger.AvailableNow (bounded + deterministic, so
+    DuckDB can replay the identical window algebra as a batch query).
+    The streaming extension is Spark-native (the reference is batch-only,
+    SURVEY §1.1); one shuffle on the window key, map-side partials."""
+    import uuid
+
+    from lotus_spark.streaming.ops import (
+        read_parquet_stream,
+        windowed_doc_stats,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_parquet_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    )
+    stream = stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") % 600)
+    )
+    stats = windowed_doc_stats(stream, "text", "ts", window="1 minute")
+    qname = f"oracle_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stats.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_end"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_quality", 4).alias("avg_quality"),
+    )
+
+
+_SQL_STREAMING_DOC_STATS = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(doc_id % 600 AS BIGINT) // 60 AS m,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+q AS (
+  SELECT m,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tok,
+    ROUND(
+      0.4 * least((CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(toks, t -> list_contains({_STOP}, t))) AS DOUBLE) / len(toks) END) * 5.0, 1.0)
+      + 0.4 * (CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)
+      + 0.2 * (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks) END)
+            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END),
+      4) AS quality
+  FROM d
+)
+SELECT strftime(epoch_ms(m * 60000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(epoch_ms((m + 1) * 60000), '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(AVG(quality), 4) AS avg_quality
+FROM q GROUP BY m
+"""
+
+
 def q_sem_search(spark, sf_dir):
     """sem_search operator path (scores col, tie-break, vector entry point)
     over the stored embedding column — reference sem_search.py:91-157."""
@@ -1972,4 +2049,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["sessionize"] = _SQL_SESSIONIZE
     sqls["paragraph_dedup"] = _SQL_PARAGRAPH_DEDUP
     sqls["ngram_stats"] = _SQL_NGRAM_STATS
+    sqls["streaming_doc_stats"] = _SQL_STREAMING_DOC_STATS
     return sqls

@@ -145,8 +145,12 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
     toks = tokens(text)
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    # n O(1) gets per gram (not an O(n) slice copy); F.get returns NULL
+    # past the end (short docs) and concat_ws skips NULLs, so a doc with
+    # < n tokens yields one gram of all its tokens
     return F.when(k == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(n)]))
     )
 
 
@@ -238,9 +242,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     toks = tokens(text)
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    # same O(1)-get shape as word_ngrams (see comment there)
     return F.when(k == 0, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+            F.transform(idx, lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j) for j in range(n)]))
         )
     )
 

@@ -38,12 +38,20 @@ _DRIVER_CC_MAX_EDGES = 1_000_000
 
 
 def connected_components_edges(edges: DataFrame, max_driver_edges: int = _DRIVER_CC_MAX_EDGES) -> DataFrame:
-    """(src, dst) edge df → (id, component) df, component = min reachable id."""
+    """(src, dst) edge df → (id, component) df, component = min reachable id.
+
+    The edge subtree is the expensive stage (pair scoring), so it is
+    persisted before the size-probe ``count()`` — the follow-up
+    ``collect()`` (or the propagation loop's repeated joins) read the
+    cache instead of re-scoring every pair."""
+    edges = edges.persist()
     n_edges = edges.count()
     if n_edges == 0:
+        edges.unpersist(False)
         return edges.sparkSession.createDataFrame([], "id long, component long")
     if n_edges <= max_driver_edges:
         rows = edges.collect()
+        edges.unpersist(False)
         parent: dict = {}
 
         def find(x):
@@ -93,6 +101,7 @@ def connected_components_edges(edges: DataFrame, max_driver_edges: int = _DRIVER
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist(False)  # labels' lineage is truncated by localCheckpoint
     return labels
 
 

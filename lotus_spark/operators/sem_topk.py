@@ -108,19 +108,41 @@ class BatchedComparator:
         return choices
 
 
-def quickselect_topk(
-    docs: list[str], K: int, cmp: BatchedComparator, seed: int = 42
+def _order_round_robin(
+    pool: list[int], docs: list[str], cmp: BatchedComparator
 ) -> list[int]:
-    """Indices of the top-K docs; pivot comparisons batched per round."""
-    rng = random.Random(seed)
-    idx = list(range(len(docs)))
+    """Rank the K quickselect winners best→worst with ONE batched all-pairs
+    call (K is small — K(K-1)/2 comparisons, single LM round trip), instead
+    of O(K²) serial one-pair calls. With a consistent comparator the wins
+    counts are K-1, K-2, …, 0 — exactly the sorted order; under
+    non-transitive answers ties break by pool position (deterministic)."""
+    m = len(pool)
+    if m <= 1:
+        return list(pool)
+    pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
+    outs = cmp.compare([(docs[pool[i]], docs[pool[j]]) for i, j in pairs])
+    wins = [0] * m
+    for (i, j), w in zip(pairs, outs):
+        wins[i if w == 0 else j] += 1
+    return [pool[t] for t in sorted(range(m), key=lambda t: (-wins[t], t))]
+
+
+def _quickselect(
+    docs: list[str],
+    K: int,
+    cmp: BatchedComparator,
+    pivot_fn: Callable[[list[int]], int],
+) -> list[int]:
+    """Shared quickselect body: partition against a pivot (all comparisons
+    of the round in one batched call), recurse only into the side holding
+    rank K, then order the winners with one round-robin batch."""
 
     def select(pool: list[int], k: int) -> list[int]:
         if k <= 0:
             return []
         if len(pool) <= k:
             return pool
-        pivot = pool[rng.randrange(len(pool))]
+        pivot = pivot_fn(pool)
         others = [i for i in pool if i != pivot]
         wins = cmp.compare([(docs[i], docs[pivot]) for i in others])
         better = [i for i, w in zip(others, wins) if w == 0]  # doc_i beats pivot
@@ -133,18 +155,18 @@ def quickselect_topk(
             return select(better, k)
         return better + [pivot] + select(worse, k - len(better) - 1)
 
-    top = select(idx, K)
-    # order the K winners: small, rank with repeated selection of the best
-    ordered: list[int] = []
-    pool = list(top)
-    while pool:
-        best = pool[0]
-        for cand in pool[1:]:
-            if cmp.compare([(docs[cand], docs[best])])[0] == 0:
-                best = cand
-        ordered.append(best)
-        pool.remove(best)
-    return ordered
+    top = select(list(range(len(docs))), K)
+    return _order_round_robin(top, docs, cmp)
+
+
+def quickselect_topk(
+    docs: list[str], K: int, cmp: BatchedComparator, seed: int = 42
+) -> list[int]:
+    """Indices of the top-K docs; pivot comparisons batched per round."""
+    rng = random.Random(seed)
+    return _quickselect(
+        docs, K, cmp, lambda pool: pool[rng.randrange(len(pool))]
+    )
 
 
 def heap_topk(docs: list[str], K: int, cmp: BatchedComparator) -> list[int]:
@@ -183,37 +205,9 @@ def quicksem_topk(
     ``sem_topk.py:407-423``): instead of a random pivot, pick the pool
     element most similar to the query — likely near the top, so the first
     partition already discards most of the pool. Deterministic given sims."""
-    idx = list(range(len(docs)))
-
-    def select(pool: list[int], k: int) -> list[int]:
-        if k <= 0:
-            return []
-        if len(pool) <= k:
-            return pool
-        pivot = max(pool, key=lambda i: (sims[i], -i))
-        others = [i for i in pool if i != pivot]
-        wins = cmp.compare([(docs[i], docs[pivot]) for i in others])
-        better = [i for i, w in zip(others, wins) if w == 0]
-        worse = [i for i, w in zip(others, wins) if w == 1]
-        if len(better) == k:
-            return better
-        if len(better) == k - 1:
-            return better + [pivot]
-        if len(better) > k:
-            return select(better, k)
-        return better + [pivot] + select(worse, k - len(better) - 1)
-
-    top = select(idx, K)
-    ordered: list[int] = []
-    pool = list(top)
-    while pool:
-        best = pool[0]
-        for cand in pool[1:]:
-            if cmp.compare([(docs[cand], docs[best])])[0] == 0:
-                best = cand
-        ordered.append(best)
-        pool.remove(best)
-    return ordered
+    return _quickselect(
+        docs, K, cmp, lambda pool: max(pool, key=lambda i: (sims[i], -i))
+    )
 
 
 def _instruction_sims(docs: list[str], instruction: str, rm: Any) -> list[float]:
@@ -296,8 +290,10 @@ def sem_topk(
         return df.groupBy(*group_by).applyInPandas(rank_group, schema=out_schema)
 
     if prefilter_factor is None:
-        # auto: bound the pool whenever an embedding prefilter is possible
-        prefilter_factor = 10 if rm_obj is not None else 0
+        # auto: bound the pool only when the caller passed an rm
+        # explicitly — an ambient settings.rm must not silently change
+        # results vs the reference-exact full-table tournament
+        prefilter_factor = 10 if rm is not None else 0
     pool_df = df
     if prefilter_factor and prefilter_factor > 0:
         from lotus_spark.operators.sem_search import sem_search
@@ -306,16 +302,18 @@ def sem_topk(
             df, cols[0], instr, K=prefilter_factor * K, rm=rm_obj,
             return_scores=False,
         )
-    # bounded existence check — scans at most max_collect+1 rows, and the
-    # pool (not the input table) is what crosses to the driver
-    if pool_df.limit(max_collect + 1).count() > max_collect:
+    # single bounded execution: collect at most max_collect+1 rows — the
+    # pool (not the input table) is what crosses to the driver, and the
+    # size check reuses the same run (no double execution of the
+    # embedding-scored subtree)
+    pdf = pool_df.limit(max_collect + 1).toPandas()
+    if len(pdf) > max_collect:
         raise ValueError(
             f"sem_topk would collect more than max_collect={max_collect} "
             "rows to the driver; pass rm= to enable the embedding "
             "prefilter, use group_by, pre-filter the input, or raise "
             "max_collect explicitly"
         )
-    pdf = pool_df.toPandas()
     docs = docs_from_pdf(pdf, cols, fmt)
     cmp = BatchedComparator(model, instr, helper_lm=helper_lm,
                             cascade_threshold=cascade_threshold, **model_kwargs)

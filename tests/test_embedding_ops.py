@@ -263,3 +263,30 @@ def test_scored_pairs_chunked_equals_single_block(spark):
     s1 = {key(r): r["score"] for r in one}
     for r in many:
         assert s1[key(r)] == r["score"]
+
+
+def test_connected_components_scores_edges_once(spark):
+    """The edge subtree (pair scoring — the expensive stage) must execute
+    exactly once: persisted before the size-probe count, so collect / the
+    propagation loop hit the cache (round-3 verdict item 5)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from lotus_spark.operators.sem_dedup import connected_components_edges
+
+    for max_driver in (1_000_000, 2):  # driver union-find / min-label path
+        calls = spark.sparkContext.accumulator(0)
+
+        def bump(x, _calls=calls):
+            _calls.add(1)
+            return x
+
+        bump_udf = F.udf(bump, LongType())
+        df = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+        edges = df.select(
+            bump_udf("src").alias("src"), F.col("dst").cast("long")
+        )
+        out = connected_components_edges(edges, max_driver_edges=max_driver)
+        comp = {r["id"]: r["component"] for r in out.collect()}
+        assert comp[3] == 1 and comp[2] == 1 and comp[11] == 10
+        assert calls.value == 3, (max_driver, calls.value)

@@ -244,3 +244,28 @@ def test_sem_join_cascade_gate_uses_bounded_counts(spark):
     out = ls.sem_join(left, right, "{a} matches {b}", lm=lm,
                       cascade_args=args)
     assert out.count() == 8  # every left row matches 'beta' only
+
+
+def test_sem_topk_winner_ordering_batched(spark):
+    """Ordering the K winners is ONE round-robin batched call, not O(K^2)
+    serial one-pair calls (round-3 verdict item 4): total LM round trips =
+    quickselect partition rounds (one each) + exactly one ordering batch."""
+
+    class RoundTripCountingLM(FieldCompareLM):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.round_trips = 0
+
+        def __call__(self, batch, **kw):
+            self.round_trips += 1
+            return super().__call__(batch, **kw)
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)],
+                               ["doc_id", "score"])
+    lm = RoundTripCountingLM("score", "doc_id")
+    out = ls.sem_topk(df, "rank by {score} tie {doc_id}", K=5, lm=lm)
+    got = [r["doc_id"] for r in out.orderBy("_rank").collect()]
+    assert got == list(range(19, 14, -1))
+    # serial ordering alone would add K(K-1)/2 = 10 round trips; the whole
+    # run (partition rounds + 1 ordering batch) must stay well under that
+    assert lm.round_trips <= 8, lm.round_trips
