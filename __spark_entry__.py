@@ -1774,9 +1774,11 @@ p AS (SELECT doc_id, i - 1 AS pos, trim(parts[i]) AS para
       WHERE length(trim(parts[i])) >= 1),
 w AS (SELECT *, row_number() OVER (PARTITION BY para
         ORDER BY doc_id, pos) AS rn FROM p),
-k AS (SELECT doc_id, pos, para FROM w WHERE rn = 1)
-SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS kept_text
-FROM k GROUP BY doc_id
+k AS (SELECT doc_id, pos, para FROM w WHERE rn = 1),
+r AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS kept
+      FROM k GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(r.kept, '') AS kept_text
+FROM d LEFT JOIN r USING (doc_id)
 """
 
 

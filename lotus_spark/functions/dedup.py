@@ -962,12 +962,18 @@ def paragraph_dedup(
             ).alias(out_col + "__rebuilt")
         )
     )
+    # left join + coalesce: a document whose every paragraph was
+    # deduplicated away (or filtered by min_chars) survives with empty
+    # text — reassembly must never silently drop rows
     joined = df.join(
-        rebuilt, df[id_col] == rebuilt["__did"], "inner"
+        rebuilt, df[id_col] == rebuilt["__did"], "left"
     ).drop("__did")
     if out_col == col:
         joined = joined.drop(col)
-    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)
+    return joined.withColumn(
+        out_col + "__rebuilt",
+        F.coalesce(F.col(out_col + "__rebuilt"), F.lit("")),
+    ).withColumnRenamed(out_col + "__rebuilt", out_col)
 
 
 def ngram_stats(

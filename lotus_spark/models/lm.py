@@ -66,6 +66,19 @@ class LM:
         # real clients may override with a tokenizer.
         return max(1, len(text) // 4)
 
+    def cache_key(self) -> str:
+        """Stable cross-process identity for plan/checkpoint addressing
+        (class + model + sorted primitive public config — never the default
+        ``repr`` whose memory address changes every run)."""
+        cfg = {
+            k: (getattr(v, "__qualname__", "<fn>") if callable(v) else v)
+            for k, v in sorted(vars(self).items())
+            if not k.startswith("_")
+            and (callable(v)
+                 or isinstance(v, (str, int, float, bool, type(None))))
+        }
+        return f"{type(self).__qualname__}:{self.model}:{cfg!r}"
+
 
 class LiteLLMClient(LM):
     """Real LM backed by litellm (optional dependency, lazily imported).

@@ -31,6 +31,17 @@ class RM:
             return np.zeros((0, self.dim), dtype=np.float32)
         return self._embed(docs)
 
+    def cache_key(self) -> str:
+        """Stable cross-process identity for plan/checkpoint addressing."""
+        cfg = {
+            k: (getattr(v, "__qualname__", "<fn>") if callable(v) else v)
+            for k, v in sorted(vars(self).items())
+            if not k.startswith("_")
+            and (callable(v)
+                 or isinstance(v, (str, int, float, bool, type(None))))
+        }
+        return f"{type(self).__qualname__}:{cfg!r}"
+
 
 class HashRM(RM):
     """Deterministic feature-hashing embeddings (seeded, l2-normalized).

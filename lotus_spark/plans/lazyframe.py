@@ -42,6 +42,38 @@ SEMANTIC_OPS = {
 _ROW_REDUCING = {"sem_filter", "sem_search", "sem_topk", "sem_dedup"}
 
 
+def _stable_token(v: Any) -> str:
+    """Cross-process-stable string identity for a plan-node argument.
+
+    Model objects (lm=/rm=) expose ``cache_key()``; anything whose repr
+    embeds a memory address (default ``object.__repr__``) falls back to
+    class + sorted primitive public config — a bare ``repr()`` would make
+    checkpoint keys differ every process, silently defeating cross-run
+    resume (round-3 advice)."""
+    ck = getattr(v, "cache_key", None)
+    if callable(ck):
+        return str(ck())
+    r = repr(v)
+    if " at 0x" in r:
+        cfg = {
+            k: val for k, val in sorted(getattr(v, "__dict__", {}).items())
+            if not k.startswith("_")
+            and isinstance(val, (str, int, float, bool, type(None)))
+        }
+        return f"{type(v).__module__}.{type(v).__qualname__}({cfg!r})"
+    return r
+
+
+def _fs_exists(spark, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so checkpoint
+    dirs work on any Spark-supported filesystem (hdfs://, s3a://, file:)
+    — not just the driver's local disk."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 @dataclass(frozen=True)
 class OpNode:
     """One recorded operation: a semantic op name or a native DataFrame call."""
@@ -140,7 +172,11 @@ class LazyFrame:
         h = hashlib.blake2b(source_token.encode(), digest_size=16)
         for node in self._ops:
             fn_tag = getattr(node.fn, "__qualname__", "") if node.fn else ""
-            part = f"{node.op}|{node.args!r}|{sorted(node.kwargs.items())!r}|{fn_tag}"
+            args = [_stable_token(a) for a in node.args]
+            kwargs = sorted(
+                (k, _stable_token(v)) for k, v in node.kwargs.items()
+            )
+            part = f"{node.op}|{args!r}|{kwargs!r}|{fn_tag}"
             h = hashlib.blake2b(
                 h.digest() + part.encode(), digest_size=16
             )
@@ -165,13 +201,12 @@ class LazyFrame:
         keys = None
         start = 0
         cur = df
+        base = (checkpoint_dir or "").rstrip("/")
         if checkpoint_dir is not None and source_token is not None:
-            import os
-
             keys = self._prefix_keys(source_token)
             for i in range(len(self._ops) - 1, -1, -1):
-                ck = os.path.join(checkpoint_dir, keys[i])
-                if os.path.exists(os.path.join(ck, "_SUCCESS")):
+                ck = f"{base}/{keys[i]}"
+                if _fs_exists(df.sparkSession, f"{ck}/_SUCCESS"):
                     cur = df.sparkSession.read.parquet(ck)
                     start = i + 1
                     break
@@ -183,9 +218,7 @@ class LazyFrame:
                 fn = getattr(ls, node.op)
                 cur = fn(cur, *node.args, **node.kwargs)
                 if keys is not None:
-                    import os
-
-                    ck = os.path.join(checkpoint_dir, keys[i])
+                    ck = f"{base}/{keys[i]}"
                     cur.write.mode("overwrite").parquet(ck)
                     cur = df.sparkSession.read.parquet(ck)
             elif node.is_native:

@@ -235,3 +235,51 @@ def test_contamination_and_bpe_tokens(spark):
     # it|'s| a| test|-|case| with| 42| tokens|! -> 10
     assert got[0] == 10
     assert got[1] == 0
+
+
+# ------------------------------------------------------- paragraph_dedup
+
+def test_paragraph_dedup_keeps_min_doc_and_order(spark):
+    from lotus_spark.functions.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\n\nbeta\n\ngamma"),
+        (2, "beta\n\ndelta"),        # beta deduped (doc 1 wins)
+        (3, "alpha\n\nbeta"),        # fully deduplicated away
+        (4, ""),                     # empty doc (min_chars filter)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(df, "text", "doc_id").collect()}
+    assert out[1] == "alpha\n\nbeta\n\ngamma"   # untouched, order kept
+    assert out[2] == "delta"
+    # fully-deduped and empty docs survive as empty strings (no row loss)
+    assert out[3] == "" and out[4] == ""
+    assert len(out) == 4
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    from lotus_spark.functions.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(7, "x\n\nx\n\ny")], ["doc_id", "text"])
+    out = paragraph_dedup(df, "text", "doc_id").collect()[0]["text"]
+    assert out == "x\n\ny"   # repeat within one doc collapses to first pos
+
+
+# ----------------------------------------------------------- ngram_stats
+
+def test_ngram_stats_counts_and_docfreq(spark):
+    from lotus_spark.functions.dedup import ngram_stats
+
+    rows = [(1, "a b a b"), (2, "a b c"), (3, "z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["ngram"]: (r["n_occurrences"], r["doc_freq"])
+           for r in ngram_stats(df, "text", n=2, top_k=10).collect()}
+    # doc1 grams: "a b","b a","a b"; doc2: "a b","b c"; doc3 (<n tokens): "z"
+    assert out["a b"] == (3, 2)
+    assert out["b a"] == (1, 1)
+    assert out["b c"] == (1, 1)
+    assert out["z"] == (1, 1)       # short doc yields one gram of all tokens
+    top = ngram_stats(df, "text", n=2, top_k=1).collect()
+    assert [(r["ngram"], r["n_occurrences"]) for r in top] == [("a b", 3)]

@@ -1,0 +1,67 @@
+"""Meta-test: no oracle entry without a unit test.
+
+Round-3 verdict item 2: ``sessionize``, ``paragraph_dedup`` and
+``ngram_stats`` all shipped as registered oracle queries with zero unit
+coverage (one of them broken). This test closes the gap structurally:
+every name an ``__spark_entry__`` query imports from ``lotus_spark``
+must be referenced somewhere in ``tests/`` — a new ``queries()`` entry
+whose underlying operator has no test fails CI immediately.
+"""
+
+import inspect
+import re
+from pathlib import Path
+
+TESTS_DIR = Path(__file__).parent
+
+# import lines inside q_* function bodies:  "from lotus_spark.x import a, b"
+_IMPORT_RE = re.compile(
+    r"^\s*from\s+(lotus_spark[\w.]*)\s+import\s+"
+    r"(?:\(([^)]*)\)|([^\n]+))",
+    re.MULTILINE,
+)
+
+# names that are infrastructure (models, helpers), not operators under test
+_EXEMPT = {
+    "F", "SparkSession", "DataFrame",
+}
+
+
+def _imported_operator_names() -> set[str]:
+    import __spark_entry__ as entry
+
+    names: set[str] = set()
+    for qname, fn in entry.queries().items():
+        src = inspect.getsource(fn)
+        for m in _IMPORT_RE.finditer(src):
+            module = m.group(1)
+            imported = m.group(2) or m.group(3) or ""
+            for name in imported.split(","):
+                name = name.strip()
+                if not name or name in _EXEMPT:
+                    continue
+                if name.isupper():   # constants, not operators
+                    continue
+                # model stand-ins (FakeLM subclasses etc.) are test
+                # doubles, not operators — but they live in models/ and
+                # are themselves exercised by using them here
+                if ".models" in module or ".demo_lms" in module:
+                    continue
+                names.add(name)
+    return names
+
+
+def test_every_oracle_operator_has_a_unit_test():
+    corpus = "\n".join(
+        p.read_text()
+        for p in TESTS_DIR.glob("test_*.py")
+        if p.name != "test_meta_coverage.py"
+    )
+    missing = sorted(
+        name for name in _imported_operator_names()
+        if not re.search(rf"\b{re.escape(name)}\b", corpus)
+    )
+    assert not missing, (
+        "oracle queries use operators with no unit-test reference: "
+        f"{missing} — add tests before registering the query"
+    )

@@ -216,3 +216,46 @@ def test_lazyframe_checkpoint_reuse(spark, tmp_path):
     # plain execute (no checkpoint args) still works and re-runs
     out3 = lf.execute(df)
     assert sorted(r["text"] for r in out3.collect()) == rows1
+
+
+def test_checkpoint_keys_stable_across_instances(spark, tmp_path):
+    """Prefix keys must not depend on object identity (round-3 advice):
+    a fresh, identically-configured model — the cross-process / cross-run
+    resume case — yields the SAME keys; a differently-configured one
+    yields different keys."""
+    import glob
+    import os
+    import uuid
+
+    from lotus_spark.models.fake_lm import KeywordBoolLM
+
+    def plan(lm):
+        return LazyFrame().sem_filter("{text} should be kept", lm=lm)
+
+    k1 = plan(KeywordBoolLM("keep"))._prefix_keys("src@v1")
+    k2 = plan(KeywordBoolLM("keep"))._prefix_keys("src@v1")
+    k3 = plan(KeywordBoolLM("drop"))._prefix_keys("src@v1")
+    assert k1 == k2          # same config, new instance → same address
+    assert k1 != k3          # different config → different address
+
+    # end-to-end: a re-run with a FRESH model instance resumes from the
+    # checkpoint written by the first run (zero new LM calls)
+    marker_dir = str(tmp_path / "calls2")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    class MarkingLM(KeywordBoolLM):
+        def __call__(self, batch, **kw):
+            open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+            return super().__call__(batch, **kw)
+
+    df = spark.createDataFrame([("keep me",), ("drop me",)], ["text"])
+    ckdir = str(tmp_path / "ck2")
+    out1 = plan(MarkingLM("keep")).execute(
+        df, checkpoint_dir=ckdir, source_token="s@1")
+    assert [r["text"] for r in out1.collect()] == ["keep me"]
+    n1 = len(glob.glob(os.path.join(marker_dir, "*")))
+    assert n1 >= 1
+    out2 = plan(MarkingLM("keep")).execute(
+        df, checkpoint_dir=ckdir, source_token="s@1")
+    assert [r["text"] for r in out2.collect()] == ["keep me"]
+    assert len(glob.glob(os.path.join(marker_dir, "*"))) == n1
