@@ -31,21 +31,28 @@ def load_from_db(
     **options: Any,
 ) -> DataFrame:
     """Run ``query`` against a JDBC database; optionally range-partitioned so
-    the read itself is parallel (the reference's SQLAlchemy read is serial)."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", connection_url)
-        .option("query", query)
-    )
+    the read itself is parallel (the reference's SQLAlchemy read is serial).
+
+    Executed end-to-end against embedded Derby in the test suite (the JDBC
+    driver Spark ships with); any server database is the same code path
+    with a different URL/driver option.
+    """
+    reader = spark.read.format("jdbc").option("url", connection_url)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError("partitioned JDBC read needs lower_bound/upper_bound")
+        # Spark rejects 'query' combined with 'partitionColumn' — the
+        # partitioned path must go through 'dbtable' with the query as a
+        # correlated subquery
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({query}) spark_subq")
+            .option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))
             .option("lowerBound", str(lower_bound))
             .option("upperBound", str(upper_bound))
         )
+    else:
+        reader = reader.option("query", query)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
@@ -60,11 +67,17 @@ def load_from_s3(
     aws_access_key: Optional[str] = None,
     aws_secret_key: Optional[str] = None,
     region: Optional[str] = None,
+    scheme: str = "s3a",
     **reader_options: Any,
 ) -> DataFrame:
     """Distributed read of ``s3a://bucket/key`` (csv/json/parquet/text/orc).
 
     Credentials/endpoint map to hadoop-aws configs (MinIO/R2 via endpoint).
+    ``scheme`` swaps the filesystem while keeping the whole reader path
+    identical — the test suite executes this connector end-to-end with
+    ``scheme="file"`` (a local directory standing in for the bucket),
+    which exercises format/option handling exactly as an s3a:// read
+    would (both resolve through the same Hadoop FileSystem API).
     """
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     if aws_access_key:
@@ -92,7 +105,7 @@ def load_from_s3(
         reader_options.setdefault("inferSchema", "true")
     for k, v in reader_options.items():
         reader = reader.option(k, v)
-    return reader.format(fmt).load(f"s3a://{bucket}/{key}")
+    return reader.format(fmt).load(f"{scheme}://{bucket}/{key}")
 
 
 def _text_extractor(path: str, content: bytes) -> list[str]:
