@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "supplier_intersect",
     "embedding_neardup",
     "sem_search_rerank",
+    "sessionize",
+    "ngram_stats",
+    "paragraph_dedup",
 ]
 
 
@@ -156,6 +159,7 @@ def main() -> None:
     # round-over-round delta: compare against the newest BENCH_r*.json so
     # per-query regressions are visible in the output, not just the total
     prev_name, regressions = None, {}
+    comparable = {}
     try:
         import glob
         import re
@@ -175,6 +179,18 @@ def main() -> None:
                     p = prev_q.get(k)
                     if p and p > 0.05 and v > 1.5 * p:
                         regressions[k] = {"prev": p, "now": v}
+                # comparable-subset totals: newly added queries must not
+                # mask round-over-round wins/losses in the headline total
+                shared = [k for k in timings if k in prev_q]
+                comparable = {
+                    "n_queries": len(shared),
+                    "total_now": round(sum(timings[k] for k in shared), 3),
+                    "total_prev": round(sum(prev_q[k] for k in shared), 3),
+                }
+                if comparable["total_prev"] > 0:
+                    comparable["ratio"] = round(
+                        comparable["total_now"] / comparable["total_prev"], 3
+                    )
                 break
     except Exception as exc:
         print(f"# bench-delta failed: {exc}", file=sys.stderr)
@@ -189,6 +205,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "prev_bench": prev_name,
                 "regressions_vs_prev": regressions,
+                "comparable_subset": comparable,
             }
         )
     )
