@@ -1099,6 +1099,51 @@ _MIX_CONST = 2654435761
 _MIX_RATES = {"en": 0.5, "de": 0.2, "fr": 1.0}
 
 
+def q_quantile_filter(spark, sf_dir):
+    """Quality-quantile gate (functions/sampling.py::quantile_filter):
+    keep the top 40% by n_chars per language — exact percent_rank
+    semantics (reproducible membership, unlike approx-quantile cutoffs).
+    One hash shuffle on the group key."""
+    from lotus_spark.functions.sampling import quantile_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_filter(
+        docs, "n_chars", 0.4, by="lang", tiebreak="doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
+_SQL_QUANTILE_FILTER = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS pr
+  FROM documents)
+WHERE pr <= 0.4
+"""
+
+
+def q_cap_per_key(spark, sf_dir):
+    """Domain-mix rebalancing (functions/sampling.py::cap_per_key): at
+    most 10 documents per source, best by n_chars — the row_number
+    top-N-per-group shape (one shuffle on the key, partial window sort)."""
+    from lotus_spark.functions.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_key(
+        docs, "source", 10, order_by="n_chars", tiebreak="doc_id"
+    ).select("doc_id", "source", "n_chars")
+
+
+_SQL_CAP_PER_KEY = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-hash stratified sampling (data mixing): keep
     50% of en, 20% of de, all of fr, drop other langs — membership is a
@@ -1577,6 +1622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_stats": q_ngram_stats,
         "streaming_doc_stats": q_streaming_doc_stats,
         "paragraph_dedup": q_paragraph_dedup,
+        "quantile_filter": q_quantile_filter,
+        "cap_per_key": q_cap_per_key,
         # relational (SURVEY §2.2)
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -1584,8 +1631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "events_hourly": q_events_hourly,
-        "part_brand_stats": q_part_brand_stats,
-        "orders_union_extremes": q_orders_union_extremes,
         "orders_rollup": q_orders_rollup,
         # semantic ops, deterministic LMs (SURVEY §2.1)
         "sem_filter": q_sem_filter,
@@ -1631,6 +1676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail positions (>50): redundant relational demos, hash-verified
         # in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json); they rotate back in
         # once the 50-query driver window has room.
+        "part_brand_stats": q_part_brand_stats,
+        "orders_union_extremes": q_orders_union_extremes,
         "distinct_priorities": q_distinct_priorities,
         "supplier_intersect": q_supplier_intersect,
     }
@@ -2052,4 +2099,6 @@ def oracle_sql() -> dict[str, str]:
     sqls["paragraph_dedup"] = _SQL_PARAGRAPH_DEDUP
     sqls["ngram_stats"] = _SQL_NGRAM_STATS
     sqls["streaming_doc_stats"] = _SQL_STREAMING_DOC_STATS
+    sqls["quantile_filter"] = _SQL_QUANTILE_FILTER
+    sqls["cap_per_key"] = _SQL_CAP_PER_KEY
     return sqls

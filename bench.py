@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "sessionize",
     "ngram_stats",
     "paragraph_dedup",
+    "quantile_filter",
+    "cap_per_key",
 ]
 
 

@@ -135,3 +135,79 @@ def pack_sequences(
         )
         .drop("__pid", "__cum", "__start", "__last")
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    by: str | list[str] | None = None,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep the best ``keep_frac`` fraction of rows by ``score_col``,
+    optionally per group — the quality-quantile gate every corpus
+    pipeline runs after scoring ("keep the top 30% by quality per
+    language").
+
+    Exact rank semantics (``percent_rank``), not an approximate-quantile
+    threshold: membership is deterministic and reproducible across runs
+    and partitionings, which approx_percentile cutoffs are not. A row is
+    kept iff ``percent_rank <= keep_frac`` over the (group-wise) ordering
+    — best score first by default (``ascending=False``).
+
+    At 100 TB: one hash shuffle on the group key (none ⇒ a single global
+    ordering — prefer a ``by`` key at scale; the global path range-
+    partitions via Spark's window on no key and is flagged for small
+    inputs only). Rows never widen; the filter composes with pushdown.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError("keep_frac must be in (0, 1]")
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    ]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(*order)
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= keep_frac)
+        .drop("__pr")
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key: str | list[str],
+    max_rows: int,
+    order_by: str | None = None,
+    ascending: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Cap every key at ``max_rows`` rows, keeping the best by
+    ``order_by`` — domain-mix rebalancing ("at most N documents per
+    domain so one crawl host can't dominate the mixture").
+
+    Plan: one hash shuffle on the key, ``row_number`` within, filter —
+    the standard top-N-per-group shape Spark executes with a partial
+    window sort (rows beyond the cap never leave the exchange in the
+    AQE-optimized plan). Deterministic given a total ``order_by``;
+    without one, ties fall back to the score-free arrival order within
+    the key (pass an id column for reproducibility).
+    """
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    keys = [key] if isinstance(key, str) else list(key)
+    if order_by is not None:
+        order = [F.col(order_by).asc() if ascending else F.col(order_by).desc()]
+        if tiebreak is not None:
+            order.append(F.col(tiebreak).asc())
+    else:
+        order = [F.monotonically_increasing_id().asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

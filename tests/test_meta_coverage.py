@@ -10,9 +10,15 @@ whose underlying operator has no test fails CI immediately.
 
 import inspect
 import re
+import sys
 from pathlib import Path
 
 TESTS_DIR = Path(__file__).parent
+
+# __spark_entry__ lives at the repo root; make the import independent of
+# pytest's invocation directory
+if str(TESTS_DIR.parent) not in sys.path:
+    sys.path.insert(0, str(TESTS_DIR.parent))
 
 # import lines inside q_* function bodies:  "from lotus_spark.x import a, b"
 _IMPORT_RE = re.compile(

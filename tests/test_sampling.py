@@ -67,3 +67,59 @@ def test_pack_sequences_distributed_scan_matches_single_partition(spark):
                for r in pack_sequences(df, "toks", 128, "ord",
                                        partitions=n).collect()}
         assert got == ref, n
+
+
+# ---------------------------------------------------- quantile_filter
+
+def test_quantile_filter_per_group_exact_rank(spark):
+    from lotus_spark.functions.sampling import quantile_filter
+
+    rows = [("en", i, i * 1.0) for i in range(5)] + \
+           [("fr", i, -i * 1.0) for i in range(3)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id", "score"])
+    out = quantile_filter(df, "score", 0.5, by="lang", tiebreak="doc_id")
+    got = sorted((r["lang"], r["doc_id"]) for r in out.collect())
+    # en: scores 4,3,2 have percent_rank 0,.25,.5 — kept; fr: 0,-1 kept
+    assert got == [("en", 2), ("en", 3), ("en", 4), ("fr", 0), ("fr", 1)]
+
+
+def test_quantile_filter_ascending_and_edge_cases(spark):
+    import pytest as _pytest
+
+    from lotus_spark.functions.sampling import quantile_filter
+
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 20.0), ("h", 3, 5.0)],
+        ["g", "doc_id", "score"])
+    low = quantile_filter(df, "score", 0.0001, by="g", ascending=True,
+                          tiebreak="doc_id")
+    # single-row group: percent_rank 0 is always kept
+    got = sorted((r["g"], r["doc_id"]) for r in low.collect())
+    assert got == [("g", 1), ("h", 3)]
+    with _pytest.raises(ValueError, match="keep_frac"):
+        quantile_filter(df, "score", 1.5)
+    assert quantile_filter(df, "score", 1.0, by="g").count() == 3
+
+
+# --------------------------------------------------------- cap_per_key
+
+def test_cap_per_key_keeps_best(spark):
+    from lotus_spark.functions.sampling import cap_per_key
+
+    rows = [("a.com", i, i * 10.0) for i in range(6)] + [("b.org", 0, 1.0)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id", "score"])
+    out = cap_per_key(df, "domain", 2, order_by="score", tiebreak="doc_id")
+    got = sorted((r["domain"], r["doc_id"]) for r in out.collect())
+    assert got == [("a.com", 4), ("a.com", 5), ("b.org", 0)]
+    # under-cap keys keep everything
+    assert cap_per_key(df, "domain", 10, order_by="score").count() == 7
+
+
+def test_cap_per_key_validation(spark):
+    import pytest as _pytest
+
+    from lotus_spark.functions.sampling import cap_per_key
+
+    df = spark.createDataFrame([("k", 1)], ["k", "v"])
+    with _pytest.raises(ValueError, match="max_rows"):
+        cap_per_key(df, "k", 0)
