@@ -136,10 +136,10 @@ def sessionize(
     keys = [by] if isinstance(by, str) else list(by)
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     if salt_sessions is not None and salt_sessions > 1:
-        lo, hi = df.select(
-            F.min(F.col(ts_col).cast("double")),
-            F.max(F.col(ts_col).cast("double")),
-        ).first()
+        # TIMESTAMP_NTZ does not cast to double directly; route through
+        # TIMESTAMP (identity under a UTC session) for the numeric probe
+        ts_num = F.col(ts_col).cast("timestamp").cast("double")
+        lo, hi = df.select(F.min(ts_num), F.max(ts_num)).first()
         if lo is not None and hi > lo:
             return _sessionize_salted(
                 df, ts_col, keys, order, gap, session_col,
@@ -188,8 +188,9 @@ def _sessionize_salted(
     """
     gap_expr = F.expr(f"INTERVAL {gap}")
     width = (hi - lo) / n_blocks
+    ts_num = F.col(ts_col).cast("timestamp").cast("double")
     blk = F.least(
-        F.floor((F.col(ts_col).cast("double") - F.lit(lo)) / F.lit(width)),
+        F.floor((ts_num - F.lit(lo)) / F.lit(width)),
         F.lit(n_blocks - 1),
     ).cast("int")
     local = df.withColumn("__blk", blk)

@@ -136,15 +136,20 @@ def test_sessionize_salted_equals_unsalted(spark):
         t = base + dt.timedelta(seconds=rng.randrange(0, 7 * 86400))
         rows.append((user, t, i))
     df = spark.createDataFrame(rows, ["user", "ts", "seq"])
-    plain = sessionize(df, "ts", "user", gap="45 minutes", tiebreak="seq")
-    for n in (2, 3, 8):
-        salted = sessionize(df, "ts", "user", gap="45 minutes",
-                            tiebreak="seq", salt_sessions=n)
+    # cover both timestamp types: events.parquet is TIMESTAMP_NTZ, which
+    # does not cast to double directly (regression guard)
+    for typed in (df, df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))):
+        plain = sessionize(typed, "ts", "user", gap="45 minutes",
+                           tiebreak="seq")
         a = {(r["user"], r["seq"]): (r["session_id"], str(r["session_start"]))
              for r in plain.collect()}
-        b = {(r["user"], r["seq"]): (r["session_id"], str(r["session_start"]))
-             for r in salted.collect()}
-        assert a == b, f"salt_sessions={n}"
+        for n in (2, 3, 8):
+            salted = sessionize(typed, "ts", "user", gap="45 minutes",
+                                tiebreak="seq", salt_sessions=n)
+            b = {(r["user"], r["seq"]): (r["session_id"],
+                                         str(r["session_start"]))
+                 for r in salted.collect()}
+            assert a == b, f"salt_sessions={n}"
 
 
 def test_sessionize_salted_degenerate_range(spark):
