@@ -985,28 +985,36 @@ def ngram_stats(
     """Corpus-level top-K word n-grams with document frequency — the
     standard corpus-inspection primitive (vocabulary/boilerplate audit).
 
-    Plan: map-side n-gram explode → hash aggregate (partial map-side
-    combine) → ``orderBy().limit(top_k)`` (TakeOrderedAndProject: only K
+    Plan: ONE n-gram explode → per-(doc, ngram) occurrence counts (hash
+    aggregate with map-side combine — this is also where doc identity
+    collapses, so doc_freq needs no second scan or join) → per-ngram
+    re-aggregation (sum of counts = occurrences, count of rows = doc
+    freq) → ``orderBy().limit(top_k)`` (TakeOrderedAndProject: only K
     rows per partition cross the final shuffle). Never a global sort of
-    the full n-gram vocabulary.
+    the full n-gram vocabulary, never a second pass over the corpus.
     """
     from lotus_spark.functions.text import word_ngrams
 
-    grams = ensure_parallelism(df).select(
-        F.col(col),
-        F.explode(word_ngrams(F.col(col), n)).alias("ngram"),
+    # id binds per input row in its own projection (nondeterministic
+    # expressions are never collapsed through the Generate), so every
+    # gram of one document shares one __doc
+    base = ensure_parallelism(df).withColumn(
+        "__doc", F.monotonically_increasing_id()
     )
-    counts = grams.groupBy("ngram").agg(
-        F.count("*").alias("n_occurrences"),
-    )
-    docfreq = (
-        ensure_parallelism(df)
-        .select(F.explode(F.array_distinct(word_ngrams(F.col(col), n))).alias("ngram"))
-        .groupBy("ngram")
-        .agg(F.count("*").alias("doc_freq"))
+    per_doc = (
+        base.select(
+            "__doc",
+            F.explode(word_ngrams(F.col(col), n)).alias("ngram"),
+        )
+        .groupBy("__doc", "ngram")
+        .agg(F.count("*").alias("__cnt"))
     )
     return (
-        counts.join(docfreq, "ngram")
+        per_doc.groupBy("ngram")
+        .agg(
+            F.sum("__cnt").alias("n_occurrences"),
+            F.count("*").alias("doc_freq"),
+        )
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(top_k)
     )
