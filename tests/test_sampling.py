@@ -123,3 +123,54 @@ def test_cap_per_key_validation(spark):
     df = spark.createDataFrame([("k", 1)], ["k", "v"])
     with _pytest.raises(ValueError, match="max_rows"):
         cap_per_key(df, "k", 0)
+
+
+def test_quantile_filter_matches_bruteforce(spark):
+    """Random data: kept set equals a Python percent_rank replica."""
+    import random
+
+    from lotus_spark.functions.sampling import quantile_filter
+
+    rng = random.Random(11)
+    rows = [(f"g{rng.randrange(4)}", i, float(rng.randrange(100)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "doc_id", "score"])
+    frac = 0.35
+    got = sorted(r["doc_id"] for r in
+                 quantile_filter(df, "score", frac, by="g",
+                                 tiebreak="doc_id").collect())
+
+    by_g: dict = {}
+    for g, i, s in rows:
+        by_g.setdefault(g, []).append((s, i))
+    expect = []
+    for g, members in by_g.items():
+        members.sort(key=lambda t: (-t[0], t[1]))
+        n = len(members)
+        for rank, (_, i) in enumerate(members):
+            pr = 0.0 if n == 1 else rank / (n - 1)
+            if pr <= frac:
+                expect.append(i)
+    assert got == sorted(expect)
+
+
+def test_cap_per_key_matches_bruteforce(spark):
+    import random
+
+    from lotus_spark.functions.sampling import cap_per_key
+
+    rng = random.Random(13)
+    rows = [(f"d{rng.randrange(5)}", i, float(rng.randrange(50)))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id", "score"])
+    got = sorted(r["doc_id"] for r in
+                 cap_per_key(df, "domain", 7, order_by="score",
+                             tiebreak="doc_id").collect())
+    by_d: dict = {}
+    for d, i, s in rows:
+        by_d.setdefault(d, []).append((s, i))
+    expect = []
+    for d, members in by_d.items():
+        members.sort(key=lambda t: (-t[0], t[1]))
+        expect.extend(i for _, i in members[:7])
+    assert got == sorted(expect)
