@@ -1624,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "quantile_filter": q_quantile_filter,
         "cap_per_key": q_cap_per_key,
+        "streaming_sessions": q_streaming_sessions,
         # relational (SURVEY §2.2)
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -1927,6 +1928,67 @@ FROM q GROUP BY m
 """
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Stateful streaming sessionization: file-source stream over events →
+    native ``session_window`` (gap 30m) keyed by user → append-mode memory
+    sink under Trigger.AvailableNow. With watermark delay 0 the final
+    watermark is the global max event time, so exactly the sessions whose
+    end (last event + gap) has passed it are emitted — deterministic and
+    replayable in DuckDB as batch gap-sessionization + the same cutoff.
+    The batch twin is ``functions.timeseries.sessionize`` (oracle
+    ``sessionize``); this entry proves the STREAMING state machinery."""
+    import uuid
+
+    from lotus_spark.streaming.ops import (
+        read_parquet_stream,
+        sessionized_stats,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_parquet_stream(spark, sf_dir, schema, glob="events.parquet")
+    # watermarks demand TIMESTAMP (LTZ); NTZ→LTZ is identity under the
+    # UTC session
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionized_stats(stream, "ts", "user_id", gap="30 minutes",
+                            watermark="0 seconds")
+    qname = f"oracle_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_SQL_STREAMING_SESSIONS = """
+WITH l AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+n AS (SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS isnew FROM l),
+s AS (SELECT *, SUM(isnew) OVER (PARTITION BY user_id
+        ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM n),
+g AS (SELECT user_id, sid, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, sid)
+SELECT user_id,
+       strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM g
+WHERE session_end <= (SELECT MAX(ts) FROM events)
+"""
+
+
 def q_sem_search(spark, sf_dir):
     """sem_search operator path (scores col, tie-break, vector entry point)
     over the stored embedding column — reference sem_search.py:91-157."""
@@ -2101,4 +2163,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["streaming_doc_stats"] = _SQL_STREAMING_DOC_STATS
     sqls["quantile_filter"] = _SQL_QUANTILE_FILTER
     sqls["cap_per_key"] = _SQL_CAP_PER_KEY
+    sqls["streaming_sessions"] = _SQL_STREAMING_SESSIONS
     return sqls

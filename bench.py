@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "quantile_filter",
     "cap_per_key",
+    "streaming_sessions",
 ]
 
 

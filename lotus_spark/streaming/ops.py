@@ -227,6 +227,39 @@ def running_doc_stats(
     )
 
 
+def sessionized_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap sessionization via Spark's native ``session_window``
+    — the canonical stateful-streaming operator (batch twin:
+    ``functions.timeseries.sessionize``). Emits one row per closed
+    (key, session): start, end (last event + gap), event count.
+
+    State is per-open-session bounded and evicted by the watermark:
+    in append mode a session row is emitted only once its window end
+    falls at or before the current watermark (max event time seen minus
+    ``watermark``) — sessions still inside the lateness horizon stay in
+    state. One shuffle on (key, session-window); partials merge map-side.
+    """
+    _require_streaming(df, "sessionized_stats")
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), win.alias("sess"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def _py_quality(text: str) -> float:
     """Python twin of ``functions.text.quality_score`` for the stateful path
     (kept in lockstep by a parity test in test_streaming):

@@ -129,3 +129,49 @@ def test_py_quality_matches_column_quality(spark):
            df.select(T.quality_score(F.col("t")).alias("q")).collect()]
     py = [_py_quality(t) for t in texts]
     assert jvm == pytest.approx(py, abs=1e-9)
+
+
+def test_sessionized_stats_matches_batch_sessionize(spark, tmp_path):
+    """Streaming session_window == batch sessionize() on the same data:
+    same (key, start, end=last+gap, count) per closed session. A sentinel
+    event far in the future pushes the watermark past every real session
+    so append mode emits them all."""
+    import datetime as dt
+    import random
+    import uuid
+
+    from lotus_spark.functions.timeseries import sessionize
+    from lotus_spark.streaming.ops import read_parquet_stream, sessionized_stats
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(f"u{rng.randrange(3)}",
+             base + dt.timedelta(seconds=rng.randrange(0, 4 * 3600)))
+            for _ in range(60)]
+    rows.append(("sentinel", base + dt.timedelta(days=2)))
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, ["user", "ts"]).coalesce(1).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = read_parquet_stream(spark, src, schema)
+    out = sessionized_stats(stream, "ts", "user", gap="20 minutes",
+                            watermark="0 seconds")
+    qn = f"sess_{uuid.uuid4().hex[:6]}"
+    q = (out.writeStream.format("memory").queryName(qn)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user"], str(r["session_start"]), str(r["session_end"]),
+            r["n_events"])
+           for r in spark.table(qn).collect() if r["user"] != "sentinel"}
+
+    batch = sessionize(
+        spark.createDataFrame(rows, ["user", "ts"]), "ts", "user",
+        gap="20 minutes")
+    from pyspark.sql import functions as F
+    exp_df = (batch.groupBy("user", "session_id")
+              .agg(F.min("ts").alias("s"),
+                   (F.max("ts") + F.expr("INTERVAL 20 minutes")).alias("e"),
+                   F.count("*").alias("n")))
+    expect = {(r["user"], str(r["s"]), str(r["e"]), r["n"])
+              for r in exp_df.collect() if r["user"] != "sentinel"}
+    assert got == expect
