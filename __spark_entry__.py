@@ -1630,7 +1630,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue": q_top_revenue,
         "region_revenue": q_region_revenue,
         "customers_no_orders": q_customers_no_orders,
-        "top3_orders_per_customer": q_top3_orders_per_customer,
         "events_hourly": q_events_hourly,
         "orders_rollup": q_orders_rollup,
         # semantic ops, deterministic LMs (SURVEY §2.1)
@@ -1677,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail positions (>50): redundant relational demos, hash-verified
         # in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json); they rotate back in
         # once the 50-query driver window has room.
+        "top3_orders_per_customer": q_top3_orders_per_customer,
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "distinct_priorities": q_distinct_priorities,
