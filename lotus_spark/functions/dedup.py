@@ -985,30 +985,61 @@ def ngram_stats(
     """Corpus-level top-K word n-grams with document frequency — the
     standard corpus-inspection primitive (vocabulary/boilerplate audit).
 
-    Plan: ONE n-gram explode → per-(doc, ngram) occurrence counts (hash
-    aggregate with map-side combine — this is also where doc identity
-    collapses, so doc_freq needs no second scan or join) → per-ngram
-    re-aggregation (sum of counts = occurrences, count of rows = doc
-    freq) → ``orderBy().limit(top_k)`` (TakeOrderedAndProject: only K
-    rows per partition cross the final shuffle). Never a global sort of
-    the full n-gram vocabulary, never a second pass over the corpus.
-    """
-    from lotus_spark.functions.text import word_ngrams
+    Plan: ONE corpus scan — an Arrow-batched ``mapInPandas`` emits each
+    document's (distinct ngram, in-doc count) pairs (a per-doc Counter:
+    doc identity collapses map-side, so no (doc, ngram) shuffle ever
+    exists) → one hash aggregate on ngram (sum = occurrences, row count
+    = doc freq) → ``orderBy().limit(top_k)`` (TakeOrderedAndProject:
+    only K rows per partition cross the final shuffle). Never a global
+    sort of the vocabulary, never a second pass over the corpus.
 
-    # id binds per input row in its own projection (nondeterministic
-    # expressions are never collapsed through the Generate), so every
-    # gram of one document shares one __doc
-    base = ensure_parallelism(df).withColumn(
-        "__doc", F.monotonically_increasing_id()
+    The gram stage is pandas, not ``F.transform``: Catalyst higher-order
+    functions are interpreted and degrade badly in long sessions
+    (megamorphic evaluator call sites — see ``_shingle_postings_pandas``,
+    same measured pathology: 14.6s vs 0.9s steady-state at sf0.1).
+    Tokenization mirrors Spark's Java semantics exactly (ASCII-only
+    ``\\s``, trim of codepoints <= U+0020) so the DuckDB oracle still
+    hash-matches.
+    """
+    import re
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
     )
-    per_doc = (
-        base.select(
-            "__doc",
-            F.explode(word_ngrams(F.col(col), n)).alias("ngram"),
-        )
-        .groupBy("__doc", "ngram")
-        .agg(F.count("*").alias("__cnt"))
-    )
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    java_trim = "".join(chr(i) for i in range(0x21))
+    schema = StructType([
+        StructField("ngram", StringType()),
+        StructField("__cnt", LongType()),
+    ])
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            grams, cnts = [], []
+            for text in pdf[col]:
+                if text is None:
+                    continue  # expr path: explode(transform(null)) drops
+                toks = ws.split(str(text).strip(java_trim).lower())
+                if len(toks) < n:
+                    doc = Counter([" ".join(toks)])
+                else:
+                    doc = Counter(
+                        " ".join(toks[j:j + n])
+                        for j in range(len(toks) - n + 1)
+                    )
+                grams.extend(doc.keys())
+                cnts.extend(doc.values())
+            yield pd.DataFrame({"ngram": grams, "__cnt": cnts})
+
+    per_doc = ensure_parallelism(df).select(col).mapInPandas(gen, schema)
     return (
         per_doc.groupBy("ngram")
         .agg(
