@@ -1144,6 +1144,35 @@ WHERE rn <= 10
 """
 
 
+def q_dedupe_doc_units(spark, sf_dir):
+    """Within-document repeated-unit removal (C4/RefinedWeb line-dedup
+    shape, functions/text.py::dedupe_doc_units): split → array_distinct
+    (order-preserving) → join, pure codegen expressions. Units here are
+    words (synthetic docs are single-line); the plan is identical at any
+    unit granularity."""
+    from lotus_spark.functions.text import dedupe_doc_units
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        dedupe_doc_units(F.col("text"), sep=" ").alias("deduped_text"),
+    )
+
+
+_SQL_DEDUPE_DOC_UNITS = """
+WITH p AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS unit
+  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+       LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)),
+w AS (SELECT *, row_number() OVER (PARTITION BY doc_id, unit
+        ORDER BY pos) AS rn FROM p)
+SELECT doc_id,
+       COALESCE(string_agg(unit, ' ' ORDER BY pos)
+                FILTER (WHERE rn = 1), '') AS deduped_text
+FROM w GROUP BY doc_id
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic content-hash stratified sampling (data mixing): keep
     50% of en, 20% of de, all of fr, drop other langs — membership is a
@@ -1625,8 +1654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_filter": q_quantile_filter,
         "cap_per_key": q_cap_per_key,
         "streaming_sessions": q_streaming_sessions,
+        "dedupe_doc_units": q_dedupe_doc_units,
         # relational (SURVEY §2.2)
-        "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
         "region_revenue": q_region_revenue,
         "customers_no_orders": q_customers_no_orders,
@@ -1676,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tail positions (>50): redundant relational demos, hash-verified
         # in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json); they rotate back in
         # once the 50-query driver window has room.
+        "pricing_summary": q_pricing_summary,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
@@ -2164,4 +2194,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["quantile_filter"] = _SQL_QUANTILE_FILTER
     sqls["cap_per_key"] = _SQL_CAP_PER_KEY
     sqls["streaming_sessions"] = _SQL_STREAMING_SESSIONS
+    sqls["dedupe_doc_units"] = _SQL_DEDUPE_DOC_UNITS
     return sqls

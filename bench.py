@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "quantile_filter",
     "cap_per_key",
     "streaming_sessions",
+    "dedupe_doc_units",
 ]
 
 

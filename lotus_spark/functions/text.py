@@ -263,3 +263,18 @@ def shingle_hash(shingle: Column) -> Column:
     return F.aggregate(
         codes, F.lit(0).cast("long"), lambda acc, c: (acc * BASE + c.cast("long")) % MOD
     )
+
+
+def dedupe_doc_units(text: Column, sep: str = "\n") -> Column:
+    """Remove repeated units (lines/paragraphs/words by ``sep``) WITHIN a
+    document, keeping first occurrences in order — the C4/RefinedWeb-style
+    intra-doc repetition trim (cross-doc dedup is ``paragraph_dedup``).
+
+    Pure native functions (split → array_distinct → array_join): Spark's
+    ``array_distinct`` preserves first-occurrence order, there is no
+    lambda, so the whole thing stays inside whole-stage codegen — safe
+    for the hottest 100 TB map stage.
+    """
+    return F.array_join(
+        F.array_distinct(F.split(text, "\\Q" + sep + "\\E", -1)), sep
+    )

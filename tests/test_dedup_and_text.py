@@ -283,3 +283,20 @@ def test_ngram_stats_counts_and_docfreq(spark):
     assert out["z"] == (1, 1)       # short doc yields one gram of all tokens
     top = ngram_stats(df, "text", n=2, top_k=1).collect()
     assert [(r["ngram"], r["n_occurrences"]) for r in top] == [("a b", 3)]
+
+
+def test_dedupe_doc_units_keeps_first_in_order(spark):
+    from lotus_spark.functions.text import dedupe_doc_units
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x"), (3, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["t"]
+           for r in df.select("doc_id",
+                              dedupe_doc_units(F.col("text")).alias("t")
+                              ).collect()}
+    assert out[1] == "a\nb\nc"
+    assert out[2] == "x" and out[3] == ""
+
+    word = df.select(
+        dedupe_doc_units(F.lit("w w v w"), sep=" ").alias("t")).first()["t"]
+    assert word == "w v"
