@@ -156,10 +156,16 @@ def quantile_filter(
     kept iff ``percent_rank <= keep_frac`` over the (group-wise) ordering
     — best score first by default (``ascending=False``).
 
-    At 100 TB: one hash shuffle on the group key (none ⇒ a single global
-    ordering — prefer a ``by`` key at scale; the global path range-
-    partitions via Spark's window on no key and is flagged for small
-    inputs only). Rows never widen; the filter composes with pushdown.
+    At 100 TB: one hash shuffle on the group key. The GLOBAL path
+    (``by=None``) with a ``tiebreak`` (total order) never runs a
+    single-task window: rank-cutoff membership is identical to keeping
+    the first ``floor(keep_frac·(n−1))+1`` rows of the total order, so
+    it executes as count + ``orderBy().limit(k)`` — a distributed
+    TakeOrderedAndProject (only k rows per partition cross the final
+    shuffle). Without a tiebreak the global path falls back to the
+    single-partition window (boundary ties are order-dependent either
+    way — pass a tiebreak at scale). Rows never widen; the filter
+    composes with pushdown.
     """
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError("keep_frac must be in (0, 1]")
@@ -169,6 +175,20 @@ def quantile_filter(
     ]
     if tiebreak is not None:
         order.append(F.col(tiebreak).asc())
+    if not keys and tiebreak is not None:
+        n = df.count()
+        if n == 0:
+            return df
+        if n == 1:
+            return df  # single row: percent_rank 0 is always kept
+        # exact replica of percent_rank's double comparison i/(n-1) <= f,
+        # so the limit cutoff matches the window path bit-for-bit
+        k = int(keep_frac * (n - 1)) + 1
+        while k < n and k / (n - 1) <= keep_frac:
+            k += 1
+        while k > 1 and (k - 1) / (n - 1) > keep_frac:
+            k -= 1
+        return df.orderBy(*order).limit(k)
     w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(*order)
     return (
         df.withColumn("__pr", F.percent_rank().over(w))

@@ -174,3 +174,29 @@ def test_cap_per_key_matches_bruteforce(spark):
         members.sort(key=lambda t: (-t[0], t[1]))
         expect.extend(i for _, i in members[:7])
     assert got == sorted(expect)
+
+
+def test_quantile_filter_global_distributed_path(spark):
+    """Global quantile_filter with a tiebreak never runs a single-task
+    window: plan is TakeOrderedAndProject, and results equal the window
+    path bit-for-bit (including percent_rank's float boundary)."""
+    import random
+
+    from lotus_spark.functions.sampling import quantile_filter
+
+    rng = random.Random(3)
+    rows = [(i, float(rng.randrange(40))) for i in range(211)]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    for frac in (0.3, 0.5, 1.0, 1 / 3, 2 / 210, 0.0001):
+        fast = quantile_filter(df, "score", frac, tiebreak="doc_id")
+        plan = fast._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # window-path reference: same call WITHOUT tiebreak can't be used
+        # (different order), so replicate via explicit percent_rank
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        w = Window.partitionBy().orderBy(F.desc("score"), F.asc("doc_id"))
+        ref = (df.withColumn("__pr", F.percent_rank().over(w))
+                 .filter(F.col("__pr") <= frac).drop("__pr"))
+        assert sorted(r["doc_id"] for r in fast.collect()) == \
+            sorted(r["doc_id"] for r in ref.collect()), frac
