@@ -162,7 +162,9 @@ def quantile_filter(
     the first ``floor(keep_frac·(n−1))+1`` rows of the total order, so
     it executes as count + ``orderBy().limit(k)`` — a distributed
     TakeOrderedAndProject (only k rows per partition cross the final
-    shuffle). Without a tiebreak the global path falls back to the
+    shuffle); for k above ``topKSortFallbackThreshold`` Catalyst itself
+    switches to a range-partitioned full sort + GlobalLimit, still fully
+    distributed. Without a tiebreak the global path falls back to the
     single-partition window (boundary ties are order-dependent either
     way — pass a tiebreak at scale). Rows never widen; the filter
     composes with pushdown.
