@@ -259,3 +259,19 @@ def test_checkpoint_keys_stable_across_instances(spark, tmp_path):
         df, checkpoint_dir=ckdir, source_token="s@1")
     assert [r["text"] for r in out2.collect()] == ["keep me"]
     assert len(glob.glob(os.path.join(marker_dir, "*"))) == n1
+
+
+def test_checkpoint_dir_accepts_fs_uri(spark, tmp_path):
+    """Checkpoint dirs resolve through the Hadoop FileSystem API, so an
+    explicit file:// URI (the shape an hdfs:///s3a:// deployment uses)
+    round-trips: write on run 1, longest-prefix resume on run 2."""
+    from lotus_spark.models.fake_lm import KeywordBoolLM
+
+    df = spark.createDataFrame([("keep me",), ("drop me",)], ["text"])
+    lf = LazyFrame().sem_filter("{text} should be kept",
+                                lm=KeywordBoolLM("keep"))
+    ckdir = "file://" + str(tmp_path / "ck_uri")
+    out1 = lf.execute(df, checkpoint_dir=ckdir, source_token="s@1")
+    assert [r["text"] for r in out1.collect()] == ["keep me"]
+    out2 = lf.execute(df, checkpoint_dir=ckdir, source_token="s@1")
+    assert [r["text"] for r in out2.collect()] == ["keep me"]

@@ -175,3 +175,37 @@ def test_sessionized_stats_matches_batch_sessionize(spark, tmp_path):
     expect = {(r["user"], str(r["s"]), str(r["e"]), r["n"])
               for r in exp_df.collect() if r["user"] != "sentinel"}
     assert got == expect
+
+
+def test_parquet_sink_exactly_once_resume(spark, tmp_path):
+    """Durable file-sink path: writeStream → parquet with a checkpoint.
+    A second run over the same checkpoint processes ONLY newly-arrived
+    files — rows appear exactly once (the production sink contract; the
+    other tests use the memory sink)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = (spark.readStream.schema(schema).parquet(src)
+                  .withColumn("vv", F.upper("v")))
+        q = (stream.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    spark.createDataFrame([(3, "c")], ["id", "v"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]  # no duplicates
+    assert {r["vv"] for r in rows} == {"A", "B", "C"}
