@@ -198,9 +198,12 @@ def _shingle_postings_pandas(df, col, id_col, shingle_n, block_col):
     evaluators are interpreted (never codegen'd) and their throughput
     degrades badly once a long-lived session has run many distinct lambda
     shapes (megamorphic call sites), which made this map stage the dominant,
-    high-variance cost. Tokenization mirrors Spark's Java semantics:
-    trim = strip codepoints <= U+0020, split on Java ``\\s`` = ASCII
-    [ \\t\\n\\x0b\\f\\r] only (Python ``\\s`` would also eat unicode spaces).
+    high-variance cost. Tokenization mirrors Spark's SQL semantics
+    exactly: ``trim`` strips ONLY ASCII spaces (0x20 — NOT Java
+    String.trim's <= U+0020; a leading tab survives and yields a leading
+    empty token, same as the expression path and the DuckDB oracle);
+    split on Java ``\\s`` = ASCII [ \\t\\n\\x0b\\f\\r] only (Python
+    ``\\s`` would also eat unicode spaces).
     """
     import re
 
@@ -214,7 +217,6 @@ def _shingle_postings_pandas(df, col, id_col, shingle_n, block_col):
     fields.append(StructField("sh", LongType()))
     schema = StructType(fields)
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
-    java_trim = "".join(chr(i) for i in range(0x21))
 
     def gen(batches):
         for pdf in batches:
@@ -226,7 +228,7 @@ def _shingle_postings_pandas(df, col, id_col, shingle_n, block_col):
                 text = texts.iat[i]
                 if text is None:
                     continue  # expr path: transform(null) -> explode drops it
-                toks = ws.split(text.strip(java_trim).lower())
+                toks = ws.split(text.strip(" ").lower())
                 if len(toks) <= shingle_n:
                     doc_sh = [" ".join(toks)]
                 else:
@@ -1011,7 +1013,6 @@ def ngram_stats(
     )
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
-    java_trim = "".join(chr(i) for i in range(0x21))
     schema = StructType([
         StructField("ngram", StringType()),
         StructField("__cnt", LongType()),
@@ -1027,7 +1028,7 @@ def ngram_stats(
             for text in pdf[col]:
                 if text is None:
                     continue  # expr path: explode(transform(null)) drops
-                toks = ws.split(str(text).strip(java_trim).lower())
+                toks = ws.split(str(text).strip(" ").lower())
                 if len(toks) < n:
                     doc = Counter([" ".join(toks)])
                 else:

@@ -154,7 +154,11 @@ def quantile_filter(
     threshold: membership is deterministic and reproducible across runs
     and partitionings, which approx_percentile cutoffs are not. A row is
     kept iff ``percent_rank <= keep_frac`` over the (group-wise) ordering
-    — best score first by default (``ascending=False``).
+    — best score first by default (``ascending=False``). ``tiebreak``
+    should make the ordering TOTAL (e.g. a unique id): with duplicate
+    (score, tiebreak) pairs straddling the cutoff, which of the tied rows
+    survive is arbitrary (and the global fast path keeps exactly k where
+    the window path keeps every tied row).
 
     At 100 TB: one hash shuffle on the group key. The GLOBAL path
     (``by=None``) with a ``tiebreak`` (total order) never runs a
@@ -225,6 +229,9 @@ def cap_per_key(
         order = [F.col(order_by).asc() if ascending else F.col(order_by).desc()]
         if tiebreak is not None:
             order.append(F.col(tiebreak).asc())
+    elif tiebreak is not None:
+        # no score, but the caller asked for determinism: honor it
+        order = [F.col(tiebreak).asc()]
     else:
         order = [F.monotonically_increasing_id().asc()]
     w = Window.partitionBy(*keys).orderBy(*order)

@@ -206,6 +206,10 @@ def _sessionize_salted(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ) - F.lit(1),
     ).drop("__new")
+    # both the summary agg and the final join consume the windowed
+    # `local`; persist so the heavy per-(key, block) sort/lag/cumsum —
+    # the very work salting exists to bound — computes once, not twice
+    local = local.persist()
 
     # summary: N rows per key — the only data the merge pass touches
     meta = local.groupBy(*keys, "__blk").agg(

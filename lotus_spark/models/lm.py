@@ -47,6 +47,39 @@ class LMOutput:
     logprobs: Optional[list[Optional[dict[str, float]]]] = None
 
 
+def stable_config_token(obj: Any) -> str:
+    """Sorted public config of ``obj`` as a cross-process-stable string —
+    the single shared implementation behind ``LM.cache_key``,
+    ``RM.cache_key`` and the LazyFrame checkpoint-key hasher (they MUST
+    stay in lockstep or checkpoint keys drift).
+
+    Primitives verbatim; callables by qualname; dict/list/tuple by repr
+    (dict items sorted — config dicts like sampling kwargs must
+    distinguish models, not silently collide); other objects by their own
+    ``cache_key()`` when present, else class identity (documented
+    residual collision risk: config hidden inside an opaque object
+    without ``cache_key()``)."""
+    parts: dict[str, Any] = {}
+    for k, v in sorted(vars(obj).items()):
+        if k.startswith("_"):
+            continue
+        if callable(v):
+            parts[k] = getattr(v, "__qualname__", "<fn>")
+        elif isinstance(v, (str, int, float, bool, type(None))):
+            parts[k] = v
+        elif isinstance(v, dict):
+            parts[k] = repr(sorted(v.items(), key=lambda kv: str(kv[0])))
+        elif isinstance(v, (list, tuple)):
+            parts[k] = repr(v)
+        elif isinstance(v, (set, frozenset)):
+            parts[k] = repr(sorted(v, key=str))
+        else:
+            ck = getattr(v, "cache_key", None)
+            parts[k] = (str(ck()) if callable(ck)
+                        else f"{type(v).__module__}.{type(v).__qualname__}")
+    return repr(parts)
+
+
 class LM:
     """Abstract batched LM client."""
 
@@ -68,16 +101,10 @@ class LM:
 
     def cache_key(self) -> str:
         """Stable cross-process identity for plan/checkpoint addressing
-        (class + model + sorted primitive public config — never the default
+        (class + model + sorted public config — never the default
         ``repr`` whose memory address changes every run)."""
-        cfg = {
-            k: (getattr(v, "__qualname__", "<fn>") if callable(v) else v)
-            for k, v in sorted(vars(self).items())
-            if not k.startswith("_")
-            and (callable(v)
-                 or isinstance(v, (str, int, float, bool, type(None))))
-        }
-        return f"{type(self).__qualname__}:{self.model}:{cfg!r}"
+        return (f"{type(self).__qualname__}:{self.model}:"
+                f"{stable_config_token(self)}")
 
 
 class LiteLLMClient(LM):

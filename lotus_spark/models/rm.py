@@ -33,14 +33,9 @@ class RM:
 
     def cache_key(self) -> str:
         """Stable cross-process identity for plan/checkpoint addressing."""
-        cfg = {
-            k: (getattr(v, "__qualname__", "<fn>") if callable(v) else v)
-            for k, v in sorted(vars(self).items())
-            if not k.startswith("_")
-            and (callable(v)
-                 or isinstance(v, (str, int, float, bool, type(None))))
-        }
-        return f"{type(self).__qualname__}:{cfg!r}"
+        from lotus_spark.models.lm import stable_config_token
+
+        return f"{type(self).__qualname__}:{stable_config_token(self)}"
 
 
 class HashRM(RM):

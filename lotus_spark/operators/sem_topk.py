@@ -248,7 +248,9 @@ def sem_topk(
     Driver-collect bound (the LLM tournament is inherently driver-side, as
     in the reference — but the pool must not be the whole table at scale):
     ``prefilter_factor=None`` (default) auto-enables the embedding
-    prefilter at c=10 whenever an RM is available; pass ``0`` to force the
+    prefilter at c=10 only when the caller passes ``rm=`` EXPLICITLY (an
+    ambient ``settings.rm`` never silently changes results vs the
+    reference-exact full-table tournament); pass ``0`` to force the
     full-table pool (reference-exact). Whatever the pool, collecting more
     than ``max_collect`` rows raises instead of OOMing the driver — use a
     prefilter (pass ``rm=``), ``group_by``, or a pre-``filter`` to shrink

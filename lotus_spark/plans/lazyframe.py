@@ -45,22 +45,26 @@ _ROW_REDUCING = {"sem_filter", "sem_search", "sem_topk", "sem_dedup"}
 def _stable_token(v: Any) -> str:
     """Cross-process-stable string identity for a plan-node argument.
 
-    Model objects (lm=/rm=) expose ``cache_key()``; anything whose repr
-    embeds a memory address (default ``object.__repr__``) falls back to
-    class + sorted primitive public config — a bare ``repr()`` would make
-    checkpoint keys differ every process, silently defeating cross-run
-    resume (round-3 advice)."""
+    Model objects (lm=/rm=) expose ``cache_key()``; plain callables hash
+    by module-qualified name (NOT their class — every function shares
+    ``type(...) == function``, which would collide all of them onto one
+    key); anything else whose repr embeds a memory address (default
+    ``object.__repr__``) falls back to class + the shared
+    ``stable_config_token`` — a bare ``repr()`` would make checkpoint
+    keys differ every process, silently defeating cross-run resume
+    (round-3 advice)."""
     ck = getattr(v, "cache_key", None)
     if callable(ck):
         return str(ck())
+    if callable(v):
+        return (f"{getattr(v, '__module__', '?')}."
+                f"{getattr(v, '__qualname__', repr(type(v)))}")
     r = repr(v)
     if " at 0x" in r:
-        cfg = {
-            k: val for k, val in sorted(getattr(v, "__dict__", {}).items())
-            if not k.startswith("_")
-            and isinstance(val, (str, int, float, bool, type(None)))
-        }
-        return f"{type(v).__module__}.{type(v).__qualname__}({cfg!r})"
+        from lotus_spark.models.lm import stable_config_token
+
+        return (f"{type(v).__module__}.{type(v).__qualname__}"
+                f"({stable_config_token(v)})")
     return r
 
 

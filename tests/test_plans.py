@@ -275,3 +275,32 @@ def test_checkpoint_dir_accepts_fs_uri(spark, tmp_path):
     assert [r["text"] for r in out1.collect()] == ["keep me"]
     out2 = lf.execute(df, checkpoint_dir=ckdir, source_token="s@1")
     assert [r["text"] for r in out2.collect()] == ["keep me"]
+
+
+def test_stable_tokens_distinguish_dict_config_and_callables():
+    """Checkpoint-key regression guards: config dicts (e.g. sampling
+    kwargs) and distinct callables must yield distinct identities — both
+    previously collapsed, silently resuming from a wrong checkpoint."""
+    from lotus_spark.models.lm import stable_config_token
+    from lotus_spark.plans.lazyframe import _stable_token
+
+    class Cfg:
+        def __init__(self, kw, fn):
+            self.kw = kw
+            self.fn = fn
+
+    def f1(p):
+        return p
+
+    def f2(p):
+        return p
+
+    a = stable_config_token(Cfg({"top_p": 0.1}, f1))
+    b = stable_config_token(Cfg({"top_p": 0.9}, f1))
+    c = stable_config_token(Cfg({"top_p": 0.1}, f2))
+    assert a != b and a != c
+    # same config, fresh equivalent instance → same token
+    assert a == stable_config_token(Cfg({"top_p": 0.1}, f1))
+
+    assert _stable_token(f1) != _stable_token(f2)
+    assert _stable_token(f1) == _stable_token(f1)
