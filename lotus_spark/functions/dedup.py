@@ -999,8 +999,9 @@ def ngram_stats(
     functions are interpreted and degrade badly in long sessions
     (megamorphic evaluator call sites — see ``_shingle_postings_pandas``,
     same measured pathology: 14.6s vs 0.9s steady-state at sf0.1).
-    Tokenization mirrors Spark's Java semantics exactly (ASCII-only
-    ``\\s``, trim of codepoints <= U+0020) so the DuckDB oracle still
+    Tokenization mirrors Spark's SQL semantics exactly (ASCII-only
+    ``\\s`` for the split; SQL ``trim`` strips only ASCII space 0x20,
+    NOT all codepoints <= U+0020) so the DuckDB oracle still
     hash-matches.
     """
     import re

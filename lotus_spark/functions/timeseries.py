@@ -207,9 +207,17 @@ def _sessionize_salted(
         ) - F.lit(1),
     ).drop("__new")
     # both the summary agg and the final join consume the windowed
-    # `local`; persist so the heavy per-(key, block) sort/lag/cumsum —
-    # the very work salting exists to bound — computes once, not twice
-    local = local.persist()
+    # `local`; materialize so the heavy per-(key, block) sort/lag/cumsum —
+    # the very work salting exists to bound — computes once, not twice.
+    # localCheckpoint (not persist): its RDD-level cache is released by
+    # Spark's ContextCleaner when the result DataFrame is dropped, so
+    # repeated calls don't pin partitions for the application lifetime
+    # (persist() entries live in the CacheManager until an explicit
+    # unpersist nobody can issue from inside a lazy builder). Trade-off:
+    # lineage is truncated, so a lost executor partition fails the job
+    # instead of recomputing — acceptable for a cached intermediate that
+    # exists only within one action.
+    local = local.localCheckpoint(eager=False)
 
     # summary: N rows per key — the only data the merge pass touches
     meta = local.groupBy(*keys, "__blk").agg(

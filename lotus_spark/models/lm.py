@@ -47,37 +47,110 @@ class LMOutput:
     logprobs: Optional[list[Optional[dict[str, float]]]] = None
 
 
+def _code_fingerprint(code: Any) -> str:
+    """Deterministic digest of a code object's behavior-relevant parts
+    (bytecode + consts, recursing into nested code objects whose repr
+    would otherwise embed a memory address)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+
+    def feed(c: Any) -> None:
+        h.update(c.co_code)
+        for const in c.co_consts:
+            if hasattr(const, "co_code"):
+                feed(const)
+            else:
+                h.update(repr(const).encode("utf-8", "replace"))
+
+    feed(code)
+    return h.hexdigest()
+
+
+def callable_token(fn: Any) -> str:
+    """``module.qualname#bytecode-digest`` identity for a callable.
+
+    The digest means editing a function's *body* between runs changes its
+    checkpoint identity — qualname-only keys silently resumed stale
+    checkpoints computed with the old code (round-4 advice). Callables
+    without reachable bytecode (builtins, C extensions) degrade to
+    name-only, which is still cross-process stable."""
+    import functools
+
+    if isinstance(fn, functools.partial):
+        inner = callable_token(fn.func)
+        args = ",".join(_value_token(a) for a in fn.args)
+        kw = ",".join(
+            f"{k}={_value_token(v)}" for k, v in sorted(fn.keywords.items())
+        )
+        return f"partial({inner};{args};{kw})"
+    name = (f"{getattr(fn, '__module__', '?')}."
+            f"{getattr(fn, '__qualname__', type(fn).__qualname__)}")
+    code = getattr(fn, "__code__", None)
+    if code is None and not isinstance(fn, type):
+        # callable instance: fingerprint its class's __call__
+        code = getattr(getattr(type(fn), "__call__", None), "__code__", None)
+    if code is not None:
+        try:
+            name += f"#{_code_fingerprint(code)}"
+        except Exception:
+            pass
+    return name
+
+
+def _value_token(v: Any) -> str:
+    """Cross-process-stable string identity for one config value,
+    applied recursively inside containers (a raw ``repr`` of a list
+    element with the default object repr would embed a memory address
+    and silently defeat cross-run checkpoint resume)."""
+    if isinstance(v, (str, int, float, bool, type(None))):
+        return repr(v)
+    ck = getattr(v, "cache_key", None)
+    if callable(ck):
+        return str(ck())
+    if callable(v):
+        return callable_token(v)
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: str(kv[0]))
+        return ("{" + ",".join(
+            f"{_value_token(k)}:{_value_token(x)}" for k, x in items) + "}")
+    if isinstance(v, (list, tuple)):
+        body = ",".join(_value_token(x) for x in v)
+        return f"[{body}]" if isinstance(v, list) else f"({body})"
+    if isinstance(v, (set, frozenset)):
+        return "{" + ",".join(sorted(_value_token(x) for x in v)) + "}"
+    r = repr(v)
+    if " at 0x" not in r:
+        return r
+    return f"{type(v).__module__}.{type(v).__qualname__}"
+
+
 def stable_config_token(obj: Any) -> str:
     """Sorted public config of ``obj`` as a cross-process-stable string —
     the single shared implementation behind ``LM.cache_key``,
     ``RM.cache_key`` and the LazyFrame checkpoint-key hasher (they MUST
     stay in lockstep or checkpoint keys drift).
 
-    Primitives verbatim; callables by qualname; dict/list/tuple by repr
-    (dict items sorted — config dicts like sampling kwargs must
-    distinguish models, not silently collide); other objects by their own
-    ``cache_key()`` when present, else class identity (documented
-    residual collision risk: config hidden inside an opaque object
-    without ``cache_key()``)."""
-    parts: dict[str, Any] = {}
-    for k, v in sorted(vars(obj).items()):
+    Primitives verbatim; callables via :func:`callable_token`
+    (name + bytecode digest); containers recursively tokenized element
+    by element; other objects by their own ``cache_key()`` when present,
+    else class identity (documented residual collision risk: config
+    hidden inside an opaque object exposing neither ``__dict__`` nor
+    ``cache_key()``). ``__slots__`` classes are walked via their slots —
+    ``vars()`` would raise TypeError on them."""
+    d = getattr(obj, "__dict__", None)
+    if d is None:
+        d = {
+            s: getattr(obj, s)
+            for s in getattr(type(obj), "__slots__", ())
+            if isinstance(s, str) and hasattr(obj, s)
+        }
+    parts = []
+    for k, v in sorted(d.items()):
         if k.startswith("_"):
             continue
-        if callable(v):
-            parts[k] = getattr(v, "__qualname__", "<fn>")
-        elif isinstance(v, (str, int, float, bool, type(None))):
-            parts[k] = v
-        elif isinstance(v, dict):
-            parts[k] = repr(sorted(v.items(), key=lambda kv: str(kv[0])))
-        elif isinstance(v, (list, tuple)):
-            parts[k] = repr(v)
-        elif isinstance(v, (set, frozenset)):
-            parts[k] = repr(sorted(v, key=str))
-        else:
-            ck = getattr(v, "cache_key", None)
-            parts[k] = (str(ck()) if callable(ck)
-                        else f"{type(v).__module__}.{type(v).__qualname__}")
-    return repr(parts)
+        parts.append(f"{k}={_value_token(v)}")
+    return "{" + ",".join(parts) + "}"
 
 
 class LM:

@@ -57,8 +57,11 @@ def _stable_token(v: Any) -> str:
     if callable(ck):
         return str(ck())
     if callable(v):
-        return (f"{getattr(v, '__module__', '?')}."
-                f"{getattr(v, '__qualname__', repr(type(v)))}")
+        from lotus_spark.models.lm import callable_token
+
+        # name + bytecode digest: editing a UDF body between runs changes
+        # the checkpoint key instead of silently resuming a stale result
+        return callable_token(v)
     r = repr(v)
     if " at 0x" in r:
         from lotus_spark.models.lm import stable_config_token
@@ -166,16 +169,19 @@ class LazyFrame:
         itself a full job, so the Spark restatement keys on the *plan
         prefix* + a caller-supplied source token (e.g. input path +
         snapshot version) — same reuse semantics whenever the source is
-        versioned, zero extra jobs. ``from_fn`` nodes hash by qualname
-        (identity caveat: a changed closure body with the same name is the
-        caller's responsibility, as with the reference's callable-by-
-        identity hashing)."""
+        versioned, zero extra jobs. ``from_fn`` nodes hash by qualname +
+        bytecode digest (``callable_token``), so editing a UDF body
+        changes the key; closure *values* captured by reference remain
+        the caller's responsibility, as with the reference's
+        callable-by-identity hashing."""
         import hashlib
+
+        from lotus_spark.models.lm import callable_token
 
         keys = []
         h = hashlib.blake2b(source_token.encode(), digest_size=16)
         for node in self._ops:
-            fn_tag = getattr(node.fn, "__qualname__", "") if node.fn else ""
+            fn_tag = callable_token(node.fn) if node.fn else ""
             args = [_stable_token(a) for a in node.args]
             kwargs = sorted(
                 (k, _stable_token(v)) for k, v in node.kwargs.items()

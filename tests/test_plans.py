@@ -304,3 +304,48 @@ def test_stable_tokens_distinguish_dict_config_and_callables():
 
     assert _stable_token(f1) != _stable_token(f2)
     assert _stable_token(f1) == _stable_token(f1)
+
+
+def test_callable_token_senses_body_edits():
+    """Editing a function's *body* (same name/module) must change its
+    token, or execute(checkpoint_dir=...) would silently resume from a
+    checkpoint computed with the old code (round-4 advice)."""
+    from lotus_spark.models.lm import callable_token
+
+    ns1, ns2, ns3 = {}, {}, {}
+    exec("def f(x):\n    return x + 1", ns1)
+    exec("def f(x):\n    return x + 2", ns2)
+    exec("def f(x):\n    return x + 1", ns3)
+    assert callable_token(ns1["f"]) != callable_token(ns2["f"])
+    # identical source → identical token (cross-process stability)
+    assert callable_token(ns1["f"]) == callable_token(ns3["f"])
+
+
+def test_stable_config_token_slots_and_container_elements():
+    """__slots__ objects must not crash (vars() raises TypeError on
+    them), and container *elements* with default object repr must not
+    leak memory addresses into the token (round-4 advice)."""
+    from lotus_spark.models.lm import stable_config_token
+
+    class Slotted:
+        __slots__ = ("alpha", "beta")
+
+        def __init__(self):
+            self.alpha = 1
+            self.beta = "x"
+
+    t = stable_config_token(Slotted())
+    assert t == stable_config_token(Slotted())
+    assert "alpha" in t and "beta" in t
+
+    class Opaque:  # default object repr embeds " at 0x..."
+        pass
+
+    class Holder:
+        def __init__(self, items):
+            self.items = items
+
+    a = stable_config_token(Holder([Opaque(), 3]))
+    b = stable_config_token(Holder([Opaque(), 3]))
+    assert a == b
+    assert " at 0x" not in a
