@@ -919,63 +919,87 @@ def paragraph_dedup(
     sep: str = "\n\n",
     min_chars: int = 1,
     out_col: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
-    """Cross-document paragraph-level exact dedup (CCNet-style): split
-    ``col`` on ``sep``, keep each distinct (trimmed) paragraph only in the
-    document with the smallest ``id_col`` containing it, reassemble the
+    """Cross-document paragraph-level dedup (CCNet-style): split ``col``
+    on ``sep``, keep each distinct (trimmed) paragraph only at its first
+    occurrence — smallest ``(id_col, position)`` — and reassemble the
     survivors in original order.
 
-    Plan: explode paragraphs (posexplode keeps order) → one hash shuffle
-    on the paragraph hash (min-id winner per paragraph via window) →
-    groupBy doc reassembly. Rows stay narrow (id, pos, hash) through the
-    dedup shuffle; paragraph TEXT only travels in the final reassembly.
-    No pair joins anywhere, so it scales like exact_dedup.
+    Plan (narrow dedup shuffle): explode to ``(did, pos,
+    xxhash64(para))`` — paragraph TEXT is projected away before any
+    shuffle — then ONE hash *aggregate* ``min(struct(did, pos))`` per
+    paragraph key (map-side partial combine; a window would shuffle
+    every row un-combined), collapse winners to a per-doc kept-position
+    set, and join that tiny ``(did, array<pos>)`` relation back to the
+    original rows. Reassembly re-splits each doc locally from its own
+    text (filter on kept positions + ``array_join``) — so document text
+    crosses exactly ONE shuffle (the join on ``did``), and the dedup
+    shuffle itself carries three fixed-width columns regardless of
+    paragraph length. No pair joins anywhere; scales like exact_dedup.
+
+    ``exact=False`` (default) keys paragraphs by ``xxhash64`` — a 64-bit
+    collision (≈ n²·2⁻⁶⁵) could merge two distinct paragraphs, the
+    standard corpus-dedup trade (CCNet/C4 key on hashes too).
+    ``exact=True`` keys on the full trimmed text: collision-free, at the
+    cost of shuffling paragraph text through the winner aggregate.
     """
     out_col = out_col or col
+    # \Q..\E: literal separator (F.split's pattern is a Java regex)
+    sep_pat = "\\Q" + sep + "\\E"
+    key = (F.col("__para") if exact
+           else F.xxhash64("__para").alias("__para_key"))
     paras = (
         ensure_parallelism(df)
         .select(
             F.col(id_col).alias("__did"),
-            # \Q..\E: literal separator (F.split's pattern is a Java regex)
-            F.posexplode(
-                F.split(F.col(col), "\\Q" + sep + "\\E", -1)
-            ).alias("__pos", "__para"),
+            F.posexplode(F.split(F.col(col), sep_pat, -1))
+            .alias("__pos", "__para"),
         )
         .withColumn("__para", F.trim(F.col("__para")))
         .filter(F.length("__para") >= min_chars)
+        .select("__did", "__pos", key.alias("__k"))
     )
-    w = Window.partitionBy("__para").orderBy(F.asc("__did"), F.asc("__pos"))
-    kept = (
-        paras.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    winners = paras.groupBy("__k").agg(
+        F.min(F.struct("__did", "__pos")).alias("__w")
     )
-    rebuilt = (
-        kept.groupBy("__did")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__pos", "__para"))
-                    ),
-                    lambda s: s["__para"],
-                ),
-                sep,
-            ).alias(out_col + "__rebuilt")
+    keep_pos = (
+        winners.select(
+            F.col("__w.__did").alias("__did"),
+            F.col("__w.__pos").alias("__pos"),
         )
+        .groupBy("__did")
+        .agg(F.collect_set("__pos").alias("__keep"))
     )
     # left join + coalesce: a document whose every paragraph was
     # deduplicated away (or filtered by min_chars) survives with empty
     # text — reassembly must never silently drop rows
     joined = df.join(
-        rebuilt, df[id_col] == rebuilt["__did"], "left"
+        keep_pos, df[id_col] == keep_pos["__did"], "left"
     ).drop("__did")
+    keep_arr = F.coalesce(
+        F.col("__keep"), F.array().cast("array<int>")
+    )
+    kept_parts = F.filter(
+        F.transform(
+            F.split(F.col(col), sep_pat, -1),
+            lambda x, i: F.struct(
+                F.trim(x).alias("p"), i.cast("int").alias("i")
+            ),
+        ),
+        lambda s: (F.length(s["p"]) >= min_chars)
+        & F.array_contains(keep_arr, s["i"]),
+    )
+    rebuilt_expr = F.coalesce(
+        F.array_join(F.transform(kept_parts, lambda s: s["p"]), sep),
+        F.lit(""),
+    )
+    joined = joined.withColumn(out_col + "__rebuilt", rebuilt_expr).drop(
+        "__keep"
+    )
     if out_col == col:
         joined = joined.drop(col)
-    return joined.withColumn(
-        out_col + "__rebuilt",
-        F.coalesce(F.col(out_col + "__rebuilt"), F.lit("")),
-    ).withColumnRenamed(out_col + "__rebuilt", out_col)
+    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)
 
 
 def ngram_stats(

@@ -169,9 +169,9 @@ def quantile_filter(
     shuffle); for k above ``topKSortFallbackThreshold`` Catalyst itself
     switches to a range-partitioned full sort + GlobalLimit, still fully
     distributed. Without a tiebreak the global path falls back to the
-    single-partition window (boundary ties are order-dependent either
-    way — pass a tiebreak at scale). Rows never widen; the filter
-    composes with pushdown.
+    single-partition window — logged as a warning, since boundary ties
+    are order-dependent either way and a tiebreak makes the plan fully
+    distributed. Rows never widen; the filter composes with pushdown.
     """
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError("keep_frac must be in (0, 1]")
@@ -195,6 +195,17 @@ def quantile_filter(
         while k > 1 and (k - 1) / (n - 1) > keep_frac:
             k -= 1
         return df.orderBy(*order).limit(k)
+    if not keys:
+        # global percent_rank without a tiebreak = ONE task sorts the
+        # whole input; fine for samples, a wall at scale — say so loudly
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "quantile_filter: global path without tiebreak runs a "
+            "single-partition window (one task sorts ALL rows). Pass "
+            "tiebreak=<unique col> for a fully distributed rank-cutoff "
+            "plan."
+        )
     w = (Window.partitionBy(*keys) if keys else Window.partitionBy()).orderBy(*order)
     return (
         df.withColumn("__pr", F.percent_rank().over(w))

@@ -267,6 +267,22 @@ def test_paragraph_dedup_within_doc_repeats(spark):
     assert out == "x\n\ny"   # repeat within one doc collapses to first pos
 
 
+def test_paragraph_dedup_exact_matches_hashed(spark):
+    """exact=True (text-keyed winner agg) and the default hashed narrow
+    path must agree on collision-free inputs."""
+    from lotus_spark.functions.dedup import paragraph_dedup
+
+    rows = [(i, "\n\n".join(f"p{(i * 3 + j) % 7}" for j in range(4)))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    hashed = {r["doc_id"]: r["text"]
+              for r in paragraph_dedup(df, "text", "doc_id").collect()}
+    exact = {r["doc_id"]: r["text"]
+             for r in paragraph_dedup(df, "text", "doc_id",
+                                      exact=True).collect()}
+    assert hashed == exact and len(hashed) == 20
+
+
 # ----------------------------------------------------------- ngram_stats
 
 def test_ngram_stats_counts_and_docfreq(spark):

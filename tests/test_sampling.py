@@ -200,3 +200,27 @@ def test_quantile_filter_global_distributed_path(spark):
                  .filter(F.col("__pr") <= frac).drop("__pr"))
         assert sorted(r["doc_id"] for r in fast.collect()) == \
             sorted(r["doc_id"] for r in ref.collect()), frac
+
+
+def test_quantile_filter_warns_on_single_task_global_window(spark, caplog):
+    """Global path WITHOUT a tiebreak falls back to a single-partition
+    window — it must warn so the scale hazard is visible; the
+    distributed (tiebreak) and grouped paths must stay silent."""
+    import logging
+
+    from lotus_spark.functions.sampling import quantile_filter
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], ["doc_id", "score"])
+    with caplog.at_level(logging.WARNING,
+                         logger="lotus_spark.functions.sampling"):
+        quantile_filter(df, "score", 0.5).count()
+    assert any("single-partition window" in r.message
+               for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="lotus_spark.functions.sampling"):
+        quantile_filter(df, "score", 0.5, tiebreak="doc_id").count()
+        quantile_filter(df, "score", 0.5, by="doc_id").count()
+    assert not any("single-partition window" in r.message
+                   for r in caplog.records)
