@@ -864,10 +864,12 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.3
 """
 
 
-def _sql_minhash_lsh_dedup() -> str:
-    """Full MinHash-LSH dedup oracle: 16-hash signature → 4 band keys →
-    bucket candidates → exact shingle-set Jaccard verify ≥ 0.5 →
-    recursive-CTE connected components → keep min-id per component."""
+def _sql_minhash_cc_ctes() -> str:
+    """Shared CTE stack for the MinHash-LSH dedup oracles: 16-hash
+    signature → 4 band keys → bucket candidates → exact shingle-set
+    Jaccard verify ≥ 0.5 → recursive-CTE connected components → ``rep``
+    (id → component representative). Consumers append their own final
+    CTEs/SELECT."""
     sig_exprs = []
     for j in range(16):
         a, b = _hash_params(j)
@@ -899,7 +901,12 @@ reach(s, d) AS (
   UNION
   SELECT r.s, y.d FROM reach r JOIN sym y ON r.d = y.s
 ),
-rep AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)
+rep AS (SELECT s AS id, LEAST(s, MIN(d)) AS comp FROM reach GROUP BY s)"""
+
+
+def _sql_minhash_lsh_dedup() -> str:
+    """Full MinHash-LSH dedup oracle (see ``_sql_minhash_cc_ctes``)."""
+    return _sql_minhash_cc_ctes() + """
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM rep WHERE comp < id)
 """
@@ -1372,6 +1379,133 @@ FROM c
 """
 
 
+# -- composed corpus-curation pipeline as ONE LazyFrame with checkpoints ----
+#
+# Stage functions are module-level so their checkpoint identities
+# (callable_token: module.qualname + bytecode digest) are stable across
+# processes — a driver re-run after a mid-pipeline failure resumes from
+# the last completed stage instead of re-paying the dedup.
+
+def _pp_stage_dedup(df):
+    from lotus_spark.functions.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        df, "text", "doc_id", n_hashes=16, bands=4, shingle_n=2,
+        jaccard_threshold=0.5,
+    )
+
+
+def _pp_stage_gate(df):
+    from lotus_spark.functions.text import gopher_keep
+
+    return df.filter(gopher_keep(F.col("text"), min_words=20))
+
+
+def _pp_stage_quantile(df):
+    from lotus_spark.functions.sampling import quantile_filter
+
+    return quantile_filter(df, "n_chars", 0.6, by="lang", tiebreak="doc_id")
+
+
+def _pp_stage_pack(df):
+    from lotus_spark.functions.sampling import pack_sequences
+    from lotus_spark.functions.text import token_count
+
+    d = df.select(
+        "doc_id", "lang",
+        token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    return pack_sequences(d, "toks", 2048, "doc_id").select(
+        "doc_id", "lang", "toks", "seq_id", "seq_offset", "n_seqs"
+    )
+
+
+def q_pipeline_pack(spark, sf_dir):
+    """End-to-end corpus-curation pipeline composed as a single LazyFrame
+    (plans/lazyframe.py) with plan-prefix checkpoints ON — proving the
+    training-data operators compose under the plan layer, not just in
+    isolation (the reference's pipelines are compositions,
+    ``lotus/ast/lazyframe.py:83-131``):
+
+    1. MinHash-LSH near-dup removal (``functions/dedup.py``) —
+       checkpointed: the expensive stage a production re-run must never
+       re-pay.
+    2. Gopher quality gate (``functions/text.py::gopher_keep``) — pure
+       codegen map, no checkpoint needed.
+    3. Per-language quality-quantile gate: keep top 60% by ``n_chars``
+       (``functions/sampling.py::quantile_filter``, distributed exact
+       rank) — checkpointed.
+    4. GPT-style sequence packing (``pack_sequences``, distributed
+       prefix-sum).
+
+    Checkpoint resume is exercised end-to-end in
+    ``tests/test_plans.py::test_from_fn_checkpoint_resume_mid_pipeline``
+    (mid-pipeline kill → re-run skips completed stages)."""
+    import tempfile
+
+    from lotus_spark.plans.lazyframe import LazyFrame
+
+    docs = _t(spark, sf_dir, "documents")
+    lf = (
+        LazyFrame()
+        .from_fn(_pp_stage_dedup, checkpoint=True)
+        .from_fn(_pp_stage_gate)
+        .from_fn(_pp_stage_quantile, checkpoint=True)
+        .from_fn(_pp_stage_pack)
+    )
+    ck = tempfile.mkdtemp(prefix="lotus_pipeline_ck_")
+    return lf.execute(docs, checkpoint_dir=ck,
+                      source_token=f"{sf_dir}/documents")
+
+
+def _sql_pipeline_pack() -> str:
+    """DuckDB replica of the full composed pipeline: minhash-LSH
+    survivors (shared CTE stack) → gopher gate (same fragments as
+    ``_SQL_QUALITY_SIGNALS``) → per-lang percent_rank ≤ 0.6 → global
+    cumsum packing (same fragments as ``_SQL_PACK_SEQUENCES``)."""
+    return _sql_minhash_cc_ctes() + f""",
+surv AS (SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM rep WHERE comp < id)),
+pd AS (SELECT doc_id, lang, n_chars, text,
+              string_split_regex(lower(trim(text)), '\\s+') toks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+pg AS (
+  SELECT doc_id, lang, n_chars, text, toks,
+    list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS grams,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+  FROM pd),
+pm AS (
+  SELECT doc_id, lang, n_chars, n_tokens,
+    CASE WHEN len(grams) <= 0 THEN 0.0
+         ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) END AS dup2,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks) END AS atl,
+    len(list_filter(toks, t -> list_contains({_STOP}, t))) AS stop_hits,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE ROUND(CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / n_tokens, 6) END AS symr
+  FROM pg),
+pk AS (SELECT doc_id, lang, n_chars, n_tokens FROM pm
+       WHERE n_tokens >= 20 AND n_tokens <= 100000
+         AND atl >= 3.0 AND atl <= 10.0
+         AND stop_hits >= 2 AND symr <= 0.1 AND dup2 <= 0.2),
+pq AS (SELECT doc_id, lang, n_tokens FROM (
+         SELECT doc_id, lang, n_tokens,
+                percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id) AS pr
+         FROM pk) WHERE pr <= 0.6),
+pc AS (SELECT doc_id, lang, n_tokens AS toks,
+              SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       FROM pq)
+SELECT doc_id, lang, toks,
+  CAST((cum - toks) // 2048 AS BIGINT) AS seq_id,
+  CAST((cum - toks) % 2048 AS BIGINT) AS seq_offset,
+  CAST((CASE WHEN toks > 0 THEN (cum - 1) // 2048
+        ELSE (cum - toks) // 2048 END) - (cum - toks) // 2048 + 1 AS BIGINT) AS n_seqs
+FROM pc
+"""
+
+
 def q_profile(spark, sf_dir):
     """One-pass multi-column data-QA profiler (functions/profile.py):
     rows/nulls/distinct/min/max/mean/exact-p50 for lineitem measure +
@@ -1643,23 +1777,26 @@ FROM m
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Newest / previously-unchecked queries FIRST: the driver checks
-        # at most 50 entries in dict order, so the rotation policy is
-        # "new queries lead; the redundant, multi-round-verified
-        # relational demos absorb the tail positions" (see end of dict).
+        # Newest / code-changed-this-round / longest-unchecked queries
+        # FIRST: the driver checks at most 50 entries in dict order, so
+        # the rotation policy is "new + changed queries lead; rows
+        # verified last round absorb the tail positions" (see end of
+        # dict) — every registered query gets a driver row no older
+        # than 2 rounds.
+        "pipeline_pack": q_pipeline_pack,          # NEW round 5
+        "paragraph_dedup": q_paragraph_dedup,      # re-planned round 5
+        "quantile_filter": q_quantile_filter,
         "sessionize": q_sessionize,
         "ngram_stats": q_ngram_stats,
-        "streaming_doc_stats": q_streaming_doc_stats,
-        "paragraph_dedup": q_paragraph_dedup,
-        "quantile_filter": q_quantile_filter,
-        "cap_per_key": q_cap_per_key,
-        "streaming_sessions": q_streaming_sessions,
-        "dedupe_doc_units": q_dedupe_doc_units,
+        # rotated back into the window (last checked rounds 1-3)
+        "pricing_summary": q_pricing_summary,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "part_brand_stats": q_part_brand_stats,
+        "orders_union_extremes": q_orders_union_extremes,
+        "distinct_priorities": q_distinct_priorities,
+        "supplier_intersect": q_supplier_intersect,
         # relational (SURVEY §2.2)
-        "top_revenue": q_top_revenue,
-        "region_revenue": q_region_revenue,
         "customers_no_orders": q_customers_no_orders,
-        "events_hourly": q_events_hourly,
         "orders_rollup": q_orders_rollup,
         # semantic ops, deterministic LMs (SURVEY §2.1)
         "sem_filter": q_sem_filter,
@@ -1702,15 +1839,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_judge": q_llm_judge,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
-        # tail positions (>50): redundant relational demos, hash-verified
-        # in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json); they rotate back in
-        # once the 50-query driver window has room.
-        "pricing_summary": q_pricing_summary,
-        "top3_orders_per_customer": q_top3_orders_per_customer,
-        "part_brand_stats": q_part_brand_stats,
-        "orders_union_extremes": q_orders_union_extremes,
-        "distinct_priorities": q_distinct_priorities,
-        "supplier_intersect": q_supplier_intersect,
+        # tail positions (>50): hash-verified LAST round
+        # (CORRECTNESS_r04.json) on code untouched since; they rotate
+        # back into the 50-query driver window next round.
+        "streaming_doc_stats": q_streaming_doc_stats,
+        "streaming_sessions": q_streaming_sessions,
+        "dedupe_doc_units": q_dedupe_doc_units,
+        "cap_per_key": q_cap_per_key,
+        "top_revenue": q_top_revenue,
+        "region_revenue": q_region_revenue,
+        "events_hourly": q_events_hourly,
     }
 
 
@@ -2195,4 +2333,5 @@ def oracle_sql() -> dict[str, str]:
     sqls["cap_per_key"] = _SQL_CAP_PER_KEY
     sqls["streaming_sessions"] = _SQL_STREAMING_SESSIONS
     sqls["dedupe_doc_units"] = _SQL_DEDUPE_DOC_UNITS
+    sqls["pipeline_pack"] = _sql_pipeline_pack()
     return sqls

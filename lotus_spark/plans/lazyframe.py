@@ -138,10 +138,17 @@ class LazyFrame:
 
         return record
 
-    def from_fn(self, fn: Callable[..., DataFrame], *args: Any) -> "LazyFrame":
+    def from_fn(self, fn: Callable[..., DataFrame], *args: Any,
+                checkpoint: bool = False) -> "LazyFrame":
         """Arbitrary DataFrame -> DataFrame function node (reference
-        ``lazyframe.py:729-742``)."""
-        return self._append(OpNode(op="from_fn", args=args, fn=fn))
+        ``lazyframe.py:729-742``). ``checkpoint=True`` marks the node's
+        output for parquet checkpointing under ``execute(checkpoint_dir=
+        ...)`` — the composition primitive for multi-stage corpus
+        pipelines whose expensive stages (dedup, scoring) should resume,
+        not recompute, after a mid-pipeline failure."""
+        kw = {"checkpoint": True} if checkpoint else {}
+        return self._append(OpNode(op="from_fn", args=args, kwargs=kw,
+                                   fn=fn))
 
     @property
     def ops(self) -> list[OpNode]:
@@ -202,9 +209,10 @@ class LazyFrame:
         """Replay the recorded ops onto ``df``.
 
         With ``checkpoint_dir`` + ``source_token``, semantic-node outputs
-        are persisted as parquet addressed by the plan prefix; a re-run of
-        the same (source, plan prefix) resumes from the longest existing
-        checkpoint instead of re-paying the LLM stages.
+        (and ``from_fn(checkpoint=True)`` outputs) are persisted as
+        parquet addressed by the plan prefix; a re-run of the same
+        (source, plan prefix) resumes from the longest existing
+        checkpoint instead of re-paying the LLM / dedup stages.
         """
         import lotus_spark as ls
 
@@ -220,17 +228,22 @@ class LazyFrame:
                     cur = df.sparkSession.read.parquet(ck)
                     start = i + 1
                     break
+        def _checkpoint(cur: DataFrame, i: int) -> DataFrame:
+            ck = f"{base}/{keys[i]}"
+            cur.write.mode("overwrite").parquet(ck)
+            return df.sparkSession.read.parquet(ck)
+
         for i in range(start, len(self._ops)):
             node = self._ops[i]
             if node.op == "from_fn":
                 cur = node.fn(cur, *node.args)
+                if keys is not None and node.kwargs.get("checkpoint"):
+                    cur = _checkpoint(cur, i)
             elif node.is_semantic:
                 fn = getattr(ls, node.op)
                 cur = fn(cur, *node.args, **node.kwargs)
                 if keys is not None:
-                    ck = f"{base}/{keys[i]}"
-                    cur.write.mode("overwrite").parquet(ck)
-                    cur = df.sparkSession.read.parquet(ck)
+                    cur = _checkpoint(cur, i)
             elif node.is_native:
                 method = node.op.split(":", 1)[1]
                 cur = getattr(cur, method)(*node.args, **node.kwargs)

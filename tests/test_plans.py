@@ -277,6 +277,58 @@ def test_checkpoint_dir_accepts_fs_uri(spark, tmp_path):
     assert [r["text"] for r in out2.collect()] == ["keep me"]
 
 
+def test_from_fn_checkpoint_resume_mid_pipeline(spark, tmp_path):
+    """A multi-stage from_fn pipeline killed mid-run resumes from the
+    last completed checkpoint: the already-checkpointed stages are never
+    re-invoked (their fns don't even run — execute() fast-forwards to the
+    longest existing prefix), and the final result is correct."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    calls = {"s1": 0, "s2": 0, "s3": 0}
+    boom = {"on": True}
+
+    def s1(df):
+        calls["s1"] += 1
+        return df.filter("v % 2 = 0")
+
+    def s2(df):
+        calls["s2"] += 1
+        return df.withColumn("w", F.col("v") * 2)
+
+    def s3(df):
+        calls["s3"] += 1
+        if boom["on"]:
+            raise RuntimeError("mid-pipeline failure")
+        return df.filter("w > 4")
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    lf = (LazyFrame()
+          .from_fn(s1, checkpoint=True)
+          .from_fn(s2, checkpoint=True)
+          .from_fn(s3, checkpoint=True))
+    ck = str(tmp_path / "ck_pipe")
+    with pytest.raises(RuntimeError, match="mid-pipeline"):
+        lf.execute(df, checkpoint_dir=ck, source_token="docs@v1")
+    assert calls == {"s1": 1, "s2": 1, "s3": 1}
+
+    boom["on"] = False  # "fix the failure", re-run the same pipeline
+    out = lf.execute(df, checkpoint_dir=ck, source_token="docs@v1")
+    assert sorted(r["w"] for r in out.collect()) == [8, 12, 16]
+    # stages 1-2 resumed from checkpoint: not re-invoked
+    assert calls == {"s1": 1, "s2": 1, "s3": 2}
+
+    # third run: everything checkpointed, no stage re-invoked at all
+    out2 = lf.execute(df, checkpoint_dir=ck, source_token="docs@v1")
+    assert sorted(r["w"] for r in out2.collect()) == [8, 12, 16]
+    assert calls == {"s1": 1, "s2": 1, "s3": 2}
+
+    # a different source token shares nothing
+    lf2 = LazyFrame().from_fn(s1, checkpoint=True)
+    lf2.execute(df, checkpoint_dir=ck, source_token="docs@v2").collect()
+    assert calls["s1"] == 2
+
+
 def test_stable_tokens_distinguish_dict_config_and_callables():
     """Checkpoint-key regression guards: config dicts (e.g. sampling
     kwargs) and distinct callables must yield distinct identities — both
