@@ -94,8 +94,12 @@ def load_from_s3(
     if fmt == "txt":
         fmt = "text"
     if fmt == "xlsx":
-        raise NotImplementedError(
-            "xlsx needs a spark-excel package; convert to csv/parquet upstream"
+        # reference parity: lotus/data_connectors/connectors.py:78 reads
+        # xlsx driver-side via pd.read_excel. Same here — a spreadsheet
+        # is a small-file format; bytes come through the Hadoop FS API so
+        # the fetch works on any scheme (s3a://, file:, hdfs://).
+        return _load_xlsx_driver_side(
+            spark, f"{scheme}://{bucket}/{key}", **reader_options
         )
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}")
@@ -106,6 +110,49 @@ def load_from_s3(
     for k, v in reader_options.items():
         reader = reader.option(k, v)
     return reader.format(fmt).load(f"{scheme}://{bucket}/{key}")
+
+
+def _read_bytes_via_fs(spark: SparkSession, uri: str) -> bytes:
+    """Fetch one object fully through the Hadoop FileSystem API — the
+    same resolution path every Spark reader uses, so credentials,
+    endpoints and schemes (``s3a://``, ``file:``, ``hdfs://``) behave
+    identically to a distributed read."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray())
+    finally:
+        stream.close()
+
+
+def _load_xlsx_driver_side(
+    spark: SparkSession, uri: str, parser: Any = None, **pd_options: Any
+) -> DataFrame:
+    """Driver-side xlsx read (reference
+    ``lotus/data_connectors/connectors.py:78``): Hadoop-FS byte fetch →
+    ``pd.read_excel`` → ``createDataFrame``.
+
+    DRIVER-SIDE BY DESIGN: xlsx is not a splittable format and in
+    practice holds ≤ ~1M rows — distributing the parse buys nothing. Big
+    data belongs in parquet/csv upstream; this exists for surface parity
+    with the reference connector. ``pd.read_excel`` needs ``openpyxl``
+    (optional dep, import error surfaces with the fix); ``parser`` lets
+    callers (and the hermetic tests) inject an alternative
+    ``bytes -> pandas.DataFrame`` parser."""
+    import io
+
+    data = _read_bytes_via_fs(spark, uri)
+    if parser is not None:
+        pdf = parser(data)
+    else:
+        import pandas as pd
+
+        pdf = pd.read_excel(io.BytesIO(data), **pd_options)
+    return spark.createDataFrame(pdf)
 
 
 def _text_extractor(path: str, content: bytes) -> list[str]:
@@ -161,9 +208,35 @@ def default_extractors() -> dict:
     return reg
 
 
+def _fetch_urls_to_dir(urls: list[str], timeout: float = 30.0) -> str:
+    """Download each URL into a fresh temp dir (reference
+    ``DirectoryReader.add_url``, ``file_extractors/directory_reader.py:
+    141+``), preserving the URL's file extension so the per-extension
+    extractor registry dispatches identically to local files. Returns
+    the temp dir path. Driver-side by design: URL ingestion is a
+    handful of remote documents, not a crawl — bulk corpora belong in
+    object storage read by executors."""
+    import os
+    import tempfile
+    import urllib.parse
+    import urllib.request
+
+    tmp = tempfile.mkdtemp(prefix="lotus_urls_")
+    for i, url in enumerate(urls):
+        name = os.path.basename(urllib.parse.urlparse(url).path)
+        if not name:
+            name = f"url_{i}.html"
+        # index prefix: two URLs may share a basename
+        dest = os.path.join(tmp, f"{i:04d}_{name}")
+        with urllib.request.urlopen(url, timeout=timeout) as resp, \
+                open(dest, "wb") as f:
+            f.write(resp.read())
+    return tmp
+
+
 def load_files(
     spark: SparkSession,
-    path: str,
+    path: Optional[str] = None,
     glob: Optional[str] = None,
     per_page: bool = True,
     page_separator: str = "\n",
@@ -171,11 +244,15 @@ def load_files(
     chunk: bool = False,
     chunk_size: int = 1000,
     chunk_overlap: int = 50,
+    urls: Optional[list[str]] = None,
 ) -> DataFrame:
     """DirectoryReader-equivalent (reference
     ``lotus/file_extractors/directory_reader.py:141-571``): binary scan of a
     directory tree → one row per page with ``content``/``file_path``/
-    ``page_label`` columns.
+    ``page_label`` columns. ``urls`` adds remote documents (reference
+    ``add_url``): they download to a temp dir on the driver and flow
+    through the identical scan + extractor path as local files; ``path``
+    and ``urls`` compose (either may be omitted, not both).
 
     Extraction is pluggable per extension: ``custom_extractors`` maps
     ``ext -> (file_path, bytes) -> list[str]`` and overlays
@@ -202,10 +279,15 @@ def load_files(
             {k.lstrip(".").lower(): v for k, v in custom_extractors.items()}
         )
 
+    if path is None and not urls:
+        raise ValueError("load_files needs a path, urls, or both")
+    paths = [path] if path is not None else []
+    if urls:
+        paths.append(_fetch_urls_to_dir(urls))
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    binary = reader.load(path)
+    binary = reader.load(paths)
 
     out_schema = StructType(
         [
