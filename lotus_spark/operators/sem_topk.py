@@ -170,7 +170,13 @@ def quickselect_topk(
 
 
 def heap_topk(docs: list[str], K: int, cmp: BatchedComparator) -> list[int]:
-    """Insertion-based top-K with LLM comparisons (reference 'heap' method)."""
+    """Insertion-based top-K with LLM comparisons (reference 'heap' method).
+
+    SERIAL BY CONSTRUCTION: each binary-insertion step depends on the
+    previous comparison, so calls can't batch — O(n log K) sequential LM
+    round-trips. This mirrors the reference's 'heap' method for parity;
+    at scale prefer the default ``method='quick'``, whose pivot
+    comparisons batch into one LM call per round."""
     top: list[int] = []  # kept sorted best→worst
     for i in range(len(docs)):
         lo, hi = 0, len(top)
