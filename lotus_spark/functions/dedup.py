@@ -354,6 +354,15 @@ def jaccard_sim_pairs(
       (language, LSH bucket, cluster id); use ``"count"`` when a block can
       be unboundedly large.
     ``block_col`` (e.g. language) bounds the pair space for all three.
+
+    Growth caveat (measured, ``tools/scale_probe.py``): exact pair mining
+    is Σ|block|² COMPUTE by definition, so a FIXED-cardinality block key
+    (language) makes per-block work grow quadratically with the corpus —
+    the 1x→10x probe measured 4.9x wall on 32 fixed cores and the curve
+    steepens from there. At 100 TB use a data-scaled block key (LSH
+    bucket, cluster id — block sizes stay bounded as the corpus grows) or
+    the linear ``minhash_lsh_dedup`` path; exact-within-language is for
+    bounded corpora and verification passes.
     """
     if algorithm not in ("count", "prefix", "block", "auto"):
         raise ValueError(
@@ -668,6 +677,14 @@ def embedding_neardup_pairs(
     task's memory — the same constraint block-locality already implies.
     Without ``block_col``, a full cross join with a column-expression dot
     is used (exact; only for small/calibration tables).
+
+    Growth caveat (measured, ``tools/scale_probe.py``): Σ|block|² is
+    quadratic in block size, so a fixed-cardinality block key (label,
+    language) means per-block work — and, at a loose threshold, OUTPUT
+    pairs — grow quadratically with the corpus (1x→10x probe: 8.4x wall,
+    107x pairs at threshold 0.35). At scale, block on something whose
+    cardinality grows with the data (kmeans cell via ``sem_cluster_by``,
+    LSH bucket via ``knn_lsh``'s hasher) so block sizes stay bounded.
     """
     import numpy as np
     import pandas as pd

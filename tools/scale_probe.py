@@ -1,0 +1,278 @@
+"""Empirical scale probe: does each operator's cost scale ~linearly in rows?
+
+The sf0.1 bench cannot distinguish fixed overhead (Catalyst, codegen, Python
+worker spin-up) from per-row cost, so it cannot validate the 100 TB design
+claims. This probe builds two DISTRIBUTION-MATCHED datasets — scale1 (the
+base sf, rewritten through the same parquet path) and scaleF (F replicas,
+default 10, i.e. ~sf1 when base is sf0.1) — runs the volume-sensitive query
+subset at both, and reports t_F / t_1 per query. A healthy distributed plan
+on a fixed-core box scales at <= F (linear); >> F means a superlinear stage
+(pair blowup, single-task window, driver loop) that would break at 100 TB.
+
+Replica construction keeps per-replica distributions identical to the base
+while preventing cross-replica artifacts:
+- fact/dim keys shift by i*SPAN so joins stay 1:1-shaped and group-by
+  cardinality scales with the data (10x keys, same per-key density);
+- document text is perturbed per replica (every inter-word space gains a
+  replica token prefix) so WITHIN-replica duplicate/similarity structure is
+  preserved exactly but replicas are not near-dups of each other — dedup
+  pair counts scale linearly, the honest workload, instead of quadratically
+  colliding on identical text;
+- embeddings rotate by i components per replica: norms and within-replica
+  geometry preserved, cross-replica correlation broken;
+- events keep their timestamps (10x density per window — how a bigger
+  cluster's event stream actually looks) with shifted user/event ids, so
+  sessionize sees 10x users at the same per-user event rate.
+
+nation/region stay fixed: they are broadcast dims at any scale.
+
+Usage:
+    python tools/scale_probe.py [--factor 10] [--base /root/testdata/sf0.1]
+        [--out .scratch/scale_probe] [--repeats 2] [--keep-data]
+
+Writes BENCH_sfscale.json at the repo root:
+    {"base": ..., "factor": F, "queries": {name: {"t1": s, "tF": s,
+     "ratio": r, "rows1": n, "rowsF": n}}, "flagged": [...], ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import shutil
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+SPAN = 10_000_000  # larger than any base key; replica i shifts keys by i*SPAN
+
+# Volume-sensitive, non-capped queries from the registry. Semantic-LM rows
+# (sem_filter etc.) are included where the deterministic LM runs over the
+# full documents table — that exercises the Arrow batch path's scaling.
+PROBE_QUERIES = [
+    "pricing_summary",
+    "top_revenue",
+    "events_hourly",
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "exact_dedup",
+    "minhash_signature",
+    "simhash",
+    "jaccard_pairs",
+    "ngram_stats",
+    "text_stats",
+    "quantile_filter",
+    "cap_per_key",
+    "pack_sequences",
+    "bm25_search",
+    "hybrid_search",
+    "knn_bruteforce",
+    "embedding_neardup",
+    "quality_signals",
+    "dedupe_doc_units",
+]
+
+
+def _shift(df, cols, offset):
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        df = df.withColumn(c, (F.col(c) + offset).cast(df.schema[c].dataType))
+    return df
+
+
+def _replica(spark, base, table, i):
+    """Replica i of `table` with shifted keys + per-replica perturbation."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+    off = i * SPAN
+    if table == "customer":
+        return _shift(df, ["c_custkey"], off)
+    if table == "supplier":
+        return _shift(df, ["s_suppkey"], off)
+    if table == "part":
+        return _shift(df, ["p_partkey"], off)
+    if table == "orders":
+        return _shift(df, ["o_orderkey", "o_custkey"], off)
+    if table == "lineitem":
+        return _shift(df, ["l_orderkey", "l_partkey", "l_suppkey"], off)
+    if table == "events":
+        return _shift(df, ["event_id", "user_id"], off)
+    if table == "documents":
+        df = _shift(df, ["doc_id"], off)
+        if i > 0:
+            # prefix every non-leading token with r{i}: vocabulary becomes
+            # replica-local, within-replica dup structure untouched
+            df = df.withColumn(
+                "text", F.regexp_replace("text", " ", f" r{i}")
+            )
+        return df
+    if table == "embeddings":
+        df = _shift(df, ["vec_id"], off)
+        if i > 0:
+            c = F.col("embedding")
+            df = df.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(c, i + 1, F.size(c) - F.lit(i)),
+                    F.slice(c, 1, i),
+                ),
+            )
+        return df
+    return df  # nation, region: fixed dims
+
+
+def generate(spark, base, out_dir, factor):
+    tables = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    for scale, nrep in (("scale1", 1), (f"scale{factor}", factor)):
+        sdir = os.path.join(out_dir, scale)
+        if os.path.isdir(sdir) and os.listdir(sdir):
+            print(f"# {sdir} exists, reusing", file=sys.stderr)
+            continue
+        os.makedirs(sdir, exist_ok=True)
+        for t in tables:
+            reps = 1 if t in ("region", "nation") else nrep
+            df = functools.reduce(
+                lambda a, b: a.unionByName(b),
+                [_replica(spark, base, t, i) for i in range(reps)],
+            )
+            df.write.mode("overwrite").parquet(
+                os.path.join(sdir, f"{t}.parquet")
+            )
+        print(f"# generated {sdir} (x{nrep})", file=sys.stderr)
+
+
+def probe_fns():
+    """name -> callable(spark, sf_dir) -> DataFrame. Registry queries plus
+    direct uncapped calls where the oracle version caps rows for DuckDB
+    determinism (paragraph_dedup's doc_id < 120 filter)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    fns = {name: qs[name] for name in PROBE_QUERIES}
+
+    def paragraph_dedup_full(spark, sf_dir):
+        from lotus_spark.functions.dedup import paragraph_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return paragraph_dedup(docs, "text", "doc_id", sep=" ")
+
+    fns["paragraph_dedup_full"] = paragraph_dedup_full
+    return fns
+
+
+def run(spark, fns, sf_dir, repeats):
+    out = {}
+    for name, fn in fns.items():
+        best, n = float("inf"), -1
+        try:
+            for _ in range(repeats):
+                t0 = time.time()
+                n = fn(spark, sf_dir).count()
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — record, keep probing
+            print(f"# {name} FAILED at {sf_dir}: {exc}", file=sys.stderr)
+            out[name] = {"sec": None, "rows": None, "error": str(exc)[:200]}
+            continue
+        out[name] = {"sec": round(best, 3), "rows": n}
+        print(f"# {os.path.basename(sf_dir)} {name}: {n} rows "
+              f"in {best:.2f}s", file=sys.stderr)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(ROOT, ".scratch/scale_probe"))
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--keep-data", action="store_true")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    from lotus_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{args.cpus}]", shuffle_partitions=int(args.cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generate(spark, args.base, args.out, args.factor)
+
+    fns = probe_fns()
+    # warm pass at the tiny sf: codegen/JIT is data-size independent and
+    # would otherwise be charged to whichever scale runs first
+    warm = "/root/testdata/sf0.001"
+    if os.path.isdir(warm):
+        for name, fn in fns.items():
+            try:
+                fn(spark, warm).count()
+            except Exception as exc:  # noqa: BLE001
+                print(f"# warm {name} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
+
+    r1 = run(spark, fns, os.path.join(args.out, "scale1"), args.repeats)
+    spark.catalog.clearCache()
+    rf = run(spark, fns, os.path.join(args.out, f"scale{args.factor}"),
+             args.repeats)
+
+    queries, flagged = {}, []
+    for name in fns:
+        a, b = r1.get(name, {}), rf.get(name, {})
+        ratio = (
+            round(b["sec"] / a["sec"], 2)
+            if a.get("sec") and b.get("sec") else None
+        )
+        queries[name] = {
+            "t1": a.get("sec"), f"t{args.factor}": b.get("sec"),
+            "ratio": ratio, "rows1": a.get("rows"),
+            f"rows{args.factor}": b.get("rows"),
+        }
+        # flag clearly-superlinear growth; small absolute times are all
+        # fixed overhead and can't flag (ratio < 1 territory)
+        if ratio is not None and ratio > 1.5 * args.factor and (
+            b.get("sec") or 0
+        ) > 1.0:
+            flagged.append(name)
+        if a.get("error") or b.get("error"):
+            flagged.append(name)
+
+    rec = {
+        "metric": "scale_probe",
+        "base": args.base,
+        "factor": args.factor,
+        "cpus": int(args.cpus),
+        "repeats": args.repeats,
+        "total_t1": round(sum(v["t1"] for v in queries.values() if v["t1"]), 3),
+        f"total_t{args.factor}": round(
+            sum(v[f"t{args.factor}"] for v in queries.values()
+                if v[f"t{args.factor}"]), 3),
+        "queries": queries,
+        "flagged_superlinear_or_failed": sorted(set(flagged)),
+    }
+    path = os.path.join(ROOT, "BENCH_sfscale.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({k: rec[k] for k in
+                      ("metric", "factor", "total_t1",
+                       f"total_t{args.factor}",
+                       "flagged_superlinear_or_failed")}))
+
+    if not args.keep_data:
+        shutil.rmtree(args.out, ignore_errors=True)
+        print(f"# removed {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
