@@ -1775,6 +1775,54 @@ FROM m
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_sem_pipeline(spark, sf_dir):
+    """The reference's flagship USAGE PATTERN — semantic ops chained on
+    one frame (``lotus/ast/lazyframe.py:83-131``: filter → map → agg is
+    the canonical LOTUS pipeline) — composed under OUR plan layer with
+    the optimizer chain on:
+
+        LazyFrame().sem_filter(...).filter("n_chars >= 100")
+                   .sem_map(...).sem_agg(..., group_by=["_map"])
+                   .optimize().execute(docs)
+
+    The native ``n_chars`` filter is recorded AFTER ``sem_filter`` but
+    ``optimize()`` (PredicatePushdownOptimizer) hoists it ahead of the
+    LLM stage — the cheap predicate prunes rows before any model call,
+    the rewrite Catalyst cannot do because it can't see inside an LLM
+    UDF. Equivalence optimized == unoptimized is asserted in
+    ``tests/test_plans.py::test_sem_pipeline_pushdown_equivalence``; this
+    oracle checks the end-to-end composed RESULT (every stage's
+    deterministic LM replicated in one SQL statement)."""
+    from lotus_spark.models.demo_lms import CountingAggLM
+    from lotus_spark.models.fake_lm import KeywordBoolLM, RegexMapLM
+    from lotus_spark.plans.lazyframe import LazyFrame
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = CountingAggLM()
+    lm.max_ctx_len = 4096  # force a multi-level fold
+    lf = (
+        LazyFrame()
+        .sem_filter(
+            "{text} is about distributed computing", lm=KeywordBoolLM("spark")
+        )
+        .filter("n_chars >= 100")
+        .sem_map(
+            "state the language {lang} in uppercase",
+            lm=RegexMapLM(r"\[lang\]: «(\w+)»", "upper"),
+        )
+        .sem_agg("Count the {text} documents", lm=lm, group_by=["_map"])
+    )
+    return lf.optimize().execute(docs)
+
+
+_SQL_SEM_PIPELINE = """
+SELECT upper(lang) AS _map, CAST(COUNT(*) AS VARCHAR) AS _output
+FROM documents
+WHERE contains(lower(text), 'spark') AND n_chars >= 100
+GROUP BY upper(lang)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Newest / code-changed-this-round / longest-unchecked queries
@@ -1783,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified last round absorb the tail positions" (see end of
         # dict) — every registered query gets a driver row no older
         # than 2 rounds.
+        "sem_pipeline": q_sem_pipeline,            # NEW round 5
         "pipeline_pack": q_pipeline_pack,          # NEW round 5
         "paragraph_dedup": q_paragraph_dedup,      # re-planned round 5
         "quantile_filter": q_quantile_filter,
@@ -2266,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     sqls = {
+        "sem_pipeline": _SQL_SEM_PIPELINE,
         "pricing_summary": _SQL_PRICING,
         "top_revenue": _SQL_TOP_REVENUE,
         "region_revenue": _SQL_REGION_REVENUE,

@@ -14,6 +14,8 @@ union-find. No O(n²) stage anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -886,7 +888,7 @@ def lsh_candidate_pairs(
     id_col: str,
     emb_col: str,
     threshold: float,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     n_tables: int = 8,
     seed: int = 42,
     max_block_rows: int = 2048,
@@ -902,9 +904,23 @@ def lsh_candidate_pairs(
     dim-ordered (``functions.ann.lsh_bucket``) so buckets are deterministic;
     oversized buckets are sub-chunked by ``scored_pairs`` so no task ever
     exceeds ``max_block_rows`` rows.
+
+    ``n_planes="auto"`` sizes the bucket count to the DATA — planes =
+    ceil(log2(n / 256)), clamped to [4, 20] — so mean bucket size stays
+    ~constant as the corpus grows and total within-bucket verify work
+    stays ~LINEAR in n. A fixed ``n_planes`` means buckets (and their
+    quadratic verify cost) grow linearly with the corpus — fine at one
+    scale, wrong across scales; auto is how the 100 TB deployment should
+    run. Recall at a given cosine is a function of n_planes, so auto
+    trades recall for scale as n grows — raise ``n_tables`` to buy it
+    back (recall = 1 - (1 - p^planes)^tables). Growth measured in
+    ``tools/scale_probe.py``.
     """
     from lotus_spark.functions.ann import hyperplanes, lsh_bucket
 
+    if n_planes == "auto":
+        n = df.select(id_col).count()  # column-pruned scan
+        n_planes = min(20, max(4, math.ceil(math.log2(max(n, 2) / 256))))
     first = df.select(F.size(F.col(emb_col)).alias("d")).first()
     dim = int(first["d"]) if first else 0
     bands = []

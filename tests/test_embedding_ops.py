@@ -251,6 +251,22 @@ def test_sem_dedup_auto_picks_lsh_above_exact_max(spark):
                      emb_col="emb", strategy="bogus")
 
 
+def test_lsh_candidate_pairs_auto_planes(spark):
+    """n_planes="auto" sizes bucket count from the row count (clamped
+    log2(n/256)) and is exactly the explicit-planes plan for that value —
+    the self-sizing that keeps within-bucket verify work linear as the
+    corpus grows (see tools/scale_probe.py)."""
+    from lotus_spark.functions.dedup import lsh_candidate_pairs
+
+    df = _dedup_fixture(spark)  # 21 rows -> auto = clamp floor = 4 planes
+    key = lambda r: (r["a"], r["b"])  # noqa: E731
+    auto = sorted(map(key, lsh_candidate_pairs(
+        df, "id", "emb", 0.9, n_planes="auto").collect()))
+    explicit = sorted(map(key, lsh_candidate_pairs(
+        df, "id", "emb", 0.9, n_planes=4).collect()))
+    assert auto == explicit and auto  # same plan, non-empty recall
+
+
 def test_scored_pairs_chunked_equals_single_block(spark):
     from lotus_spark.functions.dedup import scored_pairs
 

@@ -57,6 +57,37 @@ def test_lazyframe_execute_replays_on_spark(spark, courses_df):
         settings.lm = None
 
 
+def test_sem_pipeline_pushdown_equivalence(spark):
+    """The flagship filter→map→agg semantic chain (oracle query
+    ``sem_pipeline``): optimize() hoists the native filter ahead of the
+    LLM stage and the optimized plan returns the same result."""
+    from lotus_spark.models.demo_lms import CountingAggLM
+    from lotus_spark.models.fake_lm import RegexMapLM
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data", "en", 200),
+         (2, "spark joins tables", "fr", 50),     # pruned by n_chars
+         (3, "pandas is local", "en", 300),       # pruned by sem_filter
+         (4, "spark scales out", "en", 400)],
+        ["doc_id", "text", "lang", "n_chars"],
+    )
+    lf = (
+        LazyFrame()
+        .sem_filter("{text} is about distributed computing",
+                    lm=KeywordBoolLM("spark"))
+        .filter("n_chars >= 100")
+        .sem_map("lang {lang} upper",
+                 lm=RegexMapLM(r"\[lang\]: «(\w+)»", "upper"))
+        .sem_agg("count {text}", lm=CountingAggLM(), group_by=["_map"])
+    )
+    opt = lf.optimize()
+    # the cheap predicate now runs before any model call
+    assert opt.ops[0].op == "native:filter"
+    assert [r.asDict() for r in opt.execute(docs).orderBy("_map").collect()] \
+        == [r.asDict() for r in lf.execute(docs).orderBy("_map").collect()] \
+        == [{"_map": "EN", "_output": "2"}]
+
+
 def test_lazyframe_save_load_roundtrip(tmp_path):
     lf = LazyFrame().sem_map("{a} to french", suffix="_fr").select("a")
     p = str(tmp_path / "plan.pkl")

@@ -169,6 +169,24 @@ def probe_fns():
         return paragraph_dedup(docs, "text", "doc_id", sep=" ")
 
     fns["paragraph_dedup_full"] = paragraph_dedup_full
+
+    def embedding_neardup_lsh_auto(spark, sf_dir):
+        """The documented remedy for embedding_neardup's quadratic growth
+        under fixed-cardinality blocking: data-sized LSH buckets
+        (n_planes="auto" keeps mean bucket size ~constant), so this one
+        should scale ~linearly where the label-blocked exact miner does
+        not. The synthetic embeddings contain no pairs at cosine >= 0.8,
+        so rows=0 at BOTH scales is expected — the measurement is the
+        scan -> bucket -> verify machinery, which dominates in production
+        too (true near-dup pairs are rare at high thresholds)."""
+        from lotus_spark.functions.dedup import lsh_candidate_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return lsh_candidate_pairs(
+            emb, "vec_id", "embedding", threshold=0.8, n_planes="auto"
+        )
+
+    fns["embedding_neardup_lsh"] = embedding_neardup_lsh_auto
     return fns
 
 
