@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "cap_per_key",
     "streaming_sessions",
     "dedupe_doc_units",
+    "sem_pipeline",
 ]
 
 
