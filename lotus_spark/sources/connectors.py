@@ -184,6 +184,38 @@ def _docx_extractor(path: str, content: bytes) -> list[str]:  # pragma: no cover
     return ["\n".join(p.text for p in d.paragraphs)]
 
 
+def _pptx_extractor(path: str, content: bytes) -> list[str]:
+    """Per-slide text from a .pptx (reference ``file_extractors/pptx.py``:
+    one document per slide). A pptx is a zip of DrawingML XML, so this
+    needs only the stdlib: collect the ``a:t`` text runs of each
+    ``ppt/slides/slideN.xml``, runs joined within a paragraph (``a:p``),
+    paragraphs joined with newlines. The reference's optional
+    image-captioning tier needs torch+transformers and stays out of
+    scope (captions augment text; the text itself is identical)."""
+    import io
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+    slides = []
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        names = [
+            n for n in z.namelist()
+            if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+        ]
+        names.sort(key=lambda n: int(re.search(r"(\d+)", n).group(1)))
+        for name in names:
+            root = ET.fromstring(z.read(name))
+            paras = []
+            for p in root.iter(f"{ns}p"):
+                run = "".join(t.text or "" for t in p.iter(f"{ns}t"))
+                if run:
+                    paras.append(run)
+            slides.append("\n".join(paras))
+    return slides
+
+
 _TEXT_EXTS = ("txt", "md", "csv", "json", "log", "py", "html")
 
 
@@ -193,6 +225,7 @@ def default_extractors() -> dict:
     Rich-format readers register only when their lib imports (pymupdf,
     python-docx) — mirroring the reference's optional file_extractors."""
     reg: dict = {ext: _text_extractor for ext in _TEXT_EXTS}
+    reg["pptx"] = _pptx_extractor  # stdlib zip+XML — no optional dep
     try:  # pragma: no cover - pymupdf absent in the test container
         import fitz  # noqa: F401
 

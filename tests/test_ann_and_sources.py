@@ -60,6 +60,43 @@ def test_load_files_reads_text(spark, tmp_path):
     assert any(c.startswith("[unextracted:pdf]") for c in by_content)
 
 
+def test_load_files_pptx_per_slide(spark, tmp_path):
+    """Built-in stdlib pptx extractor (reference file_extractors/pptx.py:
+    one document per slide): text runs joined within a paragraph,
+    paragraphs newline-joined, slides ordered numerically (slide10 after
+    slide2, not lexicographically)."""
+    import zipfile
+
+    from lotus_spark.sources.connectors import load_files
+
+    def slide_xml(*paras):
+        body = "".join(
+            "<a:p>" + "".join(f"<a:r><a:t>{run}</a:t></a:r>" for run in p)
+            + "</a:p>"
+            for p in paras
+        )
+        return (
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main" xmlns:a="http://schemas.'
+            'openxmlformats.org/drawingml/2006/main">'
+            f"<p:cSld><p:spTree><p:sp><p:txBody>{body}</p:txBody>"
+            "</p:sp></p:spTree></p:cSld></p:sld>"
+        )
+
+    with zipfile.ZipFile(tmp_path / "deck.pptx", "w") as z:
+        z.writestr("ppt/slides/slide1.xml",
+                   slide_xml(("Hello ", "world"), ("Second para",)))
+        z.writestr("ppt/slides/slide2.xml", slide_xml(("middle",)))
+        z.writestr("ppt/slides/slide10.xml", slide_xml(("last",)))
+        z.writestr("ppt/media/image1.png", b"\x89PNG")  # ignored
+
+    out = load_files(spark, str(tmp_path)).collect()
+    by_label = {r["page_label"]: r["content"] for r in out}
+    assert by_label["1"] == "Hello world\nSecond para"
+    assert by_label["2"] == "middle"
+    assert by_label["3"] == "last"  # numeric slide order
+
+
 def test_load_files_custom_extractor_per_page(spark, tmp_path):
     """Pluggable extractor registry (VERDICT #3): a fake rich-format reader
     produces per-page rows through the distributed extraction path."""
