@@ -226,6 +226,21 @@ class LiteLLMClient(LM):
         outputs = [r.choices[0].message.content or "" for r in responses]
         self.usage.total_calls += len(batch)
         self.usage.virtual_calls += len(batch)
+        for r in responses:
+            u = getattr(r, "usage", None)
+            if u is not None:
+                self.usage.prompt_tokens += getattr(u, "prompt_tokens", 0) or 0
+                self.usage.completion_tokens += (
+                    getattr(u, "completion_tokens", 0) or 0
+                )
+            # litellm's maintained pricing DB (reference
+            # lotus/pricing.py:calculate_cost_from_response); unpriced
+            # models contribute 0 rather than failing the batch
+            try:
+                c = litellm.completion_cost(completion_response=r)
+                self.usage.cost += float(c or 0.0)
+            except Exception:  # noqa: BLE001 - model absent from pricing DB
+                pass
         return LMOutput(outputs=outputs)
 
     def __getstate__(self):

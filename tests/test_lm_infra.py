@@ -192,6 +192,48 @@ def test_estimate_semantic_cost_and_safe_mode(spark, capsys):
         settings.safe_mode = False
 
 
+def test_litellm_client_accumulates_usage_and_cost(monkeypatch):
+    """LiteLLMClient fills UsageStats from each response — token counts
+    from response.usage and dollars via litellm.completion_cost (reference
+    lotus/pricing.py::calculate_cost_from_response); a model missing from
+    the pricing DB contributes 0 cost without failing the batch."""
+    import sys
+    import types
+
+    from lotus_spark.models.lm import LiteLLMClient
+
+    def mk_resp(text, pt, ct):
+        return types.SimpleNamespace(
+            choices=[types.SimpleNamespace(
+                message=types.SimpleNamespace(content=text))],
+            usage=types.SimpleNamespace(prompt_tokens=pt,
+                                        completion_tokens=ct),
+        )
+
+    fake = types.ModuleType("litellm")
+    fake.batch_completion = lambda model, messages, temperature, \
+        max_tokens, api_base, **kw: [mk_resp(f"r{i}", 10, 5)
+                                     for i in range(len(messages))]
+    fake.completion_cost = lambda completion_response: 0.001
+    monkeypatch.setitem(sys.modules, "litellm", fake)
+
+    lm = LiteLLMClient(model="fake-model")
+    out = lm([[{"role": "user", "content": "a"}],
+              [{"role": "user", "content": "b"}]])
+    assert out.outputs == ["r0", "r1"]
+    assert lm.usage.prompt_tokens == 20
+    assert lm.usage.completion_tokens == 10
+    assert abs(lm.usage.cost - 0.002) < 1e-12
+
+    def no_pricing(completion_response):
+        raise RuntimeError("model not in pricing DB")
+
+    fake.completion_cost = no_pricing
+    lm([[{"role": "user", "content": "c"}]])
+    assert lm.usage.prompt_tokens == 30          # tokens still counted
+    assert abs(lm.usage.cost - 0.002) < 1e-12    # cost unchanged, no raise
+
+
 def test_litellm_rm_with_fake_transport():
     """LiteLLMRM (reference litellm_rm.py parity): batching, truncation,
     index-ordered assembly — hermetic via an injected transport."""
