@@ -121,6 +121,34 @@ def test_running_doc_stats_stateful(spark, stream_dir):
     assert 0.0 <= latest["en"]["avg_quality"] <= 1.0
 
 
+def test_streaming_curation_pipeline_matches_batch(spark, stream_dir):
+    """The batch curation operators compose unchanged on a stream: a
+    Gopher-style gate (pure Column expressions — evaluated inside the
+    streaming scan) feeding watermark-bounded exact dedup. The identical
+    gate+dedup semantics replayed in batch must keep the same ids —
+    incremental corpus curation is the same plan, not a rewrite."""
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    gated = stream.filter(
+        T.gopher_keep("body", min_words=5, min_stopword_hits=1)
+    )
+    out = _run(
+        spark,
+        streaming_dedup(gated, ["body"], "ts", watermark="10 minutes"),
+        "curation_sink",
+    )
+    got = sorted(r["id"] for r in out.collect())
+
+    batch = spark.read.parquet(stream_dir)
+    kept = batch.filter(T.gopher_keep("body", min_words=5,
+                                      min_stopword_hits=1))
+    expect = sorted(
+        r["id"]
+        for r in kept.groupBy("body").agg(F.min_by("id", "ts").alias("id"))
+        .collect()
+    )
+    assert got == expect and got  # duplicate doc "c" dropped, gate applied
+
+
 def test_py_quality_matches_column_quality(spark):
     """The stateful op's Python twin must equal the JVM quality_score."""
     texts = [r[1] for r in ROWS] + ["", "x", "THE THE THE", "a b c d e " * 30]
