@@ -1887,10 +1887,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
         "sem_index_roundtrip": q_sem_index_roundtrip,
-        "sem_partition_agg": q_sem_partition_agg,
         # tail positions (>50): hash-verified LAST round
         # (CORRECTNESS_r04.json) on code untouched since; they rotate
         # back into the 50-query driver window next round.
+        "sem_partition_agg": q_sem_partition_agg,
         "streaming_doc_stats": q_streaming_doc_stats,
         "streaming_sessions": q_streaming_sessions,
         "dedupe_doc_units": q_dedupe_doc_units,
