@@ -149,10 +149,90 @@ def _load_xlsx_driver_side(
     if parser is not None:
         pdf = parser(data)
     else:
-        import pandas as pd
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError:
+            # stdlib fallback covers plain data tables (header row +
+            # shared/inline strings + numbers); pd_options need the
+            # openpyxl tier
+            pdf = _parse_xlsx_stdlib(data)
+        else:
+            import pandas as pd
 
-        pdf = pd.read_excel(io.BytesIO(data), **pd_options)
+            pdf = pd.read_excel(io.BytesIO(data), **pd_options)
     return spark.createDataFrame(pdf)
+
+
+def _parse_xlsx_stdlib(data: bytes):
+    """Dependency-free xlsx parser for the common data-table case: the
+    FIRST worksheet, row 1 as header, cells that are shared strings,
+    inline strings, or numbers. An xlsx is a zip of SpreadsheetML, so
+    the stdlib (zipfile + ElementTree) suffices — formulas, dates,
+    multiple sheets and styling need openpyxl (``pd.read_excel``), which
+    takes over automatically whenever it is importable."""
+    import io
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{ns}t"))
+                for si in root.iter(f"{ns}si")
+            ]
+        sheets = sorted(
+            (n for n in z.namelist()
+             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+        )
+        if not sheets:
+            raise ValueError("xlsx contains no worksheets")
+        root = ET.fromstring(z.read(sheets[0]))
+
+    def cell_value(c):
+        t = c.get("t")
+        if t == "inlineStr":
+            return "".join(x.text or "" for x in c.iter(f"{ns}t"))
+        v = c.find(f"{ns}v")
+        if v is None or v.text is None:
+            return None
+        if t == "s":
+            return shared[int(v.text)]
+        if t == "str":
+            return v.text
+        return float(v.text)
+
+    def col_index(ref):
+        # "BC12" -> 54: base-26 over the letter prefix
+        i = 0
+        for ch in ref:
+            if not ch.isalpha():
+                break
+            i = i * 26 + (ord(ch.upper()) - ord("A") + 1)
+        return i - 1
+
+    rows: list[dict[int, object]] = []
+    for row in root.iter(f"{ns}row"):
+        vals = {}
+        for j, c in enumerate(row.iter(f"{ns}c")):
+            ref = c.get("r")
+            vals[col_index(ref) if ref else j] = cell_value(c)
+        rows.append(vals)
+    if not rows:
+        return pd.DataFrame()
+    header_cells = rows[0]
+    cols = [
+        str(header_cells.get(i, f"col{i}"))
+        for i in range(max(header_cells) + 1)
+    ]
+    body = [[r.get(i) for i in range(len(cols))] for r in rows[1:]]
+    return pd.DataFrame(body, columns=cols)
 
 
 def _text_extractor(path: str, content: bytes) -> list[str]:

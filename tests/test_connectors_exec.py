@@ -128,6 +128,64 @@ def test_xlsx_driver_side_bytes_roundtrip(spark, tmp_path):
         [(1, "x"), (2, "y")]
 
 
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-rolled SpreadsheetML zip: shared-string header + typed body
+    cells (strings via sharedStrings, numbers inline)."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    strings: list[str] = []
+
+    def sref(s):
+        strings.append(s)
+        return len(strings) - 1
+
+    def cell(col, rownum, v):
+        ref = f"{chr(ord('A') + col)}{rownum}"
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    body = "".join(
+        f'<row r="{i + 1}">'
+        + "".join(cell(j, i + 1, v) for j, v in enumerate(vals))
+        + "</row>"
+        for i, vals in enumerate([list(header)] + [list(r) for r in rows])
+    )
+    sheet = f"<worksheet {ns}><sheetData>{body}</sheetData></worksheet>"
+    sst = (
+        f"<sst {ns}>"
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_xlsx_stdlib_fallback_parses_real_zip(spark, tmp_path):
+    """Without openpyxl the default tier falls back to the stdlib
+    SpreadsheetML parser — a genuine xlsx (zip of sheet XML + shared
+    strings) reads end-to-end through load_from_s3 with no optional
+    dependency."""
+    from lotus_spark.sources.connectors import _parse_xlsx_stdlib
+
+    _write_minimal_xlsx(
+        tmp_path / "table.xlsx",
+        ["id", "name", "score"],
+        [[1, "alpha", 0.5], [2, "beta", 1.25], [3, "gamma", -2.0]],
+    )
+    out = load_from_s3(spark, str(tmp_path), "table.xlsx", scheme="file")
+    got = sorted((int(r["id"]), r["name"], r["score"])
+                 for r in out.collect())
+    assert got == [(1, "alpha", 0.5), (2, "beta", 1.25), (3, "gamma", -2.0)]
+
+    # parser unit level: header becomes columns, numbers are floats
+    pdf = _parse_xlsx_stdlib((tmp_path / "table.xlsx").read_bytes())
+    assert list(pdf.columns) == ["id", "name", "score"]
+    assert pdf["id"].tolist() == [1.0, 2.0, 3.0]
+
+
 def test_xlsx_real_parse_tier(spark, tmp_path):
     """Real pd.read_excel tier — runs wherever openpyxl is installed."""
     openpyxl = pytest.importorskip("openpyxl")
