@@ -165,7 +165,7 @@ def knn_topk_lsh(
 def ivf_index(
     df: DataFrame,
     emb_col: str,
-    n_cells: int = 64,
+    n_cells: int | str = 64,
     seed: int = 42,
     cell_col: str = "__ivf_cell",
     method: str = "mllib",
@@ -178,11 +178,24 @@ def ivf_index(
     ``n_probe`` cells — the Spark analog of a FAISS IVF list scan, with
     partition pruning doing the inverted-list lookup.
 
+    ``n_cells="auto"`` sizes the cell count to the DATA: ceil(sqrt(n))
+    clamped to [4, 65536] — the standard IVF sizing (FAISS guideline:
+    ~sqrt(n) lists), keeping BOTH mean cell size and cell count growing
+    as sqrt(n) so per-query probe work scales sub-linearly as the corpus
+    grows. A fixed ``n_cells`` means cells grow linearly with the data —
+    same growth trap as a fixed LSH bucket count
+    (``dedup.lsh_candidate_pairs``).
+
     ``method="deterministic"`` uses the integer-quantized Lloyd's
     (``functions/kmeans.py``; requires ``id_col``): centroids are then
     returned in the *quantized integer* domain and cell-probing must use
     :func:`rank_cells_quantized` — reproducible across engines.
     """
+    if n_cells == "auto":
+        import math
+
+        n = df.select(F.lit(1)).count()
+        n_cells = min(65536, max(4, math.ceil(math.sqrt(n))))
     if method == "deterministic":
         from lotus_spark.functions.kmeans import deterministic_kmeans
 

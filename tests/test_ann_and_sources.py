@@ -250,6 +250,15 @@ def test_ivf_ann_recall(spark):
     recall = len(set(exact) & set(part)) / 10
     assert recall >= 0.7  # hash embeddings, 8/16 cells
 
+    # n_cells="auto" = ceil(sqrt(n)) clamped: sqrt-sized lists (FAISS
+    # guideline) so probe work grows sub-linearly with the corpus
+    n = emb.count()
+    import math
+
+    auto_indexed, auto_cents = ivf_index(emb, "embedding", n_cells="auto")
+    assert len(auto_cents) == max(4, math.ceil(math.sqrt(n)))
+    assert auto_indexed.select("__ivf_cell").distinct().count() <= len(auto_cents)
+
 
 def test_salted_join_and_agg_match_plain(spark):
     from lotus_spark.functions.joins import salted_agg, salted_join
