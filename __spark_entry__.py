@@ -1545,21 +1545,21 @@ WITH t AS (
          COUNT(DISTINCT l_quantity), CAST(MIN(l_quantity) AS DOUBLE),
          CAST(MAX(l_quantity) AS DOUBLE),
          CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity),
-         CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE)
+         quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)
   FROM t
   UNION ALL
   SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
          COUNT(DISTINCT l_extendedprice), CAST(MIN(l_extendedprice) AS DOUBLE),
          CAST(MAX(l_extendedprice) AS DOUBLE),
          CAST(SUM(l_extendedprice) AS DOUBLE) / COUNT(l_extendedprice),
-         CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE)
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
   FROM t
   UNION ALL
   SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
          COUNT(DISTINCT l_discount), CAST(MIN(l_discount) AS DOUBLE),
          CAST(MAX(l_discount) AS DOUBLE),
          CAST(SUM(l_discount) AS DOUBLE) / COUNT(l_discount),
-         CAST(quantile_cont(l_discount, 0.5) AS DOUBLE)
+         quantile_cont(CAST(l_discount AS DOUBLE), 0.5)
   FROM t
   UNION ALL
   SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),

@@ -93,18 +93,49 @@ def pack_sequences(
     - ``n_seqs``     — how many sequences the document spans (≥ 1;
       documents straddle cuts, exactly like GPT-style pretraining packing)
 
-    Distributed scan, not a global window: ``repartitionByRange`` on
-    ``order_col`` (range partitioner keeps partition ids in key order) →
-    per-partition cumsum → add exclusive per-partition prefix totals
-    (one long per partition via the driver). Zero-token docs occupy no
-    tape but still get the position they would start at.
+    Distributed scan, not a global window: the tape is cut into ~equal
+    SEGMENTS by ``order_col`` range → per-segment cumsum window → add
+    exclusive per-segment prefix totals (one long per segment via the
+    driver). Zero-token docs occupy no tape but still get the position
+    they would start at.
+
+    Segment membership is a pure FUNCTION OF THE VALUE: range boundaries
+    are collected once (``approxQuantile``) and baked into the plan as
+    literals. The previous implementation derived segments from
+    ``repartitionByRange`` + ``spark_partition_id()`` — but the range
+    partitioner SAMPLES with an RDD-id-dependent seed, so the totals
+    collect and the caller's later action could execute the exchange
+    with DIFFERENT boundaries than the baked prefix map (observed at
+    sf0.1/local[8]: whole segments offset by thousands of tokens).
+    Value-based ids make every execution of the plan agree by
+    construction, whatever the physical partitioning does.
+
+    Numeric ``order_col`` only (the tape orders by it; approxQuantile
+    needs numeric). A non-numeric order column falls back to ONE segment
+    — correct but a single-task window; re-key the tape (e.g.
+    ``xxhash64``-free monotonic id) for scale.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    try:
+        probs = [i / n for i in range(1, n)]
+        bounds = sorted(set(
+            df.stat.approxQuantile(order_col, probs, 1.0 / max(n * 10, 100))
+        )) if n > 1 else []
+    except Exception:  # non-numeric order col: single-segment fallback
+        import warnings
+
+        warnings.warn(
+            "pack_sequences: non-numeric order_col — falling back to a "
+            "single-task global window; use a numeric tape key at scale",
+            stacklevel=2,
+        )
+        bounds = []
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
+    d = df.withColumn("__pid", pid)
     w = (
         Window.partitionBy("__pid").orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
