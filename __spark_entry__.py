@@ -1441,6 +1441,8 @@ def q_pipeline_pack(spark, sf_dir):
     Checkpoint resume is exercised end-to-end in
     ``tests/test_plans.py::test_from_fn_checkpoint_resume_mid_pipeline``
     (mid-pipeline kill → re-run skips completed stages)."""
+    import hashlib
+    import os
     import tempfile
 
     from lotus_spark.plans.lazyframe import LazyFrame
@@ -1453,7 +1455,14 @@ def q_pipeline_pack(spark, sf_dir):
         .from_fn(_pp_stage_quantile, checkpoint=True)
         .from_fn(_pp_stage_pack)
     )
-    ck = tempfile.mkdtemp(prefix="lotus_pipeline_ck_")
+    # STABLE dir keyed by sf_dir (not mkdtemp-per-call): re-runs against
+    # the same source actually resume from the dedup/quantile checkpoints
+    # instead of leaking a fresh orphaned checkpoint set every invocation
+    ck = os.path.join(
+        tempfile.gettempdir(),
+        "lotus_pipeline_ck_" + hashlib.blake2b(
+            sf_dir.encode(), digest_size=6).hexdigest(),
+    )
     return lf.execute(docs, checkpoint_dir=ck,
                       source_token=f"{sf_dir}/documents")
 

@@ -48,20 +48,40 @@ class LMOutput:
 
 
 def _code_fingerprint(code: Any) -> str:
-    """Deterministic digest of a code object's behavior-relevant parts
-    (bytecode + consts, recursing into nested code objects whose repr
-    would otherwise embed a memory address)."""
+    """Deterministic digest of a code object's behavior-relevant parts:
+    bytecode + referenced names (``co_names``/``co_freevars`` — two
+    bodies that differ only in WHICH global they call share co_code, the
+    name lives in co_names) + consts, recursing into nested code objects
+    whose repr would otherwise embed a memory address. Set/frozenset
+    consts hash in sorted element order — their iteration order follows
+    per-process string-hash randomization, and a seed-dependent digest
+    would quietly turn every cross-run checkpoint resume into a miss."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=8)
 
+    def feed_const(const: Any) -> None:
+        if hasattr(const, "co_code"):
+            feed(const)
+        elif isinstance(const, (set, frozenset)):
+            h.update(b"{")
+            for part in sorted(repr(e) for e in const):
+                h.update(part.encode("utf-8", "replace"))
+            h.update(b"}")
+        elif isinstance(const, tuple):
+            h.update(b"(")
+            for e in const:
+                feed_const(e)
+            h.update(b")")
+        else:
+            h.update(repr(const).encode("utf-8", "replace"))
+
     def feed(c: Any) -> None:
         h.update(c.co_code)
+        for name in c.co_names + c.co_freevars:
+            h.update(name.encode("utf-8", "replace"))
         for const in c.co_consts:
-            if hasattr(const, "co_code"):
-                feed(const)
-            else:
-                h.update(repr(const).encode("utf-8", "replace"))
+            feed_const(const)
 
     feed(code)
     return h.hexdigest()
@@ -98,11 +118,16 @@ def callable_token(fn: Any) -> str:
     return name
 
 
-def _value_token(v: Any) -> str:
+def _value_token(v: Any, _depth: int = 0) -> str:
     """Cross-process-stable string identity for one config value,
     applied recursively inside containers (a raw ``repr`` of a list
     element with the default object repr would embed a memory address
-    and silently defeat cross-run checkpoint resume)."""
+    and silently defeat cross-run checkpoint resume). Objects with a
+    default (address-bearing) repr tokenize as class identity PLUS their
+    public attrs via :func:`stable_config_token` — class identity alone
+    would collapse two different configs of the same class onto one
+    checkpoint key, a silent false HIT. Depth-capped against cyclic
+    object graphs."""
     if isinstance(v, (str, int, float, bool, type(None))):
         return repr(v)
     ck = getattr(v, "cache_key", None)
@@ -113,19 +138,23 @@ def _value_token(v: Any) -> str:
     if isinstance(v, dict):
         items = sorted(v.items(), key=lambda kv: str(kv[0]))
         return ("{" + ",".join(
-            f"{_value_token(k)}:{_value_token(x)}" for k, x in items) + "}")
+            f"{_value_token(k, _depth)}:{_value_token(x, _depth)}"
+            for k, x in items) + "}")
     if isinstance(v, (list, tuple)):
-        body = ",".join(_value_token(x) for x in v)
+        body = ",".join(_value_token(x, _depth) for x in v)
         return f"[{body}]" if isinstance(v, list) else f"({body})"
     if isinstance(v, (set, frozenset)):
-        return "{" + ",".join(sorted(_value_token(x) for x in v)) + "}"
+        return "{" + ",".join(sorted(_value_token(x, _depth) for x in v)) + "}"
     r = repr(v)
     if " at 0x" not in r:
         return r
-    return f"{type(v).__module__}.{type(v).__qualname__}"
+    cls = f"{type(v).__module__}.{type(v).__qualname__}"
+    if _depth >= 4:  # cycle/pathology guard: degrade to class identity
+        return cls
+    return f"{cls}({stable_config_token(v, _depth=_depth + 1)})"
 
 
-def stable_config_token(obj: Any) -> str:
+def stable_config_token(obj: Any, _depth: int = 0) -> str:
     """Sorted public config of ``obj`` as a cross-process-stable string —
     the single shared implementation behind ``LM.cache_key``,
     ``RM.cache_key`` and the LazyFrame checkpoint-key hasher (they MUST
@@ -137,7 +166,11 @@ def stable_config_token(obj: Any) -> str:
     else class identity (documented residual collision risk: config
     hidden inside an opaque object exposing neither ``__dict__`` nor
     ``cache_key()``). ``__slots__`` classes are walked via their slots —
-    ``vars()`` would raise TypeError on them."""
+    ``vars()`` would raise TypeError on them. Runtime counters
+    (``UsageStats``) are EXCLUDED: they mutate as the model is used, and
+    including them made an LM's identity change between the first and
+    second execution of the same plan — every checkpoint prefix missed
+    and the LLM stages re-paid in full."""
     d = getattr(obj, "__dict__", None)
     if d is None:
         d = {
@@ -147,9 +180,9 @@ def stable_config_token(obj: Any) -> str:
         }
     parts = []
     for k, v in sorted(d.items()):
-        if k.startswith("_"):
+        if k.startswith("_") or isinstance(v, UsageStats):
             continue
-        parts.append(f"{k}={_value_token(v)}")
+        parts.append(f"{k}={_value_token(v, _depth)}")
     return "{" + ",".join(parts) + "}"
 
 

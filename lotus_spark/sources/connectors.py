@@ -224,14 +224,20 @@ def _parse_xlsx_stdlib(data: bytes):
             ref = c.get("r")
             vals[col_index(ref) if ref else j] = cell_value(c)
         rows.append(vals)
+    # leading fully-empty rows (spacer/title rows) are not the header
+    while rows and not rows[0]:
+        rows.pop(0)
     if not rows:
         return pd.DataFrame()
+    # width spans ALL rows: body cells right of the last header column
+    # get a generated name instead of being silently dropped
+    width = max(max(r) for r in rows if r) + 1
     header_cells = rows[0]
     cols = [
-        str(header_cells.get(i, f"col{i}"))
-        for i in range(max(header_cells) + 1)
+        str(header_cells[i]) if header_cells.get(i) is not None else f"col{i}"
+        for i in range(width)
     ]
-    body = [[r.get(i) for i in range(len(cols))] for r in rows[1:]]
+    body = [[r.get(i) for i in range(width)] for r in rows[1:]]
     return pd.DataFrame(body, columns=cols)
 
 
@@ -321,30 +327,41 @@ def default_extractors() -> dict:
     return reg
 
 
-def _fetch_urls_to_dir(urls: list[str], timeout: float = 30.0) -> str:
+def _fetch_urls_to_dir(
+    urls: list[str], timeout: float = 30.0
+) -> tuple[str, dict[str, str]]:
     """Download each URL into a fresh temp dir (reference
     ``DirectoryReader.add_url``, ``file_extractors/directory_reader.py:
     141+``), preserving the URL's file extension so the per-extension
     extractor registry dispatches identically to local files. Returns
-    the temp dir path. Driver-side by design: URL ingestion is a
-    handful of remote documents, not a crawl — bulk corpora belong in
-    object storage read by executors."""
+    ``(temp_dir, {local_basename: source_url})`` — the mapping restores
+    URL provenance on the output rows. The dir is removed at interpreter
+    exit (atexit); by then every Spark action over it has run or never
+    will. Driver-side by design: URL ingestion is a handful of remote
+    documents, not a crawl — bulk corpora belong in object storage read
+    by executors."""
+    import atexit
     import os
+    import shutil
     import tempfile
     import urllib.parse
     import urllib.request
 
     tmp = tempfile.mkdtemp(prefix="lotus_urls_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    mapping: dict[str, str] = {}
     for i, url in enumerate(urls):
         name = os.path.basename(urllib.parse.urlparse(url).path)
         if not name:
             name = f"url_{i}.html"
         # index prefix: two URLs may share a basename
-        dest = os.path.join(tmp, f"{i:04d}_{name}")
+        base = f"{i:04d}_{name}"
+        dest = os.path.join(tmp, base)
         with urllib.request.urlopen(url, timeout=timeout) as resp, \
                 open(dest, "wb") as f:
             f.write(resp.read())
-    return tmp
+        mapping[base] = url
+    return tmp, mapping
 
 
 def load_files(
@@ -394,19 +411,29 @@ def load_files(
 
     if path is None and not urls:
         raise ValueError("load_files needs a path, urls, or both")
-    paths = [path] if path is not None else []
+    url_map: dict[str, str] = {}
+    parts = []
+    if path is not None:
+        reader = spark.read.format("binaryFile")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        parts.append(reader.load([path]))
     if urls:
-        paths.append(_fetch_urls_to_dir(urls))
-    reader = spark.read.format("binaryFile")
-    if glob:
-        reader = reader.option("pathGlobFilter", glob)
-    binary = reader.load(paths)
+        # glob deliberately NOT applied here: each URL was requested
+        # explicitly — filtering a downloaded document out by filename
+        # pattern would silently drop it
+        url_dir, url_map = _fetch_urls_to_dir(urls)
+        parts.append(spark.read.format("binaryFile").load([url_dir]))
+    binary = parts[0]
+    for extra in parts[1:]:
+        binary = binary.unionByName(extra)
 
     out_schema = StructType(
         [
             StructField("file_path", StringType()),
             StructField("page_label", StringType()),
             StructField("content", StringType()),
+            StructField("source_url", StringType()),
         ]
     )
 
@@ -415,18 +442,21 @@ def load_files(
             rows = []
             for _, r in pdf.iterrows():
                 fp = r["path"]
+                # URL provenance: downloaded files carry their source URL
+                # (reference add_url keeps URL identity); local files None
+                src = url_map.get(fp.rsplit("/", 1)[-1])
                 ext = fp.rsplit(".", 1)[-1].lower()
                 fn = registry.get(ext)
                 if fn is not None:
                     try:
                         pages = list(fn(fp, bytes(r["content"])))
                     except Exception as e:  # noqa: BLE001 - per-file isolation
-                        rows.append((fp, "1", f"[extract-error:{ext}:{e}]"))
+                        rows.append((fp, "1", f"[extract-error:{ext}:{e}]", src))
                         continue
                 else:
                     # no extractor for this extension — emit a marked row so
                     # the pipeline shape is observable, never silently drop
-                    rows.append((fp, "1", f"[unextracted:{ext}]"))
+                    rows.append((fp, "1", f"[unextracted:{ext}]", src))
                     continue
                 if chunk:
                     step = max(chunk_size - chunk_overlap, 1)
@@ -435,15 +465,18 @@ def load_files(
                         toks = page.split()
                         for s in range(0, max(len(toks), 1), step):
                             piece = " ".join(toks[s : s + chunk_size])
-                            rows.append((fp, f"chunk_{n_chunk}", piece))
+                            rows.append((fp, f"chunk_{n_chunk}", piece, src))
                             n_chunk += 1
                             if s + chunk_size >= len(toks):
                                 break
                 elif per_page:
                     for i, page in enumerate(pages):
-                        rows.append((fp, str(i + 1), page))
+                        rows.append((fp, str(i + 1), page, src))
                 else:
-                    rows.append((fp, "1", page_separator.join(pages)))
-            yield pd.DataFrame(rows, columns=["file_path", "page_label", "content"])
+                    rows.append((fp, "1", page_separator.join(pages), src))
+            yield pd.DataFrame(
+                rows,
+                columns=["file_path", "page_label", "content", "source_url"],
+            )
 
     return binary.select("path", "content").mapInPandas(extract, schema=out_schema)

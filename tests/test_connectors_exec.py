@@ -186,6 +186,32 @@ def test_xlsx_stdlib_fallback_parses_real_zip(spark, tmp_path):
     assert pdf["id"].tolist() == [1.0, 2.0, 3.0]
 
 
+def test_xlsx_stdlib_spacer_row_and_wide_body(tmp_path):
+    """A blank spacer row above the table must not crash (empty-dict max)
+    and body cells right of the header's last column get generated names
+    instead of vanishing (round-5 review finding)."""
+    import zipfile
+
+    from lotus_spark.sources.connectors import _parse_xlsx_stdlib
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f"<worksheet {ns}><sheetData>"
+        '<row r="1"></row>'  # spacer: no cells
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>id</t></is></c>'
+        '<c r="B2" t="inlineStr"><is><t>name</t></is></c></row>'
+        '<row r="3"><c r="A3"><v>1</v></c>'
+        '<c r="B3" t="inlineStr"><is><t>x</t></is></c>'
+        '<c r="C3"><v>9.5</v></c></row>'  # wider than header
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(tmp_path / "w.xlsx", "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    pdf = _parse_xlsx_stdlib((tmp_path / "w.xlsx").read_bytes())
+    assert list(pdf.columns) == ["id", "name", "col2"]
+    assert pdf.iloc[0].tolist() == [1.0, "x", 9.5]
+
+
 def test_xlsx_real_parse_tier(spark, tmp_path):
     """Real pd.read_excel tier — runs wherever openpyxl is installed."""
     openpyxl = pytest.importorskip("openpyxl")
@@ -232,10 +258,13 @@ def test_load_files_from_urls(spark, http_docs):
 
     out = load_files(
         spark, urls=[f"{http_docs}/notes.txt", f"{http_docs}/readme.md"])
-    rows = {r["file_path"].rsplit("_", 1)[-1]: r["content"]
-            for r in out.collect()}
-    assert rows["notes.txt"] == "hello from the web"
-    assert rows["readme.md"].startswith("# remote doc")
+    rows = {r["file_path"].rsplit("_", 1)[-1]: r for r in out.collect()}
+    assert rows["notes.txt"]["content"] == "hello from the web"
+    assert rows["readme.md"]["content"].startswith("# remote doc")
+    # provenance: each downloaded row carries its SOURCE URL, not just
+    # the driver temp path (round-5 review finding)
+    assert rows["notes.txt"]["source_url"] == f"{http_docs}/notes.txt"
+    assert rows["readme.md"]["source_url"] == f"{http_docs}/readme.md"
 
 
 def test_load_files_path_and_urls_compose(spark, http_docs, tmp_path):
@@ -246,6 +275,24 @@ def test_load_files_path_and_urls_compose(spark, http_docs, tmp_path):
                      urls=[f"{http_docs}/notes.txt"])
     contents = sorted(r["content"] for r in out.collect())
     assert contents == ["hello from the web", "local doc"]
+    # local rows have no source_url
+    srcs = {r["content"]: r["source_url"] for r in out.collect()}
+    assert srcs["local doc"] is None
+    assert srcs["hello from the web"] == f"{http_docs}/notes.txt"
+
+
+def test_load_files_glob_does_not_filter_urls(spark, http_docs, tmp_path):
+    """glob applies to the PATH scan only: an explicitly requested URL
+    whose name doesn't match must still be ingested (round-5 review
+    finding — pathGlobFilter used to drop it silently)."""
+    from lotus_spark.sources.connectors import load_files
+
+    (tmp_path / "keep.txt").write_text("kept local")
+    (tmp_path / "skip.md").write_text("skipped local")
+    out = load_files(spark, str(tmp_path), glob="*.txt",
+                     urls=[f"{http_docs}/readme.md"])
+    contents = sorted(r["content"] for r in out.collect())
+    assert contents == ["# remote doc\n\nbody text", "kept local"]
 
 
 def test_load_files_requires_source(spark):

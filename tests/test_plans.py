@@ -432,3 +432,84 @@ def test_stable_config_token_slots_and_container_elements():
     b = stable_config_token(Holder([Opaque(), 3]))
     assert a == b
     assert " at 0x" not in a
+
+
+def test_callable_token_senses_referenced_name_changes():
+    """Two bodies that differ only in WHICH global they call share
+    co_code (the name lives in co_names) — the token must still differ,
+    or swapping a helper inside a from_fn stage silently resumes the old
+    stage's checkpoint (round-5 review finding)."""
+    from lotus_spark.models.lm import callable_token
+
+    ns1, ns2 = {}, {}
+    exec("def f(df):\n    return first_helper(df)", ns1)
+    exec("def f(df):\n    return second_helper(df)", ns2)
+    assert callable_token(ns1["f"]) != callable_token(ns2["f"])
+
+    # method-name swap too (df.filter vs df.where): also co_names-only
+    ns3, ns4 = {}, {}
+    exec("def g(df):\n    return df.filter('a')", ns3)
+    exec("def g(df):\n    return df.where('a')", ns4)
+    assert callable_token(ns3["g"]) != callable_token(ns4["g"])
+
+
+def test_callable_token_frozenset_const_stable_across_hash_seeds():
+    """A frozenset constant iterates in string-hash order, which varies
+    per process (PYTHONHASHSEED); the fingerprint must sort elements or
+    cross-run checkpoint resume never hits (round-5 review finding)."""
+    import subprocess
+    import sys
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from lotus_spark.models.lm import callable_token\n"
+        "def f(x):\n"
+        "    return x in {'alpha', 'beta', 'gamma', 'delta', 'epsilon'}\n"
+        "print(callable_token(f))"
+    )
+    outs = set()
+    for seed in ("1", "7"):
+        r = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+        )
+        assert r.returncode == 0, r.stderr
+        outs.add(r.stdout.strip())
+    assert len(outs) == 1, f"seed-dependent tokens: {outs}"
+
+
+def test_lm_cache_key_ignores_mutable_usage_counters():
+    """Using a model mutates usage counters; its cache identity must not
+    change, or the second execution of a checkpointed plan misses every
+    prefix and re-pays the LLM stages (round-5 review finding)."""
+    from lotus_spark.models.fake_lm import KeywordBoolLM
+
+    lm = KeywordBoolLM("spark")
+    before = lm.cache_key()
+    lm.usage.prompt_tokens += 1234
+    lm.usage.cost += 0.5
+    assert lm.cache_key() == before
+
+
+def test_value_token_distinguishes_configured_objects_in_containers():
+    """A config-bearing object (default repr, no cache_key) inside a
+    container must tokenize by its public attrs, not bare class identity
+    — class-only keys make two different configs share a checkpoint
+    (false HIT: stale results for the new config)."""
+    from lotus_spark.models.lm import _value_token
+
+    class Cfg:
+        def __init__(self, threshold):
+            self.threshold = threshold
+
+    assert _value_token([Cfg(0.2)]) != _value_token([Cfg(0.9)])
+    assert _value_token([Cfg(0.2)]) == _value_token([Cfg(0.2)])
+
+    class Cyclic:
+        def __init__(self):
+            self.me = self
+
+    # cyclic object graph degrades to class identity instead of recursing
+    t = _value_token([Cyclic()])
+    assert "Cyclic" in t
