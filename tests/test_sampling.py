@@ -69,6 +69,36 @@ def test_pack_sequences_distributed_scan_matches_single_partition(spark):
         assert got == ref, n
 
 
+def test_pack_sequences_same_plan_executes_identically_twice(spark):
+    """Regression for the sf0.1 bug: the returned plan embeds
+    driver-collected prefix totals, so a SECOND action over the same
+    DataFrame must reproduce the first exactly. The old implementation
+    derived segments from spark_partition_id() over a sampled range
+    exchange — a re-execution could sample different boundaries than the
+    baked totals and shift whole segments."""
+    df = spark.createDataFrame(
+        [(i, (i * 53) % 70 + 1) for i in range(2000)], ["ord", "toks"]
+    )
+    out = pack_sequences(df, "toks", 256, "ord", partitions=8)
+    first = sorted(map(tuple, out.collect()))
+    # churn RDD ids so a resample (if any existed) would likely diverge
+    for _ in range(3):
+        spark.range(100).repartition(5).count()
+    assert sorted(map(tuple, out.collect())) == first
+
+    # and both match a driver-side reference computation
+    rows = sorted((r.ord, r.toks) for r in df.collect())
+    cum, ref = 0, {}
+    for o, t in rows:
+        start = cum
+        cum += t
+        last = cum - 1 if t > 0 else start
+        ref[o] = (start // 256, start % 256, last // 256 - start // 256 + 1)
+    got = {r["ord"]: (r["seq_id"], r["seq_offset"], r["n_seqs"])
+           for r in out.collect()}
+    assert got == ref
+
+
 # ---------------------------------------------------- quantile_filter
 
 def test_quantile_filter_per_group_exact_rank(spark):
