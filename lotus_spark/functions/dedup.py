@@ -360,7 +360,7 @@ def jaccard_sim_pairs(
     Growth caveat (measured, ``tools/scale_probe.py``): exact pair mining
     is Σ|block|² COMPUTE by definition, so a FIXED-cardinality block key
     (language) makes per-block work grow quadratically with the corpus —
-    the 1x→10x probe measured 4.9x wall on 32 fixed cores and the curve
+    the 1x→10x probe measured ~5x wall on 32 fixed cores and the curve
     steepens from there. At 100 TB use a data-scaled block key (LSH
     bucket, cluster id — block sizes stay bounded as the corpus grows) or
     the linear ``minhash_lsh_dedup`` path; exact-within-language is for
@@ -683,7 +683,7 @@ def embedding_neardup_pairs(
     Growth caveat (measured, ``tools/scale_probe.py``): Σ|block|² is
     quadratic in block size, so a fixed-cardinality block key (label,
     language) means per-block work — and, at a loose threshold, OUTPUT
-    pairs — grow quadratically with the corpus (1x→10x probe: 8.4x wall,
+    pairs — grow quadratically with the corpus (1x→10x probe: ~15x wall,
     107x pairs at threshold 0.35). At scale, block on something whose
     cardinality grows with the data (kmeans cell via ``sem_cluster_by``,
     LSH bucket via ``knn_lsh``'s hasher) so block sizes stay bounded.

@@ -190,23 +190,16 @@ def probe_fns():
     return fns
 
 
-def run(spark, fns, sf_dir, repeats):
-    out = {}
-    for name, fn in fns.items():
-        best, n = float("inf"), -1
-        try:
-            for _ in range(repeats):
-                t0 = time.time()
-                n = fn(spark, sf_dir).count()
-                best = min(best, time.time() - t0)
-        except Exception as exc:  # noqa: BLE001 — record, keep probing
-            print(f"# {name} FAILED at {sf_dir}: {exc}", file=sys.stderr)
-            out[name] = {"sec": None, "rows": None, "error": str(exc)[:200]}
-            continue
-        out[name] = {"sec": round(best, 3), "rows": n}
-        print(f"# {os.path.basename(sf_dir)} {name}: {n} rows "
-              f"in {best:.2f}s", file=sys.stderr)
-    return out
+def time_query(spark, fn, sf_dir, repeats):
+    best, n = float("inf"), -1
+    try:
+        for _ in range(repeats):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+    except Exception as exc:  # noqa: BLE001 — record, keep probing
+        return {"sec": None, "rows": None, "error": str(exc)[:200]}
+    return {"sec": round(best, 3), "rows": n}
 
 
 def main():
@@ -221,29 +214,52 @@ def main():
 
     from lotus_spark.session import get_spark
 
-    spark = get_spark(
-        master=f"local[{args.cpus}]", shuffle_partitions=int(args.cpus)
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_session():
+        from pyspark.sql import SparkSession
 
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        s = get_spark(
+            master=f"local[{args.cpus}]", shuffle_partitions=int(args.cpus)
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_session()
     generate(spark, args.base, args.out, args.factor)
 
     fns = probe_fns()
-    # warm pass at the tiny sf: codegen/JIT is data-size independent and
-    # would otherwise be charged to whichever scale runs first
-    warm = "/root/testdata/sf0.001"
-    if os.path.isdir(warm):
-        for name, fn in fns.items():
+
+    # PER-QUERY ADJACENT MEASUREMENT: warm the query's plan shape at the
+    # tiny sf (codegen/JIT is data-size independent), then time scale1
+    # and scaleF back-to-back. Long local sessions accumulate erratic
+    # JIT/GC/worker state that inflated unchanged queries up to 10x
+    # between phases (events_hourly 5.2s polluted vs 0.67s fresh, same
+    # plan same data; pack_sequences 12.8s vs 1.0s in the reverse
+    # direction) — phase-ordered runs attribute that drift to whichever
+    # scale ran later. Measuring both scales seconds apart puts the same
+    # session state under both sides of each RATIO, which is the number
+    # this probe exists to report.
+    warm_dir = "/root/testdata/sf0.001"
+    d1 = os.path.join(args.out, "scale1")
+    dF = os.path.join(args.out, f"scale{args.factor}")
+    r1, rf = {}, {}
+    for name, fn in fns.items():
+        if os.path.isdir(warm_dir):
             try:
-                fn(spark, warm).count()
+                fn(spark, warm_dir).count()
             except Exception as exc:  # noqa: BLE001
                 print(f"# warm {name} failed: {exc}", file=sys.stderr)
-    spark.catalog.clearCache()
-
-    r1 = run(spark, fns, os.path.join(args.out, "scale1"), args.repeats)
-    spark.catalog.clearCache()
-    rf = run(spark, fns, os.path.join(args.out, f"scale{args.factor}"),
-             args.repeats)
+        r1[name] = time_query(spark, fn, d1, args.repeats)
+        rf[name] = time_query(spark, fn, dF, args.repeats)
+        a, b = r1[name], rf[name]
+        print(f"# {name}: t1={a['sec']} ({a['rows']} rows)  "
+              f"t{args.factor}={b['sec']} ({b['rows']} rows)",
+              file=sys.stderr)
+        if a.get("error") or b.get("error"):
+            print(f"# {name} error: {a.get('error') or b.get('error')}",
+                  file=sys.stderr)
 
     queries, flagged = {}, []
     for name in fns:
