@@ -83,17 +83,22 @@ def _hash_params(j: int) -> tuple[int, int]:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: semantic keyword filter (deterministic LM) + text-quality
-    pipeline over the documents table — filter → score → rank."""
-    from lotus_spark import sem_filter
+    pipeline over the documents table — filter → score → rank — composed
+    as ONE LazyFrame with the optimizer chain on: the native ``n_chars``
+    predicate is recorded after the semantic stage and ``optimize()``
+    hoists it ahead of the LLM call, down into the parquet scan."""
     from lotus_spark.functions.text import lang_id, quality_score, token_count
     from lotus_spark.models.fake_lm import KeywordBoolLM
+    from lotus_spark.plans.lazyframe import LazyFrame
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
-    kept = sem_filter(
-        docs, "{text} is about distributed computing", lm=KeywordBoolLM("spark")
-    )
-    return (
-        kept.select(
+    lf = (
+        LazyFrame()
+        .sem_filter(
+            "{text} is about distributed computing", lm=KeywordBoolLM("spark")
+        )
+        .filter("n_chars >= 50")
+        .select(
             "doc_id",
             token_count(F.col("text")).cast("long").alias("n_tokens"),
             quality_score(F.col("text")).alias("quality"),
@@ -102,6 +107,7 @@ def entry(spark: SparkSession) -> DataFrame:
         .orderBy(F.desc("quality"), F.asc("doc_id"))
         .limit(20)
     )
+    return lf.optimize().execute(docs)
 
 
 # ---------------------------------------------------------------------------
