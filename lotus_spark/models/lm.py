@@ -213,20 +213,36 @@ class LM:
                 f"{stable_config_token(self)}")
 
 
+# Reasoning models (gpt-5, o-series) spend hidden reasoning tokens from the
+# same completion budget as the visible answer; a flat 512 default could
+# exhaust the budget before any visible text, and sem_filter would silently
+# coerce the empty answer to its default for every affected row (reference
+# lotus/models/lm.py:72-78, issue #255).
+DEFAULT_MAX_TOKENS = 512
+DEFAULT_REASONING_MAX_TOKENS = 8192
+
+# prefixes used only when litellm's own supports_reasoning() is unavailable
+# (config-only environments); litellm's maintained mapping wins when present
+_REASONING_MODEL_PREFIXES = ("gpt-5", "o1", "o3", "o4")
+
+
 class LiteLLMClient(LM):
     """Real LM backed by litellm (optional dependency, lazily imported).
 
     Mirrors the reference client's behavior: batch of message-lists →
-    concurrent completions, temperature 0 default, logprobs passthrough.
-    The litellm import happens on first call so this class can be shipped to
-    executors as config even when litellm is absent on the driver.
+    concurrent completions, temperature 0 default, logprobs passthrough,
+    model-aware completion-token defaults (reasoning models get
+    ``DEFAULT_REASONING_MAX_TOKENS``; an explicit ``max_tokens`` always
+    wins). The litellm import happens on first call so this class can be
+    shipped to executors as config even when litellm is absent on the
+    driver.
     """
 
     def __init__(
         self,
         model: str = "gpt-4o-mini",
         temperature: float = 0.0,
-        max_tokens: int = 512,
+        max_tokens: int | None = None,
         max_batch_size: int = 64,
         api_base: str | None = None,
         **default_kwargs: Any,
@@ -234,10 +250,31 @@ class LiteLLMClient(LM):
         super().__init__()
         self.model = model
         self.temperature = temperature
+        if max_tokens is None:
+            max_tokens = (
+                DEFAULT_REASONING_MAX_TOKENS if self.is_reasoning_model()
+                else DEFAULT_MAX_TOKENS
+            )
         self.max_tokens = max_tokens
         self.max_batch_size = max_batch_size
         self.api_base = api_base
         self.default_kwargs = default_kwargs
+
+    def is_reasoning_model(self) -> bool:
+        """Whether the model spends hidden reasoning tokens from the
+        completion budget (reference ``lm.py:679-689``): litellm's
+        maintained ``supports_reasoning`` mapping when importable, else a
+        conservative name-prefix heuristic so config-only environments
+        (no litellm on the driver) still size the budget correctly."""
+        try:
+            try:
+                from litellm.utils import supports_reasoning
+            except ImportError:
+                from litellm import supports_reasoning
+            return bool(supports_reasoning(model=self.model))
+        except Exception:  # noqa: BLE001 - litellm absent/old/unknown model
+            base = self.model.rsplit("/", 1)[-1].lower()
+            return base.startswith(_REASONING_MODEL_PREFIXES)
 
     def __call__(self, batch: list[Messages], **kwargs: Any) -> LMOutput:
         try:

@@ -310,3 +310,28 @@ def test_colbert_rm_hash_backend_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="no index"):
         ColBERTv2RM(backend="hash")("q", K=1)
+
+
+def test_litellm_client_model_aware_token_defaults():
+    """Reasoning models (gpt-5 / o-series) get the larger default
+    completion budget — a flat 512 starves hidden reasoning tokens and
+    sem_filter coerces the resulting empty answers (reference
+    lm.py:72-78 / issue #255). Explicit max_tokens always wins."""
+    from lotus_spark.models.lm import (
+        DEFAULT_MAX_TOKENS,
+        DEFAULT_REASONING_MAX_TOKENS,
+        LiteLLMClient,
+    )
+
+    assert LiteLLMClient(model="gpt-4o-mini").max_tokens == DEFAULT_MAX_TOKENS
+    assert LiteLLMClient(model="gpt-5").max_tokens == \
+        DEFAULT_REASONING_MAX_TOKENS
+    o3 = LiteLLMClient(model="o3")
+    assert o3.is_reasoning_model()
+    assert o3.max_tokens == DEFAULT_REASONING_MAX_TOKENS
+    # provider-prefixed ids resolve on the base name
+    assert LiteLLMClient(model="openai/o3-mini").max_tokens == \
+        DEFAULT_REASONING_MAX_TOKENS
+    # explicit values win on both families
+    assert LiteLLMClient(model="gpt-5", max_tokens=1000).max_tokens == 1000
+    assert LiteLLMClient(model="gpt-4o-mini", max_tokens=1024).max_tokens == 1024
