@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional
 from pyspark.sql import DataFrame
 
 SEMANTIC_OPS = {
+    "load_sem_index",
     "sem_map",
     "sem_filter",
     "sem_extract",
@@ -89,6 +90,7 @@ class OpNode:
     args: tuple = ()
     kwargs: dict = field(default_factory=dict)
     fn: Optional[Callable] = None  # for from_fn nodes
+    child: Any = None  # LazyFrame | DataFrame for union_with/join_with
 
     @property
     def is_semantic(self) -> bool:
@@ -117,15 +119,62 @@ class OpNode:
 
 
 class LazyFrame:
-    """Immutable fluent builder: each call returns a new LazyFrame."""
+    """Immutable fluent builder: each call returns a new LazyFrame.
 
-    def __init__(self, ops: Optional[list[OpNode]] = None):
+    MULTI-INPUT pipelines (reference ``ast/lazyframe.py`` SourceNode
+    bindings + ``concat``, ``tests/test_ast.py:24-50``): a LazyFrame may
+    name its source (``LazyFrame.from_source("left")``) and ``execute``
+    then accepts a ``{name: DataFrame}`` dict; ``union_with`` /
+    ``join_with`` nodes carry a child LazyFrame (resolved against the
+    same sources dict) or a concrete DataFrame. The reference's
+    ``concat(axis=1)`` column-concat has no Spark-natural analog
+    (row alignment) — ``join_with`` on keys is the restatement;
+    ``concat(axis=0)`` maps to chained ``union_with``.
+    """
+
+    def __init__(self, ops: Optional[list[OpNode]] = None,
+                 source: Optional[str] = None):
         self._ops: list[OpNode] = list(ops or [])
+        self._source = source
+
+    @classmethod
+    def from_source(cls, name: str) -> "LazyFrame":
+        """A LazyFrame bound to the named entry of the sources dict
+        passed to :meth:`execute` (reference SourceNode binding)."""
+        return cls(source=name)
+
+    @classmethod
+    def concat(cls, frames: list["LazyFrame"]) -> "LazyFrame":
+        """Row-wise concatenation (reference ``concat(axis=0)``): the
+        first frame unioned with each of the rest."""
+        if not frames:
+            raise ValueError("concat needs at least one LazyFrame")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.union_with(f)
+        return out
 
     # -- construction -------------------------------------------------------
 
     def _append(self, node: OpNode) -> "LazyFrame":
-        return LazyFrame(self._ops + [node])
+        return LazyFrame(self._ops + [node], source=self._source)
+
+    def union_with(self, other, distinct: bool = False) -> "LazyFrame":
+        """Union by column name with another pipeline's output (a
+        LazyFrame resolved against the same sources dict, or a concrete
+        DataFrame). ``distinct=True`` appends a dedup."""
+        return self._append(
+            OpNode(op="union_with", kwargs={"distinct": distinct},
+                   child=other)
+        )
+
+    def join_with(self, other, on, how: str = "inner") -> "LazyFrame":
+        """Join with another pipeline's output; ``on``/``how`` are passed
+        to ``DataFrame.join``."""
+        return self._append(
+            OpNode(op="join_with", kwargs={"on": on, "how": how},
+                   child=other)
+        )
 
     def __getattr__(self, name: str):
         """Record semantic ops and arbitrary native DataFrame methods."""
@@ -189,6 +238,17 @@ class LazyFrame:
         h = hashlib.blake2b(source_token.encode(), digest_size=16)
         for node in self._ops:
             fn_tag = callable_token(node.fn) if node.fn else ""
+            if node.child is not None:
+                if isinstance(node.child, LazyFrame):
+                    ck = node.child._prefix_keys(
+                        f"src:{node.child._source or ''}"
+                    )
+                    fn_tag += f"|child:{ck[-1] if ck else 'empty'}"
+                else:
+                    # concrete DataFrame child: no cross-run-stable
+                    # identity exists — bind named sources instead when
+                    # checkpoint resume matters
+                    fn_tag += "|child:opaque-df"
             args = [_stable_token(a) for a in node.args]
             kwargs = sorted(
                 (k, _stable_token(v)) for k, v in node.kwargs.items()
@@ -200,13 +260,37 @@ class LazyFrame:
             keys.append(h.hexdigest())
         return keys
 
+    def _resolve_input(self, df):
+        """``df`` is a DataFrame (single-source pipeline) or a
+        ``{name: DataFrame}`` dict (multi-input; this frame reads its
+        ``_source`` entry)."""
+        if isinstance(df, DataFrame):
+            return df
+        if isinstance(df, dict):
+            key = self._source
+            if key is None:
+                if len(df) == 1:
+                    return next(iter(df.values()))
+                raise ValueError(
+                    "multi-source execute() needs this LazyFrame bound "
+                    "via LazyFrame.from_source(name); got sources "
+                    f"{sorted(df)}"
+                )
+            if key not in df:
+                raise KeyError(
+                    f"source {key!r} not in provided sources {sorted(df)}"
+                )
+            return df[key]
+        raise TypeError(f"execute() takes a DataFrame or dict, got {type(df)}")
+
     def execute(
         self,
-        df: DataFrame,
+        df,
         checkpoint_dir: Optional[str] = None,
         source_token: Optional[str] = None,
     ) -> DataFrame:
-        """Replay the recorded ops onto ``df``.
+        """Replay the recorded ops onto ``df`` (a DataFrame, or a
+        ``{name: DataFrame}`` dict for multi-input pipelines).
 
         With ``checkpoint_dir`` + ``source_token``, semantic-node outputs
         (and ``from_fn(checkpoint=True)`` outputs) are persisted as
@@ -216,22 +300,38 @@ class LazyFrame:
         """
         import lotus_spark as ls
 
+        sources = df
         keys = None
         start = 0
-        cur = df
+        cur = self._resolve_input(df)
+        spark = cur.sparkSession
         base = (checkpoint_dir or "").rstrip("/")
         if checkpoint_dir is not None and source_token is not None:
             keys = self._prefix_keys(source_token)
             for i in range(len(self._ops) - 1, -1, -1):
                 ck = f"{base}/{keys[i]}"
-                if _fs_exists(df.sparkSession, f"{ck}/_SUCCESS"):
-                    cur = df.sparkSession.read.parquet(ck)
+                if _fs_exists(spark, f"{ck}/_SUCCESS"):
+                    cur = spark.read.parquet(ck)
                     start = i + 1
                     break
         def _checkpoint(cur: DataFrame, i: int) -> DataFrame:
             ck = f"{base}/{keys[i]}"
             cur.write.mode("overwrite").parquet(ck)
-            return df.sparkSession.read.parquet(ck)
+            return spark.read.parquet(ck)
+
+        def _child_df(node: OpNode) -> DataFrame:
+            other = node.child
+            if isinstance(other, LazyFrame):
+                # resolved against the SAME sources mapping; child stages
+                # run un-checkpointed (the combined node's own checkpoint
+                # covers the merged result)
+                return other.execute(sources)
+            if isinstance(other, DataFrame):
+                return other
+            raise TypeError(
+                f"{node.op} child must be a LazyFrame or DataFrame, "
+                f"got {type(other)}"
+            )
 
         for i in range(start, len(self._ops)):
             node = self._ops[i]
@@ -239,6 +339,13 @@ class LazyFrame:
                 cur = node.fn(cur, *node.args)
                 if keys is not None and node.kwargs.get("checkpoint"):
                     cur = _checkpoint(cur, i)
+            elif node.op == "union_with":
+                cur = cur.unionByName(_child_df(node))
+                if node.kwargs.get("distinct"):
+                    cur = cur.dropDuplicates()
+            elif node.op == "join_with":
+                cur = cur.join(_child_df(node), node.kwargs["on"],
+                               node.kwargs.get("how", "inner"))
             elif node.is_semantic:
                 fn = getattr(ls, node.op)
                 cur = fn(cur, *node.args, **node.kwargs)
@@ -254,13 +361,24 @@ class LazyFrame:
     # -- persistence / introspection ---------------------------------------
 
     def save(self, path: str) -> None:
+        for node in self._ops:
+            if isinstance(node.child, DataFrame):
+                raise ValueError(
+                    f"{node.op} node holds a concrete DataFrame — not "
+                    "picklable; bind it as a named source "
+                    "(LazyFrame.from_source) to save this pipeline"
+                )
         with open(path, "wb") as f:
-            pickle.dump(self._ops, f)
+            pickle.dump((self._ops, self._source), f)
 
     @classmethod
     def load(cls, path: str) -> "LazyFrame":
         with open(path, "rb") as f:
-            return cls(pickle.load(f))
+            payload = pickle.load(f)
+        if isinstance(payload, tuple):
+            ops, source = payload
+            return cls(ops, source=source)
+        return cls(payload)  # pre-multi-input save files
 
     def explain(self) -> str:
         lines = ["LazyFrame plan:"]

@@ -513,3 +513,71 @@ def test_value_token_distinguishes_configured_objects_in_containers():
     # cyclic object graph degrades to class identity instead of recursing
     t = _value_token([Cyclic()])
     assert "Cyclic" in t
+
+
+def test_lazyframe_multi_input_union_and_join(spark):
+    """Multi-input pipelines (reference ast SourceNode bindings +
+    concat, tests/test_ast.py:24-50): named sources resolve from the
+    dict passed to execute; union_with/join_with children execute
+    against the same sources."""
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    right = spark.createDataFrame([(2, "B"), (3, "C")], ["id", "w"])
+
+    lf = (LazyFrame.from_source("left")
+          .filter("id >= 1")
+          .join_with(LazyFrame.from_source("right"), on="id", how="inner"))
+    out = lf.execute({"left": left, "right": right}).collect()
+    assert [(r["id"], r["v"], r["w"]) for r in out] == [(2, "b", "B")]
+
+    # union with a transformed child pipeline
+    u = (LazyFrame.from_source("left")
+         .union_with(LazyFrame.from_source("right")
+                     .withColumnRenamed("w", "v")))
+    got = sorted((r["id"], r["v"])
+                 for r in u.execute({"left": left, "right": right}).collect())
+    assert got == [(1, "a"), (2, "B"), (2, "b"), (3, "C")]
+
+    # concrete-DataFrame child works without a sources dict
+    u2 = LazyFrame().union_with(right.withColumnRenamed("w", "v"))
+    assert u2.execute(left).count() == 4
+
+    # concat == chained union
+    c = LazyFrame.concat([LazyFrame.from_source("left"),
+                          LazyFrame.from_source("right")
+                          .withColumnRenamed("w", "v")])
+    assert c.execute({"left": left, "right": right}).count() == 4
+
+
+def test_lazyframe_multi_input_errors_and_save(spark, tmp_path):
+    left = spark.createDataFrame([(1,)], ["id"])
+
+    with pytest.raises(ValueError, match="from_source"):
+        LazyFrame().filter("id > 0").execute({"a": left, "b": left})
+    with pytest.raises(KeyError, match="'right'"):
+        LazyFrame.from_source("right").execute({"left": left})
+
+    # LazyFrame children pickle through save/load with source binding
+    lf = (LazyFrame.from_source("left")
+          .union_with(LazyFrame.from_source("right")))
+    p = str(tmp_path / "multi.pkl")
+    lf.save(p)
+    loaded = LazyFrame.load(p)
+    assert loaded._source == "left"
+    assert isinstance(loaded.ops[0].child, LazyFrame)
+    assert loaded.ops[0].child._source == "right"
+
+    # concrete-DataFrame children refuse to pickle with a clear error
+    with pytest.raises(ValueError, match="named source"):
+        LazyFrame().union_with(left).save(str(tmp_path / "bad.pkl"))
+
+
+def test_prefix_keys_distinguish_child_plans():
+    """Checkpoint keys must change when a union/join CHILD pipeline
+    changes — otherwise editing the other side of a join silently
+    resumes the old merged checkpoint."""
+    a = LazyFrame.from_source("l").join_with(
+        LazyFrame.from_source("r").filter("x > 1"), on="id")
+    b = LazyFrame.from_source("l").join_with(
+        LazyFrame.from_source("r").filter("x > 2"), on="id")
+    assert a._prefix_keys("t")[-1] != b._prefix_keys("t")[-1]
+    assert a._prefix_keys("t") == a._prefix_keys("t")
