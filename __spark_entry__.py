@@ -1838,6 +1838,46 @@ GROUP BY upper(lang)
 """
 
 
+def q_lazy_multi_join(spark, sf_dir):
+    """Multi-input LazyFrame pipeline (reference ast SourceNode bindings,
+    ``tests/test_ast.py:24-50``): two named sources, a child pipeline on
+    the join's right side, then grouped aggregation — all recorded
+    lazily and executed against a ``{name: DataFrame}`` dict. Decimal
+    sum keeps the aggregate accumulation-order exact for the hash
+    check."""
+    from lotus_spark.plans.lazyframe import LazyFrame
+
+    lf = (
+        LazyFrame.from_source("customer")
+        .filter("c_acctbal > 5000")
+        .join_with(
+            LazyFrame.from_source("nation")
+            .withColumnRenamed("n_nationkey", "c_nationkey")
+            .select("c_nationkey", "n_name"),
+            on="c_nationkey",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double").alias("acctbal_sum"),
+        )
+    )
+    return lf.execute({
+        "customer": _t(spark, sf_dir, "customer"),
+        "nation": _t(spark, sf_dir, "nation"),
+    })
+
+
+_SQL_LAZY_MULTI_JOIN = """
+SELECT n_name, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 5000
+GROUP BY n_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Newest / code-changed-this-round / longest-unchecked queries
@@ -1847,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dict) — every registered query gets a driver row no older
         # than 2 rounds.
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
+        "lazy_multi_join": q_lazy_multi_join,      # NEW round 5
         "pipeline_pack": q_pipeline_pack,          # NEW round 5
         "paragraph_dedup": q_paragraph_dedup,      # re-planned round 5
         "quantile_filter": q_quantile_filter,
@@ -2331,6 +2372,7 @@ def oracle_sql() -> dict[str, str]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     sqls = {
         "sem_pipeline": _SQL_SEM_PIPELINE,
+        "lazy_multi_join": _SQL_LAZY_MULTI_JOIN,
         "pricing_summary": _SQL_PRICING,
         "top_revenue": _SQL_TOP_REVENUE,
         "region_revenue": _SQL_REGION_REVENUE,
