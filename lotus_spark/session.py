@@ -16,15 +16,28 @@ never on the driver, and never serialized live.
 from __future__ import annotations
 
 import contextlib
-import threading
+import contextvars
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from pyspark.sql import SparkSession
 
 
+_override_stack: contextvars.ContextVar = contextvars.ContextVar(
+    "lotus_spark_settings_overrides", default=None
+)
+
+
 class Settings:
-    """Global model-stack configuration (reference ``lotus/settings.py``)."""
+    """Global model-stack configuration (reference ``lotus/settings.py``).
+
+    Plain assignment (``settings.lm = ...``) and :meth:`configure` write
+    the GLOBAL baseline. :meth:`override` pushes a contextvar-scoped
+    frame, so concurrent threads and asyncio tasks each see only their
+    own overrides (reference ``tests/test_settings.py:101-160``) — the
+    previous implementation mutated the shared attributes, letting two
+    threads' ``override`` blocks corrupt each other's model stack (a
+    real hazard under ``parallel_groupby``)."""
 
     _ATTRS = (
         "lm",
@@ -37,41 +50,64 @@ class Settings:
         "parallel_groupby_max_threads",
         "safe_mode",
     )
+    _DEFAULTS = {
+        "lm": None,
+        "helper_lm": None,
+        "rm": None,
+        "reranker": None,
+        "vs": None,
+        "enable_cache": False,
+        "serialization_format": "default",  # default | json | xml
+        "parallel_groupby_max_threads": 8,
+        "safe_mode": False,  # pre-run cost estimates (see estimate.py)
+    }
 
     def __init__(self) -> None:
-        self.lm: Any = None
-        self.helper_lm: Any = None
-        self.rm: Any = None
-        self.reranker: Any = None
-        self.vs: Any = None
-        self.enable_cache: bool = False
-        self.serialization_format: str = "default"  # default | json | xml
-        self.parallel_groupby_max_threads: int = 8
-        self.safe_mode: bool = False  # pre-run cost estimates (see estimate.py)
-        self._local = threading.local()
+        object.__setattr__(self, "_base", dict(self._DEFAULTS))
+
+    def __getattr__(self, name: str) -> Any:
+        if name in self._ATTRS:
+            stack = _override_stack.get()
+            if stack:
+                for frame in reversed(stack):
+                    if name in frame:
+                        return frame[name]
+            return self._base[name]
+        raise AttributeError(name)
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if name in self._ATTRS:
+            self._base[name] = value
+        else:
+            object.__setattr__(self, name, value)
 
     def configure(self, **kwargs: Any) -> None:
         for k, v in kwargs.items():
             if k not in self._ATTRS:
                 raise ValueError(f"unknown setting: {k}")
-            setattr(self, k, v)
+            self._base[k] = v
 
     def clone(self) -> "Settings":
         s = Settings()
         for a in self._ATTRS:
-            setattr(s, a, getattr(self, a))
+            setattr(s, a, getattr(self, a))  # effective (override-aware)
         return s
 
     @contextlib.contextmanager
     def override(self, **kwargs: Any):
-        """Thread-local temporary override (reference ``settings.py:47-70``)."""
-        old = {k: getattr(self, k) for k in kwargs}
+        """Context/thread/task-scoped temporary override (reference
+        ``settings.py:47-70``): nests, restores on exception, and is
+        invisible to concurrent threads and asyncio tasks."""
+        for k in kwargs:
+            if k not in self._ATTRS:
+                raise ValueError(f"unknown setting: {k}")
+        stack = list(_override_stack.get() or [])
+        stack.append(dict(kwargs))
+        token = _override_stack.set(stack)
         try:
-            self.configure(**kwargs)
             yield self
         finally:
-            for k, v in old.items():
-                setattr(self, k, v)
+            _override_stack.reset(token)
 
 
 settings = Settings()
