@@ -58,6 +58,11 @@ class Settings:
         "vs": None,
         "enable_cache": False,
         "serialization_format": "default",  # default | json | xml
+        # reference-parity knob (lotus/settings.py:30): the reference
+        # fans grouped sem_agg/sem_topk/judge over a driver ThreadPool;
+        # here grouped ops run as DISTRIBUTED applyInPandas tasks, so
+        # Spark's executor parallelism subsumes it — kept so reference
+        # configure() calls port verbatim
         "parallel_groupby_max_threads": 8,
         "safe_mode": False,  # pre-run cost estimates (see estimate.py)
     }
