@@ -1157,6 +1157,117 @@ WHERE rn <= 10
 """
 
 
+def q_span_dedup(spark, sf_dir):
+    """Cross-document duplicated token-SPAN removal (Lee et al. 2022
+    exact-substring dedup over word k-grams, functions/dedup.py::
+    span_dedup): tokens covered by a non-first k-gram occurrence are
+    removed, first occurrence = min (doc_id, position). Narrow
+    (did, pos, xxhash64(gram)) shuffle, one co-partitioned join, text
+    crosses one shuffle. Oracle replays the same rule over gram STRINGS
+    (DuckDB has no xxhash64) — identical output absent 64-bit gram-hash
+    collisions, which the exact==hashed unit test pins on fixtures."""
+    from lotus_spark.functions.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_dedup(docs, "text", "doc_id", k=6).select("doc_id", "text")
+
+
+_SQL_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id AS did, CAST(i - 1 AS INT) AS pos, parts[i] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS parts
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)),
+docs AS (SELECT did, list(tok ORDER BY pos) AS ts FROM toks GROUP BY did),
+grams AS (
+  SELECT did, CAST(s.i AS INT) AS pos,
+         array_to_string(ts[s.i + 1 : s.i + 6], ' ') AS gram
+  FROM docs, LATERAL (SELECT unnest(range(0, len(ts) - 6 + 1)) AS i) AS s
+  WHERE len(ts) >= 6),
+ranked AS (
+  SELECT did, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY did, pos) AS rn
+  FROM grams),
+rm AS (
+  SELECT DISTINCT did, pos + CAST(j.j AS INT) AS rp
+  FROM ranked, LATERAL (SELECT unnest(range(0, 6)) AS j) AS j
+  WHERE rn > 1),
+rebuilt AS (
+  SELECT t.did, string_agg(t.tok, ' ' ORDER BY t.pos) AS new_text
+  FROM toks t ANTI JOIN rm ON t.did = rm.did AND t.pos = rm.rp
+  GROUP BY t.did)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN (SELECT did FROM rm)
+            THEN COALESCE(r.new_text, '') ELSE d.text END AS text
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.did
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split assignment (functions/
+    sampling.py::hash_split): pure map-side content-hash bucketing, zero
+    shuffle, split membership a function of doc_id only (stable across
+    partitioning / retries / derived tables)."""
+    from lotus_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def _sql_hash_split() -> str:
+    b1 = int(round(0.9 * _MIX_BUCKETS))
+    b2 = int(round(0.95 * _MIX_BUCKETS))
+    h = _sql_strhash("(CAST(doc_id AS VARCHAR) || ':0')")
+    return f"""
+SELECT doc_id,
+  CASE WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b1} THEN 'train'
+       WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b2} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+_MIX_WEIGHTS = {"en": 5.0, "de": 2.0, "fr": 2.0, "es": 1.0}
+_MIX_TOTAL = 200
+
+
+def q_mix_to_weights(spark, sf_dir):
+    """Deterministic domain-mix resample to target proportions
+    (functions/sampling.py::mix_to_weights): exact largest-remainder
+    quotas per lang, rows ranked by content hash within each lang — one
+    hash shuffle + row_number partial window sort, quota map broadcast
+    as a literal."""
+    from lotus_spark.functions.sampling import mix_to_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_to_weights(
+        docs, "lang", _MIX_WEIGHTS, total=_MIX_TOTAL, id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+def _sql_mix_to_weights() -> str:
+    from lotus_spark.functions.sampling import largest_remainder_quotas
+
+    quotas = largest_remainder_quotas(_MIX_WEIGHTS, _MIX_TOTAL)
+    case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(quotas.items())
+    )
+    h = _sql_strhash("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ({h} * {_MIX_CONST}) % {_MIX_BUCKETS}, doc_id) AS rn
+  FROM documents
+  WHERE lang IN ({", ".join(repr(k) for k in sorted(_MIX_WEIGHTS))}))
+SELECT doc_id, lang FROM r
+WHERE rn <= CASE lang {case} END
+"""
+
+
 def q_dedupe_doc_units(spark, sf_dir):
     """Within-document repeated-unit removal (C4/RefinedWeb line-dedup
     shape, functions/text.py::dedupe_doc_units): split → array_distinct
@@ -1886,6 +1997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verified last round absorb the tail positions" (see end of
         # dict) — every registered query gets a driver row no older
         # than 2 rounds.
+        "span_dedup": q_span_dedup,                # NEW round 5
+        "hash_split": q_hash_split,                # NEW round 5
+        "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
         "lazy_multi_join": q_lazy_multi_join,      # NEW round 5
         "pipeline_pack": q_pipeline_pack,          # NEW round 5
@@ -1940,12 +2054,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
-        "pairwise_judge": q_pairwise_judge,
-        "llm_judge": q_llm_judge,
-        "sem_index_roundtrip": q_sem_index_roundtrip,
         # tail positions (>50): hash-verified LAST round
         # (CORRECTNESS_r04.json) on code untouched since; they rotate
         # back into the 50-query driver window next round.
+        "pairwise_judge": q_pairwise_judge,
+        "llm_judge": q_llm_judge,
+        "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
         "streaming_doc_stats": q_streaming_doc_stats,
         "streaming_sessions": q_streaming_sessions,
@@ -2371,6 +2485,9 @@ def oracle_sql() -> dict[str, str]:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     sqls = {
+        "span_dedup": _SQL_SPAN_DEDUP,
+        "hash_split": _sql_hash_split(),
+        "mix_to_weights": _sql_mix_to_weights(),
         "sem_pipeline": _SQL_SEM_PIPELINE,
         "lazy_multi_join": _SQL_LAZY_MULTI_JOIN,
         "pricing_summary": _SQL_PRICING,

@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "streaming_sessions",
     "dedupe_doc_units",
     "sem_pipeline",
+    "span_dedup",
+    "hash_split",
+    "mix_to_weights",
 ]
 
 

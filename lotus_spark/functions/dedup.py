@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from lotus_spark.functions.text import MOD, shingle_hash, word_shingles
@@ -1108,3 +1108,103 @@ def ngram_stats(
         .orderBy(F.desc("n_occurrences"), F.asc("ngram"))
         .limit(top_k)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    k: int = 8,
+    out_col: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Cross-document duplicated token-SPAN removal — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed over word k-grams instead of a suffix
+    array (which does not distribute): any token covered by a k-gram
+    occurrence that is NOT that gram's first occurrence in the corpus is
+    removed; first occurrence = smallest ``(id_col, position)``. A span
+    of m >= k copied tokens is covered by its m-k+1 duplicated grams, so
+    whole copied spans vanish while the original document keeps them.
+    Within-doc repeats of a gram count as duplicates too (the second
+    occurrence loses). Documents with fewer than ``k`` tokens, and
+    documents where nothing was removed, pass through with their text
+    UNCHANGED; edited documents are reassembled as the kept tokens
+    joined by single spaces (whitespace-normalized — the same trade the
+    reference tooling makes when rebuilding from token ids).
+
+    Complements the granularity ladder: ``dedupe_doc_units`` (within-doc
+    units) < ``paragraph_dedup`` (cross-doc paragraphs) < ``span_dedup``
+    (cross-doc arbitrary spans) < ``minhash_lsh_dedup`` (whole near-dup
+    docs).
+
+    Plan (scales like paragraph_dedup): tokenize (``\\s+`` on trimmed
+    text, case preserved) → gram-start posexplode to ``(did, pos, key)``
+    where key is ``xxhash64(gram)`` (gram TEXT projected away before the
+    shuffle; ``exact=True`` keys on the string, collision-free but
+    wide) → ONE hash aggregate ``min(struct(did, pos))`` per gram
+    (map-side combine) → co-partitioned join back on the gram key to
+    find non-first occurrences → explode each to its k covered
+    positions → per-doc ``collect_set`` of removed positions (bounded
+    by doc length) → ONE join of that narrow ``(did, array<pos>)``
+    relation to the original rows; document text crosses exactly one
+    shuffle. No pair join, no suffix array, no driver state. A
+    boilerplate gram shared by millions of docs skews the gram-key
+    join — AQE skew-join splits it (enabled in get_spark); the
+    aggregate side is combine-friendly regardless.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out_col = out_col or col
+
+    def _toks(c: Column) -> Column:
+        return F.split(F.trim(c), r"\s+")
+
+    gram_starts = F.sequence(F.lit(0), F.size(F.col("__toks")) - k)
+    gram = F.transform(
+        gram_starts,
+        lambda i: F.concat_ws(
+            " ", *[F.get(F.col("__toks"), i + j) for j in range(k)]
+        ),
+    )
+    occ = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__did"), _toks(F.col(col)).alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select("__did", F.posexplode(gram).alias("__pos", "__gram"))
+    )
+    key = F.col("__gram") if exact else F.xxhash64("__gram")
+    occ = occ.select("__did", "__pos", key.alias("__k"))
+    first = occ.groupBy("__k").agg(
+        F.min(F.struct("__did", "__pos")).alias("__w")
+    )
+    dup = occ.join(first, "__k").filter(
+        (F.col("__did") != F.col("__w.__did"))
+        | (F.col("__pos") != F.col("__w.__pos"))
+    )
+    rm = (
+        dup.select(
+            "__did",
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+            ).alias("__rp"),
+        )
+        .groupBy("__did")
+        .agg(F.collect_set(F.col("__rp").cast("int")).alias("__rm"))
+    )
+    joined = df.join(rm, df[id_col] == rm["__did"], "left").drop("__did")
+    rm_arr = F.col("__rm")
+    kept = F.filter(
+        F.transform(
+            _toks(F.col(col)),
+            lambda x, i: F.struct(x.alias("t"), i.cast("int").alias("i")),
+        ),
+        lambda s: ~F.array_contains(rm_arr, s["i"]),
+    )
+    rebuilt = F.when(rm_arr.isNull(), F.col(col)).otherwise(
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    )
+    joined = joined.withColumn(out_col + "__rebuilt", rebuilt).drop("__rm")
+    if out_col == col:
+        joined = joined.drop(col)
+    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)

@@ -282,3 +282,108 @@ def cap_per_key(
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly one
+    label from ``weights`` (e.g. ``{"train": .98, "val": .01, "test":
+    .01}``), chosen by content hash of its id — a pure map-side column
+    expression (zero shuffle) whose assignment is independent of
+    partitioning, task retries, and read order, and consistent across
+    derived tables sharing the id (sample the ``documents`` split and the
+    matching ``embeddings`` rows land in the same split). ``seed``
+    decorrelates independent splits over the same ids. Weights are
+    normalized; labels partition the hash space by cumulative boundaries
+    in dict order.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(v < 0 for v in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    norm = sum(weights.values())
+    bucket = F.pmod(
+        shingle_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        ) * F.lit(_MIX),
+        F.lit(_BUCKETS),
+    )
+    labels = list(weights)
+    cum, bounds = 0.0, []
+    for name in labels:
+        cum += weights[name] / norm
+        bounds.append(int(round(cum * _BUCKETS)))
+    expr = F.lit(labels[-1])  # last label absorbs rounding slack
+    for name, hi in zip(reversed(labels[:-1]), reversed(bounds[:-1])):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def largest_remainder_quotas(
+    weights: dict[str, float], total: int
+) -> dict[str, int]:
+    """Integer quotas summing exactly to ``total``, proportional to
+    ``weights`` by largest-remainder rounding (ties broken by key asc) —
+    shared by ``mix_to_weights`` and its oracle."""
+    norm = sum(weights.values())
+    raw = {k: total * v / norm for k, v in weights.items()}
+    quota = {k: int(raw[k]) for k in raw}
+    short = total - sum(quota.values())
+    for k in sorted(raw, key=lambda k: (-(raw[k] - quota[k]), k))[:short]:
+        quota[k] += 1
+    return quota
+
+
+def mix_to_weights(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    total: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic domain-mix resample: draw EXACTLY ``total`` rows (when
+    available) distributed across ``key_col`` domains per ``weights`` —
+    the "rebalance the crawl so code:web:papers is 2:7:1" step of a
+    pretraining mixture. Per-key quotas use largest-remainder rounding
+    (quotas sum exactly to ``total``); within a key, rows are ranked by
+    content hash of ``id_col`` (ties by id) so the draw is a deterministic
+    function of the data — rerun-stable and shrink-consistent (lowering a
+    quota yields a subset of the larger draw). Keys absent from
+    ``weights`` are dropped; a key with fewer rows than its quota
+    contributes what it has (the shortfall is reported by comparing
+    counts, not silently rebalanced — explicit beats surprising for
+    mixture audits).
+
+    Plan: ONE hash shuffle on ``key_col`` + ``row_number`` partial window
+    sort (the cap_per_key shape) against a broadcast quota map; no
+    driver-side data collection.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(v < 0 for v in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    quota = largest_remainder_quotas(weights, total)
+    quota_map = F.create_map(
+        *[x for k, v in quota.items() for x in (F.lit(k), F.lit(v))]
+    )
+    rank_key = F.pmod(
+        shingle_hash(F.col(id_col).cast("string")) * F.lit(_MIX),
+        F.lit(_BUCKETS),
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        rank_key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__q", quota_map[F.col(key_col)])
+        .filter(F.col("__q").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__q"))
+        .drop("__q", "__rn")
+    )

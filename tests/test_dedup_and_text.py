@@ -316,3 +316,97 @@ def test_dedupe_doc_units_keeps_first_in_order(spark):
     word = df.select(
         dedupe_doc_units(F.lit("w w v w"), sep=" ").alias("t")).first()["t"]
     assert word == "w v"
+
+
+# ------------------------------------------------------------ span_dedup
+
+def _span_dedup_ref(docs: dict[int, str], k: int) -> dict[int, str]:
+    """Brute-force reference: first occurrence of each k-gram (by (doc,
+    pos), docs in id order) survives; every other occurrence's k covered
+    positions are removed; untouched docs keep their original text."""
+    toked = {d: docs[d].strip().split() if docs[d].strip() else [""]
+             for d in sorted(docs)}
+    first: dict[tuple, tuple] = {}
+    for d in sorted(toked):
+        ts = toked[d]
+        for p in range(len(ts) - k + 1):
+            first.setdefault(tuple(ts[p:p + k]), (d, p))
+    out = {}
+    for d in sorted(toked):
+        ts = toked[d]
+        rm = set()
+        for p in range(len(ts) - k + 1):
+            if first[tuple(ts[p:p + k])] != (d, p):
+                rm.update(range(p, p + k))
+        out[d] = (docs[d] if not rm
+                  else " ".join(t for i, t in enumerate(ts) if i not in rm))
+    return out
+
+
+def test_span_dedup_removes_copied_span_keeps_original(spark):
+    from lotus_spark.functions.dedup import span_dedup
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "intro words then the quick brown fox jumps over the lazy "
+            "dog today and more"),
+        (3, "unrelated text with no shared spans at all here ok"),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in span_dedup(df, "text", "doc_id", k=4).collect()}
+    assert out[1] == rows[0][1]                 # canonical doc untouched
+    assert out[2] == "intro words then and more"  # whole copied span gone
+    assert out[3] == rows[2][1]
+    assert out[4] == "short doc" and out[5] == ""  # < k tokens: unchanged
+
+
+def test_span_dedup_within_doc_repeat_loses_second(spark):
+    from lotus_spark.functions.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(7, "a b c x y a b c")], ["doc_id", "text"])
+    out = span_dedup(df, "text", "doc_id", k=3).collect()[0]["text"]
+    assert out == "a b c x y"
+
+
+def test_span_dedup_exact_matches_hashed_and_brute_force(spark):
+    import random
+
+    from lotus_spark.functions.dedup import span_dedup
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = {}
+    for d in range(20):
+        n = rng.randint(0, 25)
+        docs[d] = " ".join(rng.choice(vocab) for _ in range(n))
+    # plant a shared span so removal definitely triggers
+    span = "alpha beta gamma delta epsilon zeta"
+    docs[3] = docs[3] + " " + span
+    docs[11] = span + " " + docs[11]
+    docs[17] = docs[17] + " " + span + " tail"
+    for k in (2, 5):
+        ref = _span_dedup_ref(docs, k)
+        df = spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
+        got_h = {r["doc_id"]: r["text"]
+                 for r in span_dedup(df, "text", "doc_id", k=k).collect()}
+        got_e = {r["doc_id"]: r["text"]
+                 for r in span_dedup(df, "text", "doc_id", k=k,
+                                     exact=True).collect()}
+        assert got_h == ref, f"hash-keyed mismatch at k={k}"
+        assert got_e == ref, f"exact-keyed mismatch at k={k}"
+
+
+def test_span_dedup_out_col_and_validation(spark):
+    import pytest
+
+    from lotus_spark.functions.dedup import span_dedup
+
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    out = span_dedup(df, "text", "doc_id", k=2, out_col="clean").first()
+    assert out["text"] == "a b a b" and out["clean"] == "a b"
+    with pytest.raises(ValueError):
+        span_dedup(df, "text", "doc_id", k=0)

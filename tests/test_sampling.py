@@ -254,3 +254,119 @@ def test_quantile_filter_warns_on_single_task_global_window(spark, caplog):
         quantile_filter(df, "score", 0.5, by="doc_id").count()
     assert not any("single-partition window" in r.message
                    for r in caplog.records)
+
+
+# ------------------------------------------------------------- hash_split
+
+def test_hash_split_partitions_all_rows_deterministically(spark):
+    from lotus_spark.functions.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000          # total partition, no loss
+    assert set(counts) == {"train", "val", "test"}
+    assert 1400 < counts["train"] < 1800          # ~80% within tolerance
+    assert 100 < counts["val"] + counts["test"] < 600
+    again = {r["doc_id"]: r["split"] for r in
+             hash_split(df, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again                         # rerun-stable
+
+    # seed decorrelates: same ids, different assignment pattern
+    seeded = {r["doc_id"]: r["split"] for r in
+              hash_split(df, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1},
+                         seed=7).collect()}
+    assert seeded != first
+    # weights normalized: 8/1/1 == .8/.1/.1
+    ratio = {r["doc_id"]: r["split"] for r in
+             hash_split(df, "doc_id",
+                        {"train": 8, "val": 1, "test": 1}).collect()}
+    assert ratio == first
+
+
+def test_hash_split_consistent_across_tables(spark):
+    """The same id lands in the same split in every table that carries it
+    — the join-consistency property the docstring promises."""
+    from lotus_spark.functions.sampling import hash_split
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    embs = docs.withColumn("extra", F.col("doc_id") * 2)
+    w = {"a": 0.5, "b": 0.5}
+    d = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, "doc_id", w).collect()}
+    e = {r["doc_id"]: r["split"] for r in
+         hash_split(embs, "doc_id", w).collect()}
+    assert d == e
+
+
+def test_hash_split_validation(spark):
+    import pytest
+
+    from lotus_spark.functions.sampling import hash_split
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": -0.1, "b": 1.1})
+
+
+# --------------------------------------------------------- mix_to_weights
+
+def test_mix_to_weights_exact_quotas_and_determinism(spark):
+    from lotus_spark.functions.sampling import mix_to_weights
+
+    rows = [(i, ["web", "code", "papers"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = mix_to_weights(
+        df, "domain", {"web": 7, "code": 2, "papers": 1}, total=100,
+        id_col="doc_id")
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"web": 70, "code": 20, "papers": 10}
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    out2 = mix_to_weights(
+        df, "domain", {"web": 7, "code": 2, "papers": 1}, total=100,
+        id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out2.collect()) == ids1
+
+    # shrink-consistency: a smaller draw is a subset of the larger one
+    small = mix_to_weights(
+        df, "domain", {"web": 7, "code": 2, "papers": 1}, total=50,
+        id_col="doc_id")
+    assert set(r["doc_id"] for r in small.collect()) <= set(ids1)
+
+
+def test_mix_to_weights_shortfall_and_unknown_keys(spark):
+    from lotus_spark.functions.sampling import mix_to_weights
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "tiny")
+                                               for i in range(3)]
+    rows += [(2000, "unlisted")]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = mix_to_weights(df, "domain", {"big": 1, "tiny": 1}, total=40,
+                         id_col="doc_id")
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts["big"] == 20
+    assert counts["tiny"] == 3            # shortfall surfaced, not hidden
+    assert "unlisted" not in counts       # unlisted domains dropped
+
+
+def test_mix_to_weights_largest_remainder_sums_to_total(spark):
+    from lotus_spark.functions.sampling import mix_to_weights
+
+    rows = [(i, f"d{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    # 1/3 each of 100 -> quotas 34/33/33 by largest remainder (tie by key)
+    out = mix_to_weights(df, "domain", {"d0": 1, "d1": 1, "d2": 1},
+                         total=100, id_col="doc_id")
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 100
+    assert sorted(counts.values()) == [33, 33, 34]
+    assert counts["d0"] == 34             # alphabetical tie-break
