@@ -1203,6 +1203,47 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.did
 """
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Per-source boilerplate removal (RefinedWeb/CCNet line filtering,
+    functions/dedup.py::strip_boilerplate): units appearing in >= 50% of
+    a source's docs are stripped from every doc of that source. Units
+    here are words (synthetic docs are single-line); the plan is
+    identical at line granularity. Narrow (grp, did, pos, xxhash64)
+    shuffle; text crosses one shuffle in reassembly."""
+    from lotus_spark.functions.dedup import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_boilerplate(
+        docs, "text", "doc_id", "source", sep=" ", min_frac=0.5
+    ).select("doc_id", "text")
+
+
+_SQL_STRIP_BOILERPLATE = """
+WITH allu AS (
+  SELECT doc_id AS did, source AS grp, i - 1 AS pos, parts[i] AS orig
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS parts
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)),
+uu AS (SELECT did, grp, pos, trim(orig) AS unit FROM allu
+       WHERE length(trim(orig)) >= 1),
+gs AS (SELECT source AS grp, count(*) AS gn FROM documents GROUP BY source),
+cnt AS (SELECT grp, unit, count(DISTINCT did) AS df
+        FROM uu GROUP BY grp, unit),
+b AS (SELECT c.grp, c.unit FROM cnt c JOIN gs ON c.grp = gs.grp
+      WHERE c.df >= 2 AND c.df >= gs.gn * 0.5),
+rmpos AS (SELECT DISTINCT uu.did, uu.pos
+          FROM uu JOIN b ON uu.grp = b.grp AND uu.unit = b.unit),
+kept AS (
+  SELECT a.did, string_agg(a.orig, ' ' ORDER BY a.pos) AS new_text
+  FROM allu a ANTI JOIN rmpos r ON a.did = r.did AND a.pos = r.pos
+  GROUP BY a.did)
+SELECT d.doc_id,
+       CASE WHEN d.doc_id IN (SELECT did FROM rmpos)
+            THEN COALESCE(k.new_text, '') ELSE d.text END AS text
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.did
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split assignment (functions/
     sampling.py::hash_split): pure map-side content-hash bucketing, zero
@@ -1998,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dict) — every registered query gets a driver row no older
         # than 2 rounds.
         "span_dedup": q_span_dedup,                # NEW round 5
+        "strip_boilerplate": q_strip_boilerplate,  # NEW round 5
         "hash_split": q_hash_split,                # NEW round 5
         "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
@@ -2486,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     sqls = {
         "span_dedup": _SQL_SPAN_DEDUP,
+        "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "hash_split": _sql_hash_split(),
         "mix_to_weights": _sql_mix_to_weights(),
         "sem_pipeline": _SQL_SEM_PIPELINE,

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedupe_doc_units",
     "sem_pipeline",
     "span_dedup",
+    "strip_boilerplate",
     "hash_split",
     "mix_to_weights",
 ]

@@ -1208,3 +1208,92 @@ def span_dedup(
     if out_col == col:
         joined = joined.drop(col)
     return joined.withColumnRenamed(out_col + "__rebuilt", out_col)
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    group_col: str,
+    sep: str = "\n",
+    min_frac: float = 0.5,
+    min_docs: int = 2,
+    min_chars: int = 1,
+    out_col: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Per-source boilerplate removal (RefinedWeb/CCNet line filtering):
+    a unit (line by default) that appears in at least ``min_frac`` of a
+    ``group_col`` group's documents (and at least ``min_docs`` of them)
+    is boilerplate — site headers, footers, cookie banners, nav text —
+    and is removed from EVERY document of that group. Units are trimmed
+    before matching; units shorter than ``min_chars`` are never removed.
+    Unlike ``paragraph_dedup`` (keep-first global dedup) this is a
+    frequency test scoped to the group: rare duplicated lines survive,
+    ubiquitous ones vanish everywhere including their first occurrence.
+
+    Plan: explode to ``(group, did, pos, key)`` with unit text projected
+    away (``xxhash64``; ``exact=True`` keys on the trimmed string) →
+    per-(group, key) DISTINCT-doc count via one hash aggregate
+    (``count(distinct did)`` over the narrow relation) → join against
+    per-group doc totals (tiny, broadcast) → boilerplate keys → join
+    back to occurrences → per-doc removed-position set → ONE join to the
+    original rows with local re-split reassembly (document text crosses
+    exactly one shuffle, the same contract as paragraph_dedup /
+    span_dedup). Group sizes are bounded by the source cardinality, not
+    corpus size; no stage materializes per-key doc lists.
+    """
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError("min_frac must be in (0, 1]")
+    out_col = out_col or col
+    sep_pat = "\\Q" + sep + "\\E"
+
+    units = (
+        ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("__grp"),
+            F.col(id_col).alias("__did"),
+            F.posexplode(F.split(F.col(col), sep_pat, -1))
+            .alias("__pos", "__u"),
+        )
+        .withColumn("__u", F.trim(F.col("__u")))
+        .filter(F.length("__u") >= min_chars)
+        .select(
+            "__grp", "__did", "__pos",
+            (F.col("__u") if exact else F.xxhash64("__u")).alias("__k"),
+        )
+    )
+    group_sizes = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count("*").alias("__gn")
+    )
+    boiler = (
+        units.groupBy("__grp", "__k")
+        .agg(F.count_distinct("__did").alias("__df"))
+        .join(F.broadcast(group_sizes), "__grp")
+        .filter(
+            (F.col("__df") >= F.lit(min_docs))
+            & (F.col("__df") >= F.col("__gn") * F.lit(min_frac))
+        )
+        .select("__grp", "__k")
+    )
+    rm = (
+        units.join(boiler, ["__grp", "__k"])
+        .groupBy("__did")
+        .agg(F.collect_set(F.col("__pos").cast("int")).alias("__rm"))
+    )
+    joined = df.join(rm, df[id_col] == rm["__did"], "left").drop("__did")
+    rm_arr = F.col("__rm")
+    kept = F.filter(
+        F.transform(
+            F.split(F.col(col), sep_pat, -1),
+            lambda x, i: F.struct(x.alias("u"), i.cast("int").alias("i")),
+        ),
+        lambda s: ~F.array_contains(rm_arr, s["i"]),
+    )
+    rebuilt = F.when(rm_arr.isNull(), F.col(col)).otherwise(
+        F.array_join(F.transform(kept, lambda s: s["u"]), sep)
+    )
+    joined = joined.withColumn(out_col + "__rebuilt", rebuilt).drop("__rm")
+    if out_col == col:
+        joined = joined.drop(col)
+    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)

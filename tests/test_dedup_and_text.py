@@ -410,3 +410,77 @@ def test_span_dedup_out_col_and_validation(spark):
     assert out["text"] == "a b a b" and out["clean"] == "a b"
     with pytest.raises(ValueError):
         span_dedup(df, "text", "doc_id", k=0)
+
+
+# ------------------------------------------------------ strip_boilerplate
+
+def test_strip_boilerplate_removes_frequent_lines_per_group(spark):
+    from lotus_spark.functions.dedup import strip_boilerplate
+
+    hdr, foot = "SITE A HEADER", "copyright a"
+    rows = [
+        (1, "sa", f"{hdr}\nunique one\n{foot}"),
+        (2, "sa", f"{hdr}\nunique two\n{foot}"),
+        (3, "sa", f"{hdr}\nunique three"),
+        (4, "sb", f"{hdr}\nother site keeps it"),   # below min_docs in sb
+        (5, "sb", "plain text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in strip_boilerplate(
+               df, "text", "doc_id", "source", min_frac=0.6).collect()}
+    assert out[1] == "unique one"           # header AND footer stripped
+    assert out[2] == "unique two"           # footer in 2/3 = .66 >= .6
+    assert out[3] == "unique three"
+    assert out[4] == rows[3][2]             # 1/2 docs < min_docs=2: kept
+    assert out[5] == "plain text"
+
+
+def test_strip_boilerplate_min_docs_guard_and_exact_parity(spark):
+    from lotus_spark.functions.dedup import strip_boilerplate
+
+    # a "group" of one doc: min_frac=1.0 is trivially met by every line,
+    # but min_docs=2 must protect singleton groups from self-erasure
+    df = spark.createDataFrame(
+        [(1, "solo", "only doc\nin this group")],
+        ["doc_id", "source", "text"])
+    out = strip_boilerplate(
+        df, "text", "doc_id", "source", min_frac=0.5).collect()[0]["text"]
+    assert out == "only doc\nin this group"
+
+    rows = [(i, "s", f"COMMON\nbody {i}") for i in range(6)]
+    df2 = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    hashed = {r["doc_id"]: r["text"] for r in strip_boilerplate(
+        df2, "text", "doc_id", "source").collect()}
+    exact = {r["doc_id"]: r["text"] for r in strip_boilerplate(
+        df2, "text", "doc_id", "source", exact=True).collect()}
+    assert hashed == exact
+    assert all(v == f"body {i}" for i, v in hashed.items())
+
+
+def test_strip_boilerplate_trim_matching_preserves_layout(spark):
+    from lotus_spark.functions.dedup import strip_boilerplate
+
+    # "  NAV  " and "NAV" are the same unit after trim; removal drops the
+    # whole original line; untouched docs keep their text verbatim
+    rows = [(1, "s", "  NAV  \nreal content"),
+            (2, "s", "NAV\nmore content"),
+            (3, "t", "  spaced   layout  kept  ")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate(
+        df, "text", "doc_id", "source", min_frac=0.9).collect()}
+    assert out[1] == "real content"
+    assert out[2] == "more content"
+    assert out[3] == "  spaced   layout  kept  "   # untouched → verbatim
+
+
+def test_strip_boilerplate_validation(spark):
+    import pytest
+
+    from lotus_spark.functions.dedup import strip_boilerplate
+
+    df = spark.createDataFrame([(1, "s", "x")], ["doc_id", "source", "text"])
+    with pytest.raises(ValueError):
+        strip_boilerplate(df, "text", "doc_id", "source", min_frac=0.0)
+    with pytest.raises(ValueError):
+        strip_boilerplate(df, "text", "doc_id", "source", min_frac=1.5)
