@@ -77,6 +77,10 @@ PROBE_QUERIES = [
     "embedding_neardup",
     "quality_signals",
     "dedupe_doc_units",
+    "span_dedup",
+    "strip_boilerplate",
+    "hash_split",
+    "mix_to_weights",
 ]
 
 
@@ -210,6 +214,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--keep-data", action="store_true")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="probe only these query names and MERGE their rows "
+                         "into the existing BENCH_sfscale.json artifact")
     args = ap.parse_args()
 
     from lotus_spark.session import get_spark
@@ -230,6 +237,11 @@ def main():
     generate(spark, args.base, args.out, args.factor)
 
     fns = probe_fns()
+    if args.only:
+        missing = sorted(set(args.only) - set(fns))
+        if missing:
+            raise SystemExit(f"unknown probe queries: {missing}")
+        fns = {k: fns[k] for k in args.only}
 
     # PER-QUERY ADJACENT MEASUREMENT: warm the query's plan shape at the
     # tiny sf (codegen/JIT is data-size independent), then time scale1
@@ -296,6 +308,22 @@ def main():
         "flagged_superlinear_or_failed": sorted(set(flagged)),
     }
     path = os.path.join(ROOT, "BENCH_sfscale.json")
+    if args.only and os.path.exists(path):
+        # partial run: merge new per-query rows into the existing artifact
+        with open(path) as f:
+            prev = json.load(f)
+        merged_q = dict(prev.get("queries", {}))
+        merged_q.update(rec["queries"])
+        rec["queries"] = merged_q
+        flagged = set(prev.get("flagged_superlinear_or_failed", []))
+        flagged -= set(args.only)  # re-probed rows replace their old flags
+        flagged |= set(rec["flagged_superlinear_or_failed"])
+        rec["flagged_superlinear_or_failed"] = sorted(flagged)
+        rec["total_t1"] = round(sum(
+            v["t1"] for v in merged_q.values() if v.get("t1")), 3)
+        fkey = f"t{args.factor}"
+        rec[f"total_{fkey}"] = round(sum(
+            v.get(fkey) or 0 for v in merged_q.values()), 3)
     with open(path, "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps({k: rec[k] for k in
