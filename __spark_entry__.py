@@ -1203,6 +1203,41 @@ FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.did
 """
 
 
+def q_perplexity_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing (functions/sampling.py::
+    perplexity_bucket): self-trained unigram LM cross-entropy per doc,
+    ntile tiers per language over (rounded score, doc_id) — a total
+    order, so assignment is deterministic. Scores rounded to 6 decimals
+    before ranking absorb cross-engine float-sum-order differences
+    (~1e-13 « the rounding quantum)."""
+    from lotus_spark.functions.sampling import perplexity_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_bucket(
+        docs, "text", "doc_id", group_col="lang", n_buckets=3
+    ).select("doc_id", "lang", "logppl", "ppl_bucket")
+
+
+_SQL_PERPLEXITY_BUCKET = r"""
+WITH tk AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+tt AS (SELECT sum(c) AS t FROM c),
+s AS (
+  SELECT tk.doc_id, tk.lang,
+         round(ln((SELECT t FROM tt)) - sum(ln(c.c)) / count(*), 6)
+           AS logppl
+  FROM tk JOIN c ON tk.tok = c.tok
+  GROUP BY tk.doc_id, tk.lang)
+SELECT doc_id, lang, logppl,
+       ntile(3) OVER (PARTITION BY lang
+                      ORDER BY logppl, doc_id) AS ppl_bucket
+FROM s
+"""
+
+
 def q_strip_boilerplate(spark, sf_dir):
     """Per-source boilerplate removal (RefinedWeb/CCNet line filtering,
     functions/dedup.py::strip_boilerplate): units appearing in >= 50% of
@@ -2040,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # than 2 rounds.
         "span_dedup": q_span_dedup,                # NEW round 5
         "strip_boilerplate": q_strip_boilerplate,  # NEW round 5
+        "perplexity_bucket": q_perplexity_bucket,  # NEW round 5
         "hash_split": q_hash_split,                # NEW round 5
         "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
@@ -2529,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
     sqls = {
         "span_dedup": _SQL_SPAN_DEDUP,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
+        "perplexity_bucket": _SQL_PERPLEXITY_BUCKET,
         "hash_split": _sql_hash_split(),
         "mix_to_weights": _sql_mix_to_weights(),
         "sem_pipeline": _SQL_SEM_PIPELINE,

@@ -24,6 +24,8 @@ exclusive prefix total (tiny driver collect, one number per partition).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -387,3 +389,68 @@ def mix_to_weights(
         .filter(F.col("__rn") <= F.col("__q"))
         .drop("__q", "__rn")
     )
+
+
+def perplexity_bucket(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    score_col: str = "logppl",
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document by the
+    cross-entropy of a unigram language model and split each group
+    (typically the language) into ``n_buckets`` quality tiers — bucket 1
+    = lowest perplexity ("head"), the split CCNet keeps/weights by. The
+    LM is SELF-TRAINED on the corpus (CCNet trains on Wikipedia; with no
+    external corpus in scope, corpus self-statistics are the standard
+    fallback and the plan is identical — to score against a reference
+    corpus, union it in for the counting stage and filter it out after).
+
+    score = ln(T) − mean_tokens(ln(count(token)))  — exactly the unigram
+    cross-entropy in nats, where T is the corpus token total (collected
+    once as a scalar literal, like pack_sequences' boundaries). Scores
+    are rounded to 6 decimals BEFORE ranking so the bucket assignment is
+    robust to float summation order (Spark and the DuckDB oracle may add
+    per-token logs in different orders; agreement is ~1e-13, far inside
+    the rounding quantum). Bucket = ``ntile`` over (score asc, id asc) —
+    a total order, so assignment is deterministic.
+
+    At 100 TB: token counting is one hash aggregate; scoring is a narrow
+    (id, token) shuffle join against the count relation (AQE skew-split
+    handles stopword-grade hot tokens) + one per-doc aggregate. The
+    ntile window runs ONE task per group — fine when groups are
+    languages (bounded count, each holding rank-sortable narrow rows);
+    for ungrouped bucketing of a whole 100 TB corpus, pre-shard the
+    group key or gate on a score threshold from ``quantile_filter``'s
+    distributed path instead.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from lotus_spark.functions.text import tokens
+
+    grp = [group_col] if group_col else []
+    toks = df.select(
+        F.col(id_col).alias("__did"),
+        F.explode(tokens(F.col(col))).alias("__tok"),
+    )
+    counts = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    total = counts.agg(F.sum("__c")).first()[0] or 1
+    scores = (
+        toks.join(counts, "__tok")
+        .groupBy("__did")
+        .agg(
+            F.round(
+                F.lit(float(math.log(total)))
+                - F.sum(F.log("__c")) / F.count("*"),
+                6,
+            ).alias(score_col)
+        )
+    )
+    out = df.join(scores, df[id_col] == scores["__did"], "left").drop("__did")
+    w = Window.partitionBy(*grp).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(bucket_col, F.ntile(n_buckets).over(w))

@@ -370,3 +370,58 @@ def test_mix_to_weights_largest_remainder_sums_to_total(spark):
     assert sum(counts.values()) == 100
     assert sorted(counts.values()) == [33, 33, 34]
     assert counts["d0"] == 34             # alphabetical tie-break
+
+
+# -------------------------------------------------------- perplexity_bucket
+
+def test_perplexity_bucket_orders_rare_docs_into_tail(spark):
+    import math
+
+    from lotus_spark.functions.sampling import perplexity_bucket
+
+    common = "the the the the the the"          # all high-count tokens
+    rare = "zyx qwv jkl mnb poi uyt"            # all singleton tokens
+    mid = "the the the zyx2 the the"
+    df = spark.createDataFrame(
+        [(1, common), (2, mid), (3, rare)], ["doc_id", "text"])
+    out = {r["doc_id"]: (r["ppl_bucket"], r["logppl"])
+           for r in perplexity_bucket(df, "text", "doc_id").collect()}
+    assert out[1][0] == 1 and out[2][0] == 2 and out[3][0] == 3
+    # exact cross-entropy check for the all-common doc: its tokens are
+    # all "the" (corpus count 6+5=11), T = 18 tokens -> ln(18) - ln(11)
+    assert out[1][1] == round(math.log(18) - math.log(11), 6)
+    # rare doc: every token count 1 -> ln(18) - 0
+    assert out[3][1] == round(math.log(18), 6)
+
+
+def test_perplexity_bucket_grouped_and_determinism(spark):
+    from lotus_spark.functions.sampling import perplexity_bucket
+
+    rows = []
+    for i in range(12):
+        lang = "en" if i % 2 == 0 else "de"
+        text = " ".join(f"w{j}" for j in range(i + 1))
+        rows.append((i, lang, text))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = perplexity_bucket(
+        df, "text", "doc_id", group_col="lang", n_buckets=2)
+    got = {(r["lang"], r["ppl_bucket"]): 1 for r in out.collect()}
+    # every (group, bucket) cell populated
+    assert set(got) == {("en", 1), ("en", 2), ("de", 1), ("de", 2)}
+    a = sorted(map(tuple, out.select("doc_id", "ppl_bucket").collect()))
+    b = sorted(map(tuple, perplexity_bucket(
+        df, "text", "doc_id", group_col="lang",
+        n_buckets=2).select("doc_id", "ppl_bucket").collect()))
+    assert a == b                                  # rerun-stable
+    with __import__("pytest").raises(ValueError):
+        perplexity_bucket(df, "text", "doc_id", n_buckets=0)
+
+
+def test_perplexity_bucket_row_preserving(spark):
+    from lotus_spark.functions.sampling import perplexity_bucket
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   ")], ["doc_id", "text"])
+    out = perplexity_bucket(df, "text", "doc_id")
+    assert out.count() == 3                        # empty docs keep rows
+    assert out.filter(F.col("logppl").isNull()).count() == 0
