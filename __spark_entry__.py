@@ -1221,7 +1221,7 @@ def q_perplexity_bucket(spark, sf_dir):
 _SQL_PERPLEXITY_BUCKET = r"""
 WITH tk AS (
   SELECT doc_id, lang,
-         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS tok
   FROM documents),
 c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
 tt AS (SELECT sum(c) AS t FROM c),

@@ -160,13 +160,25 @@ def main() -> None:
         for name in BENCH_QUERIES:
             fn = qs[name]
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            rows[name] = df.count()
+            try:
+                df = fn(spark, sf_dir)
+                rows[name] = df.count()
+            except Exception as exc:  # keep sweeping; report and move on
+                print(f"# sweep{sweep} {name} FAILED: {exc}",
+                      file=sys.stderr)
+                continue
             dt = time.time() - t0
             if dt < best.get(name, float("inf")):
                 best[name] = dt
+            if sweep == 0:
+                # incremental line per query so a mid-run crash still
+                # leaves a usable partial record on stderr
+                print(f"# sweep0 {name}: {rows[name]} rows in {dt:.2f}s",
+                      file=sys.stderr)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        if name not in best:
+            continue  # failed in every sweep; already reported
         timings[name] = round(best[name], 3)
         print(f"# {name}: {rows[name]} rows in {timings[name]:.2f}s",
               file=sys.stderr)

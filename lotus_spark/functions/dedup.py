@@ -1110,6 +1110,34 @@ def ngram_stats(
     )
 
 
+
+def _rebuild_without_positions(df, rm, col, id_col, out_col, units, sep):
+    """Shared reassembly tail of ``span_dedup`` / ``strip_boilerplate``:
+    left-join the per-doc removed-position set ``rm`` (``__did``,
+    ``__rm array<int>``), drop removed unit indices from a local
+    re-split of the document's own text, and join survivors with
+    ``sep``. Untouched docs (no removal row) keep their text VERBATIM;
+    document text crosses only this one join shuffle. ``units`` is the
+    Column re-splitting ``col`` into the same units the caller indexed
+    when building ``rm``."""
+    joined = df.join(rm, df[id_col] == rm["__did"], "left").drop("__did")
+    rm_arr = F.col("__rm")
+    kept = F.filter(
+        F.transform(
+            units,
+            lambda x, i: F.struct(x.alias("u"), i.cast("int").alias("i")),
+        ),
+        lambda s: ~F.array_contains(rm_arr, s["i"]),
+    )
+    rebuilt = F.when(rm_arr.isNull(), F.col(col)).otherwise(
+        F.array_join(F.transform(kept, lambda s: s["u"]), sep)
+    )
+    joined = joined.withColumn(out_col + "__rebuilt", rebuilt).drop("__rm")
+    if out_col == col:
+        joined = joined.drop(col)
+    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)
+
+
 def span_dedup(
     df: DataFrame,
     col: str,
@@ -1192,22 +1220,9 @@ def span_dedup(
         .groupBy("__did")
         .agg(F.collect_set(F.col("__rp").cast("int")).alias("__rm"))
     )
-    joined = df.join(rm, df[id_col] == rm["__did"], "left").drop("__did")
-    rm_arr = F.col("__rm")
-    kept = F.filter(
-        F.transform(
-            _toks(F.col(col)),
-            lambda x, i: F.struct(x.alias("t"), i.cast("int").alias("i")),
-        ),
-        lambda s: ~F.array_contains(rm_arr, s["i"]),
+    return _rebuild_without_positions(
+        df, rm, col, id_col, out_col, _toks(F.col(col)), " "
     )
-    rebuilt = F.when(rm_arr.isNull(), F.col(col)).otherwise(
-        F.array_join(F.transform(kept, lambda s: s["t"]), " ")
-    )
-    joined = joined.withColumn(out_col + "__rebuilt", rebuilt).drop("__rm")
-    if out_col == col:
-        joined = joined.drop(col)
-    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)
 
 
 def strip_boilerplate(
@@ -1281,19 +1296,6 @@ def strip_boilerplate(
         .groupBy("__did")
         .agg(F.collect_set(F.col("__pos").cast("int")).alias("__rm"))
     )
-    joined = df.join(rm, df[id_col] == rm["__did"], "left").drop("__did")
-    rm_arr = F.col("__rm")
-    kept = F.filter(
-        F.transform(
-            F.split(F.col(col), sep_pat, -1),
-            lambda x, i: F.struct(x.alias("u"), i.cast("int").alias("i")),
-        ),
-        lambda s: ~F.array_contains(rm_arr, s["i"]),
+    return _rebuild_without_positions(
+        df, rm, col, id_col, out_col, F.split(F.col(col), sep_pat, -1), sep
     )
-    rebuilt = F.when(rm_arr.isNull(), F.col(col)).otherwise(
-        F.array_join(F.transform(kept, lambda s: s["u"]), sep)
-    )
-    joined = joined.withColumn(out_col + "__rebuilt", rebuilt).drop("__rm")
-    if out_col == col:
-        joined = joined.drop(col)
-    return joined.withColumnRenamed(out_col + "__rebuilt", out_col)

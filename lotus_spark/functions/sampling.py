@@ -35,6 +35,24 @@ _BUCKETS = 1_000_003   # prime
 _MIX = 2654435761      # Knuth multiplicative constant (odd)
 
 
+
+def _content_bucket(id_col: str, salt: str | None = None):
+    """The shared content-hash bucket: ``pmod(hash(id [+ salt]) * _MIX,
+    _BUCKETS)``. The multiply-mod finalizer matters: the raw polynomial
+    fold of SHORT id strings is small and structured (parity/digit
+    patterns), so without it per-stratum rates skew badly; multiplying
+    by an odd constant mod a prime is a residue bijection that scatters
+    those clusters (hash*_MIX stays < 2^63 because the fold is < 1e9+7).
+    NULL ids hash as the empty string (bucket 0) — deterministic, and
+    callers document where such rows land. Mirrored by the DuckDB
+    oracles in __spark_entry__; change all or none.
+    """
+    s = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    if salt is not None:
+        s = F.concat(s, F.lit(salt))
+    return F.pmod(shingle_hash(s) * F.lit(_MIX), F.lit(_BUCKETS))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -60,10 +78,7 @@ def stratified_sample(
     for k, v in rates.items():
         if not (0.0 <= v <= 1.0):
             raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
-    bucket = F.pmod(
-        shingle_hash(F.col(id_col).cast("string")) * F.lit(_MIX),
-        F.lit(_BUCKETS),
-    )
+    bucket = _content_bucket(id_col)
     if fractions:
         rate_map = F.create_map(
             *[x for k, v in fractions.items()
@@ -302,19 +317,17 @@ def hash_split(
     matching ``embeddings`` rows land in the same split). ``seed``
     decorrelates independent splits over the same ids. Weights are
     normalized; labels partition the hash space by cumulative boundaries
-    in dict order.
+    in dict order. NULL ids all hash identically (as the empty string)
+    and land together in the first label's bucket range — deterministic,
+    but fix your ids: a null id also breaks the cross-table consistency
+    property, which joins on the id.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
     if any(v < 0 for v in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError("weights must be non-negative and sum > 0")
     norm = sum(weights.values())
-    bucket = F.pmod(
-        shingle_hash(
-            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
-        ) * F.lit(_MIX),
-        F.lit(_BUCKETS),
-    )
+    bucket = _content_bucket(id_col, salt=f":{seed}")
     labels = list(weights)
     cum, bounds = 0.0, []
     for name in labels:
@@ -354,8 +367,14 @@ def mix_to_weights(
     pretraining mixture. Per-key quotas use largest-remainder rounding
     (quotas sum exactly to ``total``); within a key, rows are ranked by
     content hash of ``id_col`` (ties by id) so the draw is a deterministic
-    function of the data — rerun-stable and shrink-consistent (lowering a
-    quota yields a subset of the larger draw). Keys absent from
+    function of the data — rerun-stable, and within a key, a smaller
+    quota's rows are always a prefix (subset) of a larger quota's. Note
+    the per-KEY guarantee does not lift to ``total``: largest-remainder
+    rounding is non-monotone in the total (the Alabama paradox — a key's
+    quota can DROP by one when the total grows), so comparing draws at
+    two totals can differ by one row per affected key. NULL ids rank
+    first within their key (they hash as the empty string) —
+    deterministic, but fix your ids. Keys absent from
     ``weights`` are dropped; a key with fewer rows than its quota
     contributes what it has (the shortfall is reported by comparing
     counts, not silently rebalanced — explicit beats surprising for
@@ -375,10 +394,7 @@ def mix_to_weights(
     quota_map = F.create_map(
         *[x for k, v in quota.items() for x in (F.lit(k), F.lit(v))]
     )
-    rank_key = F.pmod(
-        shingle_hash(F.col(id_col).cast("string")) * F.lit(_MIX),
-        F.lit(_BUCKETS),
-    )
+    rank_key = _content_bucket(id_col)
     w = Window.partitionBy(key_col).orderBy(
         rank_key.asc(), F.col(id_col).asc()
     )
@@ -418,9 +434,19 @@ def perplexity_bucket(
     the rounding quantum). Bucket = ``ntile`` over (score asc, id asc) —
     a total order, so assignment is deterministic.
 
+    NULL text is treated as the empty string (tokenizes to the ``''``
+    token, same as a blank doc), so null/empty docs get a real score and
+    land wherever the corpus frequency of blank docs puts them — never
+    silently promoted to bucket 1 by NULLS-FIRST ordering, and never a
+    null-sort-order divergence from the SQL oracle.
+
     At 100 TB: token counting is one hash aggregate; scoring is a narrow
     (id, token) shuffle join against the count relation (AQE skew-split
     handles stopword-grade hot tokens) + one per-doc aggregate. The
+    count relation is pinned with ``localCheckpoint`` before the scalar
+    ``T`` collect so the corpus tokenization runs twice (count build +
+    score probe), not three times; pinning the exploded token relation
+    itself would cost corpus-sized storage for one saved scan. The
     ntile window runs ONE task per group — fine when groups are
     languages (bounded count, each holding rank-sortable narrow rows);
     for ungrouped bucketing of a whole 100 TB corpus, pre-shard the
@@ -434,9 +460,15 @@ def perplexity_bucket(
     grp = [group_col] if group_col else []
     toks = df.select(
         F.col(id_col).alias("__did"),
-        F.explode(tokens(F.col(col))).alias("__tok"),
+        F.explode(tokens(F.coalesce(F.col(col), F.lit("")))).alias("__tok"),
     )
-    counts = toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+    # localCheckpoint (lazy): the vocab-sized count relation is consumed
+    # twice (scalar T + the score join); RDD-level cache is released on
+    # GC, the same no-unpersist-hook trade as _sessionize_salted
+    counts = (
+        toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("__c")).first()[0] or 1
     scores = (
         toks.join(counts, "__tok")

@@ -417,11 +417,23 @@ def test_perplexity_bucket_grouped_and_determinism(spark):
         perplexity_bucket(df, "text", "doc_id", n_buckets=0)
 
 
-def test_perplexity_bucket_row_preserving(spark):
+def test_perplexity_bucket_row_preserving_and_null_text(spark):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
     from lotus_spark.functions.sampling import perplexity_bucket
 
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
     df = spark.createDataFrame(
-        [(1, "a b"), (2, ""), (3, "   ")], ["doc_id", "text"])
+        [(1, "a b"), (2, ""), (3, "   "), (4, None)], schema)
     out = perplexity_bucket(df, "text", "doc_id")
-    assert out.count() == 3                        # empty docs keep rows
+    assert out.count() == 4                 # empty/null docs keep rows
     assert out.filter(F.col("logppl").isNull()).count() == 0
+    got = {r["doc_id"]: (r["logppl"], r["ppl_bucket"])
+           for r in out.collect()}
+    # NULL text scores exactly like the blank docs (the '' token, corpus
+    # count 3) — never promoted to bucket 1 by NULLS-FIRST ordering
+    assert got[4][0] == got[2][0] == got[3][0]
+    # the real-text doc has the rarest tokens -> strictly higher score
+    assert got[1][0] > got[4][0]

@@ -312,6 +312,14 @@ def main():
         # partial run: merge new per-query rows into the existing artifact
         with open(path) as f:
             prev = json.load(f)
+        for key in ("factor", "base", "cpus", "repeats"):
+            if key in prev and prev[key] != rec[key]:
+                raise SystemExit(
+                    f"--only merge refused: existing artifact has "
+                    f"{key}={prev[key]!r} but this run uses {rec[key]!r}; "
+                    f"per-query rows would not be comparable. Re-run the "
+                    f"full probe (without --only) to rewrite the artifact."
+                )
         merged_q = dict(prev.get("queries", {}))
         merged_q.update(rec["queries"])
         rec["queries"] = merged_q
