@@ -81,6 +81,7 @@ PROBE_QUERIES = [
     "strip_boilerplate",
     "hash_split",
     "mix_to_weights",
+    "perplexity_bucket",
 ]
 
 
