@@ -274,3 +274,47 @@ def _py_quality(text: str) -> float:
     atl = (sum(len(t) for t in toks) / n) if n else 0.0
     len_ok = 1.0 if 3.0 <= atl <= 10.0 else 0.0
     return round(0.4 * min(sw * 5.0, 1.0) + 0.4 * al + 0.2 * len_ok, 4)
+
+
+def gate_stream_by_thresholds(
+    stream: DataFrame,
+    thresholds: DataFrame,
+    key: str,
+    score: "F.Column",
+    score_col: str = "quality",
+    cutoff_col: str = "cutoff",
+    keep_unknown_keys: bool = False,
+) -> DataFrame:
+    """Stream-STATIC join quality gate: score each streaming document with
+    a per-row expression and keep it only if it clears its key's cutoff
+    from a BATCH-computed thresholds table (e.g. per-language quality
+    quantiles from ``quantile_filter``'s calibration run). This is the
+    production shape for gating a live crawl: thresholds are recomputed
+    offline on a schedule, the stream just joins them — Structured
+    Streaming re-reads the static side per micro-batch, so replacing the
+    thresholds table re-tunes the gate without restarting the query.
+
+    The static side is broadcast (per-key cutoffs are tiny by
+    construction — one row per language/source), so the stream stays
+    shuffle-free: score projection + broadcast hash join + filter, all
+    inside the micro-batch's map stage. Keys absent from ``thresholds``
+    drop their docs unless ``keep_unknown_keys`` (explicit beats a NULL
+    comparison silently deciding).
+    """
+    _require_streaming(stream, "gate_stream_by_thresholds")
+    cols = set(thresholds.columns)
+    if key not in cols or cutoff_col not in cols:
+        raise ValueError(
+            f"thresholds must have columns ({key!r}, {cutoff_col!r}); "
+            f"got {sorted(cols)}"
+        )
+    scored = stream.withColumn(score_col, score)
+    joined = scored.join(
+        F.broadcast(thresholds.select(key, cutoff_col)), key, "left"
+    )
+    passed = F.col(score_col) >= F.col(cutoff_col)
+    if keep_unknown_keys:
+        keep = F.col(cutoff_col).isNull() | passed
+    else:
+        keep = F.col(cutoff_col).isNotNull() & passed
+    return joined.filter(keep).drop(cutoff_col)

@@ -237,3 +237,54 @@ def test_parquet_sink_exactly_once_resume(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert sorted(r["id"] for r in rows) == [1, 2, 3]  # no duplicates
     assert {r["vv"] for r in rows} == {"A", "B", "C"}
+
+
+def test_gate_stream_by_thresholds_matches_batch(spark, stream_dir):
+    """Stream-static join gate: per-key cutoffs computed BATCH-side gate
+    the stream; result equals the identical batch join+filter."""
+    from lotus_spark.functions.text import token_count
+    from lotus_spark.streaming.ops import gate_stream_by_thresholds
+
+    # key docs by first word; cutoffs: 'the'-docs need >= 9 tokens,
+    # 'el'-docs >= 99 (none pass); 'spark' key absent from thresholds
+    thresholds = spark.createDataFrame(
+        [("the", 9.0), ("el", 99.0)], ["k", "cutoff"])
+    score = token_count(F.col("body")).cast("double")
+
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    stream = stream.withColumn("k", F.split("body", " ")[0])
+    out = _run(spark, gate_stream_by_thresholds(
+        stream, thresholds, "k", score), "gate_stream_t1")
+    assert sorted(r["id"] for r in out.collect()) == ["a", "c"]
+
+    keep_unknown = _run(spark, gate_stream_by_thresholds(
+        read_parquet_stream(spark, stream_dir, SCHEMA)
+        .withColumn("k", F.split("body", " ")[0]),
+        thresholds, "k", score, keep_unknown_keys=True), "gate_stream_t2")
+    assert sorted(r["id"] for r in keep_unknown.collect()) == ["a", "c", "d"]
+
+    # batch replica over the same parquet
+    batch = (spark.read.schema(SCHEMA).parquet(stream_dir)
+             .withColumn("k", F.split("body", " ")[0])
+             .withColumn("quality", score)
+             .join(thresholds, "k", "left")
+             .filter(F.col("cutoff").isNotNull()
+                     & (F.col("quality") >= F.col("cutoff"))))
+    assert sorted(r["id"] for r in batch.collect()) == \
+        sorted(r["id"] for r in out.collect())
+
+
+def test_gate_stream_by_thresholds_validation(spark, stream_dir):
+    import pytest as _pytest
+
+    from lotus_spark.streaming.ops import gate_stream_by_thresholds
+
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    bad = spark.createDataFrame([("x", 1.0)], ["wrong", "cutoff"])
+    with _pytest.raises(ValueError, match="thresholds"):
+        gate_stream_by_thresholds(stream, bad, "k", F.lit(1.0))
+    batch = spark.createDataFrame([("x",)], ["k"])
+    with _pytest.raises(ValueError, match="streaming"):
+        gate_stream_by_thresholds(
+            batch, spark.createDataFrame([("x", 1.0)], ["k", "cutoff"]),
+            "k", F.lit(1.0))
