@@ -155,3 +155,32 @@ def test_cooccurrence_sparse_equals_dense(l_post, r_post):
     MR[r_docs, r_sh] = 1.0
     want = ML @ MR.T
     assert (got == want).all()
+
+
+@given(
+    st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=4),
+        st.floats(min_value=0.001, max_value=100, allow_nan=False),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=0, max_value=10_000),
+)
+@hyp_settings(max_examples=200, deadline=None)
+def test_largest_remainder_quotas_properties(weights, total):
+    """Quotas sum exactly to total and each sits within [floor, ceil] of
+    its proportional share (the apportionment invariants largest-remainder
+    guarantees; monotonicity in total is NOT one of them — Alabama
+    paradox — and is deliberately not asserted)."""
+    import math
+
+    from lotus_spark.functions.sampling import largest_remainder_quotas
+
+    quota = largest_remainder_quotas(weights, total)
+    assert set(quota) == set(weights)
+    assert sum(quota.values()) == total
+    norm = sum(weights.values())
+    for k, v in weights.items():
+        share = total * v / norm
+        assert math.floor(share) <= quota[k] <= math.ceil(share), (
+            k, share, quota[k])
