@@ -1170,16 +1170,22 @@ def span_dedup(
     text, case preserved) → gram-start posexplode to ``(did, pos, key)``
     where key is ``xxhash64(gram)`` (gram TEXT projected away before the
     shuffle; ``exact=True`` keys on the string, collision-free but
-    wide) → ONE hash aggregate ``min(struct(did, pos))`` per gram
-    (map-side combine) → co-partitioned join back on the gram key to
-    find non-first occurrences → explode each to its k covered
-    positions → per-doc ``collect_set`` of removed positions (bounded
-    by doc length) → ONE join of that narrow ``(did, array<pos>)``
-    relation to the original rows; document text crosses exactly one
-    shuffle. No pair join, no suffix array, no driver state. A
-    boilerplate gram shared by millions of docs skews the gram-key
-    join — AQE skew-join splits it (enabled in get_spark); the
-    aggregate side is combine-friendly regardless.
+    wide) → ONE shuffle of that narrow relation on the gram key with a
+    whole-partition window ``min(struct(did, pos))`` marking non-first
+    occurrences in place. A min-aggregate + co-partitioned join back
+    would compute the SAME dups but scan + tokenize + gram-hash the
+    corpus twice and shuffle the posting relation twice (every posting
+    row must reach the probe side anyway, so — unlike paragraph_dedup,
+    where only winners survive the aggregate — the agg buys no row
+    reduction here; ``.explain`` showed both branches materializing the
+    full gram stage). Then: explode each dup to its k covered positions
+    → per-doc ``collect_set`` of removed positions (bounded by doc
+    length) → ONE join of that narrow ``(did, array<pos>)`` relation to
+    the original rows; document text crosses exactly one shuffle. No
+    pair join, no suffix array, no driver state. A boilerplate gram
+    shared by millions of docs skews its window partition — that is one
+    sorted run per hot key, not a pair blowup, and the downstream
+    explode is linear in occurrences.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1203,10 +1209,10 @@ def span_dedup(
     )
     key = F.col("__gram") if exact else F.xxhash64("__gram")
     occ = occ.select("__did", "__pos", key.alias("__k"))
-    first = occ.groupBy("__k").agg(
-        F.min(F.struct("__did", "__pos")).alias("__w")
-    )
-    dup = occ.join(first, "__k").filter(
+    w_first = Window.partitionBy("__k")
+    dup = occ.withColumn(
+        "__w", F.min(F.struct("__did", "__pos")).over(w_first)
+    ).filter(
         (F.col("__did") != F.col("__w.__did"))
         | (F.col("__pos") != F.col("__w.__pos"))
     )
