@@ -1255,14 +1255,20 @@ def strip_boilerplate(
 
     Plan: explode to ``(group, did, pos, key)`` with unit text projected
     away (``xxhash64``; ``exact=True`` keys on the trimmed string) →
-    per-(group, key) DISTINCT-doc count via one hash aggregate
-    (``count(distinct did)`` over the narrow relation) → join against
-    per-group doc totals (tiny, broadcast) → boilerplate keys → join
-    back to occurrences → per-doc removed-position set → ONE join to the
+    per-(group, key) DISTINCT-doc count aggregate → join per-group doc
+    totals (tiny, broadcast) → the boilerplate key set → join back to
+    occurrences → per-doc removed-position set → ONE join to the
     original rows with local re-split reassembly (document text crosses
     exactly one shuffle, the same contract as paragraph_dedup /
-    span_dedup). Group sizes are bounded by the source cardinality, not
-    corpus size; no stage materializes per-key doc lists.
+    span_dedup). Unlike span_dedup (where every occurrence must be
+    compared against its gram's canonical, so a window over one full
+    shuffle wins), here the aggregate BUYS reduction: the frequency
+    test passes only a small boilerplate key set, AQE broadcasts it at
+    runtime, and the occurrence relation is never shuffled for the
+    removal join — at 100 TB that beats pushing every token occurrence
+    through a sorted window exchange (measured 2x faster at sf0.1 too).
+    Group sizes are bounded by the source cardinality, not corpus size;
+    no stage materializes per-key doc lists.
     """
     if not (0.0 < min_frac <= 1.0):
         raise ValueError("min_frac must be in (0, 1]")
