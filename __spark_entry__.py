@@ -1172,35 +1172,48 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(docs, "text", "doc_id", k=6).select("doc_id", "text")
 
 
-_SQL_SPAN_DEDUP = r"""
-WITH toks AS (
+def _sql_span_dedup_ctes(srcrel: str, p: str, out: str) -> str:
+    """CTE chain replaying span_dedup over relation ``srcrel`` (needs
+    doc_id, text, + passthrough cols lang, source); CTE names prefixed
+    with ``p``; final CTE ``out`` has the same columns with cleaned
+    text. Shared by the standalone oracle and the composed pipelines."""
+    return f"""
+{p}toks AS (
   SELECT doc_id AS did, CAST(i - 1 AS INT) AS pos, parts[i] AS tok
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS parts
-        FROM documents),
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS parts
+        FROM {srcrel}),
        LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)),
-docs AS (SELECT did, list(tok ORDER BY pos) AS ts FROM toks GROUP BY did),
-grams AS (
+{p}docs AS (SELECT did, list(tok ORDER BY pos) AS ts FROM {p}toks GROUP BY did),
+{p}grams AS (
   SELECT did, CAST(s.i AS INT) AS pos,
          array_to_string(ts[s.i + 1 : s.i + 6], ' ') AS gram
-  FROM docs, LATERAL (SELECT unnest(range(0, len(ts) - 6 + 1)) AS i) AS s
+  FROM {p}docs, LATERAL (SELECT unnest(range(0, len(ts) - 6 + 1)) AS i) AS s
   WHERE len(ts) >= 6),
-ranked AS (
+{p}ranked AS (
   SELECT did, pos,
          row_number() OVER (PARTITION BY gram ORDER BY did, pos) AS rn
-  FROM grams),
-rm AS (
+  FROM {p}grams),
+{p}rm AS (
   SELECT DISTINCT did, pos + CAST(j.j AS INT) AS rp
-  FROM ranked, LATERAL (SELECT unnest(range(0, 6)) AS j) AS j
+  FROM {p}ranked, LATERAL (SELECT unnest(range(0, 6)) AS j) AS j
   WHERE rn > 1),
-rebuilt AS (
+{p}rebuilt AS (
   SELECT t.did, string_agg(t.tok, ' ' ORDER BY t.pos) AS new_text
-  FROM toks t ANTI JOIN rm ON t.did = rm.did AND t.pos = rm.rp
-  GROUP BY t.did)
-SELECT d.doc_id,
-       CASE WHEN d.doc_id IN (SELECT did FROM rm)
-            THEN COALESCE(r.new_text, '') ELSE d.text END AS text
-FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.did
+  FROM {p}toks t ANTI JOIN {p}rm ON t.did = {p}rm.did AND t.pos = {p}rm.rp
+  GROUP BY t.did),
+{out} AS (
+  SELECT d.* REPLACE (
+       CASE WHEN d.doc_id IN (SELECT did FROM {p}rm)
+            THEN COALESCE(r.new_text, '') ELSE d.text END AS text)
+  FROM {srcrel} d LEFT JOIN {p}rebuilt r ON d.doc_id = r.did)
 """
+
+
+_SQL_SPAN_DEDUP = (
+    "WITH sd_src AS (SELECT doc_id, text FROM documents),"
+    + _sql_span_dedup_ctes("sd_src", "sd_", "sd_out")
+    + "SELECT doc_id, text FROM sd_out"
+)
 
 
 def q_perplexity_bucket(spark, sf_dir):
@@ -1218,24 +1231,39 @@ def q_perplexity_bucket(spark, sf_dir):
     ).select("doc_id", "lang", "logppl", "ppl_bucket")
 
 
-_SQL_PERPLEXITY_BUCKET = r"""
-WITH tk AS (
-  SELECT doc_id, lang,
-         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS tok
-  FROM documents),
-c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
-tt AS (SELECT sum(c) AS t FROM c),
-s AS (
-  SELECT tk.doc_id, tk.lang,
-         round(ln((SELECT t FROM tt)) - sum(ln(c.c)) / count(*), 6)
+def _sql_perplexity_ctes(srcrel: str, p: str, out: str) -> str:
+    """CTE chain replaying perplexity_bucket (lang groups, 3 tiers) over
+    ``srcrel`` (needs doc_id, lang, text + passthroughs); final CTE
+    ``out`` = src columns + logppl + ppl_bucket. The unigram LM trains
+    on ``srcrel`` itself, so in a composed pipeline it self-trains on
+    the already-curated corpus — same as the Spark stage."""
+    return f"""
+{p}tk AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'))
+           AS tok
+  FROM {srcrel}),
+{p}c AS (SELECT tok, count(*) AS c FROM {p}tk GROUP BY tok),
+{p}tt AS (SELECT sum(c) AS t FROM {p}c),
+{p}s AS (
+  SELECT tk.doc_id,
+         round(ln((SELECT t FROM {p}tt)) - sum(ln(c.c)) / count(*), 6)
            AS logppl
-  FROM tk JOIN c ON tk.tok = c.tok
-  GROUP BY tk.doc_id, tk.lang)
-SELECT doc_id, lang, logppl,
-       ntile(3) OVER (PARTITION BY lang
-                      ORDER BY logppl, doc_id) AS ppl_bucket
-FROM s
+  FROM {p}tk tk JOIN {p}c c ON tk.tok = c.tok
+  GROUP BY tk.doc_id),
+{out} AS (
+  SELECT d.*, s.logppl,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.logppl, d.doc_id) AS ppl_bucket
+  FROM {srcrel} d JOIN {p}s s ON d.doc_id = s.doc_id)
 """
+
+
+_SQL_PERPLEXITY_BUCKET = (
+    "WITH pp_src AS (SELECT doc_id, lang, text FROM documents),"
+    + _sql_perplexity_ctes("pp_src", "pp_", "pp_out")
+    + "SELECT doc_id, lang, logppl, ppl_bucket FROM pp_out"
+)
 
 
 def q_strip_boilerplate(spark, sf_dir):
@@ -1253,30 +1281,42 @@ def q_strip_boilerplate(spark, sf_dir):
     ).select("doc_id", "text")
 
 
-_SQL_STRIP_BOILERPLATE = """
-WITH allu AS (
+def _sql_strip_boilerplate_ctes(srcrel: str, p: str, out: str) -> str:
+    """CTE chain replaying strip_boilerplate (word units, min_frac=0.5,
+    min_docs=2) over ``srcrel`` (needs doc_id, source, text +
+    passthroughs); final CTE ``out`` = same columns, cleaned text."""
+    return f"""
+{p}allu AS (
   SELECT doc_id AS did, source AS grp, i - 1 AS pos, parts[i] AS orig
   FROM (SELECT doc_id, source, string_split(text, ' ') AS parts
-        FROM documents),
+        FROM {srcrel}),
        LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i)),
-uu AS (SELECT did, grp, pos, trim(orig) AS unit FROM allu
+{p}uu AS (SELECT did, grp, pos, trim(orig) AS unit FROM {p}allu
        WHERE length(trim(orig)) >= 1),
-gs AS (SELECT source AS grp, count(*) AS gn FROM documents GROUP BY source),
-cnt AS (SELECT grp, unit, count(DISTINCT did) AS df
-        FROM uu GROUP BY grp, unit),
-b AS (SELECT c.grp, c.unit FROM cnt c JOIN gs ON c.grp = gs.grp
-      WHERE c.df >= 2 AND c.df >= gs.gn * 0.5),
-rmpos AS (SELECT DISTINCT uu.did, uu.pos
-          FROM uu JOIN b ON uu.grp = b.grp AND uu.unit = b.unit),
-kept AS (
+{p}gs AS (SELECT source AS grp, count(*) AS gn FROM {srcrel} GROUP BY source),
+{p}cnt AS (SELECT grp, unit, count(DISTINCT did) AS df
+        FROM {p}uu GROUP BY grp, unit),
+{p}b AS (SELECT c.grp, c.unit FROM {p}cnt c JOIN {p}gs ON c.grp = {p}gs.grp
+      WHERE c.df >= 2 AND c.df >= {p}gs.gn * 0.5),
+{p}rmpos AS (SELECT DISTINCT u.did, u.pos
+          FROM {p}uu u JOIN {p}b ON u.grp = {p}b.grp AND u.unit = {p}b.unit),
+{p}kept AS (
   SELECT a.did, string_agg(a.orig, ' ' ORDER BY a.pos) AS new_text
-  FROM allu a ANTI JOIN rmpos r ON a.did = r.did AND a.pos = r.pos
-  GROUP BY a.did)
-SELECT d.doc_id,
-       CASE WHEN d.doc_id IN (SELECT did FROM rmpos)
-            THEN COALESCE(k.new_text, '') ELSE d.text END AS text
-FROM documents d LEFT JOIN kept k ON d.doc_id = k.did
+  FROM {p}allu a ANTI JOIN {p}rmpos r ON a.did = r.did AND a.pos = r.pos
+  GROUP BY a.did),
+{out} AS (
+  SELECT d.* REPLACE (
+       CASE WHEN d.doc_id IN (SELECT did FROM {p}rmpos)
+            THEN COALESCE(k.new_text, '') ELSE d.text END AS text)
+  FROM {srcrel} d LEFT JOIN {p}kept k ON d.doc_id = k.did)
 """
+
+
+_SQL_STRIP_BOILERPLATE = (
+    "WITH sb_src AS (SELECT doc_id, source, text FROM documents),"
+    + _sql_strip_boilerplate_ctes("sb_src", "sb_", "sb_out")
+    + "SELECT doc_id, text FROM sb_out"
+)
 
 
 def q_hash_split(spark, sf_dir):
@@ -1342,6 +1382,97 @@ WITH r AS (
 SELECT doc_id, lang FROM r
 WHERE rn <= CASE lang {case} END
 """
+
+
+def _pc_stage_boiler(df):
+    from lotus_spark.functions.dedup import strip_boilerplate
+
+    return strip_boilerplate(
+        df, "text", "doc_id", "source", sep=" ", min_frac=0.5)
+
+
+def _pc_stage_span(df):
+    from lotus_spark.functions.dedup import span_dedup
+
+    return span_dedup(df, "text", "doc_id", k=6)
+
+
+def _pc_stage_ppl_gate(df):
+    from lotus_spark.functions.sampling import perplexity_bucket
+
+    return perplexity_bucket(
+        df, "text", "doc_id", group_col="lang").filter(
+        F.col("ppl_bucket") <= 2)
+
+
+def _pc_stage_split(df):
+    from lotus_spark.functions.sampling import hash_split
+
+    return hash_split(df, "doc_id", {"train": 0.9, "val": 0.05,
+                                     "test": 0.05})
+
+
+def q_pipeline_curate(spark, sf_dir):
+    """The round-5 curation operators composed as ONE LazyFrame — the
+    end-to-end corpus-preparation shape nothing tests in isolation:
+
+    1. ``strip_boilerplate`` — per-source ubiquitous-unit removal
+       (checkpointed: the cross-doc frequency stage).
+    2. ``span_dedup`` — cross-doc duplicated span removal over the
+       BOILERPLATE-CLEANED text (checkpointed).
+    3. ``perplexity_bucket`` — unigram-LM tiers self-trained on the
+       curated corpus; drop the tail tier (keep buckets 1-2).
+    4. ``hash_split`` — deterministic train/val/test labels.
+
+    Stage order matters and the oracle replays it exactly: the span
+    grams see post-boilerplate text, the LM trains on post-dedup text.
+    Every stage is hash-checked standalone too; this row proves the
+    composition under the plan layer (checkpoints + resume included)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from lotus_spark.plans.lazyframe import LazyFrame
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    lf = (
+        LazyFrame()
+        .from_fn(_pc_stage_boiler, checkpoint=True)
+        .from_fn(_pc_stage_span, checkpoint=True)
+        .from_fn(_pc_stage_ppl_gate)
+        .from_fn(_pc_stage_split)
+    )
+    ck = os.path.join(
+        tempfile.gettempdir(),
+        "lotus_curate_ck_" + hashlib.blake2b(
+            sf_dir.encode(), digest_size=6).hexdigest(),
+    )
+    out = lf.execute(docs, checkpoint_dir=ck,
+                     source_token=f"{sf_dir}/documents")
+    return out.select("doc_id", "lang", "split", "ppl_bucket", "text")
+
+
+def _sql_pipeline_curate() -> str:
+    b1 = int(round(0.9 * _MIX_BUCKETS))
+    b2 = int(round(0.95 * _MIX_BUCKETS))
+    h = _sql_strhash("(CAST(doc_id AS VARCHAR) || ':0')")
+    return (
+        "WITH c0 AS (SELECT doc_id, lang, source, text FROM documents),"
+        + _sql_strip_boilerplate_ctes("c0", "cb_", "c1")
+        + ","
+        + _sql_span_dedup_ctes("c1", "cs_", "c2")
+        + ","
+        + _sql_perplexity_ctes("c2", "cp_", "c3")
+        + f"""
+SELECT doc_id, lang,
+  CASE WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b1} THEN 'train'
+       WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b2} THEN 'val'
+       ELSE 'test' END AS split,
+  ppl_bucket, text
+FROM c3 WHERE ppl_bucket <= 2
+"""
+    )
 
 
 def q_dedupe_doc_units(spark, sf_dir):
@@ -2076,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,                # NEW round 5
         "strip_boilerplate": q_strip_boilerplate,  # NEW round 5
         "perplexity_bucket": q_perplexity_bucket,  # NEW round 5
+        "pipeline_curate": q_pipeline_curate,      # NEW round 5
         "hash_split": q_hash_split,                # NEW round 5
         "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
@@ -2566,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _SQL_SPAN_DEDUP,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "perplexity_bucket": _SQL_PERPLEXITY_BUCKET,
+        "pipeline_curate": _sql_pipeline_curate(),
         "hash_split": _sql_hash_split(),
         "mix_to_weights": _sql_mix_to_weights(),
         "sem_pipeline": _SQL_SEM_PIPELINE,

@@ -7,8 +7,9 @@ Query set = the oracle-checked inventory from __spark_entry__ minus the
 iterative connected-component dedups (minhash_lsh_dedup, sem_dedup — their
 convergence loops dominate wall-clock without exercising anything the
 thresholded pair queries don't already cover) and the composed
-pipeline_pack (it embeds minhash_lsh_dedup plus per-run checkpoint parquet
-writes; its stages are all individually benched). Each query is timed as
+pipeline_pack / pipeline_curate (they embed the dedup stages plus
+per-run checkpoint parquet writes; their stages are all individually
+benched). Each query is timed as
 plan-build + execute-to-count (results are not collected; Spark keeps the
 aggregation distributed).
 """
