@@ -135,19 +135,15 @@ def minhash_lsh_dedup(
     return df.join(removal, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, col: str, n_bits: int = 32,
-            out_col: str = "simhash") -> DataFrame:
-    """Append a ``n_bits``-bit SimHash of the whitespace token multiset.
-
-    bit b of the fingerprint = sign of Σ_tokens (2·bit_b(hash(token)) − 1).
-    Pure column expressions; identical in DuckDB via list_reduce.
-    """
+def simhash_expr(col: Column, n_bits: int = 32) -> Column:
+    """The SimHash fingerprint as a pure Column expression — usable on
+    batch AND streaming DataFrames (no ensure_parallelism, which needs
+    ``df.rdd`` and is illegal on a stream); ``simhash`` wraps it for the
+    batch path."""
     from lotus_spark.functions.text import tokens
 
-    df = ensure_parallelism(df)
-    tok_hashes = F.transform(tokens(F.col(col)), shingle_hash)
+    tok_hashes = F.transform(tokens(col), shingle_hash)
     zero = F.array_repeat(F.lit(0).cast("long"), n_bits)
-    # ±1 per bit: bit_b(h) = floor(h / 2^b) mod 2 (exact in double for h < 2^52)
     bitvec = lambda h: F.transform(  # noqa: E731
         F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda b: (F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2) * 2 - 1,
@@ -155,7 +151,7 @@ def simhash(df: DataFrame, col: str, n_bits: int = 32,
     sums = F.aggregate(
         tok_hashes, zero, lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y)
     )
-    fp = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             sums,
             F.sequence(F.lit(0), F.lit(n_bits - 1)).cast("array<long>"),
@@ -164,7 +160,17 @@ def simhash(df: DataFrame, col: str, n_bits: int = 32,
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return df.withColumn(out_col, fp)
+
+
+def simhash(df: DataFrame, col: str, n_bits: int = 32,
+            out_col: str = "simhash") -> DataFrame:
+    """Append a ``n_bits``-bit SimHash of the whitespace token multiset.
+
+    bit b of the fingerprint = sign of Σ_tokens (2·bit_b(hash(token)) − 1).
+    Pure column expressions; identical in DuckDB via list_reduce.
+    """
+    df = ensure_parallelism(df)
+    return df.withColumn(out_col, simhash_expr(F.col(col), n_bits))
 
 
 def _hash_strings_np(strs, np):

@@ -318,3 +318,41 @@ def gate_stream_by_thresholds(
     else:
         keep = F.col(cutoff_col).isNotNull() & passed
     return joined.filter(keep).drop(cutoff_col)
+
+
+def streaming_neardup(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    bits: int = 16,
+    n_bits: int = 32,
+) -> DataFrame:
+    """Streaming NEAR-duplicate drop: documents whose SimHash agrees on
+    the top ``bits`` of ``n_bits`` within the watermark horizon are
+    treated as near-duplicates and only the first survives — the
+    streaming tier of the dedup ladder (``streaming_dedup`` = exact
+    match; batch ``minhash_lsh_dedup`` = the precise version for the
+    backfill path). Coarser ``bits`` = more aggressive merging; the
+    trade is explicit and the fingerprint is the same deterministic
+    ``functions.dedup.simhash`` the batch side uses, so a batch replay
+    with the same key agrees row-for-row.
+
+    State is one key per surviving bucket, watermark-evicted
+    (``dropDuplicatesWithinWatermark``); the fingerprint itself is a
+    pure map-side expression — no shuffle beyond the dedup state
+    exchange.
+    """
+    from lotus_spark.functions.dedup import simhash_expr
+
+    _require_streaming(df, "streaming_neardup")
+    if not (1 <= bits <= n_bits):
+        raise ValueError("bits must be in [1, n_bits]")
+    fp = simhash_expr(F.col(col), n_bits=n_bits)
+    bucket = F.floor(fp / F.lit(float(2 ** (n_bits - bits)))).cast("long")
+    return (
+        df.withWatermark(ts_col, watermark)
+        .withColumn("__nd_bucket", bucket)
+        .dropDuplicatesWithinWatermark(["__nd_bucket"])
+        .drop("__nd_bucket")
+    )

@@ -288,3 +288,32 @@ def test_gate_stream_by_thresholds_validation(spark, stream_dir):
         gate_stream_by_thresholds(
             batch, spark.createDataFrame([("x", 1.0)], ["k", "cutoff"]),
             "k", F.lit(1.0))
+
+
+def test_streaming_neardup_drops_simhash_bucket_twins(spark, stream_dir):
+    """Docs 'a' and 'c' are IDENTICAL text (same SimHash bucket at any
+    width) — the second within the watermark horizon is dropped; the
+    distinct docs survive. Batch simhash with the same key agrees."""
+    from lotus_spark.functions.dedup import simhash
+    from lotus_spark.streaming.ops import streaming_neardup
+
+    stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+    out = _run(spark, streaming_neardup(stream, "body", "ts", bits=16),
+               "neardup_stream_t1")
+    ids = sorted(r["id"] for r in out.collect())
+    assert "a" in ids or "c" in ids          # exactly one of the twins
+    assert not ("a" in ids and "c" in ids)
+    assert {"b", "d"} <= set(ids)            # distinct docs survive
+    assert len(ids) == 3
+
+    # batch replica: bucket by the same fingerprint prefix
+    batch = simhash(spark.read.schema(SCHEMA).parquet(stream_dir),
+                    "body", n_bits=32)
+    buckets = {r["id"]: r["simhash"] >> 16 for r in batch.collect()}
+    assert buckets["a"] == buckets["c"]
+    assert len({buckets["a"], buckets["b"], buckets["d"]}) == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bits"):
+        streaming_neardup(read_parquet_stream(spark, stream_dir, SCHEMA),
+                          "body", "ts", bits=0)
