@@ -1332,15 +1332,24 @@ def q_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
-def _sql_hash_split() -> str:
+def _sql_split_case() -> str:
+    """The train/val/test CASE expression mirroring hash_split's 90/5/5
+    bucketing — single source for the standalone oracle AND the composed
+    pipeline_curate replica."""
     b1 = int(round(0.9 * _MIX_BUCKETS))
     b2 = int(round(0.95 * _MIX_BUCKETS))
     h = _sql_strhash("(CAST(doc_id AS VARCHAR) || ':0')")
+    return (
+        f"CASE WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b1} "
+        f"THEN 'train' "
+        f"WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b2} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _sql_hash_split() -> str:
     return f"""
-SELECT doc_id,
-  CASE WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b1} THEN 'train'
-       WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b2} THEN 'val'
-       ELSE 'test' END AS split
+SELECT doc_id, {_sql_split_case()} AS split
 FROM documents
 """
 
@@ -1382,6 +1391,29 @@ WITH r AS (
 SELECT doc_id, lang FROM r
 WHERE rn <= CASE lang {case} END
 """
+
+
+def _source_token(sf_dir: str, table: str) -> str:
+    """Checkpoint source identity = path + parquet size/mtime fingerprint:
+    regenerating the table IN PLACE (same path, new content) changes the
+    token, so plan-prefix checkpoint keys miss instead of silently
+    resuming stage outputs computed from the old data."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        if os.path.isdir(path):
+            stats = sorted(
+                (f, os.path.getsize(os.path.join(path, f)),
+                 int(os.path.getmtime(os.path.join(path, f))))
+                for f in os.listdir(path) if not f.startswith("_")
+            )
+        else:
+            stats = [(table, os.path.getsize(path),
+                      int(os.path.getmtime(path)))]
+    except OSError:
+        stats = []
+    return f"{path}|{stats}"
 
 
 def _pc_stage_boiler(df):
@@ -1449,14 +1481,11 @@ def q_pipeline_curate(spark, sf_dir):
             sf_dir.encode(), digest_size=6).hexdigest(),
     )
     out = lf.execute(docs, checkpoint_dir=ck,
-                     source_token=f"{sf_dir}/documents")
+                     source_token=_source_token(sf_dir, "documents"))
     return out.select("doc_id", "lang", "split", "ppl_bucket", "text")
 
 
 def _sql_pipeline_curate() -> str:
-    b1 = int(round(0.9 * _MIX_BUCKETS))
-    b2 = int(round(0.95 * _MIX_BUCKETS))
-    h = _sql_strhash("(CAST(doc_id AS VARCHAR) || ':0')")
     return (
         "WITH c0 AS (SELECT doc_id, lang, source, text FROM documents),"
         + _sql_strip_boilerplate_ctes("c0", "cb_", "c1")
@@ -1465,11 +1494,7 @@ def _sql_pipeline_curate() -> str:
         + ","
         + _sql_perplexity_ctes("c2", "cp_", "c3")
         + f"""
-SELECT doc_id, lang,
-  CASE WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b1} THEN 'train'
-       WHEN ({h} * {_MIX_CONST}) % {_MIX_BUCKETS} < {b2} THEN 'val'
-       ELSE 'test' END AS split,
-  ppl_bucket, text
+SELECT doc_id, lang, {_sql_split_case()} AS split, ppl_bucket, text
 FROM c3 WHERE ppl_bucket <= 2
 """
     )
@@ -1788,7 +1813,7 @@ def q_pipeline_pack(spark, sf_dir):
             sf_dir.encode(), digest_size=6).hexdigest(),
     )
     return lf.execute(docs, checkpoint_dir=ck,
-                      source_token=f"{sf_dir}/documents")
+                      source_token=_source_token(sf_dir, "documents"))
 
 
 def _sql_pipeline_pack() -> str:

@@ -440,16 +440,18 @@ def perplexity_bucket(
     silently promoted to bucket 1 by NULLS-FIRST ordering, and never a
     null-sort-order divergence from the SQL oracle.
 
-    At 100 TB: per-token counts are computed IN PLACE by a count window
-    over the ``(id, token)`` relation — ONE shuffle on the token key, no
-    materialized vocabulary relation and no join (a count-aggregate +
-    join-back would shuffle the same token rows anyway, plus a second
-    full tokenize scan to build the probe side — the span_dedup lesson);
-    a stopword-grade hot token is one long run in its partition, not a
-    blowup. The scalar ``T`` comes from a separate cheap scan that
-    tokenizes WITHOUT exploding (``sum(size(tokens))``). Then one
-    per-doc aggregate. The ntile window runs ONE task per group — fine
-    when groups are languages (bounded count, each holding rank-sortable
+    At 100 TB: token counting is one hash aggregate (map-side combine
+    collapses stopword-grade hot tokens to one row per map task);
+    scoring is a narrow (id, token) shuffle join against the count
+    relation — AQE skew-join splits the hot-token probe partitions. NOT
+    a per-token count window: ``Window.partitionBy(token)`` would put
+    every occurrence of 'the' (~5% of a natural-language corpus) into
+    ONE task, and window partitions cannot be AQE-split — the straggler
+    outweighs the scan the window would save. The count relation is
+    pinned with ``localCheckpoint`` before the scalar ``T`` collect so
+    the corpus tokenization runs twice (count build + score probe), not
+    three times. The ntile window runs ONE task per group — fine when
+    groups are languages (bounded count, each holding rank-sortable
     narrow rows); for ungrouped bucketing of a whole 100 TB corpus,
     pre-shard the group key or gate on a score threshold from
     ``quantile_filter``'s distributed path instead.
@@ -460,16 +462,20 @@ def perplexity_bucket(
 
     grp = [group_col] if group_col else []
     text = F.coalesce(F.col(col), F.lit(""))
-    total = (
-        df.select(F.sum(F.size(tokens(text))).alias("t")).first()["t"] or 1
-    )
     toks = df.select(
         F.col(id_col).alias("__did"),
         F.explode(tokens(text)).alias("__tok"),
     )
-    cnt = F.count("*").over(Window.partitionBy("__tok"))
+    # localCheckpoint (lazy): the vocab-sized count relation is consumed
+    # twice (scalar T + the score join); RDD-level cache is released on
+    # GC, the same no-unpersist-hook trade as _sessionize_salted
+    counts = (
+        toks.groupBy("__tok").agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("__c")).first()[0] or 1
     scores = (
-        toks.withColumn("__c", cnt)
+        toks.join(counts, "__tok")
         .groupBy("__did")
         .agg(
             F.round(

@@ -308,6 +308,13 @@ def gate_stream_by_thresholds(
             f"thresholds must have columns ({key!r}, {cutoff_col!r}); "
             f"got {sorted(cols)}"
         )
+    clash = {score_col, cutoff_col} & set(stream.columns)
+    if clash:
+        raise ValueError(
+            f"stream already has column(s) {sorted(clash)}; pass a "
+            f"different score_col/cutoff_col (a silent overwrite or an "
+            f"ambiguous join reference would corrupt the gate)"
+        )
     scored = stream.withColumn(score_col, score)
     joined = scored.join(
         F.broadcast(thresholds.select(key, cutoff_col)), key, "left"
@@ -326,10 +333,10 @@ def streaming_neardup(
     ts_col: str,
     watermark: str = "10 minutes",
     bits: int = 16,
-    n_bits: int = 32,
+    n_bits: int = 30,
 ) -> DataFrame:
     """Streaming NEAR-duplicate drop: documents whose SimHash agrees on
-    the top ``bits`` of ``n_bits`` within the watermark horizon are
+    the low ``bits`` of ``n_bits`` within the watermark horizon are
     treated as near-duplicates and only the first survives — the
     streaming tier of the dedup ladder (``streaming_dedup`` = exact
     match; batch ``minhash_lsh_dedup`` = the precise version for the
@@ -348,8 +355,19 @@ def streaming_neardup(
     _require_streaming(df, "streaming_neardup")
     if not (1 <= bits <= n_bits):
         raise ValueError("bits must be in [1, n_bits]")
+    if n_bits > 30:
+        # token hashes are polynomial folds mod 1e9+7 < 2^30, so
+        # fingerprint bits >= 30 are constant zero; silently counting
+        # them as signal would weaken the bucket (bits=2 over the top
+        # of a 32-bit print would collapse the whole stream into ONE
+        # bucket and drop everything after the first doc)
+        raise ValueError(
+            "n_bits must be <= 30: the underlying token hash is < 2^30, "
+            "so higher fingerprint bits carry no signal"
+        )
     fp = simhash_expr(F.col(col), n_bits=n_bits)
-    bucket = F.floor(fp / F.lit(float(2 ** (n_bits - bits)))).cast("long")
+    # bucket on the LOW `bits` (pmod): genuine signal at every width
+    bucket = F.pmod(fp, F.lit(2 ** bits)).cast("long")
     return (
         df.withWatermark(ts_col, watermark)
         .withColumn("__nd_bucket", bucket)

@@ -306,10 +306,12 @@ def test_streaming_neardup_drops_simhash_bucket_twins(spark, stream_dir):
     assert {"b", "d"} <= set(ids)            # distinct docs survive
     assert len(ids) == 3
 
-    # batch replica: bucket by the same fingerprint prefix
+    # batch replica: bucket by the same fingerprint slice the op uses
+    # (low 16 bits of the 30-bit print — bits >= 30 carry no signal
+    # because token hashes are < 2^30)
     batch = simhash(spark.read.schema(SCHEMA).parquet(stream_dir),
-                    "body", n_bits=32)
-    buckets = {r["id"]: r["simhash"] >> 16 for r in batch.collect()}
+                    "body", n_bits=30)
+    buckets = {r["id"]: r["simhash"] % (1 << 16) for r in batch.collect()}
     assert buckets["a"] == buckets["c"]
     assert len({buckets["a"], buckets["b"], buckets["d"]}) == 3
 
@@ -317,3 +319,6 @@ def test_streaming_neardup_drops_simhash_bucket_twins(spark, stream_dir):
     with _pytest.raises(ValueError, match="bits"):
         streaming_neardup(read_parquet_stream(spark, stream_dir, SCHEMA),
                           "body", "ts", bits=0)
+    with _pytest.raises(ValueError, match="n_bits"):
+        streaming_neardup(read_parquet_stream(spark, stream_dir, SCHEMA),
+                          "body", "ts", n_bits=32)
