@@ -581,3 +581,33 @@ def test_prefix_keys_distinguish_child_plans():
         LazyFrame.from_source("r").filter("x > 2"), on="id")
     assert a._prefix_keys("t")[-1] != b._prefix_keys("t")[-1]
     assert a._prefix_keys("t") == a._prefix_keys("t")
+
+
+def test_source_token_changes_when_data_regenerated(tmp_path):
+    """The composed pipelines' checkpoint source token must fingerprint
+    the parquet content (size+mtime), so regenerating a table in place
+    invalidates stale stage checkpoints."""
+    import os
+    import time
+
+    import __spark_entry__ as entry
+
+    d = tmp_path / "sfX"
+    p = d / "documents.parquet"
+    p.mkdir(parents=True)
+    (p / "part-0.parquet").write_bytes(b"aaaa")
+    t1 = entry._source_token(str(d), "documents")
+    assert str(p) in t1
+    # same content: token stable
+    assert entry._source_token(str(d), "documents") == t1
+    # regenerated file (different size): token changes
+    (p / "part-0.parquet").write_bytes(b"bbbbbbbb")
+    t2 = entry._source_token(str(d), "documents")
+    assert t2 != t1
+    # same size, newer mtime: token still changes
+    time.sleep(1.1)
+    (p / "part-0.parquet").write_bytes(b"cccccccc")
+    os.utime(p / "part-0.parquet")
+    assert entry._source_token(str(d), "documents") != t2
+    # missing table: degrades to empty stats, no crash
+    assert "[]" in entry._source_token(str(d), "missing")
