@@ -6,6 +6,7 @@ from lotus_spark.plans.optimizers import (
     GEPAOptimizer,
     InstructionSearchOptimizer,
     ParamPath,
+    FilterReorderOptimizer,
     PredicatePushdownOptimizer,
     discover_params,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "LazyFrame",
     "DEFAULT_OPTIMIZERS",
     "OPTIMIZABLE_PARAMS",
+    "FilterReorderOptimizer",
     "PredicatePushdownOptimizer",
     "CascadePrewarmOptimizer",
     "InstructionSearchOptimizer",

@@ -328,3 +328,87 @@ def _lm_paraphrases(instruction: str) -> list[str]:
 
 
 DEFAULT_OPTIMIZERS = [PredicatePushdownOptimizer()]
+
+
+class FilterReorderOptimizer:
+    """Order runs of consecutive ``sem_filter`` nodes by estimated
+    cost-effectiveness — the classic expensive-predicate placement rule
+    (Hellerstein's predicate migration, specialized to a conjunctive
+    run): evaluate the filter with the best ``(1 - selectivity) / cost``
+    first, so later (costlier / less selective) LLM filters see the
+    fewest rows. For a conjunction the surviving row SET is
+    order-independent, so the rewrite is semantics-preserving; only the
+    number of LLM calls changes.
+
+    Selectivities are estimated by running each filter on a driver-side
+    sample of ``train_df`` (``sample_rows`` rows, deterministic limit) —
+    the same calibrate-on-train contract as CascadePrewarmOptimizer.
+    Per-row costs default to 1 (uniform: most-selective-first) and can
+    be overridden per position via ``costs`` (e.g. tokens-per-call or a
+    helper-vs-oracle model ratio).
+
+    Only adjacent ``sem_filter`` nodes in non-``return_all`` mode are
+    reordered (``return_all`` adds a label column — reordering would
+    change which rows later filters label). Estimation failures leave
+    the original order (fail-open, like the other optimizers).
+    """
+
+    def __init__(self, train_df: Optional[DataFrame] = None,
+                 sample_rows: int = 64,
+                 costs: Optional[dict[int, float]] = None):
+        self.train_df = train_df
+        self.sample_rows = sample_rows
+        self.costs = costs or {}
+
+    def _selectivity(self, train: DataFrame, node: OpNode) -> Optional[float]:
+        from lotus_spark.operators.sem_filter import sem_filter
+
+        try:
+            sample = train.limit(self.sample_rows)
+            n = sample.count()
+            if n == 0:
+                return None
+            kw = dict(node.kwargs)
+            kw.pop("cascade_args", None)  # plain pass for estimation
+            kept = sem_filter(sample, node.args[0], **kw).count()
+            return kept / n
+        except Exception:
+            return None
+
+    def __call__(self, ops: list[OpNode], train_df: Optional[DataFrame] = None,
+                 **_: Any) -> list[OpNode]:
+        train = train_df if train_df is not None else self.train_df
+        if train is None:
+            return list(ops)
+
+        def reorderable(node: OpNode) -> bool:
+            return (node.op == "sem_filter"
+                    and not node.kwargs.get("return_all", False))
+
+        out: list[OpNode] = []
+        i = 0
+        while i < len(ops):
+            if not reorderable(ops[i]):
+                out.append(ops[i])
+                i += 1
+                continue
+            j = i
+            while j < len(ops) and reorderable(ops[j]):
+                j += 1
+            run = list(range(i, j))
+            if len(run) > 1:
+                sels = {k: self._selectivity(train, ops[k]) for k in run}
+                if all(s is not None for s in sels.values()):
+                    # rank = (1 - sel) / cost, higher first; stable on
+                    # ties (original position breaks them)
+                    run = sorted(
+                        run,
+                        key=lambda k: (
+                            -(1.0 - sels[k]) / max(self.costs.get(k, 1.0),
+                                                   1e-9),
+                            k,
+                        ),
+                    )
+            out.extend(ops[k] for k in run)
+            i = j
+        return out

@@ -611,3 +611,38 @@ def test_source_token_changes_when_data_regenerated(tmp_path):
     assert entry._source_token(str(d), "documents") != t2
     # missing table: degrades to empty stats, no crash
     assert "[]" in entry._source_token(str(d), "missing")
+
+
+def test_filter_reorder_most_selective_first(spark, courses_df):
+    """Expensive-predicate placement: the sem_filter run is reordered by
+    sampled selectivity (uniform costs), the result set is unchanged,
+    and non-adjacent / return_all / native nodes never move."""
+    from lotus_spark.plans import FilterReorderOptimizer
+
+    lf = (LazyFrame()
+          .sem_filter("{Course Name} x", lm=KeywordBoolLM("Cooking"))
+          .sem_filter("{Course Name} y", lm=KeywordBoolLM("Italian")))
+    opt = lf.optimize([FilterReorderOptimizer(train_df=courses_df)])
+    # 'Italian' keeps 1/8, 'Cooking' 2/8 -> Italian (more
+    # selective) first under uniform costs
+    assert [n.kwargs["lm"].keyword for n in opt.ops] == ["Italian", "Cooking"]
+    # result set identical to unoptimized order
+    a = sorted(r["Course Name"] for r in lf.execute(courses_df).collect())
+    b = sorted(r["Course Name"] for r in opt.execute(courses_df).collect())
+    assert a == b == ["Italian Cooking"]
+
+    # cost overrides flip the order: make the selective one 100x dearer
+    opt2 = lf.optimize([FilterReorderOptimizer(
+        train_df=courses_df, costs={1: 100.0})])
+    assert [n.kwargs["lm"].keyword for n in opt2.ops] == ["Cooking", "Italian"]
+
+    # no train data -> no-op; return_all breaks the run
+    assert [n.kwargs["lm"].keyword
+            for n in lf.optimize([FilterReorderOptimizer()]).ops] == \
+        ["Cooking", "Italian"]
+    lf3 = (LazyFrame()
+           .sem_filter("{Course Name} x", lm=KeywordBoolLM("Cooking"),
+                       return_all=True)
+           .sem_filter("{Course Name} y", lm=KeywordBoolLM("Italian")))
+    opt3 = lf3.optimize([FilterReorderOptimizer(train_df=courses_df)])
+    assert [n.kwargs["lm"].keyword for n in opt3.ops] == ["Cooking", "Italian"]
