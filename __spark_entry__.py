@@ -1393,6 +1393,26 @@ WHERE rn <= CASE lang {case} END
 """
 
 
+def _sweep_stale_checkpoints(ck_dir: str, max_age_days: float = 7.0) -> None:
+    """Best-effort eviction of checkpoint entries older than
+    ``max_age_days`` — the composed pipelines key checkpoints by plan +
+    code + data fingerprints, so every code or data change strands the
+    previous keys; on a long-lived driver host /tmp would otherwise
+    accumulate one parquet set per historical fingerprint."""
+    import os
+    import shutil
+    import time
+
+    try:
+        cutoff = time.time() - max_age_days * 86400
+        for name in os.listdir(ck_dir):
+            path = os.path.join(ck_dir, name)
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _source_token(sf_dir: str, table: str) -> str:
     """Checkpoint source identity = path + parquet size/mtime fingerprint:
     regenerating the table IN PLACE (same path, new content) changes the
@@ -1480,6 +1500,7 @@ def q_pipeline_curate(spark, sf_dir):
         "lotus_curate_ck_" + hashlib.blake2b(
             sf_dir.encode(), digest_size=6).hexdigest(),
     )
+    _sweep_stale_checkpoints(ck)
     out = lf.execute(docs, checkpoint_dir=ck,
                      source_token=_source_token(sf_dir, "documents"))
     return out.select("doc_id", "lang", "split", "ppl_bucket", "text")
@@ -1812,6 +1833,7 @@ def q_pipeline_pack(spark, sf_dir):
         "lotus_pipeline_ck_" + hashlib.blake2b(
             sf_dir.encode(), digest_size=6).hexdigest(),
     )
+    _sweep_stale_checkpoints(ck)
     return lf.execute(docs, checkpoint_dir=ck,
                       source_token=_source_token(sf_dir, "documents"))
 

@@ -646,3 +646,21 @@ def test_filter_reorder_most_selective_first(spark, courses_df):
            .sem_filter("{Course Name} y", lm=KeywordBoolLM("Italian")))
     opt3 = lf3.optimize([FilterReorderOptimizer(train_df=courses_df)])
     assert [n.kwargs["lm"].keyword for n in opt3.ops] == ["Cooking", "Italian"]
+
+
+def test_sweep_stale_checkpoints(tmp_path):
+    import os
+    import time
+
+    import __spark_entry__ as entry
+
+    ck = tmp_path / "ck"
+    (ck / "old_key").mkdir(parents=True)
+    (ck / "old_key" / "part.parquet").write_bytes(b"x")
+    (ck / "fresh_key").mkdir()
+    old = time.time() - 10 * 86400
+    os.utime(ck / "old_key", (old, old))
+    entry._sweep_stale_checkpoints(str(ck), max_age_days=7)
+    assert not (ck / "old_key").exists()
+    assert (ck / "fresh_key").exists()
+    entry._sweep_stale_checkpoints(str(ck / "missing"))  # no crash
