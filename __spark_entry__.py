@@ -2155,6 +2155,40 @@ FROM m
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_filter_reorder(spark, sf_dir):
+    """FilterReorderOptimizer on a two-sem_filter conjunction
+    (plans/optimizers.py): the train-sampled selective filter ('spark',
+    few docs) is moved AHEAD of the broad one ('data', most docs), so
+    the expensive second LLM pass sees the fewest rows. The surviving
+    row SET of a conjunction is order-independent — the docstring-level
+    assertion that the reorder actually happened lives in
+    ``tests/test_plans.py::test_filter_reorder_most_selective_first``;
+    this oracle hash-checks the composed result against the equivalent
+    SQL conjunction."""
+    from lotus_spark.models.fake_lm import KeywordBoolLM
+    from lotus_spark.plans import FilterReorderOptimizer
+    from lotus_spark.plans.lazyframe import LazyFrame
+
+    docs = _t(spark, sf_dir, "documents")
+    lf = (
+        LazyFrame()
+        .sem_filter("{text} covers information processing",
+                    lm=KeywordBoolLM("data"))
+        .sem_filter("{text} is about the JVM engine",
+                    lm=KeywordBoolLM("spark"))
+    )
+    opt = lf.optimize(
+        [FilterReorderOptimizer(train_df=docs.limit(64), sample_rows=64)]
+    )
+    return opt.execute(docs).select("doc_id", "lang")
+
+
+_SQL_FILTER_REORDER = """
+SELECT doc_id, lang FROM documents
+WHERE contains(lower(text), 'data') AND contains(lower(text), 'spark')
+"""
+
+
 def q_sem_pipeline(spark, sf_dir):
     """The reference's flagship USAGE PATTERN — semantic ops chained on
     one frame (``lotus/ast/lazyframe.py:83-131``: filter → map → agg is
@@ -2255,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,  # NEW round 5
         "perplexity_bucket": q_perplexity_bucket,  # NEW round 5
         "pipeline_curate": q_pipeline_curate,      # NEW round 5
+        "filter_reorder": q_filter_reorder,        # NEW round 5
         "hash_split": q_hash_split,                # NEW round 5
         "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
@@ -2746,6 +2781,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "perplexity_bucket": _SQL_PERPLEXITY_BUCKET,
         "pipeline_curate": _sql_pipeline_curate(),
+        "filter_reorder": _SQL_FILTER_REORDER,
         "hash_split": _sql_hash_split(),
         "mix_to_weights": _sql_mix_to_weights(),
         "sem_pipeline": _SQL_SEM_PIPELINE,
