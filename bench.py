@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "streaming_sessions",
     "dedupe_doc_units",
     "sem_pipeline",
+    "filter_reorder",
     "span_dedup",
     "strip_boilerplate",
     "perplexity_bucket",
