@@ -212,7 +212,7 @@ class LazyFrame:
         ops = self._ops
         for opt in chain:
             ops = opt(ops, **opt_kwargs) if opt_kwargs else opt(ops)
-        return LazyFrame(ops)
+        return LazyFrame(ops, source=self._source)
 
     # -- execution ----------------------------------------------------------
 
@@ -313,6 +313,17 @@ class LazyFrame:
                 if _fs_exists(spark, f"{ck}/_SUCCESS"):
                     cur = spark.read.parquet(ck)
                     start = i + 1
+                    # touch the entry: resume only READS, so without
+                    # this a max-age sweep (e.g. __spark_entry__'s
+                    # _sweep_stale_checkpoints) would evict checkpoints
+                    # that are hit daily
+                    try:
+                        import os as _os
+
+                        if ck.startswith("/") and _os.path.exists(ck):
+                            _os.utime(ck)
+                    except OSError:
+                        pass
                     break
         def _checkpoint(cur: DataFrame, i: int) -> DataFrame:
             ck = f"{base}/{keys[i]}"

@@ -340,34 +340,39 @@ class FilterReorderOptimizer:
     order-independent, so the rewrite is semantics-preserving; only the
     number of LLM calls changes.
 
-    Selectivities are estimated by running each filter on a driver-side
-    sample of ``train_df`` (``sample_rows`` rows, deterministic limit) —
-    the same calibrate-on-train contract as CascadePrewarmOptimizer.
-    Per-row costs default to 1 (uniform: most-selective-first) and can
-    be overridden per position via ``costs`` (e.g. tokens-per-call or a
-    helper-vs-oracle model ratio).
+    Selectivities are estimated by running each filter on a PINNED
+    sample of ``train_df`` (``limit(sample_rows)`` materialized once via
+    persist — cross-job ``limit`` re-evaluation gives no row guarantee,
+    so an unpinned sample could score different filters on different
+    rows) — the same calibrate-on-train contract as
+    CascadePrewarmOptimizer. Per-row costs default to 1 (uniform:
+    most-selective-first) and can be overridden via ``costs``, keyed by
+    the filter's INSTRUCTION string (stable under other optimizers
+    shifting node positions; an absolute-index key would silently bind
+    to the wrong node after e.g. predicate pushdown).
 
-    Only adjacent ``sem_filter`` nodes in non-``return_all`` mode are
-    reordered (``return_all`` adds a label column — reordering would
-    change which rows later filters label). Estimation failures leave
-    the original order (fail-open, like the other optimizers).
+    Only adjacent ``sem_filter`` nodes in non-``return_all`` mode with
+    no UNLEARNED cascade are reordered: ``return_all`` adds a label
+    column, and a cascade whose thresholds are still None calibrates on
+    ITS OWN input at execute time — reordering would change the
+    calibration distribution and thus the surviving row set (pin taus
+    with CascadePrewarmOptimizer first and the node becomes
+    reorderable). Estimation failures leave the original order
+    (fail-open, like the other optimizers).
     """
 
     def __init__(self, train_df: Optional[DataFrame] = None,
                  sample_rows: int = 64,
-                 costs: Optional[dict[int, float]] = None):
+                 costs: Optional[dict[str, float]] = None):
         self.train_df = train_df
         self.sample_rows = sample_rows
         self.costs = costs or {}
 
-    def _selectivity(self, train: DataFrame, node: OpNode) -> Optional[float]:
+    def _selectivity(self, sample: DataFrame, n: int,
+                     node: OpNode) -> Optional[float]:
         from lotus_spark.operators.sem_filter import sem_filter
 
         try:
-            sample = train.limit(self.sample_rows)
-            n = sample.count()
-            if n == 0:
-                return None
             kw = dict(node.kwargs)
             kw.pop("cascade_args", None)  # plain pass for estimation
             kept = sem_filter(sample, node.args[0], **kw).count()
@@ -382,33 +387,51 @@ class FilterReorderOptimizer:
             return list(ops)
 
         def reorderable(node: OpNode) -> bool:
-            return (node.op == "sem_filter"
-                    and not node.kwargs.get("return_all", False))
+            if node.op != "sem_filter" or node.kwargs.get("return_all", False):
+                return False
+            cargs = node.kwargs.get("cascade_args")
+            if cargs is not None and getattr(cargs, "tau_pos", None) is None:
+                return False  # would recalibrate on a different input
+            return True
 
+        sample = None
         out: list[OpNode] = []
         i = 0
-        while i < len(ops):
-            if not reorderable(ops[i]):
-                out.append(ops[i])
-                i += 1
-                continue
-            j = i
-            while j < len(ops) and reorderable(ops[j]):
-                j += 1
-            run = list(range(i, j))
-            if len(run) > 1:
-                sels = {k: self._selectivity(train, ops[k]) for k in run}
-                if all(s is not None for s in sels.values()):
-                    # rank = (1 - sel) / cost, higher first; stable on
-                    # ties (original position breaks them)
-                    run = sorted(
-                        run,
-                        key=lambda k: (
-                            -(1.0 - sels[k]) / max(self.costs.get(k, 1.0),
-                                                   1e-9),
-                            k,
-                        ),
-                    )
-            out.extend(ops[k] for k in run)
-            i = j
+        try:
+            while i < len(ops):
+                if not reorderable(ops[i]):
+                    out.append(ops[i])
+                    i += 1
+                    continue
+                j = i
+                while j < len(ops) and reorderable(ops[j]):
+                    j += 1
+                run = list(range(i, j))
+                if len(run) > 1:
+                    if sample is None:
+                        sample = train.limit(self.sample_rows).persist()
+                        n = sample.count()
+                    if n == 0:
+                        out.extend(ops[k] for k in run)
+                        i = j
+                        continue
+                    sels = {k: self._selectivity(sample, n, ops[k])
+                            for k in run}
+                    if all(s is not None for s in sels.values()):
+                        # rank = (1 - sel) / cost, higher first; stable
+                        # on ties (original position breaks them)
+                        def cost(k):
+                            return max(
+                                self.costs.get(str(ops[k].args[0]), 1.0),
+                                1e-9)
+
+                        run = sorted(
+                            run,
+                            key=lambda k: (-(1.0 - sels[k]) / cost(k), k),
+                        )
+                out.extend(ops[k] for k in run)
+                i = j
+        finally:
+            if sample is not None:
+                sample.unpersist()
         return out

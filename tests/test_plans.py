@@ -632,8 +632,9 @@ def test_filter_reorder_most_selective_first(spark, courses_df):
     assert a == b == ["Italian Cooking"]
 
     # cost overrides flip the order: make the selective one 100x dearer
+    # (keyed by instruction string — stable under node-position shifts)
     opt2 = lf.optimize([FilterReorderOptimizer(
-        train_df=courses_df, costs={1: 100.0})])
+        train_df=courses_df, costs={"{Course Name} y": 100.0})])
     assert [n.kwargs["lm"].keyword for n in opt2.ops] == ["Cooking", "Italian"]
 
     # no train data -> no-op; return_all breaks the run
@@ -664,3 +665,32 @@ def test_sweep_stale_checkpoints(tmp_path):
     assert not (ck / "old_key").exists()
     assert (ck / "fresh_key").exists()
     entry._sweep_stale_checkpoints(str(ck / "missing"))  # no crash
+
+
+def test_optimize_preserves_source_binding(spark, courses_df):
+    """optimize() must keep the from_source name — multi-input pipelines
+    broke (ValueError at execute) when the optimizer chain dropped it."""
+    from lotus_spark.plans import PredicatePushdownOptimizer
+
+    lf = (LazyFrame.from_source("left")
+          .sem_filter("{Course Name} z", lm=KeywordBoolLM("Cooking"))
+          .filter("Level >= 100"))
+    opt = lf.optimize([PredicatePushdownOptimizer()])
+    out = opt.execute({"left": courses_df})
+    assert out.count() == 2   # Cooking Basics, Italian Cooking
+
+
+def test_filter_reorder_skips_unlearned_cascades(spark, courses_df):
+    """A cascade sem_filter with unpinned taus calibrates on ITS input —
+    reordering would change the calibration distribution, so the
+    optimizer must leave such runs alone."""
+    from lotus_spark.cascades.filter_cascade import CascadeArgs
+    from lotus_spark.plans import FilterReorderOptimizer
+
+    lf = (LazyFrame()
+          .sem_filter("{Course Name} x", lm=KeywordBoolLM("Cooking"),
+                      cascade_args=CascadeArgs())
+          .sem_filter("{Course Name} y", lm=KeywordBoolLM("Italian")))
+    opt = lf.optimize([FilterReorderOptimizer(train_df=courses_df)])
+    assert [n.kwargs.get("lm").keyword for n in opt.ops] == \
+        ["Cooking", "Italian"]           # untouched
