@@ -638,6 +638,62 @@ def q_knn_ivf(spark, sf_dir):
     return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
 
 
+def q_knn_pq(spark, sf_dir):
+    """IVF-PQ's scoring half: product-quantization ANN (Jégou et al.
+    2011; functions/ann.py::pq_index/knn_topk_pq). Per-subspace
+    codebooks train with the deterministic integer Lloyd's, vectors
+    compress to m=8 4-bit codes, and the scan scores rows via
+    driver-precomputed ADC lookup tables baked as literals — integer
+    arithmetic end to end, so the WHOLE train → encode → scan pipeline
+    is hash-checked against the unrolled SQL replica (8 composed
+    kmeans CTE chains + centroid-join ADC)."""
+    from lotus_spark.functions.ann import knn_topk_pq, pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    enc, books = pq_index(emb, "embedding", "vec_id", m=8, nbits=4,
+                          seed=42)
+    return knn_topk_pq(enc, books, q, k=10, id_col="vec_id")
+
+
+def _sql_knn_pq(qv: list[float]) -> str:
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    m, nbits, iters, seed = 8, 4, 3, 42
+    d = len(qv)
+    sub = d // m
+    qq = quantize_vector(qv)
+    chains, contribs = [], []
+    for s in range(m):
+        pre = f"q{s}_"
+        chains.append(_sql_kmeans_ctes(
+            k=2 ** nbits, iters=iters, seed=seed + s, d=sub,
+            emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]", p=pre))
+        qsub = qq[s * sub:(s + 1) * sub]
+        dist = " + ".join(
+            f"(c.v[{j}]-({qsub[j - 1]}))*(c.v[{j}]-({qsub[j - 1]}))"
+            for j in range(1, sub + 1)
+        )
+        contribs.append(
+            # CAST: SUM(BIGINT) upstream makes centroid components
+            # HUGEINT, which pandas would round-trip as float64
+            f"ct{s} AS (SELECT a.vec_id, CAST({dist} AS BIGINT) AS ds "
+            f"FROM {pre}afinal a JOIN {pre}c{iters} c ON a.c = c.c)"
+        )
+    joins = " ".join(
+        f"JOIN ct{s} ON ct0.vec_id = ct{s}.vec_id" for s in range(1, m)
+    )
+    total = " + ".join(f"ct{s}.ds" for s in range(m))
+    return (
+        "WITH " + ",\n".join(chains + contribs)
+        + f"""
+SELECT ct0.vec_id, ({total}) AS pq_dist
+FROM ct0 {joins}
+ORDER BY pq_dist, ct0.vec_id LIMIT 10
+"""
+    )
+
+
 def q_sem_cluster(spark, sf_dir):
     """sem_cluster_by on the reproducible tier: integer-quantized Lloyd's
     (order-independent arithmetic — bit-identical assignments on any
@@ -651,16 +707,20 @@ def q_sem_cluster(spark, sf_dir):
     return out.select("vec_id", "cluster_id")
 
 
-def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int) -> str:
+def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int,
+                     emb_expr: str = "embedding", p: str = "") -> str:
     """Unrolled deterministic-Lloyd's CTE chain (mirrors
     ``functions/kmeans.py`` exactly): quantize → seeded-hash init →
-    (assign → integer-mean update) × iters → final assignment ``afinal``.
-    All arithmetic BIGINT → order-independent → engine-exact."""
+    (assign → integer-mean update) × iters → final assignment
+    ``{p}afinal``. All arithmetic BIGINT → order-independent →
+    engine-exact. ``emb_expr`` selects the (sub)vector to cluster and
+    ``p`` prefixes every CTE name so chains compose (the PQ oracle runs
+    one chain per subspace)."""
     from lotus_spark.functions.kmeans import QUANT, SHIFT, kmeans_init_params
 
     a, b = kmeans_init_params(seed)
     quant = (
-        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"list_transform(CAST({emb_expr} AS DOUBLE[]), "
         f"x -> CAST(floor((x + {SHIFT!r}) * {float(QUANT)!r}) AS BIGINT))"
     )
     h = f"(({a} * vec_id + {b}) % {MOD})"
@@ -672,35 +732,37 @@ def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int) -> str:
         )
 
     ctes = [
-        f"p AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, "
-        f"xq AS v FROM p ORDER BY {h}, vec_id LIMIT {k})",
+        f"{p}p AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, "
+        f"xq AS v FROM {p}p ORDER BY {h}, vec_id LIMIT {k})",
     ]
     for t in range(iters):
         # min_by over [dist, c] == argmin with smallest-c tiebreak; a hash
         # aggregate, far lighter than sorting the n×k cartesian in a window
         ctes.append(
-            f"a{t} AS (SELECT vec_id, any_value(xq) AS xq, "
+            f"{p}a{t} AS (SELECT vec_id, any_value(xq) AS xq, "
             f"CAST(min([dst, CAST(c AS HUGEINT)])[2] AS BIGINT) AS c "
-            f"FROM (SELECT p.vec_id, p.xq, c{t}.c, "
-            f"{dist('p.xq', f'c{t}.v')} AS dst FROM p, c{t}) "
+            f"FROM (SELECT {p}p.vec_id, {p}p.xq, {p}c{t}.c, "
+            f"{dist(f'{p}p.xq', f'{p}c{t}.v')} AS dst FROM {p}p, {p}c{t}) "
             f"GROUP BY vec_id)"
         )
         sums = ", ".join(f"SUM(xq[{j}]) AS s{j}" for j in range(1, d + 1))
         ctes.append(
-            f"s{t} AS (SELECT c, COUNT(*) AS n, {sums} FROM a{t} GROUP BY c)"
+            f"{p}s{t} AS (SELECT c, COUNT(*) AS n, {sums} "
+            f"FROM {p}a{t} GROUP BY c)"
         )
         newv = ", ".join(f"(2*s.s{j}+s.n)//(2*s.n)" for j in range(1, d + 1))
         ctes.append(
-            f"c{t+1} AS (SELECT prev.c, CASE WHEN s.n IS NULL THEN prev.v "
+            f"{p}c{t+1} AS (SELECT prev.c, CASE WHEN s.n IS NULL THEN prev.v "
             f"ELSE [{newv}] END AS v "
-            f"FROM c{t} prev LEFT JOIN s{t} s ON prev.c = s.c)"
+            f"FROM {p}c{t} prev LEFT JOIN {p}s{t} s ON prev.c = s.c)"
         )
     ctes.append(
-        f"afinal AS (SELECT vec_id, "
+        f"{p}afinal AS (SELECT vec_id, "
         f"CAST(min([dst, CAST(c AS HUGEINT)])[2] AS BIGINT) AS c FROM "
-        f"(SELECT p.vec_id, c{iters}.c, {dist('p.xq', f'c{iters}.v')} AS dst "
-        f"FROM p, c{iters}) GROUP BY vec_id)"
+        f"(SELECT {p}p.vec_id, {p}c{iters}.c, "
+        f"{dist(f'{p}p.xq', f'{p}c{iters}.v')} AS dst "
+        f"FROM {p}p, {p}c{iters}) GROUP BY vec_id)"
     )
     return ",\n".join(ctes)
 
@@ -2290,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket": q_perplexity_bucket,  # NEW round 5
         "pipeline_curate": q_pipeline_curate,      # NEW round 5
         "filter_reorder": q_filter_reorder,        # NEW round 5
+        "knn_pq": q_knn_pq,                        # NEW round 5
         "hash_split": q_hash_split,                # NEW round 5
         "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
@@ -2841,6 +2904,7 @@ def oracle_sql() -> dict[str, str]:
         sqls["knn_lsh"] = _sql_knn_lsh(qv)
         sqls["sem_cluster_by"] = _sql_sem_cluster(d=len(qv))
         sqls["knn_ivf"] = _sql_knn_ivf(qv, d=len(qv))
+        sqls["knn_pq"] = _sql_knn_pq(qv)
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()

@@ -269,3 +269,107 @@ def knn_topk_ivf(
         probe = ranked[:max(1, n_probe)]
     pruned = indexed_df.filter(F.col(cell_col).isin(probe))
     return knn_topk(pruned, emb_col, query_vec, k, id_col, score_col)
+
+
+def pq_index(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    code_col: str = "pq_codes",
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Product-quantization encoder (FAISS PQ / Jégou et al. 2011): split
+    each d-dim vector into ``m`` subvectors and vector-quantize every
+    subspace against its own ``2**nbits``-centroid codebook → each
+    vector compresses to ``m`` small code ids. THE memory-scale path for
+    ANN over billions of embeddings: a 64-dim float vector (256 B)
+    becomes m=8 4-bit codes (4 B), so the scan relation fits in a
+    fraction of the storage/shuffle the raw vectors need; IVF handles
+    which rows to scan, PQ handles how cheaply each row is scored.
+
+    Codebooks train with the integer-quantized deterministic Lloyd's
+    (``functions/kmeans.py``, seed offset per subspace) — reproducible
+    across engines, so the ENTIRE train → encode → ADC-scan pipeline is
+    DuckDB-oracle-checkable. Returns (df + ``code_col`` array<int>,
+    codebooks[m][2**nbits][d/m] in the quantized-integer domain).
+
+    Scale: training = m small distributed KMeans runs (driver holds
+    m * 2**nbits * d/m ints); encoding is map-only (the per-subspace
+    assignment UDF); nothing shuffles but the KMeans update aggregates.
+    """
+    from lotus_spark.functions.kmeans import deterministic_kmeans
+
+    first = df.select(F.size(emb_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty input")
+    d = first["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    k = 2 ** nbits
+    out = df
+    codebooks: list[list[list[int]]] = []
+    for s in range(m):
+        out = out.withColumn(
+            "__pq_sub", F.slice(F.col(emb_col), s * sub + 1, sub)
+        )
+        out, cent = deterministic_kmeans(
+            out, "__pq_sub", id_col, k, iters=3, seed=seed + s,
+            cluster_col=f"__pq_c{s}",
+        )
+        out = out.drop("__pq_sub")
+        codebooks.append([[int(x) for x in c] for c in cent])
+    out = out.withColumn(
+        code_col, F.array(*[F.col(f"__pq_c{s}") for s in range(m)])
+    ).drop(*[f"__pq_c{s}" for s in range(m)])
+    return out, codebooks
+
+
+def knn_topk_pq(
+    encoded_df: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    full-precision; per subspace the L2 distance to every codebook
+    centroid is precomputed DRIVER-SIDE (m * 2**nbits ints) and baked
+    into the plan as literal lookup tables, so the scan scores each row
+    with ``m`` array lookups + adds — no vector math per row, no UDF,
+    whole-stage codegen, and a TakeOrderedAndProject top-k (ties to the
+    smaller id). Returns (id_col, pq_dist) with the approximate integer
+    squared distance; rerank the short list against exact vectors when
+    exactness of the final order matters (standard IVF-PQ practice).
+    """
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    m = len(codebooks)
+    if m == 0 or encoded_df is None:
+        raise ValueError("empty codebooks")
+    sub = len(codebooks[0][0])
+    qq = quantize_vector(query_vec)
+    if len(qq) != m * sub:
+        raise ValueError(
+            f"query dim {len(qq)} != m*sub = {m * sub}")
+    dist_cols = []
+    for s in range(m):
+        qsub = qq[s * sub:(s + 1) * sub]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, cent))
+            for cent in codebooks[s]
+        ]
+        lut = F.array(*[F.lit(int(x)).cast("long") for x in table])
+        dist_cols.append(F.element_at(lut, F.col(code_col)[s] + 1))
+    total = dist_cols[0]
+    for c in dist_cols[1:]:
+        total = total + c
+    return (
+        encoded_df.withColumn("pq_dist", total)
+        .orderBy(F.asc("pq_dist"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "pq_dist")
+    )

@@ -362,3 +362,73 @@ def test_range_join_bucketed_matches_naive(spark):
         range_join(left, right, "p", "lo", "hi", how="full")
     with _pytest.raises(ValueError, match="ambiguous"):
         range_join(left.withColumnRenamed("p", "lo"), right, "lid", "lo", "hi")
+
+
+# ------------------------------------------------------------------ PQ
+
+def test_pq_encode_and_adc_match_bruteforce(spark):
+    """Codes = per-subspace argmin against the trained codebooks; ADC
+    distance = sum of per-subspace lookup values. Verified against a
+    python replica of both steps on the quantized vectors."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import knn_topk_pq, pq_index
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        ["vec_id", "embedding"])
+    enc, books = pq_index(df, "embedding", "vec_id", m=4, nbits=2, seed=5)
+    assert len(books) == 4 and all(len(b) == 4 for b in books)
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in enc.collect()}
+
+    def encode(v):
+        qq = quantize_vector([float(x) for x in v])
+        codes = []
+        for s in range(4):
+            qsub = qq[s * 2:(s + 1) * 2]
+            dists = [
+                (sum((a - b) ** 2 for a, b in zip(qsub, c)), ci)
+                for ci, c in enumerate(books[s])
+            ]
+            codes.append(min(dists)[1])
+        return codes
+
+    for i in range(60):
+        assert got[i] == encode(vecs[i]), i
+
+    q = [float(x) for x in vecs[3]]
+    rows = knn_topk_pq(enc, books, q, k=5, id_col="vec_id").collect()
+    qq = quantize_vector(q)
+
+    def adc(v):
+        codes = encode(v)
+        return sum(
+            sum((a - b) ** 2
+                for a, b in zip(qq[s * 2:(s + 1) * 2], books[s][codes[s]]))
+            for s in range(4)
+        )
+
+    expect = sorted((adc(vecs[i]), i) for i in range(60))[:5]
+    assert [(r["pq_dist"], r["vec_id"]) for r in rows] == expect
+    assert rows[0]["vec_id"] == 3          # self-match first
+
+
+def test_pq_determinism_and_validation(spark):
+    from lotus_spark.functions.ann import knn_topk_pq, pq_index
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(20)],
+        ["vec_id", "embedding"])
+    enc1, b1 = pq_index(df, "embedding", "vec_id", m=2, nbits=2)
+    enc2, b2 = pq_index(df, "embedding", "vec_id", m=2, nbits=2)
+    assert b1 == b2
+    assert sorted(map(tuple, enc1.select("vec_id", "pq_codes").collect())) \
+        == sorted(map(tuple, enc2.select("vec_id", "pq_codes").collect()))
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_index(df, "embedding", "vec_id", m=3)
+    with pytest.raises(ValueError, match="query dim"):
+        knn_topk_pq(enc1, b1, [0.0] * 4, id_col="vec_id")
