@@ -694,6 +694,73 @@ ORDER BY pq_dist, ct0.vec_id LIMIT 10
     )
 
 
+def q_knn_ivfpq(spark, sf_dir):
+    """Full IVF-PQ (functions/ann.py::knn_topk_ivfpq): deterministic IVF
+    coarse quantizer prunes to the 8 nearest of 16 cells, PQ codes ADC
+    lookup-score the survivors — the standard billion-vector query
+    architecture, composed end to end and hash-checked against a SQL
+    replica that recomputes BOTH quantizers (one cell-kmeans chain +
+    eight subspace-kmeans chains) and replays the probe + ADC scan."""
+    from lotus_spark.functions.ann import ivf_index, knn_topk_ivfpq, pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                              nbits=4, seed=101)
+    return knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
+                          id_col="vec_id")
+
+
+def _sql_knn_ivfpq(qv: list[float]) -> str:
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    m, nbits, iters, pq_seed = 8, 4, 3, 101
+    d = len(qv)
+    sub = d // m
+    qq = quantize_vector(qv)
+    qdist = " + ".join(
+        f"(v[{j}]-({qq[j - 1]}))*(v[{j}]-({qq[j - 1]}))"
+        for j in range(1, d + 1)
+    )
+    chains = [_sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d, p="iv_")]
+    contribs = []
+    for s in range(m):
+        pre = f"pq{s}_"
+        chains.append(_sql_kmeans_ctes(
+            k=2 ** nbits, iters=iters, seed=pq_seed + s, d=sub,
+            emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]", p=pre))
+        qsub = qq[s * sub:(s + 1) * sub]
+        dist = " + ".join(
+            f"(c.v[{j}]-({qsub[j - 1]}))*(c.v[{j}]-({qsub[j - 1]}))"
+            for j in range(1, sub + 1)
+        )
+        contribs.append(
+            f"ct{s} AS (SELECT a.vec_id, CAST({dist} AS BIGINT) AS ds "
+            f"FROM {pre}afinal a JOIN {pre}c{iters} c ON a.c = c.c)"
+        )
+    joins = " ".join(
+        f"JOIN ct{s} ON ct0.vec_id = ct{s}.vec_id" for s in range(1, m)
+    )
+    total = " + ".join(f"ct{s}.ds" for s in range(m))
+    return (
+        "WITH " + ",\n".join(
+            chains
+            + [f"probe AS (SELECT c FROM iv_c{iters} "
+               f"ORDER BY {qdist}, c LIMIT 8)",
+               "sel AS (SELECT vec_id FROM iv_afinal "
+               "WHERE c IN (SELECT c FROM probe))"]
+            + contribs)
+        + f"""
+SELECT ct0.vec_id, ({total}) AS pq_dist
+FROM ct0 {joins}
+WHERE ct0.vec_id IN (SELECT vec_id FROM sel)
+ORDER BY pq_dist, ct0.vec_id LIMIT 10
+"""
+    )
+
+
 def q_sem_cluster(spark, sf_dir):
     """sem_cluster_by on the reproducible tier: integer-quantized Lloyd's
     (order-independent arithmetic — bit-identical assignments on any
@@ -2353,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,      # NEW round 5
         "filter_reorder": q_filter_reorder,        # NEW round 5
         "knn_pq": q_knn_pq,                        # NEW round 5
+        "knn_ivfpq": q_knn_ivfpq,                  # NEW round 5
         "hash_split": q_hash_split,                # NEW round 5
         "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
@@ -2905,6 +2973,7 @@ def oracle_sql() -> dict[str, str]:
         sqls["sem_cluster_by"] = _sql_sem_cluster(d=len(qv))
         sqls["knn_ivf"] = _sql_knn_ivf(qv, d=len(qv))
         sqls["knn_pq"] = _sql_knn_pq(qv)
+        sqls["knn_ivfpq"] = _sql_knn_ivfpq(qv)
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()

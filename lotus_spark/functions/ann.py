@@ -373,3 +373,37 @@ def knn_topk_pq(
         .limit(k)
         .select(id_col, "pq_dist")
     )
+
+
+def knn_topk_ivfpq(
+    indexed_df: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "__ivf_cell",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """The full FAISS-IVFPQ query shape, composed from the two verified
+    halves: IVF decides WHICH rows to look at (``n_probe`` nearest cells
+    by quantized centroid distance — a plain predicate, so a table
+    written ``partitionBy(cell_col)`` prunes partitions at the scan),
+    and PQ decides how cheaply each row is scored (ADC literal-lookup
+    sum over the codes — no vector read at all in the hot path). This is
+    the standard billion-vector architecture: scan work shrinks ~k/cells
+    from IVF, bytes-per-row shrinks ~64x from PQ, and the plan is a
+    pruned scan + codegen map + TakeOrderedAndProject. Deterministic
+    (both quantizers are the integer Lloyd's), so the whole composition
+    is SQL-oracle-checkable. Rerank the returned short list against the
+    exact vectors when final-order exactness matters.
+
+    ``indexed_df`` must carry BOTH columns: build with
+    ``ivf_index(method="deterministic")`` then ``pq_index``.
+    """
+    probe = rank_cells_quantized(centroids, query_vec, n_probe)
+    pruned = indexed_df.filter(F.col(cell_col).isin(probe))
+    return knn_topk_pq(
+        pruned, codebooks, query_vec, k, id_col=id_col, code_col=code_col
+    )

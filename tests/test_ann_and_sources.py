@@ -432,3 +432,37 @@ def test_pq_determinism_and_validation(spark):
         pq_index(df, "embedding", "vec_id", m=3)
     with pytest.raises(ValueError, match="query dim"):
         knn_topk_pq(enc1, b1, [0.0] * 4, id_col="vec_id")
+
+
+def test_ivfpq_equals_pq_restricted_to_probed_cells(spark):
+    """The composition is definitionally a cell filter before the ADC
+    scan: results equal running knn_topk_pq on the manually-filtered
+    subset, and every returned row lives in a probed cell."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ivf_index, knn_topk_ivfpq, knn_topk_pq, pq_index,
+        rank_cells_quantized,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    q = [float(x) for x in vecs[7]]
+    got = knn_topk_ivfpq(encoded, cents, books, q, k=5, n_probe=2,
+                         id_col="vec_id").collect()
+    probe = rank_cells_quantized(cents, q, 2)
+    manual = knn_topk_pq(
+        encoded.filter(F.col("__ivf_cell").isin(probe)), books, q, k=5,
+        id_col="vec_id").collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in got] == \
+        [(r["vec_id"], r["pq_dist"]) for r in manual]
+    cells = {r["vec_id"]: r["__ivf_cell"] for r in encoded.collect()}
+    assert all(cells[r["vec_id"]] in probe for r in got)
+    assert got[0]["vec_id"] == 7     # self-match survives its own cell
