@@ -2427,6 +2427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lazy_multi_join": q_lazy_multi_join,      # NEW round 5
         "pipeline_pack": q_pipeline_pack,          # NEW round 5
         "paragraph_dedup": q_paragraph_dedup,      # re-planned round 5
+        "pack_sequences": q_pack_sequences,        # fixed round 5
+        "pipeline_clean": q_pipeline_clean,        # embeds the fix
+        "profile": q_profile,                      # oracle fixed r5
+        "stratified_sample": q_stratified_sample,  # refactored r5
         "quantile_filter": q_quantile_filter,
         "sessionize": q_sessionize,
         "ngram_stats": q_ngram_stats,
@@ -2438,8 +2442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_priorities": q_distinct_priorities,
         "supplier_intersect": q_supplier_intersect,
         # relational (SURVEY §2.2)
-        "customers_no_orders": q_customers_no_orders,
-        "orders_rollup": q_orders_rollup,
         # semantic ops, deterministic LMs (SURVEY §2.1)
         "sem_filter": q_sem_filter,
         "sem_filter_cascade": q_sem_filter_cascade,
@@ -2471,15 +2473,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "pipeline_clean": q_pipeline_clean,
-        "profile": q_profile,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         # tail positions (>50): hash-verified LAST round
         # (CORRECTNESS_r04.json) on code untouched since; they rotate
         # back into the 50-query driver window next round.
+        "customers_no_orders": q_customers_no_orders,
+        "orders_rollup": q_orders_rollup,
         "pairwise_judge": q_pairwise_judge,
         "llm_judge": q_llm_judge,
         "sem_index_roundtrip": q_sem_index_roundtrip,
