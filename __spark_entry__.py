@@ -656,27 +656,31 @@ def q_knn_pq(spark, sf_dir):
     return knn_topk_pq(enc, books, q, k=10, id_col="vec_id")
 
 
-def _sql_knn_pq(qv: list[float]) -> str:
-    from lotus_spark.functions.kmeans import quantize_vector
-
-    m, nbits, iters, seed = 8, 4, 3, 42
-    d = len(qv)
+def _sql_pq_chain_parts(
+    qq: list[int], m: int, nbits: int, iters: int, seed: int, pre0: str
+) -> tuple[list[str], str, str]:
+    """Shared PQ-oracle construction: per-subspace kmeans chains + ADC
+    contribution CTEs (ct0..ct{m-1}) for quantized query ``qq``; returns
+    (ctes, joins, total). One definition for _sql_knn_pq and
+    _sql_knn_ivfpq so the two replicas cannot drift."""
+    d = len(qq)
     sub = d // m
-    qq = quantize_vector(qv)
-    chains, contribs = [], []
+    ctes = []
     for s in range(m):
-        pre = f"q{s}_"
-        chains.append(_sql_kmeans_ctes(
+        pre = f"{pre0}{s}_"
+        ctes.append(_sql_kmeans_ctes(
             k=2 ** nbits, iters=iters, seed=seed + s, d=sub,
             emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]", p=pre))
+    for s in range(m):
+        pre = f"{pre0}{s}_"
         qsub = qq[s * sub:(s + 1) * sub]
         dist = " + ".join(
             f"(c.v[{j}]-({qsub[j - 1]}))*(c.v[{j}]-({qsub[j - 1]}))"
             for j in range(1, sub + 1)
         )
-        contribs.append(
-            # CAST: SUM(BIGINT) upstream makes centroid components
-            # HUGEINT, which pandas would round-trip as float64
+        # CAST: SUM(BIGINT) upstream makes centroid components HUGEINT,
+        # which pandas would round-trip as float64
+        ctes.append(
             f"ct{s} AS (SELECT a.vec_id, CAST({dist} AS BIGINT) AS ds "
             f"FROM {pre}afinal a JOIN {pre}c{iters} c ON a.c = c.c)"
         )
@@ -684,8 +688,17 @@ def _sql_knn_pq(qv: list[float]) -> str:
         f"JOIN ct{s} ON ct0.vec_id = ct{s}.vec_id" for s in range(1, m)
     )
     total = " + ".join(f"ct{s}.ds" for s in range(m))
+    return ctes, joins, total
+
+
+def _sql_knn_pq(qv: list[float]) -> str:
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    qq = quantize_vector(qv)
+    ctes, joins, total = _sql_pq_chain_parts(
+        qq, m=8, nbits=4, iters=3, seed=42, pre0="q")
     return (
-        "WITH " + ",\n".join(chains + contribs)
+        "WITH " + ",\n".join(ctes)
         + f"""
 SELECT ct0.vec_id, ({total}) AS pq_dist
 FROM ct0 {joins}
@@ -716,42 +729,24 @@ def q_knn_ivfpq(spark, sf_dir):
 def _sql_knn_ivfpq(qv: list[float]) -> str:
     from lotus_spark.functions.kmeans import quantize_vector
 
-    m, nbits, iters, pq_seed = 8, 4, 3, 101
+    iters = 3
     d = len(qv)
-    sub = d // m
     qq = quantize_vector(qv)
     qdist = " + ".join(
         f"(v[{j}]-({qq[j - 1]}))*(v[{j}]-({qq[j - 1]}))"
         for j in range(1, d + 1)
     )
-    chains = [_sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d, p="iv_")]
-    contribs = []
-    for s in range(m):
-        pre = f"pq{s}_"
-        chains.append(_sql_kmeans_ctes(
-            k=2 ** nbits, iters=iters, seed=pq_seed + s, d=sub,
-            emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]", p=pre))
-        qsub = qq[s * sub:(s + 1) * sub]
-        dist = " + ".join(
-            f"(c.v[{j}]-({qsub[j - 1]}))*(c.v[{j}]-({qsub[j - 1]}))"
-            for j in range(1, sub + 1)
-        )
-        contribs.append(
-            f"ct{s} AS (SELECT a.vec_id, CAST({dist} AS BIGINT) AS ds "
-            f"FROM {pre}afinal a JOIN {pre}c{iters} c ON a.c = c.c)"
-        )
-    joins = " ".join(
-        f"JOIN ct{s} ON ct0.vec_id = ct{s}.vec_id" for s in range(1, m)
-    )
-    total = " + ".join(f"ct{s}.ds" for s in range(m))
+    cell_chain = _sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d, p="iv_")
+    ctes, joins, total = _sql_pq_chain_parts(
+        qq, m=8, nbits=4, iters=iters, seed=101, pre0="pq")
     return (
         "WITH " + ",\n".join(
-            chains
-            + [f"probe AS (SELECT c FROM iv_c{iters} "
-               f"ORDER BY {qdist}, c LIMIT 8)",
-               "sel AS (SELECT vec_id FROM iv_afinal "
-               "WHERE c IN (SELECT c FROM probe))"]
-            + contribs)
+            [cell_chain,
+             f"probe AS (SELECT c FROM iv_c{iters} "
+             f"ORDER BY {qdist}, c LIMIT 8)",
+             "sel AS (SELECT vec_id FROM iv_afinal "
+             "WHERE c IN (SELECT c FROM probe))"]
+            + ctes)
         + f"""
 SELECT ct0.vec_id, ({total}) AS pq_dist
 FROM ct0 {joins}
@@ -2470,14 +2465,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_search_rerank": q_sem_search_rerank,
         "quality_signals": q_quality_signals,
         "contamination": q_contamination,
+        # tail positions (>50): hash-verified LAST round
+        # (CORRECTNESS_r04.json) on code untouched since; they rotate
+        # back into the 50-query driver window next round.
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
-        # tail positions (>50): hash-verified LAST round
-        # (CORRECTNESS_r04.json) on code untouched since; they rotate
-        # back into the 50-query driver window next round.
         "customers_no_orders": q_customers_no_orders,
         "orders_rollup": q_orders_rollup,
         "pairwise_judge": q_pairwise_judge,

@@ -9,9 +9,9 @@ convergence loops dominate wall-clock without exercising anything the
 thresholded pair queries don't already cover) and the composed
 pipeline_pack / pipeline_curate (they embed the dedup stages plus
 per-run checkpoint parquet writes; their stages are all individually
-benched) and knn_pq (its wall-clock is codebook TRAINING — 8 subspace
+benched) and knn_pq / knn_ivfpq (their wall-clock is quantizer TRAINING — 8 subspace
 KMeans runs, a once-per-corpus offline cost; the per-query ADC scan
-path it exists for is the same codegen map + TakeOrdered shape the
+path they exist for is the same codegen map + TakeOrdered shape the
 knn_* entries already time). Each query is timed as
 plan-build + execute-to-count (results are not collected; Spark keeps the
 aggregation distributed).

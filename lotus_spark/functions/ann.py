@@ -347,8 +347,10 @@ def knn_topk_pq(
     """
     from lotus_spark.functions.kmeans import quantize_vector
 
+    if encoded_df is None:
+        raise ValueError("encoded_df is None")
     m = len(codebooks)
-    if m == 0 or encoded_df is None:
+    if m == 0:
         raise ValueError("empty codebooks")
     sub = len(codebooks[0][0])
     qq = quantize_vector(query_vec)
