@@ -102,8 +102,10 @@ def pack_sequences(
     """Concat-and-chunk sequence packing metadata.
 
     Documents are laid end-to-end on a token tape in ``order_col`` order
-    (must be unique — it defines the tape); sequences are the tape cut
-    every ``capacity`` tokens. Appends:
+    (must be unique and non-null — it defines the tape; NULL keys raise
+    a ValueError from the same aggregation that collects segment
+    totals); sequences are the tape cut every ``capacity`` tokens.
+    Appends:
 
     - ``seq_id``     — sequence holding the document's FIRST token
     - ``seq_offset`` — the first token's position within that sequence
@@ -151,17 +153,35 @@ def pack_sequences(
         bounds = []
     pid = F.lit(0)
     for b in bounds:
-        pid = pid + (F.col(order_col) > F.lit(b)).cast("int")
+        # NULL order keys would make the comparison (and __pid) NULL —
+        # coalesce pins them to segment 0 so the totals collect below can
+        # DETECT them (same aggregation, zero extra jobs) and raise: a
+        # NULL tape key has no position, violating the unique-order
+        # contract, and must fail loudly rather than pack arbitrarily
+        pid = pid + F.coalesce(
+            (F.col(order_col) > F.lit(b)).cast("int"), F.lit(0)
+        )
     d = df.withColumn("__pid", pid)
     w = (
         Window.partitionBy("__pid").orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("__cum", F.sum(F.col(token_col).cast("long")).over(w))
-    totals = {
-        r["__pid"]: r["t"]
-        for r in d.groupBy("__pid").agg(F.max("__cum").alias("t")).collect()
-    }
+    total_rows = (
+        d.groupBy("__pid")
+        .agg(
+            F.max("__cum").alias("t"),
+            F.sum(F.col(order_col).isNull().cast("long")).alias("nulls"),
+        )
+        .collect()
+    )
+    if any(r["nulls"] for r in total_rows):
+        raise ValueError(
+            f"pack_sequences: order_col {order_col!r} contains NULLs — "
+            "the tape key must be unique and non-null (a NULL has no "
+            "tape position); filter or re-key those rows first"
+        )
+    totals = {r["__pid"]: r["t"] for r in total_rows}
     prefix, acc = {}, 0
     for pid in sorted(totals):
         prefix[pid] = acc
@@ -317,9 +337,11 @@ def hash_split(
     matching ``embeddings`` rows land in the same split). ``seed``
     decorrelates independent splits over the same ids. Weights are
     normalized; labels partition the hash space by cumulative boundaries
-    in dict order. NULL ids all hash identically (as the empty string)
-    and land together in the first label's bucket range — deterministic,
-    but fix your ids: a null id also breaks the cross-table consistency
+    in dict order. NULL ids all hash identically (as the empty string,
+    salted with ``:{seed}``) and so land together in ONE label's bucket
+    — deterministic but seed-dependent (whichever bucket
+    ``hash(":<seed>")`` falls in, not necessarily the first label). Fix
+    your ids: a null id also breaks the cross-table consistency
     property, which joins on the id.
     """
     if not weights:

@@ -216,7 +216,7 @@ class LazyFrame:
 
     # -- execution ----------------------------------------------------------
 
-    def _prefix_keys(self, source_token: str) -> list[str]:
+    def _prefix_keys(self, source_token) -> list[Optional[str]]:
         """Content-address every plan prefix: key_i = H(key_{i-1} || node_i).
 
         The reference caches per-node results keyed by (node config hash,
@@ -229,26 +229,62 @@ class LazyFrame:
         bytecode digest (``callable_token``), so editing a UDF body
         changes the key; closure *values* captured by reference remain
         the caller's responsibility, as with the reference's
-        callable-by-identity hashing."""
+        callable-by-identity hashing.
+
+        ``source_token`` is a str (single-source pipelines) or a
+        ``{source_name: token}`` dict (multi-input). A ``union_with`` /
+        ``join_with`` child's DATA identity must reach the key too, or
+        regenerating the secondary table in place would silently resume
+        stale merged results — so a named-source child folds ITS token
+        (from the dict) into its own ``_prefix_keys`` chain. When no
+        token exists for a child's data — a concrete-DataFrame child, or
+        a named child with no dict entry — the key for that node and
+        every later node is ``None``: those prefixes are never written
+        or resumed (a constant placeholder tag would collide two
+        different inputs onto one key, a false checkpoint HIT — worse
+        than recomputing)."""
         import hashlib
 
         from lotus_spark.models.lm import callable_token
 
-        keys = []
-        h = hashlib.blake2b(source_token.encode(), digest_size=16)
+        if isinstance(source_token, dict):
+            if self._source is not None and self._source in source_token:
+                primary = f"{self._source}:{source_token[self._source]}"
+            elif self._source is None and len(source_token) == 1:
+                primary = next(iter(source_token.values()))
+            else:
+                primary = None
+        else:
+            primary = source_token
+        keys: list[Optional[str]] = []
+        if primary is None:
+            return [None] * len(self._ops)
+        disabled = False
+        h = hashlib.blake2b(primary.encode(), digest_size=16)
         for node in self._ops:
             fn_tag = callable_token(node.fn) if node.fn else ""
             if node.child is not None:
                 if isinstance(node.child, LazyFrame):
-                    ck = node.child._prefix_keys(
-                        f"src:{node.child._source or ''}"
-                    )
-                    fn_tag += f"|child:{ck[-1] if ck else 'empty'}"
+                    ck = node.child._prefix_keys(source_token)
+                    if ck and ck[-1] is None:
+                        disabled = True
+                    elif not ck:
+                        # op-less child: its identity is its source token
+                        cname = node.child._source
+                        if (isinstance(source_token, dict)
+                                and cname in source_token):
+                            fn_tag += (
+                                f"|child:src:{cname}:{source_token[cname]}"
+                            )
+                        else:
+                            disabled = True
+                    else:
+                        fn_tag += f"|child:{ck[-1]}"
                 else:
                     # concrete DataFrame child: no cross-run-stable
-                    # identity exists — bind named sources instead when
-                    # checkpoint resume matters
-                    fn_tag += "|child:opaque-df"
+                    # identity exists — bind named sources + a token dict
+                    # when checkpoint resume matters
+                    disabled = True
             args = [_stable_token(a) for a in node.args]
             kwargs = sorted(
                 (k, _stable_token(v)) for k, v in node.kwargs.items()
@@ -257,7 +293,7 @@ class LazyFrame:
             h = hashlib.blake2b(
                 h.digest() + part.encode(), digest_size=16
             )
-            keys.append(h.hexdigest())
+            keys.append(None if disabled else h.hexdigest())
         return keys
 
     def _resolve_input(self, df):
@@ -297,6 +333,12 @@ class LazyFrame:
         parquet addressed by the plan prefix; a re-run of the same
         (source, plan prefix) resumes from the longest existing
         checkpoint instead of re-paying the LLM / dedup stages.
+
+        ``source_token`` is a str for single-source pipelines, or a
+        ``{source_name: token}`` dict for multi-input ones — every
+        ``union_with``/``join_with`` child's source needs its own token
+        or checkpointing is disabled from that node on (see
+        ``_prefix_keys``).
         """
         import lotus_spark as ls
 
@@ -309,6 +351,8 @@ class LazyFrame:
         if checkpoint_dir is not None and source_token is not None:
             keys = self._prefix_keys(source_token)
             for i in range(len(self._ops) - 1, -1, -1):
+                if keys[i] is None:
+                    continue
                 ck = f"{base}/{keys[i]}"
                 if _fs_exists(spark, f"{ck}/_SUCCESS"):
                     cur = spark.read.parquet(ck)
@@ -348,7 +392,8 @@ class LazyFrame:
             node = self._ops[i]
             if node.op == "from_fn":
                 cur = node.fn(cur, *node.args)
-                if keys is not None and node.kwargs.get("checkpoint"):
+                if (keys is not None and keys[i] is not None
+                        and node.kwargs.get("checkpoint")):
                     cur = _checkpoint(cur, i)
             elif node.op == "union_with":
                 cur = cur.unionByName(_child_df(node))
@@ -360,7 +405,7 @@ class LazyFrame:
             elif node.is_semantic:
                 fn = getattr(ls, node.op)
                 cur = fn(cur, *node.args, **node.kwargs)
-                if keys is not None:
+                if keys is not None and keys[i] is not None:
                     cur = _checkpoint(cur, i)
             elif node.is_native:
                 method = node.op.split(":", 1)[1]

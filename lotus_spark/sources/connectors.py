@@ -152,6 +152,16 @@ def _load_xlsx_driver_side(
         try:
             import openpyxl  # noqa: F401
         except ImportError:
+            if pd_options:
+                # silently parsing with the options IGNORED would return
+                # materially different data depending on which libraries
+                # happen to be installed (round-5 advice) — fail loudly
+                raise ImportError(
+                    "read_xlsx: pd.read_excel options "
+                    f"{sorted(pd_options)} require openpyxl, which is "
+                    "not installed; install it or drop the options to "
+                    "use the stdlib first-sheet parser"
+                ) from None
             # stdlib fallback covers plain data tables (header row +
             # shared/inline strings + numbers); pd_options need the
             # openpyxl tier

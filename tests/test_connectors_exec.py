@@ -186,6 +186,28 @@ def test_xlsx_stdlib_fallback_parses_real_zip(spark, tmp_path):
     assert pdf["id"].tolist() == [1.0, 2.0, 3.0]
 
 
+def test_xlsx_pd_options_require_openpyxl(spark, tmp_path, monkeypatch):
+    """Round-5 advice: when openpyxl is absent, caller-supplied
+    pd_options (sheet_name, header, ...) must NOT be silently dropped by
+    the stdlib fallback — the same call would return materially
+    different data depending on installed libraries. It raises instead;
+    the option-free call still parses via the stdlib tier."""
+    import sys
+
+    import pytest
+
+    _write_minimal_xlsx(
+        tmp_path / "opts.xlsx", ["a", "b"], [[1, "x"], [2, "y"]]
+    )
+    # force the no-openpyxl branch regardless of the environment
+    monkeypatch.setitem(sys.modules, "openpyxl", None)
+    with pytest.raises(ImportError, match="openpyxl"):
+        load_from_s3(spark, str(tmp_path), "opts.xlsx", scheme="file",
+                     sheet_name=0)
+    out = load_from_s3(spark, str(tmp_path), "opts.xlsx", scheme="file")
+    assert out.count() == 2
+
+
 def test_xlsx_stdlib_spacer_row_and_wide_body(tmp_path):
     """A blank spacer row above the table must not crash (empty-dict max)
     and body cells right of the header's last column get generated names

@@ -575,12 +575,61 @@ def test_prefix_keys_distinguish_child_plans():
     """Checkpoint keys must change when a union/join CHILD pipeline
     changes — otherwise editing the other side of a join silently
     resumes the old merged checkpoint."""
+    toks = {"l": "l@1", "r": "r@1"}
     a = LazyFrame.from_source("l").join_with(
         LazyFrame.from_source("r").filter("x > 1"), on="id")
     b = LazyFrame.from_source("l").join_with(
         LazyFrame.from_source("r").filter("x > 2"), on="id")
-    assert a._prefix_keys("t")[-1] != b._prefix_keys("t")[-1]
-    assert a._prefix_keys("t") == a._prefix_keys("t")
+    assert a._prefix_keys(toks)[-1] != b._prefix_keys(toks)[-1]
+    assert a._prefix_keys(toks) == a._prefix_keys(toks)
+
+
+def test_prefix_keys_capture_child_data_identity():
+    """Round-5 advice: the CHILD source's DATA token must reach the key
+    — regenerating the secondary table in place (new token) must miss,
+    not silently resume the stale merged checkpoint."""
+    a = LazyFrame.from_source("l").join_with(
+        LazyFrame.from_source("r").filter("x > 1"), on="id")
+    k1 = a._prefix_keys({"l": "l@1", "r": "r@1"})
+    k2 = a._prefix_keys({"l": "l@1", "r": "r@2"})  # r regenerated
+    assert k1[-1] != k2[-1]
+    # an op-less child (bare from_source) is data identity alone
+    u = LazyFrame.from_source("l").union_with(LazyFrame.from_source("r"))
+    assert (u._prefix_keys({"l": "l@1", "r": "r@1"})[-1]
+            != u._prefix_keys({"l": "l@1", "r": "r@2"})[-1])
+
+
+def test_prefix_keys_disable_on_unversioned_child(spark):
+    """A child whose data has no token — a concrete DataFrame, or a
+    named source missing from the token dict / a plain-str token — gets
+    NO key (None) at and after that node: a constant placeholder would
+    collide two different inputs onto one key (false checkpoint HIT)."""
+    right = spark.createDataFrame([(1, "a")], ["id", "v"])
+    lf = (LazyFrame.from_source("l").filter("id > 0")
+          .join_with(right, on="id").select("id"))
+    keys = lf._prefix_keys({"l": "l@1"})
+    assert keys[0] is not None          # pre-child prefixes stay usable
+    assert keys[1] is None and keys[2] is None
+    # named child, but the caller passed a single str token: the child's
+    # data identity is unknown → disabled from the child node on
+    lf2 = (LazyFrame().filter("id > 0")
+           .union_with(LazyFrame.from_source("r")).select("id"))
+    keys2 = lf2._prefix_keys("t@1")
+    assert keys2[0] is not None and keys2[1] is None and keys2[2] is None
+
+
+def test_checkpoint_execute_skips_unversioned_child_nodes(spark, tmp_path):
+    """execute() with an opaque-DataFrame child neither writes nor
+    resumes checkpoints at/after that node — two different child
+    DataFrames through the same plan produce correct (different)
+    results instead of the second run resuming the first's merge."""
+    base = spark.createDataFrame([(1,)], ["id"])
+    ck = str(tmp_path / "ckchild")
+    for val, expect in (("a", ["a"]), ("b", ["b"])):
+        child = spark.createDataFrame([(1, val)], ["id", "v"])
+        lf = LazyFrame().join_with(child, on="id")
+        out = lf.execute(base, checkpoint_dir=ck, source_token="s@1")
+        assert [r["v"] for r in out.collect()] == expect
 
 
 def test_source_token_changes_when_data_regenerated(tmp_path):

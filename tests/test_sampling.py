@@ -53,6 +53,24 @@ def test_pack_sequences_concat_and_chunk(spark):
         pack_sequences(df, "toks", 0, "ord")
 
 
+def test_pack_sequences_rejects_null_order_keys(spark):
+    """Round-5 advice: a NULL tape key used to NULL out the segment id
+    and crash the totals sort with a bare TypeError; it must instead
+    raise a clear contract error (a NULL key has no tape position)."""
+    df = spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)],
+        "ord int, toks int",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pack_sequences(df, "toks", 100, "ord")
+    # several partitions' worth of rows with one NULL: same clear error
+    big = spark.createDataFrame(
+        [(i, 5) for i in range(200)] + [(None, 5)], "ord int, toks int"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        pack_sequences(big, "toks", 64, "ord", partitions=8)
+
+
 def test_pack_sequences_distributed_scan_matches_single_partition(spark):
     # the range-partitioned scan must equal the trivially-correct 1-partition
     # run on the same data, for any partition count
@@ -313,6 +331,27 @@ def test_hash_split_validation(spark):
         hash_split(df, "doc_id", {})
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", {"a": -0.1, "b": 1.1})
+
+
+def test_hash_split_null_ids_deterministic_but_seed_dependent(spark):
+    """NULL ids hash as the (salted) empty string: all NULLs land on ONE
+    label — deterministic per seed, but the label is seed-dependent
+    (round-5 advice: the docstring must not promise 'first label')."""
+    from lotus_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,)], "doc_id int"
+    )
+    w = {"train": 0.5, "val": 0.5}
+    for seed in (0, 7):
+        labels = {r["split"] for r in
+                  hash_split(df, "doc_id", w, seed=seed)
+                  .filter(F.col("doc_id").isNull()).collect()}
+        assert len(labels) == 1               # all NULLs together
+        again = {r["split"] for r in
+                 hash_split(df, "doc_id", w, seed=seed)
+                 .filter(F.col("doc_id").isNull()).collect()}
+        assert labels == again                # rerun-stable
 
 
 # --------------------------------------------------------- mix_to_weights
