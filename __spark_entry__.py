@@ -638,31 +638,43 @@ def q_knn_ivf(spark, sf_dir):
     return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
 
 
+_PQ_TRAIN_SEED = 7          # pinned codebook-training sample: seeded hash,
+_PQ_TRAIN_THRESHOLD = MOD // 2  # ~50% of rows — SQL-replayable (round-5
+                                # advice: train on a sample, encode all)
+
+
 def q_knn_pq(spark, sf_dir):
     """IVF-PQ's scoring half: product-quantization ANN (Jégou et al.
     2011; functions/ann.py::pq_index/knn_topk_pq). Per-subspace
-    codebooks train with the deterministic integer Lloyd's, vectors
-    compress to m=8 4-bit codes, and the scan scores rows via
+    codebooks train with the deterministic integer Lloyd's ON A PINNED
+    HASH SAMPLE (~50% of rows here; ≤1M rows auto at scale — training
+    cost is bounded while the map-only encode still covers every row),
+    vectors compress to m=8 4-bit codes, and the scan scores rows via
     driver-precomputed ADC lookup tables baked as literals — integer
-    arithmetic end to end, so the WHOLE train → encode → scan pipeline
-    is hash-checked against the unrolled SQL replica (8 composed
-    kmeans CTE chains + centroid-join ADC)."""
+    arithmetic end to end, so the WHOLE sample → train → encode → scan
+    pipeline is hash-checked against the unrolled SQL replica (8
+    composed kmeans CTE chains with the same sample WHERE +
+    centroid-join ADC)."""
     from lotus_spark.functions.ann import knn_topk_pq, pq_index
 
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     enc, books = pq_index(emb, "embedding", "vec_id", m=8, nbits=4,
-                          seed=42)
+                          seed=42,
+                          train_sample=(_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD))
     return knn_topk_pq(enc, books, q, k=10, id_col="vec_id")
 
 
 def _sql_pq_chain_parts(
-    qq: list[int], m: int, nbits: int, iters: int, seed: int, pre0: str
+    qq: list[int], m: int, nbits: int, iters: int, seed: int, pre0: str,
+    train_where: str | None = None,
 ) -> tuple[list[str], str, str]:
     """Shared PQ-oracle construction: per-subspace kmeans chains + ADC
     contribution CTEs (ct0..ct{m-1}) for quantized query ``qq``; returns
     (ctes, joins, total). One definition for _sql_knn_pq and
-    _sql_knn_ivfpq so the two replicas cannot drift."""
+    _sql_knn_ivfpq so the replicas cannot drift. ``train_where``
+    replays the pinned codebook-training sample in every subspace
+    chain."""
     d = len(qq)
     sub = d // m
     ctes = []
@@ -670,7 +682,8 @@ def _sql_pq_chain_parts(
         pre = f"{pre0}{s}_"
         ctes.append(_sql_kmeans_ctes(
             k=2 ** nbits, iters=iters, seed=seed + s, d=sub,
-            emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]", p=pre))
+            emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]", p=pre,
+            train_where=train_where))
     for s in range(m):
         pre = f"{pre0}{s}_"
         qsub = qq[s * sub:(s + 1) * sub]
@@ -692,11 +705,13 @@ def _sql_pq_chain_parts(
 
 
 def _sql_knn_pq(qv: list[float]) -> str:
-    from lotus_spark.functions.kmeans import quantize_vector
+    from lotus_spark.functions.kmeans import quantize_vector, train_sample_where
 
     qq = quantize_vector(qv)
     ctes, joins, total = _sql_pq_chain_parts(
-        qq, m=8, nbits=4, iters=3, seed=42, pre0="q")
+        qq, m=8, nbits=4, iters=3, seed=42, pre0="q",
+        train_where=train_sample_where(
+            "vec_id", _PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD))
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
@@ -711,23 +726,54 @@ def q_knn_ivfpq(spark, sf_dir):
     """Full IVF-PQ (functions/ann.py::knn_topk_ivfpq): deterministic IVF
     coarse quantizer prunes to the 8 nearest of 16 cells, PQ codes ADC
     lookup-score the survivors — the standard billion-vector query
-    architecture, composed end to end and hash-checked against a SQL
-    replica that recomputes BOTH quantizers (one cell-kmeans chain +
-    eight subspace-kmeans chains) and replays the probe + ADC scan."""
+    architecture. BOTH quantizers train on the same pinned hash sample
+    (~50%; ≤1M auto at scale) so index-build cost is sample-bounded
+    while cell-assign + encode stay map-only over all rows; the SQL
+    replica recomputes both quantizers (one cell-kmeans chain + eight
+    subspace-kmeans chains, same sample WHERE) and replays the probe +
+    ADC scan."""
     from lotus_spark.functions.ann import ivf_index, knn_topk_ivfpq, pq_index
 
     emb = _t(spark, sf_dir, "embeddings")
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    ts = (_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
     indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
-                               method="deterministic", id_col="vec_id")
+                               method="deterministic", id_col="vec_id",
+                               train_sample=ts)
     encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
-                              nbits=4, seed=101)
+                              nbits=4, seed=101, train_sample=ts)
     return knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
                           id_col="vec_id")
 
 
-def _sql_knn_ivfpq(qv: list[float]) -> str:
-    from lotus_spark.functions.kmeans import quantize_vector
+def q_knn_ivfpq_rerank(spark, sf_dir):
+    """IVF-PQ + the standard exact final step (round-5 advice item 2;
+    reference analog: sem_search's rerank,
+    ``lotus/sem_ops/sem_search.py:148-155``): ADC shortlists the top 40
+    approximate ids inside the probed cells, then a broadcast join back
+    to the exact vectors orders the top 10 by fold-exact cosine. The
+    oracle replays the whole composition and the result hash-matches
+    brute-force cosine ordering restricted to the shortlist."""
+    from lotus_spark.functions.ann import ivf_index, knn_topk_ivfpq, pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    ts = (_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
+    indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
+                               method="deterministic", id_col="vec_id",
+                               train_sample=ts)
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                              nbits=4, seed=101, train_sample=ts)
+    out = knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
+                         id_col="vec_id", rerank_k=40)
+    return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
+
+
+def _sql_ivfpq_parts(qv: list[float]) -> tuple[list[str], str, str]:
+    """Shared IVF-PQ oracle chain (cell kmeans + probe + sel + 8 PQ
+    chains) for _sql_knn_ivfpq and _sql_knn_ivfpq_rerank — one
+    definition so the replicas cannot drift."""
+    from lotus_spark.functions.kmeans import quantize_vector, train_sample_where
 
     iters = 3
     d = len(qv)
@@ -736,22 +782,52 @@ def _sql_knn_ivfpq(qv: list[float]) -> str:
         f"(v[{j}]-({qq[j - 1]}))*(v[{j}]-({qq[j - 1]}))"
         for j in range(1, d + 1)
     )
-    cell_chain = _sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d, p="iv_")
+    tw = train_sample_where("vec_id", _PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
+    cell_chain = _sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d, p="iv_",
+                                  train_where=tw)
     ctes, joins, total = _sql_pq_chain_parts(
-        qq, m=8, nbits=4, iters=iters, seed=101, pre0="pq")
+        qq, m=8, nbits=4, iters=iters, seed=101, pre0="pq", train_where=tw)
+    all_ctes = (
+        [cell_chain,
+         f"probe AS (SELECT c FROM iv_c{iters} "
+         f"ORDER BY {qdist}, c LIMIT 8)",
+         "sel AS (SELECT vec_id FROM iv_afinal "
+         "WHERE c IN (SELECT c FROM probe))"]
+        + ctes
+    )
+    return all_ctes, joins, total
+
+
+def _sql_knn_ivfpq(qv: list[float]) -> str:
+    ctes, joins, total = _sql_ivfpq_parts(qv)
     return (
-        "WITH " + ",\n".join(
-            [cell_chain,
-             f"probe AS (SELECT c FROM iv_c{iters} "
-             f"ORDER BY {qdist}, c LIMIT 8)",
-             "sel AS (SELECT vec_id FROM iv_afinal "
-             "WHERE c IN (SELECT c FROM probe))"]
-            + ctes)
+        "WITH " + ",\n".join(ctes)
         + f"""
 SELECT ct0.vec_id, ({total}) AS pq_dist
 FROM ct0 {joins}
 WHERE ct0.vec_id IN (SELECT vec_id FROM sel)
 ORDER BY pq_dist, ct0.vec_id LIMIT 10
+"""
+    )
+
+
+def _sql_knn_ivfpq_rerank(qv: list[float]) -> str:
+    ctes, joins, total = _sql_ivfpq_parts(qv)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+short AS (
+  SELECT ct0.vec_id, ({total}) AS pq_dist
+  FROM ct0 {joins}
+  WHERE ct0.vec_id IN (SELECT vec_id FROM sel)
+  ORDER BY pq_dist, ct0.vec_id LIMIT 40
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+qv AS (SELECT v AS q FROM ev WHERE vec_id = 0)
+SELECT ev.vec_id, ROUND({_sql_cosine('ev.v', 'qv.q')}, 6) AS score
+FROM ev JOIN short ON ev.vec_id = short.vec_id, qv
+ORDER BY {_sql_cosine('ev.v', 'qv.q')} DESC, ev.vec_id
+LIMIT 10
 """
     )
 
@@ -770,14 +846,18 @@ def q_sem_cluster(spark, sf_dir):
 
 
 def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int,
-                     emb_expr: str = "embedding", p: str = "") -> str:
+                     emb_expr: str = "embedding", p: str = "",
+                     train_where: str | None = None) -> str:
     """Unrolled deterministic-Lloyd's CTE chain (mirrors
     ``functions/kmeans.py`` exactly): quantize → seeded-hash init →
     (assign → integer-mean update) × iters → final assignment
     ``{p}afinal``. All arithmetic BIGINT → order-independent →
     engine-exact. ``emb_expr`` selects the (sub)vector to cluster and
     ``p`` prefixes every CTE name so chains compose (the PQ oracle runs
-    one chain per subspace)."""
+    one chain per subspace). ``train_where`` replays sample-bounded
+    training (``kmeans.train_sample_where``): init + per-iteration
+    updates see only the sampled rows, the final assignment all rows —
+    the exact split ``deterministic_kmeans(train_filter=...)`` makes."""
     from lotus_spark.functions.kmeans import QUANT, SHIFT, kmeans_init_params
 
     a, b = kmeans_init_params(seed)
@@ -795,17 +875,23 @@ def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int,
 
     ctes = [
         f"{p}p AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
-        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, "
-        f"xq AS v FROM {p}p ORDER BY {h}, vec_id LIMIT {k})",
     ]
+    tr = f"{p}p"
+    if train_where:
+        tr = f"{p}tr"
+        ctes.append(f"{p}tr AS (SELECT * FROM {p}p WHERE {train_where})")
+    ctes.append(
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, "
+        f"xq AS v FROM {tr} ORDER BY {h}, vec_id LIMIT {k})"
+    )
     for t in range(iters):
         # min_by over [dist, c] == argmin with smallest-c tiebreak; a hash
         # aggregate, far lighter than sorting the n×k cartesian in a window
         ctes.append(
             f"{p}a{t} AS (SELECT vec_id, any_value(xq) AS xq, "
             f"CAST(min([dst, CAST(c AS HUGEINT)])[2] AS BIGINT) AS c "
-            f"FROM (SELECT {p}p.vec_id, {p}p.xq, {p}c{t}.c, "
-            f"{dist(f'{p}p.xq', f'{p}c{t}.v')} AS dst FROM {p}p, {p}c{t}) "
+            f"FROM (SELECT {tr}.vec_id, {tr}.xq, {p}c{t}.c, "
+            f"{dist(f'{tr}.xq', f'{p}c{t}.v')} AS dst FROM {tr}, {p}c{t}) "
             f"GROUP BY vec_id)"
         )
         sums = ", ".join(f"SUM(xq[{j}]) AS s{j}" for j in range(1, d + 1))
@@ -2414,8 +2500,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket": q_perplexity_bucket,  # NEW round 5
         "pipeline_curate": q_pipeline_curate,      # NEW round 5
         "filter_reorder": q_filter_reorder,        # NEW round 5
-        "knn_pq": q_knn_pq,                        # NEW round 5
-        "knn_ivfpq": q_knn_ivfpq,                  # NEW round 5
+        "knn_pq": q_knn_pq,                        # r6: sampled training
+        "knn_ivfpq": q_knn_ivfpq,                  # r6: sampled training
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,    # NEW round 6
         "hash_split": q_hash_split,                # NEW round 5
         "mix_to_weights": q_mix_to_weights,        # NEW round 5
         "sem_pipeline": q_sem_pipeline,            # NEW round 5
@@ -2969,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
         sqls["knn_ivf"] = _sql_knn_ivf(qv, d=len(qv))
         sqls["knn_pq"] = _sql_knn_pq(qv)
         sqls["knn_ivfpq"] = _sql_knn_ivfpq(qv)
+        sqls["knn_ivfpq_rerank"] = _sql_knn_ivfpq_rerank(qv)
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()

@@ -162,6 +162,37 @@ def knn_topk_lsh(
     return scored.orderBy(*order).limit(k)
 
 
+def _resolve_train_filter(
+    df: DataFrame,
+    id_col: str,
+    seed: int,
+    train_sample: tuple[int, int] | None,
+    max_train_rows: int | None,
+):
+    """Training-sample predicate for quantizer fitting (FAISS practice:
+    codebooks/centroids train on a bounded sample; only the map-only
+    encode touches every row). ``train_sample=(seed, threshold)`` pins
+    an explicit hash sample — SQL-replayable via ``train_sample_where``,
+    so sampled training stays oracle-checkable. Otherwise, when the
+    table exceeds ``max_train_rows``, an auto sample targeting that many
+    rows is derived (one count, then a pure map-side predicate). Returns
+    None to train on everything."""
+    from lotus_spark.functions.kmeans import train_sample_predicate
+    from lotus_spark.functions.text import MOD
+
+    if train_sample is not None:
+        sseed, threshold = train_sample
+        return train_sample_predicate(id_col, sseed, threshold)
+    if max_train_rows is not None:
+        n = df.select(F.lit(1)).count()
+        if n > max_train_rows:
+            import math
+
+            threshold = math.ceil(MOD * max_train_rows / n)
+            return train_sample_predicate(id_col, seed, threshold)
+    return None
+
+
 def ivf_index(
     df: DataFrame,
     emb_col: str,
@@ -170,6 +201,8 @@ def ivf_index(
     cell_col: str = "__ivf_cell",
     method: str = "mllib",
     id_col: str | None = None,
+    train_sample: tuple[int, int] | None = None,
+    max_train_rows: int | None = 1_000_000,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF (inverted-file) coarse quantizer: KMeans centroids + cell ids.
 
@@ -190,6 +223,13 @@ def ivf_index(
     (``functions/kmeans.py``; requires ``id_col``): centroids are then
     returned in the *quantized integer* domain and cell-probing must use
     :func:`rank_cells_quantized` — reproducible across engines.
+
+    Centroid TRAINING is sample-bounded (``train_sample`` /
+    ``max_train_rows``, see :func:`_resolve_train_filter`): Lloyd's
+    iterations aggregate over a pinned hash sample instead of the full
+    corpus — at 100 TB the iters×full-scan training cost would dominate
+    the build, while cell assignment (which must see every row) stays a
+    single map-only pass either way.
     """
     if n_cells == "auto":
         import math
@@ -204,6 +244,8 @@ def ivf_index(
         out, cent = deterministic_kmeans(
             df, emb_col, id_col, n_cells, iters=3, seed=seed,
             cluster_col=cell_col,
+            train_filter=_resolve_train_filter(
+                df, id_col, seed, train_sample, max_train_rows),
         )
         return out, [list(map(int, c)) for c in cent]
     from pyspark.ml.clustering import KMeans
@@ -279,6 +321,8 @@ def pq_index(
     nbits: int = 4,
     seed: int = 42,
     code_col: str = "pq_codes",
+    train_sample: tuple[int, int] | None = None,
+    max_train_rows: int | None = 1_000_000,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Product-quantization encoder (FAISS PQ / Jégou et al. 2011): split
     each d-dim vector into ``m`` subvectors and vector-quantize every
@@ -295,9 +339,16 @@ def pq_index(
     DuckDB-oracle-checkable. Returns (df + ``code_col`` array<int>,
     codebooks[m][2**nbits][d/m] in the quantized-integer domain).
 
-    Scale: training = m small distributed KMeans runs (driver holds
-    m * 2**nbits * d/m ints); encoding is map-only (the per-subspace
-    assignment UDF); nothing shuffles but the KMeans update aggregates.
+    Scale: training = m small distributed KMeans runs, each over a
+    SAMPLE-BOUNDED input (``train_sample`` / ``max_train_rows``, see
+    :func:`_resolve_train_filter`) — codebooks need a representative
+    sample, not the corpus, and full-corpus training would cost
+    m × iters full-table aggregate passes before encoding even starts
+    (the dominant 100 TB build cost; FAISS trains PQ codebooks on a
+    bounded sample for the same reason). The driver holds
+    m * 2**nbits * d/m ints; encoding is map-only (the per-subspace
+    assignment UDF over every row); nothing shuffles but the KMeans
+    update aggregates over the sample.
     """
     from lotus_spark.functions.kmeans import deterministic_kmeans
 
@@ -309,6 +360,8 @@ def pq_index(
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
     k = 2 ** nbits
+    train_filter = _resolve_train_filter(
+        df, id_col, seed, train_sample, max_train_rows)
     out = df
     codebooks: list[list[list[int]]] = []
     for s in range(m):
@@ -318,6 +371,7 @@ def pq_index(
         out, cent = deterministic_kmeans(
             out, "__pq_sub", id_col, k, iters=3, seed=seed + s,
             cluster_col=f"__pq_c{s}",
+            train_filter=train_filter,
         )
         out = out.drop("__pq_sub")
         codebooks.append([[int(x) for x in c] for c in cent])
@@ -334,6 +388,9 @@ def knn_topk_pq(
     k: int = 10,
     id_col: str = "vec_id",
     code_col: str = "pq_codes",
+    rerank_k: int | None = None,
+    emb_col: str = "embedding",
+    score_col: str = "score",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     full-precision; per subspace the L2 distance to every codebook
@@ -342,8 +399,17 @@ def knn_topk_pq(
     with ``m`` array lookups + adds — no vector math per row, no UDF,
     whole-stage codegen, and a TakeOrderedAndProject top-k (ties to the
     smaller id). Returns (id_col, pq_dist) with the approximate integer
-    squared distance; rerank the short list against exact vectors when
-    exactness of the final order matters (standard IVF-PQ practice).
+    squared distance.
+
+    ``rerank_k`` composes the standard IVF-PQ final step (the reference
+    analog is ``sem_search``'s rerank stage,
+    ``lotus/sem_ops/sem_search.py:148-155``; FAISS: refine/RFlat): take
+    the ADC top ``rerank_k`` (≥ k) as a shortlist, join those ids back
+    to ``emb_col`` for FOLD-EXACT cosine, and return the exact-ordered
+    top ``k`` as (id_col, score_col). The shortlist is tiny by
+    construction, so the join broadcasts: one more codegen scan over the
+    (already cell-pruned, under IVF) relation + an exact rerank of
+    ``rerank_k`` rows — final-order exactness at ~zero extra cost.
     """
     from lotus_spark.functions.kmeans import quantize_vector
 
@@ -369,11 +435,25 @@ def knn_topk_pq(
     total = dist_cols[0]
     for c in dist_cols[1:]:
         total = total + c
-    return (
+    if rerank_k is not None and rerank_k < k:
+        raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
+    adc = (
         encoded_df.withColumn("pq_dist", total)
         .orderBy(F.asc("pq_dist"), F.asc(id_col))
+        .limit(rerank_k if rerank_k is not None else k)
+    )
+    if rerank_k is None:
+        return adc.select(id_col, "pq_dist")
+    shortlist = adc.select(id_col)
+    exact = (
+        encoded_df.select(id_col, emb_col)
+        .join(F.broadcast(shortlist), id_col)
+        .withColumn(score_col, query_cosine(F.col(emb_col), query_vec))
+    )
+    return (
+        exact.orderBy(F.desc(score_col), F.asc(id_col))
         .limit(k)
-        .select(id_col, "pq_dist")
+        .select(id_col, score_col)
     )
 
 
@@ -387,6 +467,9 @@ def knn_topk_ivfpq(
     id_col: str = "vec_id",
     cell_col: str = "__ivf_cell",
     code_col: str = "pq_codes",
+    rerank_k: int | None = None,
+    emb_col: str = "embedding",
+    score_col: str = "score",
 ) -> DataFrame:
     """The full FAISS-IVFPQ query shape, composed from the two verified
     halves: IVF decides WHICH rows to look at (``n_probe`` nearest cells
@@ -398,8 +481,10 @@ def knn_topk_ivfpq(
     from IVF, bytes-per-row shrinks ~64x from PQ, and the plan is a
     pruned scan + codegen map + TakeOrderedAndProject. Deterministic
     (both quantizers are the integer Lloyd's), so the whole composition
-    is SQL-oracle-checkable. Rerank the returned short list against the
-    exact vectors when final-order exactness matters.
+    is SQL-oracle-checkable. ``rerank_k`` appends the standard exact
+    final step: ADC shortlists ``rerank_k`` ids, then a broadcast join
+    back to ``emb_col`` within the probed cells orders the top ``k`` by
+    fold-exact cosine (see ``knn_topk_pq``).
 
     ``indexed_df`` must carry BOTH columns: build with
     ``ivf_index(method="deterministic")`` then ``pq_index``.
@@ -407,5 +492,6 @@ def knn_topk_ivfpq(
     probe = rank_cells_quantized(centroids, query_vec, n_probe)
     pruned = indexed_df.filter(F.col(cell_col).isin(probe))
     return knn_topk_pq(
-        pruned, codebooks, query_vec, k, id_col=id_col, code_col=code_col
+        pruned, codebooks, query_vec, k, id_col=id_col, code_col=code_col,
+        rerank_k=rerank_k, emb_col=emb_col, score_col=score_col,
     )

@@ -61,6 +61,28 @@ def quantize_embedding(emb):  # Column -> array<bigint>
     )
 
 
+def train_sample_predicate(id_col: str, seed: int, threshold: int):
+    """Deterministic training-sample membership: ``(a*id + b) % MOD <
+    threshold`` with the seeded affine-hash family — a pure map-side
+    predicate (no shuffle, no count, independent of partitioning), and
+    SQL-expressible so an oracle replays the exact same sample
+    (:func:`train_sample_where`). ``threshold/MOD`` is the sampled
+    fraction. This is how FAISS-style quantizer training bounds its
+    input: codebooks/centroids learn from a pinned hash-selected subset
+    while assignment/encoding still maps over every row."""
+    a, b = kmeans_init_params(seed)
+    return ((F.lit(a) * F.col(id_col) + F.lit(b)) % F.lit(MOD)) < F.lit(
+        int(threshold)
+    )
+
+
+def train_sample_where(id_col: str, seed: int, threshold: int) -> str:
+    """SQL twin of :func:`train_sample_predicate` (same affine hash,
+    same comparison) for oracle replicas."""
+    a, b = kmeans_init_params(seed)
+    return f"(({a} * {id_col} + {b}) % {MOD}) < {int(threshold)}"
+
+
 def _update_centroids(sums: list[tuple], prev: np.ndarray, k: int) -> np.ndarray:
     """New centroids from collected (c, n, [S_j]) rows; round-half-up
     integer division; clusters with no points keep their previous centroid."""
@@ -79,15 +101,28 @@ def deterministic_kmeans(
     iters: int = 3,
     seed: int = 42,
     cluster_col: str = "cluster_id",
+    train_filter=None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Returns (input df + ``cluster_col``, final centroids [k, d] int64).
 
     Driver state is k×d integers per iteration; everything row-scaled stays
     distributed (quantize/assign are map-only; the update is one partially-
     aggregated groupBy per iteration).
+
+    ``train_filter`` (a boolean Column, e.g.
+    :func:`train_sample_predicate`) bounds the TRAINING input: init and
+    the per-iteration update aggregates see only the filtered rows,
+    while the returned assignment still covers every row of ``df``. At
+    100 TB this is the difference between ``iters`` full-table aggregate
+    passes per quantizer and ``iters`` passes over a ≤1M-row pinned
+    sample — centroid quality needs a representative sample, not the
+    corpus (FAISS trains coarse/PQ codebooks the same way); only the
+    map-only assignment must touch all rows.
     """
     a, b = kmeans_init_params(seed)
     q = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
+    if train_filter is not None:
+        q = q.filter(train_filter)
     q = ensure_parallelism(q)
     q.persist()
     try:
@@ -98,6 +133,13 @@ def deterministic_kmeans(
             .limit(k)
             .collect()
         )
+        if len(init_rows) < k:
+            raise ValueError(
+                f"deterministic_kmeans: training input has only "
+                f"{len(init_rows)} rows for k={k} centroids"
+                + (" — widen train_filter" if train_filter is not None
+                   else "")
+            )
         cent = np.asarray([r["__xq"] for r in init_rows], dtype=np.int64)
         d = cent.shape[1]
 

@@ -466,3 +466,122 @@ def test_ivfpq_equals_pq_restricted_to_probed_cells(spark):
     cells = {r["vec_id"]: r["__ivf_cell"] for r in encoded.collect()}
     assert all(cells[r["vec_id"]] in probe for r in got)
     assert got[0]["vec_id"] == 7     # self-match survives its own cell
+
+
+def test_pq_sampled_training_matches_prefiltered_and_encodes_all(spark):
+    """Round-5 advice item 1: train_sample bounds only the TRAINING
+    input. Codebooks must equal those trained on the physically
+    pre-filtered table (same rows reach Lloyd's), while the encode
+    still covers every row — the sample/encode split that removes the
+    ~m*iters full-table training passes at 100 TB."""
+    from lotus_spark.functions.ann import pq_index
+    from lotus_spark.functions.kmeans import train_sample_predicate
+    from lotus_spark.functions.text import MOD
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["vec_id", "embedding"])
+    ts = (7, MOD // 2)
+    enc_s, books_s = pq_index(df, "embedding", "vec_id", m=4, nbits=2,
+                              seed=5, train_sample=ts)
+    pred = train_sample_predicate("vec_id", *ts)
+    n_sample = df.filter(pred).count()
+    assert 0 < n_sample < 120                      # genuinely a subset
+    _, books_f = pq_index(df.filter(pred), "embedding", "vec_id", m=4,
+                          nbits=2, seed=5, max_train_rows=None)
+    assert books_s == books_f                      # same training rows
+    assert enc_s.count() == 120                    # encode covers ALL rows
+
+    # auto mode: above max_train_rows the sample kicks in on its own and
+    # the index still builds k codebook entries per subspace
+    _, books_auto = pq_index(df, "embedding", "vec_id", m=4, nbits=2,
+                             seed=5, max_train_rows=60)
+    assert len(books_auto) == 4 and all(len(b) == 4 for b in books_auto)
+
+    # a sample smaller than k fails loudly, not with a shape error
+    with pytest.raises(ValueError, match="train"):
+        pq_index(df, "embedding", "vec_id", m=4, nbits=4, seed=5,
+                 train_sample=(7, MOD // 50))      # ~2 rows for k=16
+
+
+def test_ivf_sampled_training_preserves_cell_count(spark):
+    from lotus_spark.functions.ann import ivf_index
+    from lotus_spark.functions.text import MOD
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(100, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id",
+                               train_sample=(7, MOD // 2))
+    assert len(cents) == 4
+    assert indexed.count() == 100                  # every row assigned
+    assert indexed.select("__ivf_cell").distinct().count() <= 4
+
+
+def test_pq_sampled_training_recall_not_worse_than_full(spark):
+    """Verdict round-6 item 1 'done' criterion: sampled-trained
+    recall@10 vs exact brute force stays >= the full-trained tier's, on
+    the real sf0.001 embeddings."""
+    from lotus_spark.functions.ann import knn_topk, knn_topk_pq, pq_index
+    from lotus_spark.functions.text import MOD
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             knn_topk(df, "embedding", q, k=10, id_col="vec_id").collect()]
+
+    def recall(train_sample, max_train_rows):
+        enc, books = pq_index(df, "embedding", "vec_id", m=8, nbits=4,
+                              seed=42, train_sample=train_sample,
+                              max_train_rows=max_train_rows)
+        got = [r["vec_id"] for r in
+               knn_topk_pq(enc, books, q, k=10, id_col="vec_id").collect()]
+        return len(set(exact) & set(got)) / 10
+
+    r_full = recall(None, None)
+    r_sampled = recall((7, MOD // 2), None)
+    assert r_sampled >= r_full
+
+
+def test_pq_rerank_orders_shortlist_exactly(spark):
+    """rerank_k composes the exact final step: the returned top-k is
+    brute-force cosine order restricted to the ADC shortlist, and with
+    rerank_k = n it equals the global exact knn_topk."""
+    from lotus_spark.functions.ann import knn_topk, knn_topk_pq, pq_index
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(90, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        ["vec_id", "embedding"])
+    enc, books = pq_index(df, "embedding", "vec_id", m=4, nbits=2, seed=5)
+    q = [float(x) for x in vecs[3]]
+
+    # shortlist ids from the ADC tier, then exact-rank them by hand
+    short = [r["vec_id"] for r in
+             knn_topk_pq(enc, books, q, k=20, id_col="vec_id").collect()]
+    exact_in_short = [
+        r["vec_id"] for r in
+        knn_topk(df.filter(F.col("vec_id").isin(short)), "embedding", q,
+                 k=5, id_col="vec_id").collect()
+    ]
+    got = knn_topk_pq(enc, books, q, k=5, rerank_k=20,
+                      id_col="vec_id").collect()
+    assert [r["vec_id"] for r in got] == exact_in_short
+    assert got[0]["vec_id"] == 3                   # exact self-match first
+
+    # rerank over the whole table == global exact brute force
+    allk = knn_topk_pq(enc, books, q, k=5, rerank_k=90,
+                       id_col="vec_id").collect()
+    globl = knn_topk(df, "embedding", q, k=5, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in allk] == [r["vec_id"] for r in globl]
+    for a, b in zip(allk, globl):
+        assert abs(a["score"] - b["score"]) < 1e-12
+
+    with pytest.raises(ValueError, match="rerank_k"):
+        knn_topk_pq(enc, books, q, k=10, rerank_k=5, id_col="vec_id")
