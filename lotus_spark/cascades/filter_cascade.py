@@ -80,10 +80,17 @@ def _sample_and_learn(
     output_tokens: tuple[str, str],
     cascade_args: CascadeArgs,
     fmt: str,
+    store: Any = None,
+    store_key: str | None = None,
     **model_kwargs: Any,
 ) -> tuple[float, float]:
     """Stratified-sample buckets ∝ √score (defensive uniform mixing), label
-    the sample with the oracle, learn (τ⁺, τ⁻). Only the sample is collected."""
+    the sample with the oracle, learn (τ⁺, τ⁻). Only the sample is collected.
+
+    ``store``/``store_key`` (a ``plans.optimizers.CalibrationStore``)
+    record the labeled sample's importance-weighted selectivity so other
+    optimize-time consumers (FilterReorderOptimizer) reuse this oracle
+    pass instead of labeling their own sample."""
     n_q = cascade_args.cascade_num_calibration_quantiles
     target = int(
         np.clip(
@@ -120,6 +127,8 @@ def _sample_and_learn(
     corr = np.array(
         [1.0 / max(fractions.get(int(b), 1.0), 1e-9) for b in sample_pdf["__bucket"]]
     )
+    if store is not None and store_key is not None:
+        store.put_labels(store_key, labels, corr)
     return learn_filter_thresholds(
         cal_sample, labels, corr,
         cascade_args.recall_target,
@@ -128,10 +137,13 @@ def _sample_and_learn(
     )
 
 
-def learn_taus_on(train_df: DataFrame, instruction: str, kwargs: dict) -> tuple[float, float]:
+def learn_taus_on(train_df: DataFrame, instruction: str, kwargs: dict,
+                  store: Any = None) -> tuple[float, float]:
     """Prewarm entry point (CascadePrewarmOptimizer): run the cascade's
     calibrate→sample→label→learn phase on train data, return (τ⁺, τ⁻) in
-    calibrated space (transferable across datasets via quantile calibration)."""
+    calibrated space (transferable across datasets via quantile calibration).
+    ``store`` shares the oracle labeling with other optimizers (keyed by
+    the RAW instruction — the same key FilterReorderOptimizer uses)."""
     from lotus_spark.nl_expression import nle2str, parse_cols
     from lotus_spark.operators.sem_map import _resolve_lm
 
@@ -152,6 +164,7 @@ def learn_taus_on(train_df: DataFrame, instruction: str, kwargs: dict) -> tuple[
     return _sample_and_learn(
         bucketed, scored.count(), cols, instr, oracle,
         kwargs.get("default", True), output_tokens, cascade_args, fmt,
+        store=store, store_key=instruction,
     )
 
 

@@ -2,6 +2,7 @@ from lotus_spark.plans.lazyframe import LazyFrame
 from lotus_spark.plans.optimizers import (
     DEFAULT_OPTIMIZERS,
     OPTIMIZABLE_PARAMS,
+    CalibrationStore,
     CascadePrewarmOptimizer,
     GEPAOptimizer,
     InstructionSearchOptimizer,
@@ -17,6 +18,7 @@ __all__ = [
     "OPTIMIZABLE_PARAMS",
     "FilterReorderOptimizer",
     "PredicatePushdownOptimizer",
+    "CalibrationStore",
     "CascadePrewarmOptimizer",
     "InstructionSearchOptimizer",
     "GEPAOptimizer",

@@ -48,11 +48,51 @@ class PredicatePushdownOptimizer:
         return out
 
 
-class CascadePrewarmOptimizer:
-    """Learn cascade thresholds on train data; pin them into the plan."""
+class CalibrationStore:
+    """Shared optimize-time calibration state (round-5 advice item 3).
 
-    def __init__(self, train_df: Optional[DataFrame] = None):
+    ``CascadePrewarmOptimizer`` and ``FilterReorderOptimizer`` both need
+    oracle-labeled train rows per filter: τ learning labels a stratified
+    sample; selectivity estimation labels a pinned sample. Run
+    separately, a pipeline using both optimizers pays the oracle LM
+    TWICE per filter. Pass one store to both (prewarm first in the
+    chain) and the cascade's labeling pass also records an
+    importance-weighted selectivity estimate — Σ(label·w)/Σ(w) with
+    w = 1/sampling-fraction, unbiased for P(keep) on train — which the
+    reorderer then reads instead of running its own labeling pass.
+    Filters the cascade didn't touch still fall back to the reorderer's
+    own pinned-sample estimate, which is memoized here too (keyed by
+    the filter's instruction string, the same key ``costs`` uses).
+    """
+
+    def __init__(self) -> None:
+        self._sel: dict[str, float] = {}
+
+    def put_labels(self, instruction: str, labels, weights) -> None:
+        import numpy as np
+
+        w = np.asarray(weights, dtype=float)
+        lab = np.asarray(labels, dtype=float)
+        if len(w) and w.sum() > 0:
+            self._sel[instruction] = float((lab * w).sum() / w.sum())
+
+    def put_selectivity(self, instruction: str, sel: float) -> None:
+        self._sel[instruction] = float(sel)
+
+    def selectivity(self, instruction: str) -> Optional[float]:
+        return self._sel.get(instruction)
+
+
+class CascadePrewarmOptimizer:
+    """Learn cascade thresholds on train data; pin them into the plan.
+
+    ``store`` (a :class:`CalibrationStore`) additionally records each
+    labeled sample's selectivity estimate for downstream optimizers."""
+
+    def __init__(self, train_df: Optional[DataFrame] = None,
+                 store: Optional[CalibrationStore] = None):
         self.train_df = train_df
+        self.store = store
 
     def __call__(self, ops: list[OpNode], train_df: Optional[DataFrame] = None,
                  **_: Any) -> list[OpNode]:
@@ -65,7 +105,7 @@ class CascadePrewarmOptimizer:
         for node in ops:
             cargs = node.kwargs.get("cascade_args")
             if node.op == "sem_filter" and cargs is not None and cargs.tau_pos is None:
-                learned = _learn_filter_taus(train, node)
+                learned = _learn_filter_taus(train, node, self.store)
                 if learned is not None:
                     new_cargs = dc_replace(cargs, tau_pos=learned[0], tau_neg=learned[1])
                     node = replace_node_kwargs(node, cascade_args=new_cargs)
@@ -73,12 +113,15 @@ class CascadePrewarmOptimizer:
         return out
 
 
-def _learn_filter_taus(train: DataFrame, node: OpNode) -> Optional[tuple[float, float]]:
+def _learn_filter_taus(
+    train: DataFrame, node: OpNode,
+    store: Optional[CalibrationStore] = None,
+) -> Optional[tuple[float, float]]:
     """Run the cascade's calibrate→sample→label→learn phase on train data."""
     from lotus_spark.cascades.filter_cascade import learn_taus_on
 
     try:
-        return learn_taus_on(train, node.args[0], node.kwargs)
+        return learn_taus_on(train, node.args[0], node.kwargs, store=store)
     except Exception:
         return None
 
@@ -359,24 +402,44 @@ class FilterReorderOptimizer:
     with CascadePrewarmOptimizer first and the node becomes
     reorderable). Estimation failures leave the original order
     (fail-open, like the other optimizers).
+
+    ``store`` (a :class:`CalibrationStore` shared with
+    ``CascadePrewarmOptimizer``, prewarm first in the chain) supplies
+    selectivities recorded during τ learning, so filters the cascade
+    already labeled cost ZERO additional LM calls here — one labeling
+    pass feeds both optimizers.
     """
 
     def __init__(self, train_df: Optional[DataFrame] = None,
                  sample_rows: int = 64,
-                 costs: Optional[dict[str, float]] = None):
+                 costs: Optional[dict[str, float]] = None,
+                 store: Optional[CalibrationStore] = None):
         self.train_df = train_df
         self.sample_rows = sample_rows
         self.costs = costs or {}
+        self.store = store
 
-    def _selectivity(self, sample: DataFrame, n: int,
-                     node: OpNode) -> Optional[float]:
+    def _selectivity(self, get_sample, node: OpNode) -> Optional[float]:
         from lotus_spark.operators.sem_filter import sem_filter
 
+        instr = str(node.args[0])
+        if self.store is not None:
+            cached = self.store.selectivity(instr)
+            if cached is not None:
+                # the cascade prewarm (or an earlier reorder pass)
+                # already labeled this filter on train — zero new LM calls
+                return cached
         try:
+            sample, n = get_sample()
+            if n == 0:
+                return None
             kw = dict(node.kwargs)
             kw.pop("cascade_args", None)  # plain pass for estimation
             kept = sem_filter(sample, node.args[0], **kw).count()
-            return kept / n
+            sel = kept / n
+            if self.store is not None:
+                self.store.put_selectivity(instr, sel)
+            return sel
         except Exception:
             return None
 
@@ -394,7 +457,16 @@ class FilterReorderOptimizer:
                 return False  # would recalibrate on a different input
             return True
 
-        sample = None
+        state: dict = {}
+
+        def get_sample():
+            # pinned lazily: when the store already covers every filter
+            # in the run, no sample is ever materialized
+            if "sample" not in state:
+                s = train.limit(self.sample_rows).persist()
+                state["sample"] = (s, s.count())
+            return state["sample"]
+
         out: list[OpNode] = []
         i = 0
         try:
@@ -408,14 +480,7 @@ class FilterReorderOptimizer:
                     j += 1
                 run = list(range(i, j))
                 if len(run) > 1:
-                    if sample is None:
-                        sample = train.limit(self.sample_rows).persist()
-                        n = sample.count()
-                    if n == 0:
-                        out.extend(ops[k] for k in run)
-                        i = j
-                        continue
-                    sels = {k: self._selectivity(sample, n, ops[k])
+                    sels = {k: self._selectivity(get_sample, ops[k])
                             for k in run}
                     if all(s is not None for s in sels.values()):
                         # rank = (1 - sel) / cost, higher first; stable
@@ -432,6 +497,6 @@ class FilterReorderOptimizer:
                 out.extend(ops[k] for k in run)
                 i = j
         finally:
-            if sample is not None:
-                sample.unpersist()
+            if "sample" in state:
+                state["sample"][0].unpersist()
         return out

@@ -743,3 +743,76 @@ def test_filter_reorder_skips_unlearned_cascades(spark, courses_df):
     opt = lf.optimize([FilterReorderOptimizer(train_df=courses_df)])
     assert [n.kwargs.get("lm").keyword for n in opt.ops] == \
         ["Cooking", "Italian"]           # untouched
+
+
+def test_calibration_store_shares_oracle_labels_across_optimizers(
+        spark, courses_df, tmp_path):
+    """Round-5 advice item 3: one oracle labeling pass feeds BOTH τ
+    learning (CascadePrewarmOptimizer) and selectivity estimation
+    (FilterReorderOptimizer). With a shared CalibrationStore the reorder
+    stage reuses the cascade's labels — strictly fewer oracle LM calls
+    than the unshared chain — and still reorders most-selective-first."""
+    import glob
+    import os
+    import uuid
+
+    from lotus_spark.cascades.filter_cascade import CascadeArgs
+    from lotus_spark.plans import (
+        CalibrationStore,
+        CascadePrewarmOptimizer,
+        FilterReorderOptimizer,
+    )
+
+    # oracle calls happen BOTH driver-side (the prewarm's sample
+    # labeling) and executor-side (the reorderer's sem_filter pass), so
+    # count via marker files on the shared local FS, not usage counters
+    class MarkingLM(KeywordBoolLM):
+        def __init__(self, keyword, marker_dir):
+            super().__init__(keyword)
+            self.marker_dir = marker_dir
+            inner = self.fn
+
+            def fn(prompt):
+                open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+                return inner(prompt)
+
+            self.fn = fn
+
+    def optimize(store, marker_dir):
+        os.makedirs(marker_dir, exist_ok=True)
+        lf = (LazyFrame()
+              .sem_filter("{Course Name} x",
+                          lm=MarkingLM("Cooking", marker_dir),
+                          helper_lm=KeywordBoolLM("Cooking", 0.8),
+                          cascade_args=CascadeArgs())
+              .sem_filter("{Course Name} y",
+                          lm=MarkingLM("Italian", marker_dir),
+                          helper_lm=KeywordBoolLM("Italian", 0.8),
+                          cascade_args=CascadeArgs()))
+        opt = lf.optimize([
+            CascadePrewarmOptimizer(train_df=courses_df, store=store),
+            FilterReorderOptimizer(train_df=courses_df, store=store),
+        ])
+        return opt, len(glob.glob(os.path.join(marker_dir, "*")))
+
+    shared_store = CalibrationStore()
+    opt_shared, calls_shared = optimize(
+        shared_store, str(tmp_path / "shared"))
+    opt_plain, calls_plain = optimize(None, str(tmp_path / "plain"))
+
+    # prewarm pinned the taus in both runs
+    for o in (opt_shared, opt_plain):
+        assert all(n.kwargs["cascade_args"].tau_pos is not None
+                   for n in o.ops)
+    # ...so both runs could reorder: Italian (1/8 kept) before Cooking
+    # (2/8 kept) under uniform costs
+    assert [n.kwargs["lm"].keyword for n in opt_shared.ops] == \
+        [n.kwargs["lm"].keyword for n in opt_plain.ops] == \
+        ["Italian", "Cooking"]
+    # the shared chain paid ONE oracle labeling pass per filter (the
+    # prewarm's); the unshared one paid that PLUS the reorderer's own
+    # sample pass — halved optimize-time oracle calls
+    assert calls_shared == calls_plain // 2
+    # and the store holds both selectivity estimates
+    assert shared_store.selectivity("{Course Name} x") is not None
+    assert shared_store.selectivity("{Course Name} y") is not None
