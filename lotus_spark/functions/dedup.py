@@ -45,15 +45,13 @@ def exact_dedup(df: DataFrame, col: str, id_col: str) -> DataFrame:
     )
 
 
-def minhash_signature(df: DataFrame, col: str, n_hashes: int = 16,
-                      shingle_n: int = 3, out_col: str = "minhash") -> DataFrame:
-    """Append ``array<long>`` MinHash signature of word-``shingle_n``-gram sets.
-
-    Map-side only: shingle → polynomial hash → per-hash-function min. At
-    100 TB this runs inside the scan projection with zero shuffle.
-    """
-    df = ensure_parallelism(df)
-    hashes = F.transform(word_shingles(F.col(col), shingle_n), shingle_hash)
+def minhash_expr(col: Column, n_hashes: int = 16,
+                 shingle_n: int = 3) -> Column:
+    """The MinHash signature (``array<long>``) as a pure Column
+    expression — usable on batch AND streaming DataFrames (the same
+    batch/stream split as ``simhash_expr``): shingle → polynomial hash →
+    per-hash-function min, all inside the scan projection."""
+    hashes = F.transform(word_shingles(col, shingle_n), shingle_hash)
     sigs = []
     for j in range(n_hashes):
         a, b = _hash_params(j)
@@ -62,7 +60,33 @@ def minhash_signature(df: DataFrame, col: str, n_hashes: int = 16,
                 F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD))
             )
         )
-    return df.withColumn(out_col, F.array(*sigs))
+    return F.array(*sigs)
+
+
+def minhash_band_keys(sig: Column, n_hashes: int, bands: int) -> list[Column]:
+    """The ``bands`` LSH band-key expressions over a signature column —
+    shared by ``minhash_lsh_dedup`` and ``streaming_neardup_minhash`` so
+    the batch and streaming tiers bucket identically."""
+    rows_per_band = n_hashes // bands
+    return [
+        F.concat_ws(
+            "_",
+            F.lit(i),
+            *[sig[i * rows_per_band + j] for j in range(rows_per_band)],
+        )
+        for i in range(bands)
+    ]
+
+
+def minhash_signature(df: DataFrame, col: str, n_hashes: int = 16,
+                      shingle_n: int = 3, out_col: str = "minhash") -> DataFrame:
+    """Append ``array<long>`` MinHash signature of word-``shingle_n``-gram sets.
+
+    Map-side only: shingle → polynomial hash → per-hash-function min. At
+    100 TB this runs inside the scan projection with zero shuffle.
+    """
+    df = ensure_parallelism(df)
+    return df.withColumn(out_col, minhash_expr(F.col(col), n_hashes, shingle_n))
 
 
 def minhash_lsh_dedup(
@@ -82,18 +106,10 @@ def minhash_lsh_dedup(
     """
     from lotus_spark.operators.sem_dedup import connected_components_edges
 
-    rows_per_band = n_hashes // bands
     sigd = minhash_signature(df, col, n_hashes, shingle_n)
     sigd = sigd.withColumn("__shingles", word_shingles(F.col(col), shingle_n))
 
-    band_keys = [
-        F.concat_ws(
-            "_",
-            F.lit(i),
-            *[F.col("minhash")[i * rows_per_band + j] for j in range(rows_per_band)],
-        )
-        for i in range(bands)
-    ]
+    band_keys = minhash_band_keys(F.col("minhash"), n_hashes, bands)
     # both join sides consume `banded`; persist so signature + shingle
     # computation (the expensive map stage) runs once, not twice
     from pyspark import StorageLevel

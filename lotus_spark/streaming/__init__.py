@@ -3,6 +3,8 @@ from lotus_spark.streaming.ops import (
     sem_filter_stream,
     sem_map_stream,
     streaming_dedup,
+    streaming_neardup,
+    streaming_neardup_minhash,
     running_doc_stats,
     windowed_doc_stats,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "sem_filter_stream",
     "sem_map_stream",
     "streaming_dedup",
+    "streaming_neardup",
+    "streaming_neardup_minhash",
     "running_doc_stats",
     "windowed_doc_stats",
 ]

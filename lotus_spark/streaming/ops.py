@@ -374,3 +374,53 @@ def streaming_neardup(
         .dropDuplicatesWithinWatermark(["__nd_bucket"])
         .drop("__nd_bucket")
     )
+
+
+def streaming_neardup_minhash(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-band near-duplicate drop — the streaming twin of
+    batch ``minhash_lsh_dedup``, bucketing with the SAME signature and
+    band-key expressions (``dedup.minhash_expr`` /
+    ``minhash_band_keys``), so the two tiers of the dedup ladder agree
+    on what a candidate duplicate is. A document is dropped when ANY of
+    its ``bands`` band keys was emitted by an earlier survivor within
+    the watermark horizon — the batch candidate rule (P[share a band] ≈
+    1-(1-J^(n/bands))^bands), minus the exact-Jaccard verify: streaming
+    is the conservative online tier; run the batch verifier on the
+    backfill path when false merges matter.
+
+    Plan: the signature and band keys are pure map-side expressions;
+    the drop is a CHAIN of ``bands`` ``dropDuplicatesWithinWatermark``
+    stateful operators (append-mode-compatible chaining, Spark ≥ 3.5) —
+    each holds one watermark-evicted key per surviving document, so
+    total state is ``bands`` keys per survivor, and rows eliminated at
+    band i never reach (or grow) band i+1's state. One shuffle per band
+    on the band key. Note the chaining asymmetry vs batch: a document
+    dropped at band i does not register its later bands, so a third
+    document colliding with the DROPPED one's band j>i (but not with
+    the survivor's) passes — the batch tier's connected components
+    would have merged it transitively. Acceptable for the online
+    candidate filter; the backfill verifier restores exactness.
+    """
+    from lotus_spark.functions.dedup import minhash_band_keys, minhash_expr
+
+    _require_streaming(df, "streaming_neardup_minhash")
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must be >= 1 and divide n_hashes={n_hashes}")
+    sig = minhash_expr(F.col(col), n_hashes=n_hashes, shingle_n=shingle_n)
+    out = df.withWatermark(ts_col, watermark).withColumn("__mh_sig", sig)
+    keys = minhash_band_keys(F.col("__mh_sig"), n_hashes, bands)
+    for i, key in enumerate(keys):
+        out = (
+            out.withColumn(f"__mh_band{i}", key)
+            .dropDuplicatesWithinWatermark([f"__mh_band{i}"])
+        )
+    return out.drop("__mh_sig", *[f"__mh_band{i}" for i in range(bands)])

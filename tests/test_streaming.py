@@ -322,3 +322,80 @@ def test_streaming_neardup_drops_simhash_bucket_twins(spark, stream_dir):
     with _pytest.raises(ValueError, match="n_bits"):
         streaming_neardup(read_parquet_stream(spark, stream_dir, SCHEMA),
                           "body", "ts", n_bits=32)
+
+
+def test_streaming_neardup_minhash_matches_batch_band_replay(spark, tmp_path):
+    """Streaming MinHash-band near-dup (round-5 advice item 6) buckets
+    with the SAME signature + band-key expressions as batch
+    minhash_lsh_dedup; with one micro-batch per row (deterministic
+    arrival order) the survivor set equals a replay of the chained-band
+    rule over the batch-computed band keys — bucket-for-bucket parity
+    between the two tiers of the dedup ladder."""
+    import os
+
+    from lotus_spark.functions.dedup import (
+        minhash_band_keys,
+        minhash_signature,
+    )
+    from lotus_spark.streaming.ops import streaming_neardup_minhash
+
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog near the river"),
+        ("b", "the quick brown fox jumps over the lazy dog near the creek"),
+        ("c", "spark streams process unbounded data with watermarks daily"),
+        ("d", "the quick brown fox jumps over the lazy dog near the river"),
+        ("e", "completely different text about cooking pasta al dente now"),
+    ]
+    src = str(tmp_path / "mh_src")
+    os.makedirs(src)
+    for i, (rid, body) in enumerate(rows):
+        # one bare parquet FILE per row (the file source does not
+        # recurse into subdirectories) with strictly increasing mtimes:
+        # maxFilesPerTrigger=1 then yields one micro-batch per row in
+        # arrival order — a deterministic stream
+        stage = str(tmp_path / f"stage{i}")
+        (spark.createDataFrame([(rid, body)], ["id", "body"])
+         .withColumn("ts", F.to_timestamp(
+             F.lit(f"2026-01-01 00:00:{10 + i:02d}")))
+         .coalesce(1).write.parquet(stage))
+        part = next(g for g in os.listdir(stage) if g.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        t = 1_700_000_000 + i * 10
+        os.utime(dst, (t, t))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_neardup_minhash(stream, "body", "ts",
+                                    n_hashes=16, bands=4)
+    got = sorted(r["id"] for r in
+                 _run(spark, out.select("id"), "mh_neardup_t").collect())
+
+    # batch side: identical band keys, replay the chained rule in
+    # arrival order (a doc registers band i iff it reached stage i)
+    batch = spark.read.schema(SCHEMA).parquet(src)
+    sigd = minhash_signature(batch, "body", 16)
+    keyed = sigd.select(
+        "id", *[k.alias(f"k{i}") for i, k in
+                enumerate(minhash_band_keys(F.col("minhash"), 16, 4))])
+    keys = {r["id"]: [r[f"k{i}"] for i in range(4)]
+            for r in keyed.collect()}
+    seen: list[set] = [set() for _ in range(4)]
+    expect = []
+    for rid, _ in rows:
+        for i in range(4):
+            if keys[rid][i] in seen[i]:
+                break
+            seen[i].add(keys[rid][i])
+        else:
+            expect.append(rid)
+    assert got == sorted(expect)
+    # the scenario is non-trivial: the exact twin 'd' is dropped, and
+    # the NEAR-dup 'b' (different text, shared band) is dropped too
+    assert "d" not in got
+    assert "b" not in got
+    assert {"a", "c", "e"} <= set(got)
+
+    with pytest.raises(ValueError, match="bands"):
+        streaming_neardup_minhash(stream, "body", "ts", n_hashes=16,
+                                  bands=5)
