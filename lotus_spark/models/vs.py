@@ -157,28 +157,53 @@ class QdrantVS:
     Thin adapter with the same ``search(queries, K) -> (ids, scores)``
     contract as :class:`BroadcastVectorIndex`; the client is created lazily
     per process (object ships as config). Requires ``qdrant-client``.
+
+    ``location`` selects qdrant-client's EMBEDDED local mode (no server:
+    ``":memory:"`` or a directory path) — the executed-test tier
+    (``tests/test_integration_optional.py``) and the single-process dev
+    shape; ``url`` remains the server mode for production. Embedded
+    ``":memory:"`` state is per-process: shipping such a VS to executors
+    gives each an EMPTY store — distribute only the server mode.
     """
 
     def __init__(self, collection: str, url: str = "http://localhost:6333",
-                 api_key: Optional[str] = None):
+                 api_key: Optional[str] = None,
+                 location: Optional[str] = None):
         self.collection = collection
         self.url = url
         self.api_key = api_key
+        self.location = location
         self._client = None
 
-    def _c(self):  # pragma: no cover - qdrant not in this container
+    def _c(self):
         if self._client is None:
             try:
                 from qdrant_client import QdrantClient  # type: ignore
-            except ImportError as e:
+            except ImportError as e:  # pragma: no cover - dep present in CI
                 raise RuntimeError(
                     "qdrant-client is not installed; use BroadcastVectorIndex "
                     "for the in-memory tier"
                 ) from e
-            self._client = QdrantClient(url=self.url, api_key=self.api_key)
+            if self.location is not None:
+                self._client = QdrantClient(location=self.location)
+            else:
+                self._client = QdrantClient(url=self.url,
+                                            api_key=self.api_key)
         return self._client
 
-    def upsert(self, ids, vectors) -> None:  # pragma: no cover
+    def ensure_collection(self, dim: int, distance: str = "Cosine") -> None:
+        """Create the collection (cosine by default) if absent."""
+        from qdrant_client.models import Distance, VectorParams  # type: ignore
+
+        c = self._c()
+        if not c.collection_exists(self.collection):
+            c.create_collection(
+                self.collection,
+                vectors_config=VectorParams(
+                    size=dim, distance=Distance(distance)),
+            )
+
+    def upsert(self, ids, vectors) -> None:
         from qdrant_client.models import PointStruct  # type: ignore
 
         self._c().upsert(self.collection, [
@@ -186,10 +211,15 @@ class QdrantVS:
             for i, v in zip(ids, vectors)
         ])
 
-    def search(self, queries, K: int):  # pragma: no cover
+    def search(self, queries, K: int):
+        c = self._c()
         ids, scores = [], []
         for q in np.atleast_2d(np.asarray(queries, dtype=np.float32)):
-            hits = self._c().search(self.collection, q.tolist(), limit=K)
+            if hasattr(c, "query_points"):
+                hits = c.query_points(self.collection, query=q.tolist(),
+                                      limit=K).points
+            else:  # pragma: no cover - pre-1.10 clients
+                hits = c.search(self.collection, q.tolist(), limit=K)
             ids.append([h.id for h in hits])
             scores.append([h.score for h in hits])
         return np.asarray(ids), np.asarray(scores, dtype=np.float32)

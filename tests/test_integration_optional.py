@@ -155,3 +155,36 @@ def test_sentence_transformers_rm_real():
     rm = SentenceTransformersRM(model="sentence-transformers/all-MiniLM-L6-v2")
     out = rm(["hello world", "goodbye"])
     assert out.shape[0] == 2 and out.shape[1] > 0
+
+
+def test_qdrant_embedded_roundtrip():
+    """QdrantVS against qdrant-client's EMBEDDED local mode (no server;
+    round-5 advice item 7): create → upsert → cosine top-K, ids and
+    order verified against numpy brute force."""
+    pytest.importorskip("qdrant_client")
+    import numpy as np
+
+    from lotus_spark.models.vs import QdrantVS
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 8).astype(np.float32)
+    vs = QdrantVS("t_embed", location=":memory:")
+    vs.ensure_collection(dim=8)
+    vs.upsert(np.arange(50), vecs)
+
+    q = vecs[7]
+    ids, scores = vs.search(q, K=5)
+    assert ids.shape == (1, 5) and scores.shape == (1, 5)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    expect = np.argsort(-(norm @ (q / np.linalg.norm(q))))[:5]
+    assert list(ids[0]) == list(expect)
+    assert ids[0][0] == 7                       # self-match first
+    assert scores[0][0] == pytest.approx(1.0, abs=1e-5)
+    # scores descend
+    assert all(a >= b for a, b in zip(scores[0], scores[0][1:]))
+
+    # config-only pickling: the lazy client never ships
+    import pickle
+
+    state = pickle.loads(pickle.dumps(vs))
+    assert state._client is None and state.location == ":memory:"
