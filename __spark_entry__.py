@@ -2489,72 +2489,52 @@ GROUP BY n_name
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Newest / code-changed-this-round / longest-unchecked queries
-        # FIRST: the driver checks at most 50 entries in dict order, so
-        # the rotation policy is "new + changed queries lead; rows
-        # verified last round absorb the tail positions" (see end of
-        # dict) — every registered query gets a driver row no older
-        # than 2 rounds.
-        "span_dedup": q_span_dedup,                # NEW round 5
-        "strip_boilerplate": q_strip_boilerplate,  # NEW round 5
-        "perplexity_bucket": q_perplexity_bucket,  # NEW round 5
-        "pipeline_curate": q_pipeline_curate,      # NEW round 5
-        "filter_reorder": q_filter_reorder,        # NEW round 5
+        # Round-6 rotation. The driver checks at most the FIRST 50
+        # entries in dict order, so: (a) every query whose MODULE was
+        # edited this round sits inside the window — lazyframe.py,
+        # optimizers.py, filter_cascade.py, sampling.py, ann.py,
+        # kmeans.py, dedup.py, streaming/ops.py all changed in round 6;
+        # (b) the 18 queries that carried round-4 rows rotate back in
+        # (no green row older than 2 rounds); (c) the tail (>50) holds
+        # ONLY queries that are round-5-green AND whose modules are
+        # byte-untouched this round.
+        # -- new / changed this round ------------------------------------
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,    # NEW round 6
         "knn_pq": q_knn_pq,                        # r6: sampled training
         "knn_ivfpq": q_knn_ivfpq,                  # r6: sampled training
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,    # NEW round 6
-        "hash_split": q_hash_split,                # NEW round 5
-        "mix_to_weights": q_mix_to_weights,        # NEW round 5
-        "sem_pipeline": q_sem_pipeline,            # NEW round 5
-        "lazy_multi_join": q_lazy_multi_join,      # NEW round 5
-        "pipeline_pack": q_pipeline_pack,          # NEW round 5
-        "paragraph_dedup": q_paragraph_dedup,      # re-planned round 5
-        "pack_sequences": q_pack_sequences,        # fixed round 5
-        "pipeline_clean": q_pipeline_clean,        # embeds the fix
-        "profile": q_profile,                      # oracle fixed r5
-        "stratified_sample": q_stratified_sample,  # refactored r5
-        "quantile_filter": q_quantile_filter,
-        "sessionize": q_sessionize,
-        "ngram_stats": q_ngram_stats,
-        # rotated back into the window (last checked rounds 1-3)
-        "pricing_summary": q_pricing_summary,
-        "top3_orders_per_customer": q_top3_orders_per_customer,
-        "part_brand_stats": q_part_brand_stats,
-        "orders_union_extremes": q_orders_union_extremes,
-        "distinct_priorities": q_distinct_priorities,
-        "supplier_intersect": q_supplier_intersect,
-        # relational (SURVEY §2.2)
-        # semantic ops, deterministic LMs (SURVEY §2.1)
-        "sem_filter": q_sem_filter,
-        "sem_filter_cascade": q_sem_filter_cascade,
-        "sem_map": q_sem_map,
-        "sem_extract": q_sem_extract,
-        "sem_join": q_sem_join,
-        "sem_agg": q_sem_agg,
-        "sem_topk": q_sem_topk,
-        # embedding ops
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "knn_ivf": q_knn_ivf,
-        "sem_sim_join": q_sem_sim_join,
-        "sem_cluster_by": q_sem_cluster,
-        "sem_dedup": q_sem_dedup,
-        # training-data pipeline
-        "exact_dedup": q_exact_dedup,
-        "minhash_signature": q_minhash_signature,
-        "simhash": q_simhash,
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "text_stats": q_text_stats,
-        "embedding_neardup": q_embedding_neardup,
-        # operator-level coverage (SURVEY §2.1 evals + search)
-        "sem_search": q_sem_search,
-        "sem_search_rerank": q_sem_search_rerank,
-        "quality_signals": q_quality_signals,
-        "contamination": q_contamination,
-        # tail positions (>50): hash-verified LAST round
-        # (CORRECTNESS_r04.json) on code untouched since; they rotate
-        # back into the 50-query driver window next round.
+        "knn_ivf": q_knn_ivf,                      # ann.py/kmeans.py edited
+        "knn_bruteforce": q_knn_bruteforce,        # ann.py edited
+        "knn_lsh": q_knn_lsh,                      # ann.py edited
+        "sem_cluster_by": q_sem_cluster,           # kmeans.py edited
+        "filter_reorder": q_filter_reorder,        # r6: shared calibration
+        "sem_filter_cascade": q_sem_filter_cascade,  # filter_cascade edited
+        "pipeline_curate": q_pipeline_curate,      # lazyframe.py edited
+        "pipeline_pack": q_pipeline_pack,          # lazyframe.py edited
+        "pipeline_clean": q_pipeline_clean,        # lazyframe.py edited
+        "sem_pipeline": q_sem_pipeline,            # lazyframe.py edited
+        "lazy_multi_join": q_lazy_multi_join,      # lazyframe.py edited
+        "pack_sequences": q_pack_sequences,        # r6: NULL-key guard
+        "hash_split": q_hash_split,                # sampling.py edited
+        "mix_to_weights": q_mix_to_weights,        # sampling.py edited
+        "stratified_sample": q_stratified_sample,  # sampling.py edited
+        "quantile_filter": q_quantile_filter,      # sampling.py edited
+        "perplexity_bucket": q_perplexity_bucket,  # sampling.py edited
+        "span_dedup": q_span_dedup,                # dedup.py edited
+        "strip_boilerplate": q_strip_boilerplate,  # dedup.py edited
+        "paragraph_dedup": q_paragraph_dedup,      # dedup.py edited
+        "minhash_signature": q_minhash_signature,  # r6: minhash_expr split
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,  # r6: shared band keys
+        "simhash": q_simhash,                      # dedup.py edited
+        "exact_dedup": q_exact_dedup,              # dedup.py edited
+        "jaccard_pairs": q_jaccard_pairs,          # dedup.py edited
+        "ngram_stats": q_ngram_stats,              # dedup.py edited
+        "contamination": q_contamination,          # dedup.py edited
+        "embedding_neardup": q_embedding_neardup,  # dedup.py edited
+        "streaming_doc_stats": q_streaming_doc_stats,    # streaming/ops
+        "streaming_sessions": q_streaming_sessions,      # streaming/ops
+        # -- r04-row holders rotated back into the window ----------------
+        "dedupe_doc_units": q_dedupe_doc_units,
+        "cap_per_key": q_cap_per_key,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -2566,13 +2546,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_judge": q_llm_judge,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
-        "streaming_doc_stats": q_streaming_doc_stats,
-        "streaming_sessions": q_streaming_sessions,
-        "dedupe_doc_units": q_dedupe_doc_units,
-        "cap_per_key": q_cap_per_key,
         "top_revenue": q_top_revenue,
         "region_revenue": q_region_revenue,
         "events_hourly": q_events_hourly,
+        "profile": q_profile,                      # spare window slot
+        # -- tail (>50): round-5 green, modules untouched in round 6 -----
+        "pricing_summary": q_pricing_summary,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "part_brand_stats": q_part_brand_stats,
+        "orders_union_extremes": q_orders_union_extremes,
+        "distinct_priorities": q_distinct_priorities,
+        "supplier_intersect": q_supplier_intersect,
+        "sem_filter": q_sem_filter,
+        "sem_map": q_sem_map,
+        "sem_extract": q_sem_extract,
+        "sem_join": q_sem_join,
+        "sem_agg": q_sem_agg,
+        "sem_topk": q_sem_topk,
+        "sem_sim_join": q_sem_sim_join,
+        "sem_dedup": q_sem_dedup,
+        "sem_search": q_sem_search,
+        "sem_search_rerank": q_sem_search_rerank,
+        "text_stats": q_text_stats,
+        "quality_signals": q_quality_signals,
+        "sessionize": q_sessionize,
     }
 
 
