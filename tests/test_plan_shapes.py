@@ -117,3 +117,40 @@ def test_hash_split_is_zero_shuffle(spark, docs):
     # hash_split itself must add none
     assert plan.count(") Exchange") == 1
     assert "RoundRobinPartitioning(64)" in plan
+
+
+def test_ivf_partitioned_table_prunes_cells_at_scan(spark, tmp_path):
+    """THE IVF scale pattern the ann.py docstrings promise: write the
+    indexed table ``partitionBy(cell_col)`` once, and a probe query's
+    cell predicate becomes a PARTITION FILTER — the scan reads n_probe
+    directories, never the corpus. Pin it: the parquet scan's partition
+    filters mention the cell column, and only the probed cells' rows
+    are read."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import ivf_index, knn_topk
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(120, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id",
+                               cell_col="ivf_cell")
+    path = str(tmp_path / "ivf_table")
+    indexed.write.partitionBy("ivf_cell").parquet(path)
+
+    stored = spark.read.parquet(path)
+    probe = [0, 2]
+    pruned = stored.filter(F.col("ivf_cell").isin(probe))
+    plan = formatted_plan(pruned)
+    scan = plan[plan.index("Scan parquet"):]
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert pf is not None and "ivf_cell" in pf.group(1)
+
+    # end-to-end: top-k over the pruned scan touches only probed cells
+    q = [float(x) for x in vecs[3]]
+    got = knn_topk(pruned, "embedding", q, k=5, id_col="vec_id")
+    cells = {r["vec_id"]: r["ivf_cell"] for r in stored.collect()}
+    assert all(cells[r["vec_id"]] in probe for r in got.collect())
