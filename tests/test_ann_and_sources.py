@@ -585,3 +585,35 @@ def test_pq_rerank_orders_shortlist_exactly(spark):
 
     with pytest.raises(ValueError, match="rerank_k"):
         knn_topk_pq(enc, books, q, k=10, rerank_k=5, id_col="vec_id")
+
+
+def test_ivfpq_rerank_recall_on_real_embeddings(spark):
+    """End-to-end IVF-PQ + exact rerank on the sf0.001 embeddings:
+    rerank can only improve the shortlist's ORDER, so recall@10 vs
+    exact brute force is >= the plain ADC ordering's, and the top hit
+    (the query vector itself, in-corpus) is exact."""
+    from lotus_spark.functions.ann import (
+        ivf_index, knn_topk, knn_topk_ivfpq, pq_index,
+    )
+    from lotus_spark.functions.text import MOD
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             knn_topk(df, "embedding", q, k=10, id_col="vec_id").collect()]
+    ts = (7, MOD // 2)
+    indexed, cents = ivf_index(df, "embedding", n_cells=16, seed=42,
+                               method="deterministic", id_col="vec_id",
+                               train_sample=ts)
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                              nbits=4, seed=101, train_sample=ts)
+    plain = [r["vec_id"] for r in
+             knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
+                            id_col="vec_id").collect()]
+    rer = [r["vec_id"] for r in
+           knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
+                          id_col="vec_id", rerank_k=40).collect()]
+    r_plain = len(set(exact) & set(plain)) / 10
+    r_rerank = len(set(exact) & set(rer)) / 10
+    assert r_rerank >= r_plain
+    assert rer[0] == 0                  # exact self-match leads post-rerank
