@@ -769,6 +769,48 @@ def q_knn_ivfpq_rerank(spark, sf_dir):
     return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
 
 
+def q_ivfpq_roundtrip(spark, sf_dir):
+    """ANN index PERSISTENCE (the ann.py analog of sem_index_roundtrip):
+    build the deterministic IVF-PQ index, write it as a
+    partitionBy(cell) parquet layout + integer-codebook sidecar
+    (``ann.write_ivfpq_index``), re-load it cold
+    (``read_ivfpq_index``), and run the rerank query against the
+    RELOADED index — probe predicates hit parquet partition pruning
+    (plan pinned in tests/test_plan_shapes.py). Lossless by
+    construction, so the oracle is the same SQL replica as
+    knn_ivfpq_rerank recomputing both quantizers from the raw table."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.ann import (
+        ivf_index, knn_topk_ivfpq, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    ts = (_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
+    indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
+                               method="deterministic", id_col="vec_id",
+                               train_sample=ts)
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                              nbits=4, seed=101, train_sample=ts)
+    d = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        path = f"{d}/index"
+        write_ivfpq_index(encoded, path, cents, books)
+        stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+        out = knn_topk_ivfpq(stored, cents2, books2, q, k=10, n_probe=8,
+                             id_col="vec_id", cell_col=cell_col,
+                             rerank_k=40)
+        return spark.createDataFrame(
+            [(r["vec_id"], r["score"]) for r in out.collect()],
+            "vec_id long, score double",
+        ).select("vec_id", F.round(F.col("score"), 6).alias("score"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _sql_ivfpq_parts(qv: list[float]) -> tuple[list[str], str, str]:
     """Shared IVF-PQ oracle chain (cell kmeans + probe + sel + 8 PQ
     chains) for _sql_knn_ivfpq and _sql_knn_ivfpq_rerank — one
@@ -2500,6 +2542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-untouched this round.
         # -- new / changed this round ------------------------------------
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,    # NEW round 6
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,      # NEW round 6
         "knn_pq": q_knn_pq,                        # r6: sampled training
         "knn_ivfpq": q_knn_ivfpq,                  # r6: sampled training
         "knn_ivf": q_knn_ivf,                      # ann.py/kmeans.py edited
@@ -2549,8 +2592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue": q_top_revenue,
         "region_revenue": q_region_revenue,
         "events_hourly": q_events_hourly,
-        "profile": q_profile,                      # spare window slot
         # -- tail (>50): round-5 green, modules untouched in round 6 -----
+        "profile": q_profile,                      # profile.py untouched
         "pricing_summary": q_pricing_summary,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "part_brand_stats": q_part_brand_stats,
@@ -3054,6 +3097,9 @@ def oracle_sql() -> dict[str, str]:
         sqls["knn_pq"] = _sql_knn_pq(qv)
         sqls["knn_ivfpq"] = _sql_knn_ivfpq(qv)
         sqls["knn_ivfpq_rerank"] = _sql_knn_ivfpq_rerank(qv)
+        # lossless persistence: the reloaded index answers identically,
+        # so the roundtrip oracle IS the rerank replica
+        sqls["ivfpq_roundtrip"] = _sql_knn_ivfpq_rerank(qv)
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()

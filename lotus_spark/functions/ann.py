@@ -457,6 +457,72 @@ def knn_topk_pq(
     )
 
 
+def write_ivfpq_index(
+    indexed_df: DataFrame,
+    path: str,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    cell_col: str = "__ivf_cell",
+    mode: str = "error",
+) -> None:
+    """Persist an IVF-PQ index as an engine-portable parquet layout
+    (the ANN analog of ``sem_index``'s parquet persistence): the
+    encoded table written ``partitionBy(cell_col)`` — so any later
+    probe's cell predicate becomes parquet PARTITION PRUNING (the
+    FAISS inverted-list lookup, done by the storage layer; pinned by
+    ``tests/test_plan_shapes.py::test_ivf_partitioned_table_prunes_
+    cells_at_scan``) — plus a tiny ``_ivfpq_meta.json`` sidecar with
+    the integer centroids/codebooks (driver-scale: k·d + m·2^nbits·d/m
+    ints). Written through the Hadoop FileSystem API, so hdfs:///s3a://
+    paths work like local ones.
+
+    At 100 TB this is the index build's ONLY full-data write; queries
+    after it read n_probe directories of PQ codes, never the corpus.
+    """
+    import json
+
+    indexed_df.write.partitionBy(cell_col).mode(mode).parquet(path)
+    meta = {
+        "cell_col": cell_col,
+        "centroids": [[int(x) for x in c] for c in centroids],
+        "codebooks": [
+            [[int(x) for x in cent] for cent in book] for book in codebooks
+        ],
+    }
+    spark = indexed_df.sparkSession
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_ivfpq_meta.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
+
+
+def read_ivfpq_index(
+    spark, path: str
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]], str]:
+    """Load an index written by :func:`write_ivfpq_index`: returns
+    (encoded df incl. the partition cell column, centroids, codebooks,
+    cell_col). The scan stays partition-prunable — compose directly
+    with :func:`knn_topk_ivfpq`."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_ivfpq_meta.json")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        meta = json.loads(bytes(baos.toByteArray()).decode())
+    finally:
+        stream.close()
+    df = spark.read.parquet(path)
+    return df, meta["centroids"], meta["codebooks"], meta["cell_col"]
+
+
 def knn_topk_ivfpq(
     indexed_df: DataFrame,
     centroids: list[list[int]],

@@ -617,3 +617,56 @@ def test_ivfpq_rerank_recall_on_real_embeddings(spark):
     r_rerank = len(set(exact) & set(rer)) / 10
     assert r_rerank >= r_plain
     assert rer[0] == 0                  # exact self-match leads post-rerank
+
+
+def test_ivfpq_write_read_roundtrip_lossless(spark, tmp_path):
+    """write_ivfpq_index -> read_ivfpq_index is lossless: identical
+    centroids/codebooks from the sidecar, identical row set (incl. the
+    partition cell column), and the reloaded index answers the rerank
+    query exactly like the in-memory one."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ivf_index, knn_topk_ivfpq, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(100, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+    assert cents2 == [[int(x) for x in c] for c in cents]
+    assert books2 == books
+    assert cell_col == "__ivf_cell"
+    # row set round-trips, including cell assignment and codes
+    a = sorted((r["vec_id"], r["__ivf_cell"], tuple(r["pq_codes"]))
+               for r in encoded.collect())
+    b = sorted((r["vec_id"], r["__ivf_cell"], tuple(r["pq_codes"]))
+               for r in stored.collect())
+    assert a == b
+
+    q = [float(x) for x in vecs[11]]
+    mem = knn_topk_ivfpq(encoded, cents, books, q, k=5, n_probe=2,
+                         id_col="vec_id", rerank_k=20).collect()
+    disk = knn_topk_ivfpq(stored, cents2, books2, q, k=5, n_probe=2,
+                          id_col="vec_id", cell_col=cell_col,
+                          rerank_k=20).collect()
+    assert [(r["vec_id"], r["score"]) for r in mem] == \
+        [(r["vec_id"], r["score"]) for r in disk]
+
+    # the probe against the stored table is a partition-pruned scan
+    from tests.test_plan_shapes import formatted_plan
+
+    pruned = stored.filter(F.col(cell_col).isin([0, 1]))
+    plan = formatted_plan(pruned)
+    scan = plan[plan.index("Scan parquet"):]
+    assert "PartitionFilters" in scan and "__ivf_cell" in scan
