@@ -252,9 +252,19 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     vecs = df.withColumn("__ivf_vec", array_to_vector(F.col(emb_col).cast("array<double>")))
+    train_vecs = vecs
+    if id_col is not None:
+        # mllib tier trains sample-bounded too (same predicate family);
+        # without an id there is no deterministic sample — train on all
+        tf = _resolve_train_filter(df, id_col, seed, train_sample,
+                                   max_train_rows)
+        if tf is not None:
+            train_vecs = vecs.filter(tf)
+    elif train_sample is not None:
+        raise ValueError("train_sample requires id_col")
     km = KMeans(k=n_cells, seed=seed, featuresCol="__ivf_vec",
                 predictionCol=cell_col)
-    model = km.fit(vecs)
+    model = km.fit(train_vecs)
     out = model.transform(vecs).drop("__ivf_vec")
     centroids = [c.tolist() for c in model.clusterCenters()]
     return out, centroids

@@ -31,13 +31,23 @@ def sem_cluster_by(
     emb_col: Optional[str] = None,
     method: str = "mllib",
     id_col: Optional[str] = None,
+    train_sample: Optional[tuple] = None,
+    max_train_rows: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """``method="mllib"`` (default): MLlib KMeans — float treeAggregate,
     fastest, but reduction-order-dependent (not reproducible across
     engines/topologies). ``method="deterministic"``: integer-quantized
     Lloyd's (``functions/kmeans.py``) — bit-identical assignments on any
     topology and SQL-oracle-checkable; requires a numeric ``id_col`` for
-    the seeded init."""
+    the seeded init.
+
+    Centroid TRAINING is sample-bounded when ``id_col`` is given
+    (``train_sample=(seed, threshold)`` pins an explicit hash sample;
+    otherwise an auto sample kicks in above ``max_train_rows`` — see
+    ``functions/ann.py::_resolve_train_filter``): Lloyd's iterations
+    aggregate over the sample, cluster ASSIGNMENT still covers every
+    row. At 100 TB the niter full-table passes dominate a full-corpus
+    fit; centroids need a representative sample, not the corpus."""
     if method not in ("mllib", "deterministic"):
         raise ValueError(f"unknown method {method!r}")
     from pyspark.ml.clustering import KMeans
@@ -50,6 +60,15 @@ def sem_cluster_by(
         scored = with_embeddings(scored, col, model, "__emb")
         ecol = "__emb"
 
+    train_filter = None
+    if id_col is not None:
+        from lotus_spark.functions.ann import _resolve_train_filter
+
+        train_filter = _resolve_train_filter(
+            scored, id_col, seed, train_sample, max_train_rows)
+    elif train_sample is not None:
+        raise ValueError("train_sample requires id_col")
+
     if method == "deterministic":
         if id_col is None:
             raise ValueError("method='deterministic' requires id_col")
@@ -57,16 +76,17 @@ def sem_cluster_by(
 
         out, _ = deterministic_kmeans(
             scored, ecol, id_col, ncentroids, iters=niter,
-            seed=seed, cluster_col=cluster_col,
+            seed=seed, cluster_col=cluster_col, train_filter=train_filter,
         )
         if emb_col is None:
             out = out.drop("__emb")
         return out
 
     vec_df = scored.withColumn("__features", array_to_vector(F.col(ecol).cast("array<double>")))
+    train_df = vec_df.filter(train_filter) if train_filter is not None else vec_df
     km = KMeans(k=ncentroids, maxIter=niter, seed=seed, featuresCol="__features",
                 predictionCol=cluster_col)
-    fitted = km.fit(vec_df)
+    fitted = km.fit(train_df)
     out = fitted.transform(vec_df).drop("__features")
     if emb_col is None:
         out = out.drop("__emb")

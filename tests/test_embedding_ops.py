@@ -306,3 +306,43 @@ def test_connected_components_scores_edges_once(spark):
         comp = {r["id"]: r["component"] for r in out.collect()}
         assert comp[3] == 1 and comp[2] == 1 and comp[11] == 10
         assert calls.value == 3, (max_driver, calls.value)
+
+
+def test_sem_cluster_by_sampled_training(spark):
+    """train_sample bounds TRAINING only: assignment covers every row,
+    cluster count is preserved, and the deterministic tier's result
+    equals training on the physically pre-filtered rows (both tiers);
+    the mllib tier also assigns all rows from a sample-trained model."""
+    import numpy as np
+
+    from lotus_spark.functions.kmeans import train_sample_predicate
+    from lotus_spark.functions.text import MOD
+    from lotus_spark.operators.sem_cluster_by import sem_cluster_by
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(120, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["vec_id", "embedding"])
+    ts = (7, MOD // 2)
+    for method in ("deterministic", "mllib"):
+        out = sem_cluster_by(df, "embedding", 4, emb_col="embedding",
+                             niter=3, method=method, id_col="vec_id",
+                             train_sample=ts)
+        got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+        assert len(got) == 120                       # every row assigned
+        assert len(set(got.values())) <= 4
+    # deterministic tier: sampled == prefiltered training, row for row
+    pred = train_sample_predicate("vec_id", *ts)
+    from lotus_spark.functions.kmeans import deterministic_kmeans
+
+    _, cent_s = deterministic_kmeans(df, "embedding", "vec_id", 4,
+                                     iters=3, seed=42, train_filter=pred)
+    _, cent_f = deterministic_kmeans(df.filter(pred), "embedding",
+                                     "vec_id", 4, iters=3, seed=42)
+    assert cent_s.tolist() == cent_f.tolist()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="id_col"):
+        sem_cluster_by(df, "embedding", 4, emb_col="embedding",
+                       method="mllib", train_sample=ts)
