@@ -151,6 +151,160 @@ def ann_join(
     return left.mapInPandas(run, schema=out_schema)
 
 
+class BroadcastPQIndex:
+    """PQ-COMPRESSED broadcast candidate index — the 64x-reach extension
+    of :class:`BroadcastVectorIndex`. That index broadcasts the raw
+    float32 matrix, so the right side must fit executor memory
+    uncompressed (64-dim float32 = 256 B/row). This one broadcasts only
+    the PQ codes (m codes/row, 1 B each at nbits<=8) plus the integer
+    codebooks from ``functions.ann.pq_index`` — m=8 codes = 8 B/row,
+    32x-64x smaller, so a right side of hundreds of millions of rows
+    still ships to every task.
+
+    ``search(queries, K)`` returns APPROXIMATE candidates by ADC
+    (asymmetric distance: query quantized to the codebooks' integer
+    domain, per-subspace L2 lookup tables, ascending distance, ties to
+    the smaller id) — the same scoring ``knn_topk_pq`` runs JVM-side,
+    here vectorized in numpy for many queries at once. Exact vectors
+    are NOT in the broadcast; compose with a distributed exact rerank
+    (:func:`ann_join_pq`) when true cosine order matters.
+    """
+
+    def __init__(self, ids: np.ndarray, codes: np.ndarray,
+                 codebooks) -> None:
+        self.ids = ids
+        self.codes = np.asarray(codes, dtype=np.int64)       # [n, m]
+        self.codebooks = np.asarray(codebooks, dtype=np.int64)  # [m,k,sub]
+
+    @classmethod
+    def build(cls, encoded_df: DataFrame, id_col: str, code_col: str,
+              codebooks) -> "BroadcastPQIndex":
+        pdf = encoded_df.select(id_col, code_col).toPandas()
+        ids = pdf[id_col].to_numpy()
+        codes = (np.stack(pdf[code_col].map(np.asarray).to_list())
+                 if len(pdf) else np.zeros((0, len(codebooks)), np.int64))
+        return cls(ids, codes, codebooks)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def search(self, queries: np.ndarray, K: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """(ids[nq, K], adc_dists[nq, K]) — approximate integer squared
+        distances, ascending; ties to the smaller id. Query chunks are
+        sized so the [chunk, n] distance matrix stays ~400 MB."""
+        from lotus_spark.functions.kmeans import QUANT, SHIFT
+
+        q = np.asarray(queries, dtype=np.float64)
+        if q.ndim == 1:
+            q = q[None, :]
+        n, m = self.codes.shape
+        k = min(K, n)
+        if k == 0:
+            return (np.zeros((len(q), 0), dtype=self.ids.dtype),
+                    np.zeros((len(q), 0), dtype=np.int64))
+        sub = self.codebooks.shape[2]
+        qq = np.floor((q + SHIFT) * float(QUANT)).astype(np.int64)
+        out_ids = np.empty((len(q), k), dtype=self.ids.dtype)
+        out_d = np.empty((len(q), k), dtype=np.int64)
+        chunk = max(1, int(5e7 // max(n, 1)))
+        for lo in range(0, len(q), chunk):
+            qc = qq[lo:lo + chunk]                       # [c, d]
+            dists = np.zeros((len(qc), n), dtype=np.int64)
+            for s in range(m):
+                qs = qc[:, s * sub:(s + 1) * sub]        # [c, sub]
+                diff = qs[:, None, :] - self.codebooks[s][None, :, :]
+                lut = (diff * diff).sum(axis=2)          # [c, k_codes]
+                dists += lut[:, self.codes[:, s]]        # gather → [c, n]
+            part = np.argpartition(dists, kth=k - 1, axis=1)[:, :k]
+            for r in range(len(qc)):
+                cand = part[r]
+                order = sorted(cand,
+                               key=lambda c_: (dists[r, c_], self.ids[c_]))
+                out_ids[lo + r] = self.ids[order]
+                out_d[lo + r] = dists[r, order]
+        return out_ids, out_d
+
+
+def ann_join_pq(
+    left: DataFrame,
+    right: DataFrame,
+    index: BroadcastPQIndex,
+    left_id_col: str,
+    left_emb_col: str,
+    right_id_col: str,
+    right_emb_col: str,
+    K: int,
+    candidates: Optional[int] = None,
+    id_out: str = "match_id",
+    score_out: str = "_scores",
+) -> DataFrame:
+    """K-NN join when the right side is too big to broadcast raw: the
+    standard two-stage compressed-candidates + exact-rerank shape.
+
+    1. **Candidate generation, zero shuffle**: each left task probes the
+       PQ broadcast (codes only) for ``candidates`` (default 4K)
+       approximate neighbor ids per row — no float matrix in memory, no
+       exchange.
+    2. **Distributed exact rerank**: the narrow (left row, candidate id)
+       relation joins ``right`` on the id — per left row only
+       ``candidates`` rows cross the shuffle, never the |left|x|right|
+       product — then fold-exact cosine (``pair_cosine``) and a
+       per-left-id ``row_number`` keeps the true top ``K``. The rerank
+       window key is ``left_id_col`` (must be unique), bounded at
+       ``candidates`` rows per key — skew-free by construction.
+
+    Recall depends on ``candidates`` and PQ resolution, like any
+    IVF-PQ/refine pipeline; raise ``candidates`` (or nbits/m at index
+    build) to trade compute for recall.
+    """
+    from pyspark.sql import Window
+
+    from lotus_spark.functions.vectors import pair_cosine
+
+    c = candidates if candidates is not None else max(4 * K, K)
+    if c < K:
+        raise ValueError(f"candidates={c} must be >= K={K}")
+    spark_ids_are_int = np.issubdtype(index.ids.dtype, np.integer)
+    cand_schema = StructType(
+        left.schema.fields
+        + [StructField(id_out, LongType() if spark_ids_are_int else
+                       ArrayType(DoubleType()).elementType)]
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[left_emb_col].map(np.asarray).to_list())
+            ids, _ = index.search(q, c)
+            kk = ids.shape[1]
+            rep = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
+            rep[id_out] = ids.reshape(-1)
+            yield rep
+
+    cand = left.mapInPandas(gen, schema=cand_schema)
+    right_sel = right.select(
+        F.col(right_id_col).alias(id_out),
+        F.col(right_emb_col).alias("__pq_r_emb"),
+    )
+    scored = (
+        cand.join(right_sel, id_out)
+        .withColumn(
+            score_out,
+            F.round(pair_cosine(F.col(left_emb_col),
+                                F.col("__pq_r_emb")), 6),
+        )
+        .drop("__pq_r_emb")
+    )
+    w = Window.partitionBy(left_id_col).orderBy(
+        F.desc(score_out), F.asc(id_out))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= K)
+    )
+
+
 class QdrantVS:
     """Qdrant-backed vector store (reference ``lotus/vector_store/qdrant_vs``).
 

@@ -346,3 +346,88 @@ def test_sem_cluster_by_sampled_training(spark):
     with _pytest.raises(ValueError, match="id_col"):
         sem_cluster_by(df, "embedding", 4, emb_col="embedding",
                        method="mllib", train_sample=ts)
+
+
+def test_broadcast_pq_index_matches_jvm_adc(spark):
+    """BroadcastPQIndex.search is the numpy twin of knn_topk_pq's ADC
+    scan: same codes, same quantized-query lookup tables, so ids AND
+    integer distances match the JVM literal-LUT plan exactly."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import knn_topk_pq, pq_index
+    from lotus_spark.models.vs import BroadcastPQIndex
+
+    rng = np.random.RandomState(41)
+    vecs = rng.randn(70, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(70)],
+        ["vec_id", "embedding"])
+    enc, books = pq_index(df, "embedding", "vec_id", m=4, nbits=2, seed=5)
+    ix = BroadcastPQIndex.build(enc, "vec_id", "pq_codes", books)
+    assert len(ix) == 70
+
+    for qi in (0, 7, 33):
+        q = [float(x) for x in vecs[qi]]
+        jvm = [(r["vec_id"], r["pq_dist"]) for r in
+               knn_topk_pq(enc, books, q, k=6, id_col="vec_id").collect()]
+        ids, dists = ix.search(np.asarray(q), K=6)
+        assert list(zip(ids[0].tolist(), dists[0].tolist())) == jvm
+
+    # batch of queries in one call
+    ids, dists = ix.search(vecs[:5].astype(np.float64), K=3)
+    assert ids.shape == (5, 3) and dists.shape == (5, 3)
+
+
+def test_ann_join_pq_exact_with_full_candidates(spark):
+    """ann_join_pq with candidates=n degenerates to the EXACT K-NN join
+    (the rerank sees every row), matching brute-force per-query cosine;
+    with a small candidate budget it still returns K ranked rows per
+    left id with descending scores."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import knn_topk, pq_index
+    from lotus_spark.models.vs import BroadcastPQIndex, ann_join_pq
+
+    rng = np.random.RandomState(43)
+    vecs = rng.randn(80, 8).astype("float32")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["vec_id", "embedding"])
+    left = spark.createDataFrame(
+        [(100 + j, [float(x) for x in vecs[j * 11]]) for j in range(4)],
+        ["qid", "embedding"])
+    enc, books = pq_index(right, "embedding", "vec_id", m=4, nbits=2,
+                          seed=5)
+    ix = BroadcastPQIndex.build(enc, "vec_id", "pq_codes", books)
+
+    out = ann_join_pq(left, right, ix, "qid", "embedding", "vec_id",
+                      "embedding", K=3, candidates=80)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["_rank"], r["match_id"], r["_scores"]))
+    assert set(got) == {100, 101, 102, 103}
+    for j in range(4):
+        q = [float(x) for x in vecs[j * 11]]
+        exact = [(r["vec_id"], round(r["score"], 6)) for r in
+                 knn_topk(right, "embedding", q, k=3,
+                          id_col="vec_id").collect()]
+        mine = [(m, s) for _, m, s in sorted(got[100 + j])]
+        assert mine == exact
+        assert mine[0][0] == j * 11          # self-match first
+
+    # bounded candidate budget: K ranked rows per left id, scores desc
+    out2 = ann_join_pq(left, right, ix, "qid", "embedding", "vec_id",
+                       "embedding", K=3, candidates=12)
+    per = {}
+    for r in out2.collect():
+        per.setdefault(r["qid"], []).append((r["_rank"], r["_scores"]))
+    for qid, rows in per.items():
+        rows.sort()
+        assert [rk for rk, _ in rows] == [1, 2, 3]
+        assert all(a[1] >= b[1] for a, b in zip(rows, rows[1:]))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="candidates"):
+        ann_join_pq(left, right, ix, "qid", "embedding", "vec_id",
+                    "embedding", K=5, candidates=3)
