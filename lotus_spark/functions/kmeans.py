@@ -71,9 +71,13 @@ def train_sample_predicate(id_col: str, seed: int, threshold: int):
     input: codebooks/centroids learn from a pinned hash-selected subset
     while assignment/encoding still maps over every row."""
     a, b = kmeans_init_params(seed)
-    return ((F.lit(a) * F.col(id_col) + F.lit(b)) % F.lit(MOD)) < F.lit(
-        int(threshold)
-    )
+    # id reduced mod MOD BEFORE the multiply: a*id would overflow int64
+    # (an ANSI-mode ArithmeticException) for generated ids like
+    # monotonically_increasing_id's partition<<33 values; for natural ids
+    # < MOD (every testdata table) the reduction is the identity, so the
+    # SQL oracles' plain (a*id + b) % MOD replays unchanged
+    idm = F.pmod(F.col(id_col), F.lit(MOD))
+    return ((F.lit(a) * idm + F.lit(b)) % F.lit(MOD)) < F.lit(int(threshold))
 
 
 def train_sample_where(id_col: str, seed: int, threshold: int) -> str:
@@ -128,7 +132,14 @@ def deterministic_kmeans(
     try:
         init_rows = (
             q.select(id_col, "__xq")
-            .withColumn("__h", (F.lit(a) * F.col(id_col) + F.lit(b)) % F.lit(MOD))
+            # pmod-reduce the id first: identity for ids < MOD (every
+            # oracle table), int64-overflow-safe for generated ids
+            # (monotonically_increasing_id under ANSI mode)
+            .withColumn(
+                "__h",
+                (F.lit(a) * F.pmod(F.col(id_col), F.lit(MOD)) + F.lit(b))
+                % F.lit(MOD),
+            )
             .orderBy("__h", id_col)
             .limit(k)
             .collect()

@@ -156,6 +156,8 @@ def sem_sim_join(
     tie_break: Optional[str] = None,
     strategy: str = "auto",
     broadcast_max_rows: int = 200_000,
+    pq_candidates: Optional[int] = None,
+    pq_nbits: int = 4,
 ) -> DataFrame:
     """``strategy``:
 
@@ -176,11 +178,21 @@ def sem_sim_join(
     - ``"broadcast_ann"`` (speed tier): right side collected into a
       :class:`~lotus_spark.models.vs.BroadcastVectorIndex`, probed per Arrow
       batch with a float32 numpy/FAISS matmul — fastest, but scores are
-      float32 (not fold-exact)."""
-    if strategy not in ("auto", "crossjoin", "broadcast_ann", "broadcast_exact"):
+      float32 (not fold-exact).
+    - ``"broadcast_pq"`` (compressed tier, 32-64x more right-side reach):
+      the right side is PQ-encoded once (``functions.ann.pq_index``,
+      sample-bounded training) and only the CODES + codebooks broadcast
+      (:class:`~lotus_spark.models.vs.BroadcastPQIndex`); each left task
+      generates approximate candidates by ADC, then a distributed
+      exact-cosine rerank keeps the true top-K (``ann_join_pq``) — scores
+      are exact, the candidate SET is approximate (recall tunes via
+      ``pq_candidates``). Use when the raw right matrix no longer fits
+      the broadcast but its PQ codes do."""
+    if strategy not in ("auto", "crossjoin", "broadcast_ann",
+                        "broadcast_exact", "broadcast_pq"):
         raise ValueError(
             f"unknown strategy {strategy!r}; pick 'auto', 'crossjoin', "
-            "'broadcast_exact' or 'broadcast_ann'"
+            "'broadcast_exact', 'broadcast_ann' or 'broadcast_pq'"
         )
     if strategy == "auto":
         fits = (
@@ -214,6 +226,49 @@ def sem_sim_join(
             l, r, left_emb_col, right_emb_col, K, tie_break
         )
         for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}", f"__r_emb{rsuffix}"):
+            if c in out.columns:
+                out = out.drop(c)
+        if not return_scores:
+            out = out.drop(SCORE_COL)
+        return out
+
+    if strategy == "broadcast_pq":
+        import math
+
+        from lotus_spark.functions.ann import pq_index
+        from lotus_spark.models.vs import BroadcastPQIndex, ann_join_pq
+
+        # pin the generated right ids: monotonically_increasing_id is
+        # partition-layout-dependent, so the encode and the rerank join
+        # must see ONE materialization of it
+        ridx = r.withColumn(
+            "__r_id", F.monotonically_increasing_id()
+        ).localCheckpoint()
+        first = ridx.select(
+            F.size(right_emb_col).alias("d")).first()
+        if first is None:
+            raise ValueError("broadcast_pq: right side is empty")
+        d = first["d"]
+        m = next(mm for mm in (8, 4, 2, 1) if d % mm == 0)
+        n_r = ridx.count()
+        nbits = max(1, min(pq_nbits, int(math.log2(max(n_r, 2)))))
+        enc, books = pq_index(ridx.select("__r_id", right_emb_col),
+                              right_emb_col, "__r_id", m=m, nbits=nbits,
+                              seed=42)
+        index = BroadcastPQIndex.build(enc, "__r_id", "pq_codes", books)
+        l2 = l.withColumn("__l_id", F.monotonically_increasing_id())
+        matched = ann_join_pq(
+            l2, ridx.select("__r_id", right_emb_col), index,
+            "__l_id", left_emb_col, "__r_id", right_emb_col, K,
+            candidates=pq_candidates, id_out="__r_id",
+            score_out=SCORE_COL,
+        )
+        # re-attach the right side's payload columns (narrow id join —
+        # the right table is too big to broadcast by assumption)
+        out = matched.join(ridx.drop(right_emb_col), "__r_id") \
+                     .drop("__r_id", "__l_id", "_rank")
+        for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}",
+                  f"__r_emb{rsuffix}"):
             if c in out.columns:
                 out = out.drop(c)
         if not return_scores:

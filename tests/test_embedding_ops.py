@@ -431,3 +431,49 @@ def test_ann_join_pq_exact_with_full_candidates(spark):
     with _pytest.raises(ValueError, match="candidates"):
         ann_join_pq(left, right, ix, "qid", "embedding", "vec_id",
                     "embedding", K=5, candidates=3)
+
+
+def test_sem_sim_join_broadcast_pq_strategy(spark):
+    """The compressed sim-join tier: with a full candidate budget the
+    PQ strategy returns the same neighbor sets and (rounded) scores as
+    the exact broadcast tier; the right side is multi-partition, so the
+    generated ids exercise the int64-safe init hash (ANSI mode)."""
+    import numpy as np
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(47)
+    vecs = rng.randn(100, 8).astype("float32")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        ["rid", "remb"]).repartition(7)
+    left = spark.createDataFrame(
+        [(200 + j, [float(x) for x in vecs[j * 13]]) for j in range(4)],
+        ["qid", "lemb"])
+
+    exact = sem_sim_join(left, right, "lemb", "remb", K=3,
+                         left_emb_col="lemb", right_emb_col="remb",
+                         tie_break="rid", strategy="broadcast_exact")
+    pq = sem_sim_join(left, right, "lemb", "remb", K=3,
+                      left_emb_col="lemb", right_emb_col="remb",
+                      strategy="broadcast_pq", pq_candidates=100)
+
+    def by_q(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["qid"], []).append(
+                (round(r["_scores"], 6), r["rid"]))
+        return {k: sorted(v, reverse=True) for k, v in d.items()}
+
+    e, p = by_q(exact.collect()), by_q(pq.collect())
+    assert set(e) == set(p) == {200, 201, 202, 203}
+    for q in e:
+        assert e[q] == p[q], q
+    # self-match leads with score 1.0
+    for j in range(4):
+        assert p[200 + j][0] == (1.0, j * 13)
+
+    with pytest.raises(ValueError, match="strategy"):
+        sem_sim_join(left, right, "lemb", "remb",
+                     left_emb_col="lemb", right_emb_col="remb",
+                     strategy="nope")
