@@ -3,6 +3,7 @@ from lotus_spark.streaming.ops import (
     sem_filter_stream,
     sem_map_stream,
     streaming_dedup,
+    streaming_heavy_hitters,
     streaming_neardup,
     streaming_neardup_minhash,
     running_doc_stats,
@@ -14,6 +15,7 @@ __all__ = [
     "sem_filter_stream",
     "sem_map_stream",
     "streaming_dedup",
+    "streaming_heavy_hitters",
     "streaming_neardup",
     "streaming_neardup_minhash",
     "running_doc_stats",

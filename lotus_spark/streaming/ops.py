@@ -29,11 +29,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from lotus_spark.functions import text as T
@@ -373,6 +375,125 @@ def streaming_neardup(
         .withColumn("__nd_bucket", bucket)
         .dropDuplicatesWithinWatermark(["__nd_bucket"])
         .drop("__nd_bucket")
+    )
+
+
+_HH_STATE = StructType([
+    StructField("terms", ArrayType(StringType())),
+    StructField("counts", ArrayType(LongType())),
+])
+
+_HH_OUT = StructType([
+    StructField("window_start", TimestampType()),
+    StructField("term", StringType()),
+    StructField("est_count", LongType()),
+    StructField("rank", LongType()),
+])
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    window: str = "1 minute",
+    capacity: int = 64,
+    k: int = 10,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window heavy-hitter terms in BOUNDED memory — the streaming
+    "what is trending in the crawl right now" operator. A plain
+    windowed ``groupBy(term).count()`` keeps one state row per DISTINCT
+    term per window (the vocabulary — unbounded); this keeps at most
+    ``capacity`` counters per window via the Misra–Gries summary, the
+    deterministic heavy-hitters algorithm: every term with true
+    frequency > n/capacity is guaranteed present, and each estimate
+    undercounts by at most n/capacity. With ``capacity`` >= the
+    window's distinct-term count the summary is EXACT (the parity test
+    pins this against batch counts).
+
+    Emits the current top ``k`` (estimate DESC, term ASC) per window on
+    every update (update output mode). State = one
+    (terms[], counts[]) pair per ACTIVE window, evicted by event-time
+    timeout once the watermark passes the window end — total state is
+    O(active_windows x capacity), stream-length-independent.
+
+    Template notes: this is the ``applyInPandasWithState`` pattern for
+    sketch-backed operators Spark lacks natively (count-min, space
+    saving, quantile sketches slot into the same shape).
+    """
+    _require_streaming(df, "streaming_heavy_hitters")
+    if capacity < 1 or k < 1:
+        raise ValueError("capacity and k must be >= 1")
+    win = F.window(F.col(ts_col).cast("timestamp"), window)
+    toks = (
+        df.withWatermark(ts_col, watermark)
+        # the watermarked event-time column must FLOW INTO the stateful
+        # op (event-time timeout needs it) — keep it alongside the
+        # window bounds and the exploded terms
+        .select(F.col(ts_col), win.alias("__w"),
+                F.col(text_col).alias("__t"))
+        .select(
+            F.col(ts_col),
+            F.col("__w.start").alias("wstart"),
+            F.col("__w.end").alias("wend"),
+            F.explode(F.split(F.trim(F.col("__t")), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame({
+            "window_start": pd.Series([], dtype="datetime64[us]"),
+            "term": pd.Series([], dtype=object),
+            "est_count": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+        })
+        if state.hasTimedOut:
+            state.remove()
+            yield empty
+            return
+        wstart, wend = key
+        c: dict[str, int] = {}
+        if state.exists:
+            terms, counts = state.get
+            c = dict(zip(terms, counts))
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for t, n in pdf["term"].value_counts().items():
+                batch[t] = batch.get(t, 0) + int(n)
+        # weighted Misra–Gries merge of the batch into the summary
+        for t, w in sorted(batch.items()):
+            if t in c:
+                c[t] += w
+            elif len(c) < capacity:
+                c[t] = w
+            else:
+                d = min(min(c.values()), w)
+                for kk in list(c):
+                    c[kk] -= d
+                    if c[kk] == 0:
+                        del c[kk]
+                w -= d
+                if w > 0 and len(c) < capacity:
+                    c[t] = w
+        state.update((list(c.keys()), [int(v) for v in c.values()]))
+        # evict once the watermark passes this window's end
+        state.setTimeoutTimestamp(int(pd.Timestamp(wend).value // 1_000_000))
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        if not top:
+            yield empty
+            return
+        yield pd.DataFrame({
+            "window_start": [pd.Timestamp(wstart)] * len(top),
+            "term": [t for t, _ in top],
+            "est_count": [int(v) for _, v in top],
+            "rank": list(range(1, len(top) + 1)),
+        })
+
+    return toks.groupBy("wstart", "wend").applyInPandasWithState(
+        update, _HH_OUT, _HH_STATE, "update",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -399,3 +399,50 @@ def test_streaming_neardup_minhash_matches_batch_band_replay(spark, tmp_path):
     with pytest.raises(ValueError, match="bands"):
         streaming_neardup_minhash(stream, "body", "ts", n_hashes=16,
                                   bands=5)
+
+
+def test_streaming_heavy_hitters_exact_when_capacity_fits(spark, tmp_path):
+    """With capacity >= the window's distinct-term count the Misra-Gries
+    summary is exact: per-window top-k equals batch token counts ranked
+    (count DESC, term ASC). With a tiny capacity the state stays bounded
+    and the dominant term still surfaces (the MG guarantee)."""
+    import os
+
+    from lotus_spark.streaming.ops import streaming_heavy_hitters
+
+    rows = [
+        ("a", "spark spark spark data data ml", "2026-01-01 00:00:10"),
+        ("b", "spark data pipelines at scale", "2026-01-01 00:00:20"),
+        ("c", "fresh window tokens here", "2026-01-01 00:01:10"),
+        ("d", "fresh fresh tokens", "2026-01-01 00:01:20"),
+    ]
+    src = str(tmp_path / "hh_src")
+    (spark.createDataFrame(rows, ["id", "body", "ts_s"])
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.parquet(src))
+
+    stream = read_parquet_stream(spark, src, SCHEMA)
+    out = streaming_heavy_hitters(stream, "body", "ts", window="1 minute",
+                                  capacity=64, k=3)
+    got = _run(spark, out, "hh_t1", mode="update")
+    by_win = {}
+    for r in got.collect():
+        by_win.setdefault(str(r["window_start"]), []).append(
+            (r["rank"], r["term"], r["est_count"]))
+    assert len(by_win) == 2
+    w0, w1 = sorted(by_win)
+    assert sorted(by_win[w0]) == [(1, "spark", 4), (2, "data", 3),
+                                  (3, "at", 1)]
+    assert sorted(by_win[w1]) == [(1, "fresh", 3), (2, "tokens", 2),
+                                  (3, "here", 1)]
+
+    # bounded capacity: the dominant term survives (freq > n/capacity)
+    out2 = streaming_heavy_hitters(stream, "body", "ts", window="1 minute",
+                                   capacity=2, k=2)
+    got2 = _run(spark, out2, "hh_t2", mode="update")
+    first_win = [r for r in got2.collect()
+                 if str(r["window_start"]) == w0]
+    assert any(r["term"] == "spark" for r in first_win)
+
+    with pytest.raises(ValueError, match="capacity"):
+        streaming_heavy_hitters(stream, "body", "ts", capacity=0)
