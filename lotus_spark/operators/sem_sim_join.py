@@ -162,9 +162,12 @@ def sem_sim_join(
     """``strategy``:
 
     - ``"auto"`` (default): bounded count of the right side — at most
-      ``broadcast_max_rows + 1`` rows scanned — picks ``broadcast_exact``
-      when it fits, else ``crossjoin``. Kills the silent pair-shuffle
-      footgun without ever executing the full right subtree to decide.
+      ``32 * broadcast_max_rows + 1`` rows scanned — escalates
+      ``broadcast_exact`` (raw vectors fit the broadcast) →
+      ``broadcast_pq`` (raw doesn't, but PQ codes are ~32-64x smaller,
+      so up to ``32 * broadcast_max_rows`` rows still broadcast) →
+      ``crossjoin``. Kills the silent pair-shuffle footgun without ever
+      executing the full right subtree to decide.
     - ``"broadcast_exact"`` (exact tier when the right side fits in
       executor memory): the right side is collected once and broadcast; one
       ``mapInPandas`` over the left computes fold-order-exact cosine scores
@@ -195,10 +198,14 @@ def sem_sim_join(
             "'broadcast_exact', 'broadcast_ann' or 'broadcast_pq'"
         )
     if strategy == "auto":
-        fits = (
-            right.limit(broadcast_max_rows + 1).count() <= broadcast_max_rows
-        )
-        strategy = "broadcast_exact" if fits else "crossjoin"
+        pq_max = 32 * broadcast_max_rows
+        n_bounded = right.limit(pq_max + 1).count()
+        if n_bounded <= broadcast_max_rows:
+            strategy = "broadcast_exact"
+        elif n_bounded <= pq_max:
+            strategy = "broadcast_pq"
+        else:
+            strategy = "crossjoin"
     model = None
     if left_emb_col is None or right_emb_col is None:
         model = _resolve_rm(rm)

@@ -477,3 +477,38 @@ def test_sem_sim_join_broadcast_pq_strategy(spark):
         sem_sim_join(left, right, "lemb", "remb",
                      left_emb_col="lemb", right_emb_col="remb",
                      strategy="nope")
+
+
+def test_sem_sim_join_auto_escalates_exact_pq_crossjoin(spark):
+    """auto picks broadcast_exact when the raw right side fits the
+    broadcast budget, broadcast_pq when only its PQ codes would, and
+    crossjoin beyond that — verified with tiny thresholds by comparing
+    to the explicitly-requested strategies (all agree on values here)."""
+    import numpy as np
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(53)
+    vecs = rng.randn(40, 8).astype("float32")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[3]])], ["qid", "lemb"])
+
+    def run(**kw):
+        out = sem_sim_join(left, right, "lemb", "remb", K=3,
+                           left_emb_col="lemb", right_emb_col="remb",
+                           tie_break="rid", **kw)
+        return sorted((r["rid"], round(r["_scores"], 6))
+                      for r in out.collect())
+
+    exact = run(strategy="broadcast_exact")
+    # raw fits: 40 <= 100 -> broadcast_exact
+    assert run(strategy="auto", broadcast_max_rows=100) == exact
+    # raw doesn't (40 > 2) but codes do (40 <= 32*2=64) -> broadcast_pq;
+    # with a full candidate budget the rerank makes it value-equal
+    pq = run(strategy="auto", broadcast_max_rows=2, pq_candidates=40)
+    assert pq == exact
+    # beyond even the code budget (40 > 32*1) -> crossjoin (also exact)
+    assert run(strategy="auto", broadcast_max_rows=1) == exact
