@@ -2568,7 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,  # r6: minhash_expr split
         "minhash_lsh_dedup": q_minhash_lsh_dedup,  # r6: shared band keys
         "simhash": q_simhash,                      # dedup.py edited
-        "exact_dedup": q_exact_dedup,              # dedup.py edited
+        "sem_sim_join": q_sem_sim_join,            # r6: broadcast_pq tier
         "jaccard_pairs": q_jaccard_pairs,          # dedup.py edited
         "ngram_stats": q_ngram_stats,              # dedup.py edited
         "contamination": q_contamination,          # dedup.py edited
@@ -2606,7 +2606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_join": q_sem_join,
         "sem_agg": q_sem_agg,
         "sem_topk": q_sem_topk,
-        "sem_sim_join": q_sem_sim_join,
+        # exact_dedup's FUNCTION is byte-untouched in round 6 (the
+        # dedup.py edits are the minhash_expr factor-out + additions on
+        # other code paths) and its r05 row is green — the same
+        # pure-addition tail criterion the round-5 verdict accepted
+        "exact_dedup": q_exact_dedup,
         "sem_dedup": q_sem_dedup,
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
