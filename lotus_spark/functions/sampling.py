@@ -512,3 +512,50 @@ def perplexity_bucket(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
     return out.withColumn(bucket_col, F.ntile(n_buckets).over(w))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized — "draw n
+    documents with probability proportional to quality score", the
+    upweighting step of a curated pretraining mixture.
+
+    Efraimidis–Spirakis A-ES: each row gets key ``u^(1/w)`` for a
+    uniform ``u`` in (0,1); the n largest keys are a without-replacement
+    weighted sample. Here ``u`` derives from the content hash of
+    ``id_col`` (salted by ``seed``) instead of an RNG, so the draw is a
+    pure deterministic function of the data: rerun-stable, partitioning-
+    independent, and nested across seeds like the other sampling ops.
+
+    Plan: map-side key expression + ``orderBy(key DESC, id).limit(n)``
+    — a TakeOrderedAndProject, so only n rows per partition ever cross
+    the shuffle; no window, no skew surface. Rows with NULL,
+    zero or negative weight are excluded (they have probability 0;
+    excluding beats a NaN key silently winning the sort).
+
+    Ties in ``u`` across seeds are fine (different salt → different u);
+    ties in the KEY are broken by id ascending, making the result a
+    total deterministic function of (data, seed, n).
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    if n == 0:
+        return df.limit(0)
+    # u in (0,1): (bucket + 1) / (_BUCKETS + 1) — never exactly 0 or 1,
+    # so ln(u) is finite and u^(1/w) is strictly inside (0,1)
+    u = (_content_bucket(id_col, salt=f":w{seed}") + F.lit(1)).cast(
+        "double") / F.lit(float(_BUCKETS + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.pow(u, F.lit(1.0) / w)
+    eligible = df.filter(w.isNotNull() & (w > 0))
+    return (
+        eligible.withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.asc(id_col))
+        .limit(n)
+        .drop("__wkey")
+    )

@@ -476,3 +476,46 @@ def test_perplexity_bucket_row_preserving_and_null_text(spark):
     assert got[4][0] == got[2][0] == got[3][0]
     # the real-text doc has the rarest tokens -> strictly higher score
     assert got[1][0] > got[4][0]
+
+
+# --------------------------------------------------------- weighted_sample
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    """A-ES derandomized draw: rerun- and partitioning-stable for a
+    fixed seed; across many seeds a 9x-weighted item is included far
+    more often than a 1x item (the proportional-probability property);
+    zero/negative/NULL weights never selected; n >= eligible rows
+    returns them all."""
+    from lotus_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 9.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+
+    a = sorted(r["id"] for r in weighted_sample(df, "w", 20, "id").collect())
+    b = sorted(r["id"] for r in
+               weighted_sample(df.repartition(13), "w", 20, "id").collect())
+    assert a == b and len(a) == 20            # deterministic, exact n
+
+    heavy_hits = light_hits = 0
+    for seed in range(30):
+        got = {r["id"] for r in
+               weighted_sample(df, "w", 20, "id", seed=seed).collect()}
+        heavy_hits += len(got & set(range(10)))
+        light_hits += len(got - set(range(10)))
+    # 10 heavy items at w=9 vs 90 light at w=1: heavy inclusion rate
+    # must dominate light per-item rate by a wide margin
+    heavy_rate = heavy_hits / (30 * 10)
+    light_rate = light_hits / (30 * 90)
+    assert heavy_rate > 3 * light_rate
+
+    # ineligible weights are excluded even when n exceeds eligible rows
+    mixed = spark.createDataFrame(
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0)],
+        "id int, w double")
+    got = sorted(r["id"] for r in
+                 weighted_sample(mixed, "w", 10, "id").collect())
+    assert got == [1, 5]
+
+    with pytest.raises(ValueError, match="n must"):
+        weighted_sample(df, "w", -1, "id")
+    assert weighted_sample(df, "w", 0, "id").count() == 0
