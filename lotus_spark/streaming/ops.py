@@ -378,6 +378,31 @@ def streaming_neardup(
     )
 
 
+def mg_merge(counters: dict, batch: dict, capacity: int) -> dict:
+    """Weighted Misra–Gries merge of ``batch`` term counts into a
+    summary of at most ``capacity`` counters (mutates and returns
+    ``counters``). Invariants (property-tested in
+    ``tests/test_properties.py``): len <= capacity; estimates never
+    OVERcount; each estimate undercounts by at most
+    total_weight/ (capacity+1); any term with true frequency above that
+    bound is present. Deterministic: batch terms merge in sorted order."""
+    for t, w in sorted(batch.items()):
+        if t in counters:
+            counters[t] += w
+        elif len(counters) < capacity:
+            counters[t] = w
+        else:
+            d = min(min(counters.values()), w)
+            for kk in list(counters):
+                counters[kk] -= d
+                if counters[kk] == 0:
+                    del counters[kk]
+            w -= d
+            if w > 0 and len(counters) < capacity:
+                counters[t] = w
+    return counters
+
+
 _HH_STATE = StructType([
     StructField("terms", ArrayType(StringType())),
     StructField("counts", ArrayType(LongType())),
@@ -462,21 +487,7 @@ def streaming_heavy_hitters(
         for pdf in pdfs:
             for t, n in pdf["term"].value_counts().items():
                 batch[t] = batch.get(t, 0) + int(n)
-        # weighted Misra–Gries merge of the batch into the summary
-        for t, w in sorted(batch.items()):
-            if t in c:
-                c[t] += w
-            elif len(c) < capacity:
-                c[t] = w
-            else:
-                d = min(min(c.values()), w)
-                for kk in list(c):
-                    c[kk] -= d
-                    if c[kk] == 0:
-                        del c[kk]
-                w -= d
-                if w > 0 and len(c) < capacity:
-                    c[t] = w
+        c = mg_merge(c, batch, capacity)
         state.update((list(c.keys()), [int(v) for v in c.values()]))
         # evict once the watermark passes this window's end
         state.setTimeoutTimestamp(int(pd.Timestamp(wend).value // 1_000_000))

@@ -184,3 +184,47 @@ def test_largest_remainder_quotas_properties(weights, total):
         share = total * v / norm
         assert math.floor(share) <= quota[k] <= math.ceil(share), (
             k, share, quota[k])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 20)),  # (term, weight)
+        min_size=0, max_size=200,
+    ),
+    st.integers(1, 12),       # capacity
+    st.integers(1, 5),        # number of batches the stream splits into
+)
+@hyp_settings(max_examples=120, deadline=None)
+def test_misra_gries_merge_guarantees(pairs, capacity, n_batches):
+    """The streaming heavy-hitters summary's textbook guarantees, on the
+    pure merge function (streaming/ops.py::mg_merge): (1) at most
+    `capacity` counters; (2) estimates never overcount; (3) each
+    estimate undercounts by at most total/(capacity+1); (4) every term
+    with true frequency above that bound is PRESENT; (5) batch
+    splitting never changes totals' bounds (merge is stream-order
+    tolerant within the guarantee)."""
+    from collections import Counter
+
+    from lotus_spark.streaming.ops import mg_merge
+
+    truth = Counter()
+    for t, w in pairs:
+        truth[t] += w
+    total = sum(truth.values())
+
+    c: dict = {}
+    step = max(1, len(pairs) // n_batches)
+    for i in range(0, len(pairs), step):
+        batch = Counter()
+        for t, w in pairs[i:i + step]:
+            batch[t] += w
+        c = mg_merge(c, dict(batch), capacity)
+
+    assert len(c) <= capacity                                  # (1)
+    err = total / (capacity + 1)
+    for t, est in c.items():
+        assert est <= truth[t], (t, est, truth[t])             # (2)
+        assert truth[t] - est <= err + 1e-9, (t, est)          # (3)
+    for t, f in truth.items():
+        if f > err:
+            assert t in c, (t, f, err, dict(c))                # (4)
