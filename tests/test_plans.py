@@ -816,3 +816,49 @@ def test_calibration_store_shares_oracle_labels_across_optimizers(
     # and the store holds both selectivity estimates
     assert shared_store.selectivity("{Course Name} x") is not None
     assert shared_store.selectivity("{Course Name} y") is not None
+
+
+def test_multi_source_checkpoint_child_token_staleness(spark, tmp_path):
+    """End-to-end round-5-advice scenario: a checkpointed stage AFTER a
+    join_with must resume on identical tokens, and MISS (recompute with
+    the new data) when the CHILD source's token changes — the stale-
+    merged-results hazard the per-source token dict exists to prevent."""
+    import glob
+    import os
+    import uuid
+
+    marker_dir = str(tmp_path / "fn_calls")
+    os.makedirs(marker_dir)
+
+    def mark_and_pass(df):
+        open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+        return df
+
+    def n_calls():
+        return len(glob.glob(os.path.join(marker_dir, "*")))
+
+    left = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "l"])
+    right_v1 = spark.createDataFrame([(1, "old")], ["id", "r"])
+    right_v2 = spark.createDataFrame([(1, "new")], ["id", "r"])
+    lf = (LazyFrame.from_source("l")
+          .join_with(LazyFrame.from_source("r"), on="id")
+          .from_fn(mark_and_pass, checkpoint=True))
+    ck = str(tmp_path / "ck_multi")
+
+    out1 = lf.execute({"l": left, "r": right_v1}, checkpoint_dir=ck,
+                      source_token={"l": "l@1", "r": "r@1"})
+    assert [r["r"] for r in out1.collect()] == ["old"]
+    assert n_calls() == 1
+
+    # identical tokens: resumes from the post-join checkpoint, fn not run
+    out2 = lf.execute({"l": left, "r": right_v1}, checkpoint_dir=ck,
+                      source_token={"l": "l@1", "r": "r@1"})
+    assert [r["r"] for r in out2.collect()] == ["old"]
+    assert n_calls() == 1
+
+    # right regenerated in place (new token): the old behavior would
+    # silently resume 'old'; now the key misses and the merge recomputes
+    out3 = lf.execute({"l": left, "r": right_v2}, checkpoint_dir=ck,
+                      source_token={"l": "l@1", "r": "r@2"})
+    assert [r["r"] for r in out3.collect()] == ["new"]
+    assert n_calls() == 2
