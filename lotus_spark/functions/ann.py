@@ -168,6 +168,7 @@ def _resolve_train_filter(
     seed: int,
     train_sample: tuple[int, int] | None,
     max_train_rows: int | None,
+    n_rows: int | None = None,
 ):
     """Training-sample predicate for quantizer fitting (FAISS practice:
     codebooks/centroids train on a bounded sample; only the map-only
@@ -184,7 +185,7 @@ def _resolve_train_filter(
         sseed, threshold = train_sample
         return train_sample_predicate(id_col, sseed, threshold)
     if max_train_rows is not None:
-        n = df.select(F.lit(1)).count()
+        n = n_rows if n_rows is not None else df.select(F.lit(1)).count()
         if n > max_train_rows:
             import math
 
@@ -231,11 +232,12 @@ def ivf_index(
     the build, while cell assignment (which must see every row) stays a
     single map-only pass either way.
     """
+    n_known = None
     if n_cells == "auto":
         import math
 
-        n = df.select(F.lit(1)).count()
-        n_cells = min(65536, max(4, math.ceil(math.sqrt(n))))
+        n_known = df.select(F.lit(1)).count()
+        n_cells = min(65536, max(4, math.ceil(math.sqrt(n_known))))
     if method == "deterministic":
         from lotus_spark.functions.kmeans import deterministic_kmeans
 
@@ -245,7 +247,8 @@ def ivf_index(
             df, emb_col, id_col, n_cells, iters=3, seed=seed,
             cluster_col=cell_col,
             train_filter=_resolve_train_filter(
-                df, id_col, seed, train_sample, max_train_rows),
+                df, id_col, seed, train_sample, max_train_rows,
+                n_rows=n_known),
         )
         return out, [list(map(int, c)) for c in cent]
     from pyspark.ml.clustering import KMeans
@@ -257,7 +260,7 @@ def ivf_index(
         # mllib tier trains sample-bounded too (same predicate family);
         # without an id there is no deterministic sample — train on all
         tf = _resolve_train_filter(df, id_col, seed, train_sample,
-                                   max_train_rows)
+                                   max_train_rows, n_rows=n_known)
         if tf is not None:
             train_vecs = vecs.filter(tf)
     elif train_sample is not None:
