@@ -552,7 +552,10 @@ def weighted_sample(
         "double") / F.lit(float(_BUCKETS + 1))
     w = F.col(weight_col).cast("double")
     key = F.pow(u, F.lit(1.0) / w)
-    eligible = df.filter(w.isNotNull() & (w > 0))
+    # NaN must be excluded explicitly: Spark orders NaN ABOVE every
+    # finite double, so `w > 0` passes NaN and pow(u, 1/NaN) = NaN
+    # would silently win the descending sort.
+    eligible = df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
     return (
         eligible.withColumn("__wkey", key)
         .orderBy(F.desc("__wkey"), F.asc(id_col))

@@ -173,16 +173,32 @@ class BroadcastPQIndex:
     def __init__(self, ids: np.ndarray, codes: np.ndarray,
                  codebooks) -> None:
         self.ids = ids
-        self.codes = np.asarray(codes, dtype=np.int64)       # [n, m]
         self.codebooks = np.asarray(codebooks, dtype=np.int64)  # [m,k,sub]
+        # Codes are indices into the codebooks — store them at the
+        # narrowest width that holds k_codes so the broadcast pickle is
+        # actually ~1 B/code at nbits<=8 (int64 here would 8x the
+        # driver + broadcast footprint at the auto-tier ceiling).
+        k_codes = self.codebooks.shape[1] if self.codebooks.ndim == 3 else 256
+        dt = (np.uint8 if k_codes <= 256
+              else np.uint16 if k_codes <= 65536 else np.int64)
+        self.codes = np.asarray(codes, dtype=dt)              # [n, m]
 
     @classmethod
     def build(cls, encoded_df: DataFrame, id_col: str, code_col: str,
               codebooks) -> "BroadcastPQIndex":
-        pdf = encoded_df.select(id_col, code_col).toPandas()
-        ids = pdf[id_col].to_numpy()
-        codes = (np.stack(pdf[code_col].map(np.asarray).to_list())
-                 if len(pdf) else np.zeros((0, len(codebooks)), np.int64))
+        # Arrow path: one zero-copy-ish transfer of (id, flat codes) —
+        # no per-row Python list objects on the driver. The list column
+        # is fixed-length (m codes for every row, never null), so
+        # flatten+reshape is exact.
+        tbl = encoded_df.select(id_col, code_col).toArrow()
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        m = len(codebooks)
+        if len(ids):
+            lists = tbl.column(code_col).combine_chunks()
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            codes = flat.reshape(len(ids), m)
+        else:
+            codes = np.zeros((0, m), np.int64)
         return cls(ids, codes, codebooks)
 
     def __len__(self) -> int:

@@ -162,10 +162,11 @@ def sem_sim_join(
     """``strategy``:
 
     - ``"auto"`` (default): bounded count of the right side — at most
-      ``32 * broadcast_max_rows + 1`` rows scanned — escalates
-      ``broadcast_exact`` (raw vectors fit the broadcast) →
-      ``broadcast_pq`` (raw doesn't, but PQ codes are ~32-64x smaller,
-      so up to ``32 * broadcast_max_rows`` rows still broadcast) →
+      ``ratio * broadcast_max_rows + 1`` rows scanned, where ``ratio``
+      is the measured exact-tier/PQ-tier bytes-per-row quotient
+      (``(d*4+8)/(m+8)``, capped at 64) — escalates ``broadcast_exact``
+      (raw vectors fit the broadcast) → ``broadcast_pq`` (raw doesn't,
+      but uint8 PQ codes do: same byte budget, ``ratio``× the rows) →
       ``crossjoin``. Kills the silent pair-shuffle footgun without ever
       executing the full right subtree to decide.
     - ``"broadcast_exact"`` (exact tier when the right side fits in
@@ -198,7 +199,23 @@ def sem_sim_join(
             "'broadcast_exact', 'broadcast_ann' or 'broadcast_pq'"
         )
     if strategy == "auto":
-        pq_max = 32 * broadcast_max_rows
+        # Size the PQ tier from ACTUAL bytes/row, not a fixed multiple:
+        # the exact tier ships d*4+8 bytes/row (raw float32 + id), the
+        # PQ tier ships m+8 (uint8 codes, m<=8, + int64 id). The ratio
+        # of those two is how much further the same broadcast budget
+        # reaches. Probe d once when the embedding column already
+        # exists; otherwise assume the HashRM default d=64 —
+        # conservative enough that the codes+ids broadcast at the
+        # ceiling stays ~100 MB, never the GB-scale pull a blind
+        # row-count multiplier allows.
+        if right_emb_col is not None:
+            row0 = right.select(F.size(right_emb_col).alias("d")).first()
+            d_probe = int(row0["d"]) if row0 is not None else 0
+        else:
+            d_probe = 64
+        pq_bytes = 8 + 8  # m<=8 uint8 codes + int64 id
+        ratio = max(1, min(64, (d_probe * 4 + 8) // pq_bytes))
+        pq_max = ratio * broadcast_max_rows
         n_bounded = right.limit(pq_max + 1).count()
         if n_bounded <= broadcast_max_rows:
             strategy = "broadcast_exact"

@@ -349,6 +349,18 @@ class LazyFrame:
         spark = cur.sparkSession
         base = (checkpoint_dir or "").rstrip("/")
         if checkpoint_dir is not None and source_token is not None:
+            if isinstance(sources, dict) and isinstance(source_token, str):
+                # A single str token cannot name which of the several
+                # input tables it versions: _prefix_keys would key an
+                # op-ful union/join child by the PARENT's token while
+                # the child executes on sources[child._source] —
+                # regenerating the child's table in place would then
+                # silently resume stale post-join checkpoints (exactly
+                # the false-hit class dict tokens exist to prevent).
+                raise ValueError(
+                    "multi-source execute() with checkpointing needs a "
+                    "{source_name: token} dict, got a single str token"
+                )
             keys = self._prefix_keys(source_token)
             for i in range(len(self._ops) - 1, -1, -1):
                 if keys[i] is None:

@@ -365,6 +365,9 @@ def test_broadcast_pq_index_matches_jvm_adc(spark):
     enc, books = pq_index(df, "embedding", "vec_id", m=4, nbits=2, seed=5)
     ix = BroadcastPQIndex.build(enc, "vec_id", "pq_codes", books)
     assert len(ix) == 70
+    # codes broadcast at 1 B/code for nbits<=8 — the whole point of the
+    # compressed tier; int64 here would 8x the driver/broadcast bytes
+    assert ix.codes.dtype == np.uint8
 
     for qi in (0, 7, 33):
         q = [float(x) for x in vecs[qi]]

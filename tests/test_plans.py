@@ -862,3 +862,25 @@ def test_multi_source_checkpoint_child_token_staleness(spark, tmp_path):
                       source_token={"l": "l@1", "r": "r@2"})
     assert [r["r"] for r in out3.collect()] == ["new"]
     assert n_calls() == 2
+
+
+def test_multi_source_checkpoint_rejects_str_token(spark, tmp_path):
+    """A dict of source DataFrames with a single str token is rejected:
+    the str cannot say which table it versions, so an op-ful join/union
+    child would be keyed by the parent's token while executing on a
+    different table — regenerating that table in place would silently
+    resume stale post-join checkpoints. execute() must raise, not
+    guess."""
+    from lotus_spark.plans.lazyframe import LazyFrame
+
+    left = spark.createDataFrame([(1, "x")], ["id", "l"])
+    right = spark.createDataFrame([(1, "y")], ["id", "r"])
+    lf = (LazyFrame.from_source("l")
+          .join_with(LazyFrame.from_source("r"), on="id"))
+    with pytest.raises(ValueError, match="dict"):
+        lf.execute({"l": left, "r": right},
+                   checkpoint_dir=str(tmp_path / "ck"),
+                   source_token="v1")
+    # without checkpointing the same call is fine (nothing to key)
+    out = lf.execute({"l": left, "r": right})
+    assert out.count() == 1

@@ -508,13 +508,21 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     light_rate = light_hits / (30 * 90)
     assert heavy_rate > 3 * light_rate
 
-    # ineligible weights are excluded even when n exceeds eligible rows
+    # ineligible weights are excluded even when n exceeds eligible rows.
+    # NaN must be in this set: Spark sorts NaN above every finite double,
+    # so `w > 0` alone passes it and pow(u, 1/NaN) = NaN would win the
+    # descending key sort — a NaN-weight row must never be sampled.
     mixed = spark.createDataFrame(
-        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0)],
+        [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 1.0),
+         (6, float("nan"))],
         "id int, w double")
     got = sorted(r["id"] for r in
                  weighted_sample(mixed, "w", 10, "id").collect())
     assert got == [1, 5]
+    # ...and with n smaller than the eligible pool the NaN row still
+    # can't displace a finite-weight row
+    got1 = [r["id"] for r in weighted_sample(mixed, "w", 1, "id").collect()]
+    assert got1 and got1[0] in (1, 5)
 
     with pytest.raises(ValueError, match="n must"):
         weighted_sample(df, "w", -1, "id")
