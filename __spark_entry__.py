@@ -731,7 +731,9 @@ def q_knn_ivfpq(spark, sf_dir):
     while cell-assign + encode stay map-only over all rows; the SQL
     replica recomputes both quantizers (one cell-kmeans chain + eight
     subspace-kmeans chains, same sample WHERE) and replays the probe +
-    ADC scan."""
+    ADC scan. ``rerank_k=None`` is the EXPLICIT opt-out documenting the
+    raw ADC tier — the function's default is now the recall-safe
+    ``"auto"`` rerank (max(4k, 40); see knn_ivfpq_rerank)."""
     from lotus_spark.functions.ann import ivf_index, knn_topk_ivfpq, pq_index
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -743,7 +745,7 @@ def q_knn_ivfpq(spark, sf_dir):
     encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
                               nbits=4, seed=101, train_sample=ts)
     return knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
-                          id_col="vec_id")
+                          id_col="vec_id", rerank_k=None)
 
 
 def q_knn_ivfpq_rerank(spark, sf_dir):
@@ -2529,71 +2531,284 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# round-7 additions: oracle rows for the last test-only components
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample(spark, sf_dir):
+    """Derandomized Efraimidis–Spirakis weighted sampling WITHOUT
+    replacement (functions/sampling.py::weighted_sample): key =
+    u^(1/w) with u a pure content-hash function of (doc_id, seed),
+    top-n by key — a TakeOrderedAndProject, so only n rows per
+    partition cross the shuffle. The oracle replays the exact key
+    expression (same hash, same salt ':w7', same (bucket+1)/1000004
+    u-mapping) in SQL; selected-row identity is then a deterministic
+    function of the data, so the hash compare is on exact int/str
+    columns, no float output."""
+    from lotus_spark.functions.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars").cast("double"))
+    out = weighted_sample(docs, "w", 50, "doc_id", seed=7)
+    return out.select("doc_id", "lang", "n_chars")
+
+
+def _sql_weighted_sample() -> str:
+    h = _sql_strhash("(CAST(doc_id AS VARCHAR) || ':w7')")
+    return f"""
+WITH k AS (
+  SELECT doc_id, lang, n_chars,
+    pow((({h} * {_MIX_CONST}) % {_MIX_BUCKETS} + 1) / {_MIX_BUCKETS + 1}.0,
+        1.0 / CAST(n_chars AS DOUBLE)) AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, lang, n_chars FROM k ORDER BY wkey DESC, doc_id LIMIT 50
+"""
+
+
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Streaming per-window heavy hitters in BOUNDED state
+    (streaming/ops.py::streaming_heavy_hitters): Misra–Gries summary
+    per event-time window inside ``applyInPandasWithState``, top-k
+    emitted per update. The documents vocabulary (~31 distinct terms
+    per window) is far below capacity=64, so the summary is provably
+    EXACT here and the DuckDB replica is a plain count + row_number —
+    the same capacity>=vocab exactness the parity test pins. ts is
+    offset one window from epoch 0: applyInPandasWithState filters
+    rows whose event time EQUALS the initial watermark (epoch 0) as
+    late, unlike windowed aggregations (see the operator docstring)."""
+    import uuid
+
+    from lotus_spark.streaming.ops import (
+        read_parquet_stream,
+        streaming_heavy_hitters,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_parquet_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    )
+    stream = stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") % 600 + 60)
+    )
+    hh = streaming_heavy_hitters(
+        stream, "text", "ts", window="1 minute", capacity=64, k=5
+    )
+    qname = f"oracle_hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        hh.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "term",
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_STREAMING_HEAVY_HITTERS = r"""
+WITH d AS (
+  SELECT (doc_id % 600 + 60) // 60 AS m,
+         string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+t AS (SELECT m, unnest(toks) AS term FROM d),
+c AS (
+  SELECT m, term, CAST(count(*) AS BIGINT) AS est_count
+  FROM t WHERE length(term) > 0 GROUP BY m, term
+),
+r AS (
+  SELECT m, term, est_count,
+         row_number() OVER (
+           PARTITION BY m ORDER BY est_count DESC, term) AS rank
+  FROM c
+)
+SELECT strftime(epoch_ms(m * 60000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       term, est_count, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_join_pq(spark, sf_dir):
+    """Broadcast-PQ K-NN join (models/vs.py::BroadcastPQIndex +
+    ann_join_pq): the right side is PQ-encoded once and only the uint8
+    CODES + integer codebooks broadcast; each left task generates ADC
+    candidates with zero shuffle, then a narrow id-join reranks with
+    fold-exact cosine. With ``candidates`` >= |right| the candidate
+    stage is lossless, so the whole two-stage plan must equal the exact
+    per-query top-3 — which is what the SQL replica computes. Ties
+    order by (rounded score DESC, match_id ASC), both sides."""
+    from lotus_spark.functions.ann import pq_index
+    from lotus_spark.models.vs import BroadcastPQIndex, ann_join_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    right = emb.filter(F.col("vec_id") >= 20)
+    enc, books = pq_index(right, "embedding", "vec_id", m=8, nbits=4,
+                          seed=101)
+    ix = BroadcastPQIndex.build(enc, "vec_id", "pq_codes", books)
+    out = ann_join_pq(
+        left, right, ix, "qid", "embedding", "vec_id", "embedding",
+        K=3, candidates=2000,
+    )
+    return out.select(
+        "qid",
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("_scores").alias("score"),
+        F.col("_rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_ANN_JOIN_PQ = f"""
+WITH l AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) v
+           FROM embeddings WHERE vec_id < 20),
+r AS (SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) v
+      FROM embeddings WHERE vec_id >= 20),
+s AS (SELECT l.qid, r.match_id,
+             ROUND({_sql_cosine('l.v', 'r.v')}, 6) AS score
+      FROM l, r),
+rk AS (SELECT qid, match_id, score,
+       row_number() OVER (
+         PARTITION BY qid ORDER BY score DESC, match_id) AS rank
+       FROM s)
+SELECT qid, CAST(match_id AS BIGINT) AS match_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+"""
+
+
+def q_sem_join_cascade(spark, sf_dir):
+    """sem_join CASCADE path (cascades/join_cascade.py::sem_join_cascade;
+    reference lotus/sem_ops/sem_join.py:180-341): proxy-scored pairs,
+    importance-sampled oracle labels, Hoeffding-learned (τ+, τ-), plan
+    chooser over search_filter vs map_search_filter. With
+    recall_target=precision_target=1.0 the Hoeffding bound is
+    UNREACHABLE (the corrected bound is always < 1), so the learner
+    provably falls back to accept-nothing / reject-nothing — every pair
+    routes through the deterministic oracle LM and the output must
+    equal the exact contains() join, which the SQL replica computes.
+    The row therefore executes the full cascade machinery (both plan
+    scorings, bucketing, sampling, threshold search, plan choice, the
+    gray-zone oracle UDF) with a deterministic end state."""
+    from lotus_spark import sem_join
+    from lotus_spark.cascades.utils import CascadeArgs
+    from lotus_spark.models import HashRM
+    from lotus_spark.models.demo_lms import PairKeywordJoinLM
+    from lotus_spark.session import settings
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0)
+    kws = spark.createDataFrame([("spark",), ("merge",)], ["kw"])
+    with settings.override(rm=HashRM(dim=16)):
+        out = sem_join(
+            docs, kws, "{text} mentions the concept {kw}",
+            lm=PairKeywordJoinLM("text", "kw"),
+            cascade_args=CascadeArgs(
+                recall_target=1.0, precision_target=1.0,
+                min_sample_size=20,
+            ),
+        )
+    return out.select("doc_id", "kw")
+
+
+_SQL_SEM_JOIN_CASCADE = """
+SELECT doc_id, kw
+FROM documents, (VALUES ('spark'), ('merge')) AS k(kw)
+WHERE doc_id % 10 = 0 AND contains(text, kw)
+"""
+
+
+def q_answer_cache_map(spark, sf_dir):
+    """Distributed answer cache short-circuiting a semantic pass
+    (models/cache.py::join_answer_cache; reference operator-cache
+    semantics, lotus/cache.py): pass 1 sem_maps only the 'en' docs and
+    its (prompt_hash, answer) pairs become the cache table; pass 2 over
+    ALL docs joins the cache — hits skip the LM stage entirely, only
+    misses run sem_map. The src column routes into the output, so the
+    value hash PROVES which rows took the cache path (every 'en' row)
+    vs the LM path (everything else); both paths must agree with
+    upper(lang). The LM-call-count assertion lives in
+    tests/test_lm_infra.py::test_answer_cache_pipeline_skips_lm_calls."""
+    from lotus_spark import sem_map
+    from lotus_spark.models.cache import join_answer_cache
+    from lotus_spark.models.fake_lm import RegexMapLM
+
+    instr = "state the language {lang} in uppercase"
+
+    def lm():
+        return RegexMapLM(r"\[lang\]: «(\w+)»", "upper")
+
+    docs = _t(spark, sf_dir, "documents")
+    first = sem_map(docs.filter(F.col("lang") == "en"), instr, lm=lm())
+    cache = (
+        first.select("lang", "_map").distinct()
+        .select(F.sha2(F.col("lang"), 256).alias("prompt_hash"),
+                F.col("_map").alias("answer"))
+    )
+    hits, misses = join_answer_cache(docs, "lang", cache,
+                                     answer_col="answer")
+    miss_out = sem_map(misses, instr, lm=lm()).withColumnRenamed(
+        "_map", "answer")
+    out = hits.withColumn("src", F.lit("cache")).select(
+        "doc_id", "answer", "src"
+    ).unionByName(
+        miss_out.withColumn("src", F.lit("lm")).select(
+            "doc_id", "answer", "src")
+    )
+    return out
+
+
+_SQL_ANSWER_CACHE_MAP = """
+SELECT doc_id, upper(lang) AS answer,
+       CASE WHEN lang = 'en' THEN 'cache' ELSE 'lm' END AS src
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-6 rotation. The driver checks at most the FIRST 50
-        # entries in dict order, so: (a) every query whose MODULE was
-        # edited this round sits inside the window — lazyframe.py,
-        # optimizers.py, filter_cascade.py, sampling.py, ann.py,
-        # kmeans.py, dedup.py, streaming/ops.py all changed in round 6;
-        # (b) the 18 queries that carried round-4 rows rotate back in
-        # (no green row older than 2 rounds); (c) the tail (>50) holds
-        # ONLY queries that are round-5-green AND whose modules are
-        # byte-untouched this round.
-        # -- new / changed this round ------------------------------------
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,    # NEW round 6
-        "ivfpq_roundtrip": q_ivfpq_roundtrip,      # NEW round 6
-        "knn_pq": q_knn_pq,                        # r6: sampled training
-        "knn_ivfpq": q_knn_ivfpq,                  # r6: sampled training
-        "knn_ivf": q_knn_ivf,                      # ann.py/kmeans.py edited
+        # Round-7 rotation. The driver checks at most the FIRST 50
+        # entries in dict order, so: (a) the 5 NEW rows sit first;
+        # (b) every query whose MODULE was edited this round is inside
+        # the window — sampling.py, ann.py, sem_sim_join.py, vs.py,
+        # lazyframe.py changed in round 7; (c) the 20 queries carrying
+        # round-5 rows rotate back in (no green row older than 2
+        # rounds); (d) the tail (>50) holds ONLY queries that are
+        # round-6-green AND whose modules are byte-untouched this round.
+        # -- NEW this round (previously tests-only components) ------------
+        "weighted_sample": q_weighted_sample,        # NEW r7 (+ NaN fix)
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r7
+        "ann_join_pq": q_ann_join_pq,                # NEW r7 (uint8 codes)
+        "sem_join_cascade": q_sem_join_cascade,      # NEW r7
+        "answer_cache_map": q_answer_cache_map,      # NEW r7
+        # -- modules edited this round -------------------------------------
+        "sem_sim_join": q_sem_sim_join,            # r7: byte-sized pq tier
+        "knn_ivfpq": q_knn_ivfpq,                  # r7: explicit ADC opt-out
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,    # ann.py edited
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,      # ann.py edited
+        "knn_pq": q_knn_pq,                        # ann.py edited
+        "knn_ivf": q_knn_ivf,                      # ann.py edited
         "knn_bruteforce": q_knn_bruteforce,        # ann.py edited
         "knn_lsh": q_knn_lsh,                      # ann.py edited
-        "sem_cluster_by": q_sem_cluster,           # kmeans.py edited
-        "filter_reorder": q_filter_reorder,        # r6: shared calibration
-        "sem_filter_cascade": q_sem_filter_cascade,  # filter_cascade edited
-        "pipeline_curate": q_pipeline_curate,      # lazyframe.py edited
-        "pipeline_pack": q_pipeline_pack,          # lazyframe.py edited
-        "pipeline_clean": q_pipeline_clean,        # lazyframe.py edited
-        "sem_pipeline": q_sem_pipeline,            # lazyframe.py edited
-        "lazy_multi_join": q_lazy_multi_join,      # lazyframe.py edited
-        "pack_sequences": q_pack_sequences,        # r6: NULL-key guard
         "hash_split": q_hash_split,                # sampling.py edited
         "mix_to_weights": q_mix_to_weights,        # sampling.py edited
         "stratified_sample": q_stratified_sample,  # sampling.py edited
         "quantile_filter": q_quantile_filter,      # sampling.py edited
         "perplexity_bucket": q_perplexity_bucket,  # sampling.py edited
-        "span_dedup": q_span_dedup,                # dedup.py edited
-        "strip_boilerplate": q_strip_boilerplate,  # dedup.py edited
-        "paragraph_dedup": q_paragraph_dedup,      # dedup.py edited
-        "minhash_signature": q_minhash_signature,  # r6: minhash_expr split
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,  # r6: shared band keys
-        "simhash": q_simhash,                      # dedup.py edited
-        "sem_sim_join": q_sem_sim_join,            # r6: broadcast_pq tier
-        "jaccard_pairs": q_jaccard_pairs,          # dedup.py edited
-        "ngram_stats": q_ngram_stats,              # dedup.py edited
-        "contamination": q_contamination,          # dedup.py edited
-        "embedding_neardup": q_embedding_neardup,  # dedup.py edited
-        "streaming_doc_stats": q_streaming_doc_stats,    # streaming/ops
-        "streaming_sessions": q_streaming_sessions,      # streaming/ops
-        # -- r04-row holders rotated back into the window ----------------
-        "dedupe_doc_units": q_dedupe_doc_units,
-        "cap_per_key": q_cap_per_key,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "time_rollup": q_time_rollup,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "customers_no_orders": q_customers_no_orders,
-        "orders_rollup": q_orders_rollup,
-        "pairwise_judge": q_pairwise_judge,
-        "llm_judge": q_llm_judge,
-        "sem_index_roundtrip": q_sem_index_roundtrip,
-        "sem_partition_agg": q_sem_partition_agg,
-        "top_revenue": q_top_revenue,
-        "region_revenue": q_region_revenue,
-        "events_hourly": q_events_hourly,
-        # -- tail (>50): round-5 green, modules untouched in round 6 -----
-        "profile": q_profile,                      # profile.py untouched
+        "pack_sequences": q_pack_sequences,        # sampling.py edited
+        "cap_per_key": q_cap_per_key,              # sampling.py edited
+        "pipeline_curate": q_pipeline_curate,      # lazyframe.py edited
+        "pipeline_pack": q_pipeline_pack,          # lazyframe.py edited
+        "pipeline_clean": q_pipeline_clean,        # lazyframe.py edited
+        "sem_pipeline": q_sem_pipeline,            # lazyframe.py edited
+        "lazy_multi_join": q_lazy_multi_join,      # lazyframe.py edited
+        # -- r05-row holders rotated back into the window ------------------
+        "profile": q_profile,
         "pricing_summary": q_pricing_summary,
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "part_brand_stats": q_part_brand_stats,
@@ -2606,10 +2821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_join": q_sem_join,
         "sem_agg": q_sem_agg,
         "sem_topk": q_sem_topk,
-        # exact_dedup's FUNCTION is byte-untouched in round 6 (the
-        # dedup.py edits are the minhash_expr factor-out + additions on
-        # other code paths) and its r05 row is green — the same
-        # pure-addition tail criterion the round-5 verdict accepted
         "exact_dedup": q_exact_dedup,
         "sem_dedup": q_sem_dedup,
         "sem_search": q_sem_search,
@@ -2617,6 +2828,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_signals": q_quality_signals,
         "sessionize": q_sessionize,
+        # -- streaming/ops.py edited this round (docstring gotcha note) ----
+        "streaming_doc_stats": q_streaming_doc_stats,
+        "streaming_sessions": q_streaming_sessions,
+        # -- r6-green fillers adjacent to this round's edits ----------------
+        "sem_filter_cascade": q_sem_filter_cascade,  # shares cascades/utils
+        "filter_reorder": q_filter_reorder,          # shares CalibrationStore
+        "sem_cluster_by": q_sem_cluster,
+        # -- tail (>50): round-6 green, modules byte-untouched in round 7 --
+        "sem_index_roundtrip": q_sem_index_roundtrip,
+        "sem_partition_agg": q_sem_partition_agg,
+        "span_dedup": q_span_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "paragraph_dedup": q_paragraph_dedup,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ngram_stats": q_ngram_stats,
+        "contamination": q_contamination,
+        "embedding_neardup": q_embedding_neardup,
+        "dedupe_doc_units": q_dedupe_doc_units,
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
+        "customers_no_orders": q_customers_no_orders,
+        "orders_rollup": q_orders_rollup,
+        "top_revenue": q_top_revenue,
+        "region_revenue": q_region_revenue,
+        "events_hourly": q_events_hourly,
+        "llm_judge": q_llm_judge,
+        "pairwise_judge": q_pairwise_judge,
     }
 
 
@@ -3040,6 +3284,11 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate": _sql_pipeline_curate(),
         "filter_reorder": _SQL_FILTER_REORDER,
         "hash_split": _sql_hash_split(),
+        "weighted_sample": _sql_weighted_sample(),
+        "streaming_heavy_hitters": _SQL_STREAMING_HEAVY_HITTERS,
+        "ann_join_pq": _SQL_ANN_JOIN_PQ,
+        "sem_join_cascade": _SQL_SEM_JOIN_CASCADE,
+        "answer_cache_map": _SQL_ANSWER_CACHE_MAP,
         "mix_to_weights": _sql_mix_to_weights(),
         "sem_pipeline": _SQL_SEM_PIPELINE,
         "lazy_multi_join": _SQL_LAZY_MULTI_JOIN,

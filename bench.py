@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "perplexity_bucket",
     "hash_split",
     "mix_to_weights",
+    # round 7
+    "weighted_sample",
+    "ann_join_pq",
+    "answer_cache_map",
 ]
 
 

@@ -546,7 +546,7 @@ def knn_topk_ivfpq(
     id_col: str = "vec_id",
     cell_col: str = "__ivf_cell",
     code_col: str = "pq_codes",
-    rerank_k: int | None = None,
+    rerank_k: int | None | str = "auto",
     emb_col: str = "embedding",
     score_col: str = "score",
 ) -> DataFrame:
@@ -567,7 +567,19 @@ def knn_topk_ivfpq(
 
     ``indexed_df`` must carry BOTH columns: build with
     ``ivf_index(method="deterministic")`` then ``pq_index``.
+
+    **Recall contract**: raw ADC ordering at low m/nbits can rank badly
+    on weakly-structured vectors (measured recall@20 of 0.25 on uniform
+    synthetic data, ``BENCH_pqtrain.json``), so the exact rerank is ON
+    by default — ``rerank_k="auto"`` shortlists ``max(4*k, 40)`` ADC
+    candidates before the exact top-k (the standard refine sizing;
+    measured recall in ``BENCH_annrecall.json``). Pass ``rerank_k=None``
+    to explicitly opt out and get the raw ADC ordering (returns
+    ``pq_dist`` instead of ``score_col``), or an int to size the
+    shortlist yourself.
     """
+    if rerank_k == "auto":
+        rerank_k = max(4 * k, 40)
     probe = rank_cells_quantized(centroids, query_vec, n_probe)
     pruned = indexed_df.filter(F.col(cell_col).isin(probe))
     return knn_topk_pq(

@@ -445,6 +445,15 @@ def streaming_heavy_hitters(
     Template notes: this is the ``applyInPandasWithState`` pattern for
     sketch-backed operators Spark lacks natively (count-min, space
     saving, quantile sketches slot into the same shape).
+
+    Boundary gotcha (applies to every ``applyInPandasWithState`` op,
+    unlike windowed aggregations): rows whose event time equals the
+    INITIAL watermark (epoch 0) are filtered as late before reaching
+    the state function — a windowed ``groupBy().count()`` keeps them
+    because its late filter compares the window END to the watermark.
+    Real event times are never epoch 0; synthetic ts columns derived
+    from ids must offset away from 0 (see the oracle row in
+    ``__spark_entry__.q_streaming_heavy_hitters``).
     """
     _require_streaming(df, "streaming_heavy_hitters")
     if capacity < 1 or k < 1:

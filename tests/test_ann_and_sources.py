@@ -456,7 +456,7 @@ def test_ivfpq_equals_pq_restricted_to_probed_cells(spark):
                               nbits=2, seed=5)
     q = [float(x) for x in vecs[7]]
     got = knn_topk_ivfpq(encoded, cents, books, q, k=5, n_probe=2,
-                         id_col="vec_id").collect()
+                         id_col="vec_id", rerank_k=None).collect()
     probe = rank_cells_quantized(cents, q, 2)
     manual = knn_topk_pq(
         encoded.filter(F.col("__ivf_cell").isin(probe)), books, q, k=5,
@@ -609,7 +609,7 @@ def test_ivfpq_rerank_recall_on_real_embeddings(spark):
                               nbits=4, seed=101, train_sample=ts)
     plain = [r["vec_id"] for r in
              knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
-                            id_col="vec_id").collect()]
+                            id_col="vec_id", rerank_k=None).collect()]
     rer = [r["vec_id"] for r in
            knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
                           id_col="vec_id", rerank_k=40).collect()]
@@ -617,6 +617,14 @@ def test_ivfpq_rerank_recall_on_real_embeddings(spark):
     r_rerank = len(set(exact) & set(rer)) / 10
     assert r_rerank >= r_plain
     assert rer[0] == 0                  # exact self-match leads post-rerank
+
+    # recall contract: the DEFAULT is the auto rerank (max(4k, 40) = 40
+    # here), identical to the explicit rerank_k=40 call — callers who
+    # want raw ADC ordering must opt out with rerank_k=None
+    dflt = knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
+                          id_col="vec_id").collect()
+    assert "score" in dflt[0].asDict()  # reranked shape, not pq_dist
+    assert [r["vec_id"] for r in dflt] == rer
 
 
 def test_ivfpq_write_read_roundtrip_lossless(spark, tmp_path):
@@ -670,3 +678,64 @@ def test_ivfpq_write_read_roundtrip_lossless(spark, tmp_path):
     plan = formatted_plan(pruned)
     scan = plan[plan.index("Scan parquet"):]
     assert "PartitionFilters" in scan and "__ivf_cell" in scan
+
+
+def test_ivf_mllib_sampled_training_parity_and_auto_threshold(spark):
+    """MLlib-tier ivf_index trains on the same pinned hash sample the
+    deterministic tier uses: centroids from ivf_index(train_sample=ts)
+    equal a manual KMeans fit on the pre-filtered rows, cell assignment
+    still covers EVERY row, and recall@10 vs brute force is not worse
+    than full-table training. Also pins the auto threshold: with
+    max_train_rows below the table size the derived predicate drops
+    rows; at/above it the filter resolves to None (train on all)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from lotus_spark.functions.ann import (
+        _resolve_train_filter, ivf_index, knn_topk, knn_topk_ivf,
+    )
+    from lotus_spark.functions.text import MOD
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = df.count()
+    ts = (7, MOD // 2)
+
+    indexed, cents = ivf_index(df, "embedding", n_cells=8, seed=42,
+                               method="mllib", id_col="vec_id",
+                               train_sample=ts)
+    pred = _resolve_train_filter(df, "vec_id", 42, ts, None)
+    manual = KMeans(k=8, seed=42, featuresCol="__v").fit(
+        df.filter(pred).withColumn(
+            "__v", array_to_vector(F.col("embedding").cast("array<double>")))
+    )
+    got = sorted(tuple(round(x, 9) for x in c) for c in cents)
+    want = sorted(tuple(round(float(x), 9) for x in c.tolist())
+                  for c in manual.clusterCenters())
+    assert got == want                       # trained on the sample only
+    assert indexed.count() == n              # ...but every row assigned
+    n_sample = df.filter(pred).count()
+    assert 0 < n_sample < n                  # the sample really is partial
+
+    # recall@10 not worse than full-table mllib training
+    q = [float(x) for x in df.filter("vec_id = 0").first()["embedding"]]
+    exact = [r["vec_id"] for r in
+             knn_topk(df, "embedding", q, k=10, id_col="vec_id").collect()]
+
+    def recall(train_sample):
+        idx, cc = ivf_index(df, "embedding", n_cells=8, seed=42,
+                            method="mllib", id_col="vec_id",
+                            train_sample=train_sample)
+        got = [r["vec_id"] for r in
+               knn_topk_ivf(idx, cc, "embedding", q, k=10, n_probe=6,
+                            id_col="vec_id",
+                            probe_method="float").collect()]
+        return len(set(exact) & set(got)) / 10
+
+    # sampled centroids shift which cells exist, so on 500 rows allow a
+    # small recall dip; the parity assertions above are the real gate
+    assert recall(ts) >= recall(None) - 0.2
+
+    # auto-threshold boundary: below table size -> a real predicate;
+    # at the table size -> None (train on everything)
+    assert _resolve_train_filter(df, "vec_id", 42, None, n - 1) is not None
+    assert _resolve_train_filter(df, "vec_id", 42, None, n) is None

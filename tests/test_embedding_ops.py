@@ -509,9 +509,11 @@ def test_sem_sim_join_auto_escalates_exact_pq_crossjoin(spark):
     exact = run(strategy="broadcast_exact")
     # raw fits: 40 <= 100 -> broadcast_exact
     assert run(strategy="auto", broadcast_max_rows=100) == exact
-    # raw doesn't (40 > 2) but codes do (40 <= 32*2=64) -> broadcast_pq;
+    # the pq tier is sized by measured bytes/row: d=8 -> exact tier
+    # ships 8*4+8=40 B/row, pq ships 8+8=16 B/row -> ratio 40//16 = 2.
+    # raw doesn't fit (40 > 20) but codes do (40 <= 2*20) -> broadcast_pq;
     # with a full candidate budget the rerank makes it value-equal
-    pq = run(strategy="auto", broadcast_max_rows=2, pq_candidates=40)
+    pq = run(strategy="auto", broadcast_max_rows=20, pq_candidates=40)
     assert pq == exact
-    # beyond even the code budget (40 > 32*1) -> crossjoin (also exact)
-    assert run(strategy="auto", broadcast_max_rows=1) == exact
+    # beyond even the code budget (40 > 2*19) -> crossjoin (also exact)
+    assert run(strategy="auto", broadcast_max_rows=19) == exact

@@ -335,3 +335,58 @@ def test_litellm_client_model_aware_token_defaults():
     # explicit values win on both families
     assert LiteLLMClient(model="gpt-5", max_tokens=1000).max_tokens == 1000
     assert LiteLLMClient(model="gpt-4o-mini", max_tokens=1024).max_tokens == 1024
+
+
+def test_answer_cache_pipeline_skips_lm_calls(spark, tmp_path):
+    """The composed answer-cache pipeline (the oracle row
+    __spark_entry__.q_answer_cache_map) really short-circuits the LM:
+    running sem_map on only the cache MISSES makes exactly one LM call
+    per miss row and ZERO for the cached rows — counted via marker
+    files because executor-side pandas-UDF calls are invisible to
+    driver-side usage counters."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark import sem_map
+    from lotus_spark.models.cache import join_answer_cache
+    from lotus_spark.models.fake_lm import RegexMapLM
+
+    marker_dir = str(tmp_path / "calls")
+    os.makedirs(marker_dir)
+
+    class MarkingMapLM(RegexMapLM):
+        def __init__(self):
+            super().__init__(r"\[lang\]: «(\w+)»", "upper")
+            inner = self.fn
+
+            def fn(prompt):
+                open(os.path.join(marker_dir, uuid.uuid4().hex), "w").close()
+                return inner(prompt)
+
+            self.fn = fn
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(40)],
+        ["doc_id", "lang"],
+    )
+    instr = "state the language {lang} in uppercase"
+    cache = spark.createDataFrame([("en", "EN")], ["lang", "answer"]).select(
+        F.sha2(F.col("lang"), 256).alias("prompt_hash"), "answer")
+
+    hits, misses = join_answer_cache(docs, "lang", cache,
+                                     answer_col="answer")
+    assert hits.count() == 20 and misses.count() == 20
+
+    out = sem_map(misses, instr, lm=MarkingMapLM()).withColumnRenamed(
+        "_map", "answer")
+    rows = {(r["doc_id"], r["answer"]) for r in out.collect()}
+    assert rows == {(i, "DE") for i in range(40) if i % 2 == 0}
+    # exactly one LM call per MISS row; the 20 cached rows cost zero
+    assert len(os.listdir(marker_dir)) == 20
+
+    # hit rows carry the cached answers without any LM involvement
+    got_hits = {(r["doc_id"], r["answer"]) for r in hits.collect()}
+    assert got_hits == {(i, "EN") for i in range(40) if i % 2 == 1}
+    assert len(os.listdir(marker_dir)) == 20  # still 20 — no new calls

@@ -71,3 +71,39 @@ def test_every_oracle_operator_has_a_unit_test():
         "oracle queries use operators with no unit-test reference: "
         f"{missing} — add tests before registering the query"
     )
+
+
+def test_registry_rotation_no_stale_rows():
+    """Round-6 verdict item 7: the driver checks only the FIRST 50
+    queries() entries per round, so every registry key must hold a
+    green CORRECTNESS row from the current or previous round — i.e.
+    each key must appear in the first 50 NOW (it will earn a row this
+    round) or carry a green row in one of the two latest recorded
+    CORRECTNESS_r*.json files. Fails the moment a tail entry's row goes
+    stale instead of relying on rotation discipline."""
+    import json
+
+    entry = __import__("__spark_entry__")
+    keys = list(entry.queries())
+    window = set(keys[:50])
+
+    root = TESTS_DIR.parent
+    rounds = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert rounds, "no CORRECTNESS artifacts recorded yet"
+    recent: set[str] = set()
+    for p in rounds[-2:]:
+        data = json.loads(p.read_text())
+        for k, v in data.items():
+            ok = (isinstance(v, dict) and not v.get("err")
+                  and v.get("rows_match") and v.get("schema_match"))
+            if ok:
+                recent.add(k)
+
+    stale = [k for k in keys if k not in window and k not in recent]
+    assert not stale, (
+        f"registry tail entries with no green row in the last two "
+        f"rounds (rotate them into the first-50 window): {stale}"
+    )
