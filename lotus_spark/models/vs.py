@@ -254,9 +254,16 @@ def ann_join_pq(
     candidates: Optional[int] = None,
     id_out: str = "match_id",
     score_out: str = "_scores",
+    tie_col: Optional[str] = None,
 ) -> DataFrame:
     """K-NN join when the right side is too big to broadcast raw: the
     standard two-stage compressed-candidates + exact-rerank shape.
+
+    ``tie_col`` (a RIGHT-side column) customizes the rerank tie order:
+    rows with equal rounded score rank by (tie_col ASC, id ASC) instead
+    of internal id alone — how sem_sim_join's ``tie_break`` reaches this
+    tier. It rides the existing candidate join (one extra narrow
+    column), no additional shuffle.
 
     1. **Candidate generation, zero shuffle**: each left task probes the
        PQ broadcast (codes only) for ``candidates`` (default 4K)
@@ -300,10 +307,13 @@ def ann_join_pq(
             yield rep
 
     cand = left.mapInPandas(gen, schema=cand_schema)
-    right_sel = right.select(
+    right_cols = [
         F.col(right_id_col).alias(id_out),
         F.col(right_emb_col).alias("__pq_r_emb"),
-    )
+    ]
+    if tie_col is not None:
+        right_cols.append(F.col(tie_col).alias("__pq_tie"))
+    right_sel = right.select(*right_cols)
     scored = (
         cand.join(right_sel, id_out)
         .withColumn(
@@ -313,12 +323,16 @@ def ann_join_pq(
         )
         .drop("__pq_r_emb")
     )
-    w = Window.partitionBy(left_id_col).orderBy(
-        F.desc(score_out), F.asc(id_out))
-    return (
+    order = [F.desc(score_out)]
+    if tie_col is not None:
+        order.append(F.asc("__pq_tie"))
+    order.append(F.asc(id_out))
+    w = Window.partitionBy(left_id_col).orderBy(*order)
+    out = (
         scored.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= K)
     )
+    return out.drop("__pq_tie") if tie_col is not None else out
 
 
 class QdrantVS:

@@ -281,11 +281,14 @@ def sem_sim_join(
                               seed=42)
         index = BroadcastPQIndex.build(enc, "__r_id", "pq_codes", books)
         l2 = l.withColumn("__l_id", F.monotonically_increasing_id())
+        rerank_cols = ["__r_id", right_emb_col]
+        if tie_break is not None and tie_break not in rerank_cols:
+            rerank_cols.append(tie_break)
         matched = ann_join_pq(
-            l2, ridx.select("__r_id", right_emb_col), index,
+            l2, ridx.select(*rerank_cols), index,
             "__l_id", left_emb_col, "__r_id", right_emb_col, K,
             candidates=pq_candidates, id_out="__r_id",
-            score_out=SCORE_COL,
+            score_out=SCORE_COL, tie_col=tie_break,
         )
         # re-attach the right side's payload columns (narrow id join —
         # the right table is too big to broadcast by assumption)

@@ -517,3 +517,37 @@ def test_sem_sim_join_auto_escalates_exact_pq_crossjoin(spark):
     assert pq == exact
     # beyond even the code budget (40 > 2*19) -> crossjoin (also exact)
     assert run(strategy="auto", broadcast_max_rows=19) == exact
+
+
+def test_sem_sim_join_broadcast_pq_honors_tie_break(spark):
+    """tie_break reaches the broadcast_pq rerank window (round-7: it
+    was silently ignored, leaving ties on an internal row id): with
+    duplicated right vectors (exact score ties) the pq tier picks the
+    same winners as broadcast_exact, ordered by the tie column."""
+    import numpy as np
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 8).astype("float64")
+    # rows 100..109 duplicate rows 0..9's vectors -> guaranteed ties
+    rows = [(i, [float(x) for x in base[i % 10]]) for i in range(10)]
+    rows += [(100 + i, [float(x) for x in base[i]]) for i in range(10)]
+    right = spark.createDataFrame(rows, ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(7, [float(x) for x in base[3]])], ["qid", "lemb"])
+
+    def run(strategy, **kw):
+        out = sem_sim_join(left, right, "lemb", "remb", K=4,
+                           left_emb_col="lemb", right_emb_col="remb",
+                           tie_break="rid", strategy=strategy, **kw)
+        return [(r["rid"], round(r["_scores"], 6)) for r in
+                sorted(out.collect(), key=lambda r: (-r["_scores"], r["rid"]))]
+
+    exact = run("broadcast_exact")
+    pq = run("broadcast_pq", pq_candidates=20)
+    assert pq == exact
+    # the tie really exists and resolves low-rid first: rid 3 and 103
+    # carry the same vector, both must appear before any other score
+    top2 = {rid for rid, _ in exact[:2]}
+    assert top2 == {3, 103}

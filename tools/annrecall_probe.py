@@ -84,26 +84,34 @@ def main() -> int:
         "rerank_2x_auto": 2 * auto,
         "rerank_all_probed": n,
     }
-    recalls = {t: 0.0 for t in tiers}
+    # sweep BOTH knobs: rerank depth (PQ quantization loss) and n_probe
+    # (IVF candidate loss) — at n_probe = n_cells + full rerank the
+    # composition is exhaustive, so that cell must read 1.0; the gap
+    # between the n_probe rows is pure probe loss, the gap within a row
+    # is pure ADC-ordering loss.
+    probes = sorted({args.n_probe, args.n_cells})
+    recalls = {p: {t: 0.0 for t in tiers} for p in probes}
     t0 = time.time()
     for row in qrows:
         q = [float(x) for x in row["embedding"]]
         exact = {r["vec_id"] for r in
                  knn_topk(emb, "embedding", q, k=k,
                           id_col="vec_id").collect()}
-        for tier, rk in tiers.items():
-            got = {r["vec_id"] for r in
-                   knn_topk_ivfpq(encoded, cents, books, q, k=k,
-                                  n_probe=args.n_probe, id_col="vec_id",
-                                  rerank_k=rk).collect()}
-            recalls[tier] += len(got & exact) / k
-    for tier in recalls:
-        recalls[tier] = round(recalls[tier] / len(qrows), 4)
+        for p in probes:
+            for tier, rk in tiers.items():
+                got = {r["vec_id"] for r in
+                       knn_topk_ivfpq(encoded, cents, books, q, k=k,
+                                      n_probe=p, id_col="vec_id",
+                                      rerank_k=rk).collect()}
+                recalls[p][tier] += len(got & exact) / k
+    for p in probes:
+        for tier in tiers:
+            recalls[p][tier] = round(recalls[p][tier] / len(qrows), 4)
     wall = round(time.time() - t0, 1)
 
     out = {
         "metric": "ivfpq_recall_at_k",
-        "value": recalls["auto_default"],
+        "value": recalls[args.n_probe]["auto_default"],
         "unit": "recall",
         "k": k,
         "n_rows": n,
@@ -111,13 +119,14 @@ def main() -> int:
         "n_probe": args.n_probe,
         "n_cells": args.n_cells,
         "auto_rerank_k": auto,
-        "recalls": recalls,
+        "recalls_by_n_probe": {str(p): recalls[p] for p in probes},
         "sf_dir": args.sf_dir,
         "wall_sec": wall,
         "note": ("recall of the DEFAULT knn_topk_ivfpq (auto rerank) vs "
                  "exact brute force; adc_only is the explicit opt-out "
                  "tier; rerank_all_probed bounds what rerank can recover "
-                 "given IVF probe loss"),
+                 "given IVF probe loss; the n_cells probe row isolates "
+                 "ADC loss (full-probe + full-rerank must be 1.0)"),
     }
     path = os.path.join(ROOT, "BENCH_annrecall.json")
     with open(path, "w") as f:
