@@ -154,3 +154,57 @@ def test_ivf_partitioned_table_prunes_cells_at_scan(spark, tmp_path):
     got = knn_topk(pruned, "embedding", q, k=5, id_col="vec_id")
     cells = {r["vec_id"]: r["ivf_cell"] for r in stored.collect()}
     assert all(cells[r["vec_id"]] in probe for r in got.collect())
+
+
+def test_ann_join_pq_candidates_are_zero_shuffle(spark):
+    """The broadcast-PQ join's claims, pinned on the physical plan:
+    candidate generation is a mapInPandas over the LEFT with no Exchange
+    upstream of it (the codes ride a broadcast variable, invisible to
+    the plan), and no shuffle in the whole plan ever carries an
+    embedding column — only the narrow (left id, candidate id) relation
+    plus scalar score/rank columns cross exchanges."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import pq_index
+    from lotus_spark.models.vs import BroadcastPQIndex, ann_join_pq
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(60, 8).astype("float32")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        ["vec_id", "embedding"])
+    left = spark.createDataFrame(
+        [(100 + j, [float(x) for x in vecs[j]]) for j in range(4)],
+        ["qid", "lemb"])
+    enc, books = pq_index(right, "embedding", "vec_id", m=4, nbits=2,
+                          seed=5)
+    ix = BroadcastPQIndex.build(enc, "vec_id", "pq_codes", books)
+    out = ann_join_pq(left, right, ix, "qid", "lemb", "vec_id",
+                      "embedding", K=3, candidates=60)
+    plan = formatted_plan(out)
+
+    # no Exchange UPSTREAM of the candidate-generating python stage: in
+    # the formatted tree, MapInPandas's inputs are the more-indented
+    # lines below it — that subtree must be shuffle-free (the codes ride
+    # a broadcast variable, not an exchange)
+    def depth(ln):
+        # ':' marks sibling branches at the same visual column; treat it
+        # as indentation so nesting depth is the '+-' position
+        return len(ln) - len(ln.replace(":", " ").lstrip())
+
+    tree = plan.split("\n\n")[0].splitlines()
+    idx = next(i for i, ln in enumerate(tree) if "MapInPandas" in ln)
+    subtree = []
+    for ln in tree[idx + 1:]:
+        if ln.strip() and depth(ln) <= depth(tree[idx]):
+            break
+        subtree.append(ln)
+    assert subtree, tree  # MapInPandas has an input subtree
+    assert not any("Exchange" in ln for ln in subtree), subtree
+
+    # the rerank join may shuffle the narrow candidate relation (left
+    # payload x candidate id) and the right (id, embedding) relation
+    # separately, but no SHUFFLE ever carries BOTH sides' embeddings —
+    # the full-vector pair product never crosses an exchange
+    for args, cols in exchanges(plan):
+        assert not ("lemb" in cols and "embedding" in cols), (args, cols)

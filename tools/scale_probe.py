@@ -82,6 +82,10 @@ PROBE_QUERIES = [
     "hash_split",
     "mix_to_weights",
     "perplexity_bucket",
+    # round 7
+    "weighted_sample",
+    "ann_join_pq",
+    "answer_cache_map",
 ]
 
 
