@@ -352,18 +352,23 @@ def pq_index(
     DuckDB-oracle-checkable. Returns (df + ``code_col`` array<int>,
     codebooks[m][2**nbits][d/m] in the quantized-integer domain).
 
-    Scale: training = m small distributed KMeans runs, each over a
-    SAMPLE-BOUNDED input (``train_sample`` / ``max_train_rows``, see
-    :func:`_resolve_train_filter`) — codebooks need a representative
-    sample, not the corpus, and full-corpus training would cost
-    m × iters full-table aggregate passes before encoding even starts
-    (the dominant 100 TB build cost; FAISS trains PQ codebooks on a
-    bounded sample for the same reason). The driver holds
-    m * 2**nbits * d/m ints; encoding is map-only (the per-subspace
-    assignment UDF over every row); nothing shuffles but the KMeans
-    update aggregates over the sample.
+    Scale: training runs ONE grouped Lloyd's loop over the (subspace,
+    subvector) explosion of a SAMPLE-BOUNDED input (``train_sample`` /
+    ``max_train_rows``, see :func:`_resolve_train_filter` and
+    ``kmeans.pq_train_codebooks``) — the sample is scanned ``iters + 1``
+    times total, NOT ``m × (iters + 1)`` as independent per-subspace
+    runs would (value-identical to those; parity-pinned in tests).
+    Codebooks need a representative sample, not the corpus (FAISS
+    trains PQ codebooks on a bounded sample for the same reason). The
+    driver holds m * 2**nbits * d/m ints; encoding is map-only (the
+    per-subspace assignment UDF over every row); nothing shuffles but
+    the grouped KMeans update aggregates over the sample.
     """
-    from lotus_spark.functions.kmeans import deterministic_kmeans
+    from lotus_spark.functions.kmeans import (
+        pq_train_codebooks,
+        quantize_embedding,
+        quantized_assign_expr,
+    )
 
     first = df.select(F.size(emb_col).alias("d")).first()
     if first is None:
@@ -375,22 +380,23 @@ def pq_index(
     k = 2 ** nbits
     train_filter = _resolve_train_filter(
         df, id_col, seed, train_sample, max_train_rows)
-    out = df
-    codebooks: list[list[list[int]]] = []
+    cents = pq_train_codebooks(
+        df, emb_col, id_col, m, sub, k, iters=3, seed=seed,
+        train_filter=train_filter,
+    )
+    codebooks = [[[int(x) for x in c] for c in cents[s]] for s in range(m)]
+    # encode: ONE lazy map-only pass — quantize once, assign every
+    # subspace slice against its trained codebook
+    out = df.withColumn("__pq_xq", quantize_embedding(F.col(emb_col)))
     for s in range(m):
         out = out.withColumn(
-            "__pq_sub", F.slice(F.col(emb_col), s * sub + 1, sub)
+            f"__pq_c{s}",
+            quantized_assign_expr(cents[s])(
+                F.slice(F.col("__pq_xq"), s * sub + 1, sub)),
         )
-        out, cent = deterministic_kmeans(
-            out, "__pq_sub", id_col, k, iters=3, seed=seed + s,
-            cluster_col=f"__pq_c{s}",
-            train_filter=train_filter,
-        )
-        out = out.drop("__pq_sub")
-        codebooks.append([[int(x) for x in c] for c in cent])
     out = out.withColumn(
         code_col, F.array(*[F.col(f"__pq_c{s}") for s in range(m)])
-    ).drop(*[f"__pq_c{s}" for s in range(m)])
+    ).drop("__pq_xq", *[f"__pq_c{s}" for s in range(m)])
     return out, codebooks
 
 

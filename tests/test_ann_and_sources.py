@@ -739,3 +739,60 @@ def test_ivf_mllib_sampled_training_parity_and_auto_threshold(spark):
     # at the table size -> None (train on everything)
     assert _resolve_train_filter(df, "vec_id", 42, None, n - 1) is not None
     assert _resolve_train_filter(df, "vec_id", 42, None, n) is None
+
+
+def test_pq_grouped_training_matches_per_subspace(spark):
+    """pq_index's grouped one-loop trainer is VALUE-IDENTICAL to m
+    independent deterministic_kmeans runs (seed offset seed+s, same
+    init-hash order, same integer update arithmetic) — the round-7
+    job-count optimization must not move a single centroid or code."""
+    from lotus_spark.functions.ann import pq_index
+    from lotus_spark.functions.kmeans import deterministic_kmeans
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(90, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        ["vec_id", "embedding"])
+    m, nbits, seed = 4, 2, 5
+    sub, k = 2, 2 ** nbits
+    enc, books = pq_index(df, "embedding", "vec_id", m=m, nbits=nbits,
+                          seed=seed)
+
+    ref = df
+    ref_books = []
+    for s in range(m):
+        ref = ref.withColumn(
+            "__sub", F.slice(F.col("embedding"), s * sub + 1, sub))
+        ref, cent = deterministic_kmeans(
+            ref, "__sub", "vec_id", k, iters=3, seed=seed + s,
+            cluster_col=f"__c{s}")
+        ref = ref.drop("__sub")
+        ref_books.append([[int(x) for x in c] for c in cent])
+    assert books == ref_books
+
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in enc.collect()}
+    want = {r["vec_id"]: [r[f"__c{s}"] for s in range(m)]
+            for r in ref.collect()}
+    assert got == want
+
+    # and with a training sample: parity holds on the sampled tier too
+    from lotus_spark.functions.text import MOD
+
+    ts = (7, MOD // 2)
+    enc2, books2 = pq_index(df, "embedding", "vec_id", m=m, nbits=nbits,
+                            seed=seed, train_sample=ts)
+    from lotus_spark.functions.kmeans import train_sample_predicate
+
+    ref2 = df
+    ref2_books = []
+    for s in range(m):
+        ref2 = ref2.withColumn(
+            "__sub", F.slice(F.col("embedding"), s * sub + 1, sub))
+        ref2, cent = deterministic_kmeans(
+            ref2, "__sub", "vec_id", k, iters=3, seed=seed + s,
+            cluster_col=f"__c{s}",
+            train_filter=train_sample_predicate("vec_id", 7, MOD // 2))
+        ref2 = ref2.drop("__sub")
+        ref2_books.append([[int(x) for x in c] for c in cent])
+    assert books2 == ref2_books
