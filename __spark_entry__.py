@@ -2682,6 +2682,68 @@ FROM rk WHERE rank <= 3
 """
 
 
+def q_ann_join_ivf(spark, sf_dir):
+    """IVF cell-partitioned K-NN JOIN (functions/ann.py::ann_join_ivf) —
+    the ANN-join tier where NEITHER side broadcasts: deterministic IVF
+    on the right, per-left-row quantized probe of n_probe cells against
+    the broadcast centroid matrix, one cell equi-join, exact cosine +
+    rank within the probed cells. The oracle replays the ENTIRE
+    composition: the unrolled Lloyd's chain trains on the right rows
+    (train_where), afinal assigns cells, a per-left-row window ranks
+    cells by the same integer quantized distance, and the final rank
+    runs over the joined candidates. APPROXIMATE by design (recall
+    rises with n_probe) but fully deterministic, so hash-checkable."""
+    from lotus_spark.functions.ann import ann_join_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    right = emb.filter(F.col("vec_id") >= 20)
+    out = ann_join_ivf(
+        left, right, "qid", "embedding", "vec_id", "embedding",
+        K=3, n_cells=16, n_probe=4, seed=42,
+    )
+    return out.select(
+        "qid",
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("_scores").alias("score"),
+        F.col("_rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ann_join_ivf(d: int) -> str:
+    pdist = " + ".join(
+        f"(l.xq[{j}]-c3.v[{j}])*(l.xq[{j}]-c3.v[{j}])"
+        for j in range(1, d + 1)
+    )
+    return f"""
+WITH {_sql_kmeans_ctes(k=16, iters=3, seed=42, d=d,
+                       train_where="vec_id >= 20")},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+probe AS (
+  SELECT l.vec_id AS qid, c3.c,
+         row_number() OVER (PARTITION BY l.vec_id
+                            ORDER BY {pdist}, c3.c) AS pr
+  FROM (SELECT vec_id, xq FROM p WHERE vec_id < 20) l, c3
+),
+pc AS (SELECT qid, c FROM probe WHERE pr <= 4),
+r AS (SELECT e.vec_id AS match_id, e.v, a.c
+      FROM e JOIN afinal a USING (vec_id) WHERE e.vec_id >= 20),
+l AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 20),
+cand AS (
+  SELECT l.qid, r.match_id, ROUND({_sql_cosine('l.v', 'r.v')}, 6) AS score
+  FROM l JOIN pc ON l.qid = pc.qid JOIN r ON r.c = pc.c
+),
+rk AS (SELECT qid, match_id, score,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, match_id) AS rank
+       FROM cand)
+SELECT qid, CAST(match_id AS BIGINT) AS match_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+"""
+
+
 def q_sem_join_cascade(spark, sf_dir):
     """sem_join CASCADE path (cascades/join_cascade.py::sem_join_cascade;
     reference lotus/sem_ops/sem_join.py:180-341): proxy-scored pairs,
@@ -2784,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,        # NEW r7 (+ NaN fix)
         "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r7
         "ann_join_pq": q_ann_join_pq,                # NEW r7 (uint8 codes)
+        "ann_join_ivf": q_ann_join_ivf,              # NEW r7 (cell join)
         "sem_join_cascade": q_sem_join_cascade,      # NEW r7
         "answer_cache_map": q_answer_cache_map,      # NEW r7
         # -- modules edited this round -------------------------------------
@@ -2833,9 +2896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         # -- r6-green fillers adjacent to this round's edits ----------------
         "sem_filter_cascade": q_sem_filter_cascade,  # shares cascades/utils
-        "filter_reorder": q_filter_reorder,          # shares CalibrationStore
-        "sem_cluster_by": q_sem_cluster,
+        "sem_cluster_by": q_sem_cluster,             # kmeans.py edited (r7)
         # -- tail (>50): round-6 green, modules byte-untouched in round 7 --
+        "filter_reorder": q_filter_reorder,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
         "span_dedup": q_span_dedup,
@@ -3347,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         sqls["knn_lsh"] = _sql_knn_lsh(qv)
         sqls["sem_cluster_by"] = _sql_sem_cluster(d=len(qv))
         sqls["knn_ivf"] = _sql_knn_ivf(qv, d=len(qv))
+        sqls["ann_join_ivf"] = _sql_ann_join_ivf(d=len(qv))
         sqls["knn_pq"] = _sql_knn_pq(qv)
         sqls["knn_ivfpq"] = _sql_knn_ivfpq(qv)
         sqls["knn_ivfpq_rerank"] = _sql_knn_ivfpq_rerank(qv)

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     # round 7
     "weighted_sample",
     "ann_join_pq",
+    "ann_join_ivf",
     "answer_cache_map",
 ]
 

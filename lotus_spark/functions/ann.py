@@ -592,3 +592,114 @@ def knn_topk_ivfpq(
         pruned, codebooks, query_vec, k, id_col=id_col, code_col=code_col,
         rerank_k=rerank_k, emb_col=emb_col, score_col=score_col,
     )
+
+
+def probe_cells_expr(centroids, n_probe: int):
+    """Column factory: the ``n_probe`` nearest IVF cells per embedding
+    row — integer quantized L2 to each integer centroid, ties to the
+    smaller cell id: the per-row vectorization of
+    :func:`rank_cells_quantized`, value-identical (and SQL-replayable,
+    which is why it quantizes rather than using float distance). The
+    centroid matrix is tiny (n_cells x d ints) and ships in the UDF
+    closure — map-only, no join, no shuffle."""
+    from lotus_spark.functions.kmeans import QUANT, SHIFT
+
+    C = np.asarray(centroids, dtype=np.int64).copy()
+    npq = max(1, min(int(n_probe), len(C)))
+
+    @F.pandas_udf("array<int>")
+    def _probe(emb_s: pd.Series) -> pd.Series:
+        X = np.stack(emb_s.to_numpy()).astype(np.float64)
+        XQ = np.floor((X + SHIFT) * float(QUANT)).astype(np.int64)
+        d = ((XQ[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # stable argsort on equal distances keeps ascending cell order —
+        # the (dist, cell_id) tie rule of rank_cells_quantized
+        order = np.argsort(d, axis=1, kind="stable")[:, :npq]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _probe
+
+
+def ann_join_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str,
+    left_emb_col: str,
+    right_id_col: str,
+    right_emb_col: str,
+    K: int,
+    n_cells: int | str = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    train_sample: tuple[int, int] | None = None,
+    max_train_rows: int | None = 1_000_000,
+    id_out: str = "match_id",
+    score_out: str = "_scores",
+) -> DataFrame:
+    """K-NN join where NEITHER side broadcasts — the tier above
+    ``ann_join_pq`` in the ladder: broadcast_exact (raw fits) →
+    broadcast_pq (codes fit) → **ivf_cells** (nothing fits; this) →
+    crossjoin (exact fallback). The standard cell-partitioned
+    distributed ANN join:
+
+    1. IVF-index the right side (deterministic integer Lloyd's,
+       sample-bounded training — ``ivf_index``); every right row gets a
+       cell id in one map-only pass.
+    2. Each left row picks its ``n_probe`` nearest cells against the
+       BROADCAST centroid matrix (n_cells x d ints — always tiny), then
+       explodes to (cell, left row): map-only, ``n_probe``x the left
+       rows, never |L|x|R|.
+    3. ONE equi-join on the cell id co-partitions the sides; exact
+       cosine within each (left row, probed cell) group and a
+       per-left-id ``row_number`` keeps the top ``K``. Per-pair work is
+       bounded by n_probe x mean cell size; with ``n_cells="auto"``
+       (~sqrt(n) cells) that is ~n_probe*sqrt(|R|) candidates per left
+       row. Hot cells are a plain skewed equi-join — AQE skew-split
+       handles them (no window on the cell key; the rank window keys on
+       the unique left id).
+
+    Returns left columns + (id_out, score_out, _rank). APPROXIMATE like
+    any IVF probe: recall rises with ``n_probe``/``n_cells``; results
+    are deterministic (both quantizers integer) and SQL-replayable —
+    the ``ann_join_ivf`` oracle row replays the whole composition.
+    Reference analog: ``lotus/sem_ops/sem_sim_join.py`` over a
+    FAISS-IVF vector store.
+    """
+    from pyspark.sql import Window
+
+    from lotus_spark.functions.vectors import pair_cosine
+
+    indexed, cents = ivf_index(
+        right, right_emb_col, n_cells=n_cells, seed=seed,
+        method="deterministic", id_col=right_id_col,
+        train_sample=train_sample, max_train_rows=max_train_rows,
+    )
+    lx = (
+        left.withColumn(
+            "__probe",
+            probe_cells_expr(cents, n_probe)(
+                F.col(left_emb_col).cast("array<double>")),
+        )
+        .withColumn("__ivf_probe_cell", F.explode("__probe"))
+        .drop("__probe")
+    )
+    right_sel = indexed.select(
+        F.col("__ivf_cell").alias("__ivf_probe_cell"),
+        F.col(right_id_col).alias(id_out),
+        F.col(right_emb_col).alias("__ivf_r_emb"),
+    )
+    pairs = (
+        lx.join(right_sel, "__ivf_probe_cell")
+        .withColumn(
+            score_out,
+            F.round(pair_cosine(F.col(left_emb_col),
+                                F.col("__ivf_r_emb")), 6),
+        )
+        .drop("__ivf_r_emb", "__ivf_probe_cell")
+    )
+    w = Window.partitionBy(left_id_col).orderBy(
+        F.desc(score_out), F.asc(id_out))
+    return (
+        pairs.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= K)
+    )

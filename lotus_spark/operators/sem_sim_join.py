@@ -158,6 +158,8 @@ def sem_sim_join(
     broadcast_max_rows: int = 200_000,
     pq_candidates: Optional[int] = None,
     pq_nbits: int = 4,
+    ivf_n_cells: int | str = "auto",
+    ivf_n_probe: int = 8,
 ) -> DataFrame:
     """``strategy``:
 
@@ -191,12 +193,23 @@ def sem_sim_join(
       exact-cosine rerank keeps the true top-K (``ann_join_pq``) — scores
       are exact, the candidate SET is approximate (recall tunes via
       ``pq_candidates``). Use when the raw right matrix no longer fits
-      the broadcast but its PQ codes do."""
+      the broadcast but its PQ codes do.
+    - ``"ivf_cells"`` (no-broadcast scale tier): NEITHER side ships
+      anywhere — the right side is IVF-indexed (deterministic Lloyd's,
+      sample-bounded training, ``ivf_n_cells="auto"`` = ~sqrt(n)), each
+      left row probes its ``ivf_n_probe`` nearest cells against the
+      tiny centroid matrix, and ONE cell equi-join scores exact cosine
+      within the probed cells (``functions.ann.ann_join_ivf``). The
+      only tier whose right side can be arbitrarily large; APPROXIMATE
+      (recall rises with ``ivf_n_probe``), so auto never silently picks
+      it — opt in explicitly when the PQ tier's code broadcast no
+      longer fits."""
     if strategy not in ("auto", "crossjoin", "broadcast_ann",
-                        "broadcast_exact", "broadcast_pq"):
+                        "broadcast_exact", "broadcast_pq", "ivf_cells"):
         raise ValueError(
             f"unknown strategy {strategy!r}; pick 'auto', 'crossjoin', "
-            "'broadcast_exact', 'broadcast_ann' or 'broadcast_pq'"
+            "'broadcast_exact', 'broadcast_ann', 'broadcast_pq' or "
+            "'ivf_cells'"
         )
     if strategy == "auto":
         # Size the PQ tier from ACTUAL bytes/row, not a fixed multiple:
@@ -294,6 +307,40 @@ def sem_sim_join(
         # the right table is too big to broadcast by assumption)
         out = matched.join(ridx.drop(right_emb_col), "__r_id") \
                      .drop("__r_id", "__l_id", "_rank")
+        for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}",
+                  f"__r_emb{rsuffix}"):
+            if c in out.columns:
+                out = out.drop(c)
+        if not return_scores:
+            out = out.drop(SCORE_COL)
+        return out
+
+    if strategy == "ivf_cells":
+        from lotus_spark.functions.ann import ann_join_ivf
+
+        # pin the generated right ids (partition-layout-dependent), same
+        # contract as broadcast_pq: the cell assignment and the payload
+        # re-attachment must see ONE materialization
+        ridx = r.withColumn(
+            "__r_id", F.monotonically_increasing_id()
+        ).localCheckpoint()
+        l2 = l.withColumn("__l_id", F.monotonically_increasing_id())
+        matched = ann_join_ivf(
+            l2, ridx.select("__r_id", right_emb_col), "__l_id",
+            left_emb_col, "__r_id", right_emb_col, K,
+            n_cells=ivf_n_cells, n_probe=ivf_n_probe,
+            id_out="__r_id", score_out=SCORE_COL,
+        )
+        out = matched.join(ridx.drop(right_emb_col), "__r_id")
+        if tie_break is not None:
+            # re-rank ties on the caller's key (ann_join_ivf broke them
+            # on the internal id) now that the payload column is joined;
+            # K-boundary ties may differ, as in any approximate tier
+            w2 = Window.partitionBy("__l_id").orderBy(
+                F.desc(SCORE_COL), F.asc(tie_break), F.asc("__r_id"))
+            out = out.drop("_rank").withColumn(
+                "_rank", F.row_number().over(w2))
+        out = out.drop("__r_id", "__l_id", "_rank")
         for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}",
                   f"__r_emb{rsuffix}"):
             if c in out.columns:

@@ -551,3 +551,100 @@ def test_sem_sim_join_broadcast_pq_honors_tie_break(spark):
     # carry the same vector, both must appear before any other score
     top2 = {rid for rid, _ in exact[:2]}
     assert top2 == {3, 103}
+
+
+def test_ann_join_ivf_cell_partitioned(spark):
+    """The no-broadcast ANN join tier: with n_probe = n_cells the probe
+    is exhaustive, so results equal the exact per-query top-K; with a
+    partial probe every returned match lives in one of the query's
+    probed cells (computed independently via rank_cells_quantized) and
+    results are partitioning-invariant."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ann_join_ivf, ivf_index, knn_topk, rank_cells_quantized,
+    )
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(120, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(200 + j, [float(x) for x in vecs[j * 17]]) for j in range(4)],
+        ["qid", "lemb"])
+
+    # exhaustive probe == exact brute force per query
+    full = ann_join_ivf(left, right, "qid", "lemb", "rid", "remb",
+                        K=3, n_cells=4, n_probe=4, seed=9)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["qid"], []).append((r["_rank"], r["match_id"]))
+    for j in range(4):
+        q = [float(x) for x in vecs[j * 17]]
+        exact = [r["rid"] for r in
+                 knn_topk(right, "remb", q, k=3, id_col="rid").collect()]
+        assert [m for _, m in sorted(got[200 + j])] == exact
+        assert exact[0] == j * 17          # self-match leads
+
+    # partial probe: membership respects the independently-ranked cells
+    part = ann_join_ivf(left, right, "qid", "lemb", "rid", "remb",
+                        K=3, n_cells=4, n_probe=2, seed=9)
+    indexed, cents = ivf_index(right, "remb", n_cells=4, seed=9,
+                               method="deterministic", id_col="rid")
+    cell_of = {r["rid"]: r["__ivf_cell"] for r in indexed.collect()}
+    rows = part.collect()
+    assert rows
+    for r in rows:
+        q = [float(x) for x in vecs[(r["qid"] - 200) * 17]]
+        probed = rank_cells_quantized(cents, q, 2)
+        assert cell_of[r["match_id"]] in probed
+
+    # partitioning-invariant (deterministic quantizers end to end)
+    again = ann_join_ivf(left.repartition(7), right.repartition(13),
+                         "qid", "lemb", "rid", "remb",
+                         K=3, n_cells=4, n_probe=2, seed=9)
+    key = lambda rs: sorted((r["qid"], r["_rank"], r["match_id"],
+                             r["_scores"]) for r in rs)
+    assert key(again.collect()) == key(rows)
+
+
+def test_sem_sim_join_ivf_cells_strategy(spark):
+    """The user-facing no-broadcast tier: with an exhaustive probe the
+    ivf_cells strategy matches broadcast_exact (payload columns, scores,
+    tie order); a partial probe still returns <= K ranked rows per left
+    row with descending scores."""
+    import numpy as np
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(60, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, f"doc{i}", [float(x) for x in vecs[i]]) for i in range(60)],
+        ["rid", "payload", "remb"])
+    left = spark.createDataFrame(
+        [(100 + j, [float(x) for x in vecs[j * 9]]) for j in range(3)],
+        ["qid", "lemb"])
+
+    def run(**kw):
+        out = sem_sim_join(left, right, "lemb", "remb", K=3,
+                           left_emb_col="lemb", right_emb_col="remb",
+                           tie_break="rid", **kw)
+        return sorted((r["qid"], r["rid"], r["payload"],
+                       round(r["_scores"], 6)) for r in out.collect())
+
+    exact = run(strategy="broadcast_exact")
+    full_probe = run(strategy="ivf_cells", ivf_n_cells=4, ivf_n_probe=4)
+    assert full_probe == exact
+
+    part = run(strategy="ivf_cells", ivf_n_cells=4, ivf_n_probe=1)
+    per = {}
+    for qid, rid, _, score in part:
+        per.setdefault(qid, []).append(score)
+    assert set(per) <= {100, 101, 102} and per
+    for scores in per.values():
+        assert len(scores) <= 3
+    # the self-match cell is always probed first: rank-1 is the query row
+    top = {(q, r) for q, r, _, s in part if s == 1.0}
+    assert top == {(100 + j, j * 9) for j in range(3)}

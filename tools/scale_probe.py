@@ -85,6 +85,7 @@ PROBE_QUERIES = [
     # round 7
     "weighted_sample",
     "ann_join_pq",
+    "ann_join_ivf",
     "answer_cache_map",
 ]
 
