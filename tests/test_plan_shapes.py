@@ -208,3 +208,32 @@ def test_ann_join_pq_candidates_are_zero_shuffle(spark):
     # the full-vector pair product never crosses an exchange
     for args, cols in exchanges(plan):
         assert not ("lemb" in cols and "embedding" in cols), (args, cols)
+
+
+def test_ann_join_ivf_is_single_equi_join(spark):
+    """The cell-partitioned ANN join's scale claims on the plan: the
+    candidate stage is ONE equi-join on the cell id (hash or sort-merge
+    — AQE-skew-splittable), with no BroadcastNestedLoopJoin and no
+    CartesianProduct anywhere, and the right side's shuffle carries only
+    (cell, id, embedding) — never left columns."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import ann_join_ivf
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(80, 8).astype("float32")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(100 + j, [float(x) for x in vecs[j]]) for j in range(4)],
+        ["qid", "lemb"])
+    out = ann_join_ivf(left, right, "qid", "lemb", "rid", "remb",
+                       K=3, n_cells=4, n_probe=2, seed=9)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") >= 1  # the cell equi-join is a real join
+    for args, cols in exchanges(plan):
+        if "remb" in cols:
+            assert "lemb" not in cols and "qid" not in cols, (args, cols)
