@@ -310,6 +310,12 @@ def knn_topk_ivf(
     ``"quantized"`` for deterministic-tier integer centroids."""
     import math
 
+    if probe_method not in ("cosine", "quantized"):
+        # a typo silently ranking integer centroids with float cosine
+        # would probe the wrong cells — degraded recall with no signal
+        raise ValueError(
+            f"probe_method must be 'cosine' or 'quantized', "
+            f"got {probe_method!r}")
     if probe_method == "quantized":
         probe = rank_cells_quantized(centroids, query_vec, n_probe)
     else:
@@ -609,13 +615,22 @@ def probe_cells_expr(centroids, n_probe: int):
 
     @F.pandas_udf("array<int>")
     def _probe(emb_s: pd.Series) -> pd.Series:
-        X = np.stack(emb_s.to_numpy()).astype(np.float64)
-        XQ = np.floor((X + SHIFT) * float(QUANT)).astype(np.int64)
-        d = ((XQ[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        # stable argsort on equal distances keeps ascending cell order —
-        # the (dist, cell_id) tie rule of rank_cells_quantized
-        order = np.argsort(d, axis=1, kind="stable")[:, :npq]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        # NULL embeddings probe no cells (None → explode drops the row),
+        # matching the exact tiers' NULL-tolerant semantics instead of
+        # crashing the batch in np.stack
+        valid = emb_s.notna().to_numpy()
+        out = [None] * len(emb_s)
+        if valid.any():
+            X = np.stack(emb_s[valid].to_numpy()).astype(np.float64)
+            XQ = np.floor((X + SHIFT) * float(QUANT)).astype(np.int64)
+            d = ((XQ[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # stable argsort on equal distances keeps ascending cell
+            # order — the (dist, cell_id) tie rule of
+            # rank_cells_quantized
+            order = np.argsort(d, axis=1, kind="stable")[:, :npq]
+            for i, row in zip(np.nonzero(valid)[0], order):
+                out[i] = row.astype("int32").tolist()
+        return pd.Series(out, dtype=object)
 
     return _probe
 
@@ -635,6 +650,7 @@ def ann_join_ivf(
     max_train_rows: int | None = 1_000_000,
     id_out: str = "match_id",
     score_out: str = "_scores",
+    tie_col: str | None = None,
 ) -> DataFrame:
     """K-NN join where NEITHER side broadcasts — the tier above
     ``ann_join_pq`` in the ladder: broadcast_exact (raw fits) →
@@ -657,6 +673,11 @@ def ann_join_ivf(
        row. Hot cells are a plain skewed equi-join — AQE skew-split
        handles them (no window on the cell key; the rank window keys on
        the unique left id).
+
+    ``tie_col`` (a RIGHT-side column) customizes the rank tie order —
+    equal rounded scores rank by (tie_col ASC, id ASC) instead of id
+    alone; it rides the cell join as one extra narrow column (same
+    contract as ``ann_join_pq``).
 
     Returns left columns + (id_out, score_out, _rank). APPROXIMATE like
     any IVF probe: recall rises with ``n_probe``/``n_cells``; results
@@ -683,11 +704,14 @@ def ann_join_ivf(
         .withColumn("__ivf_probe_cell", F.explode("__probe"))
         .drop("__probe")
     )
-    right_sel = indexed.select(
+    right_cols = [
         F.col("__ivf_cell").alias("__ivf_probe_cell"),
         F.col(right_id_col).alias(id_out),
         F.col(right_emb_col).alias("__ivf_r_emb"),
-    )
+    ]
+    if tie_col is not None:
+        right_cols.append(F.col(tie_col).alias("__ivf_tie"))
+    right_sel = indexed.select(*right_cols)
     pairs = (
         lx.join(right_sel, "__ivf_probe_cell")
         .withColumn(
@@ -697,9 +721,13 @@ def ann_join_ivf(
         )
         .drop("__ivf_r_emb", "__ivf_probe_cell")
     )
-    w = Window.partitionBy(left_id_col).orderBy(
-        F.desc(score_out), F.asc(id_out))
-    return (
+    order = [F.desc(score_out)]
+    if tie_col is not None:
+        order.append(F.asc("__ivf_tie"))
+    order.append(F.asc(id_out))
+    w = Window.partitionBy(left_id_col).orderBy(*order)
+    out = (
         pairs.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= K)
     )
+    return out.drop("__ivf_tie") if tie_col is not None else out

@@ -155,18 +155,9 @@ def deterministic_kmeans(
         d = cent.shape[1]
 
         def assign_expr(centroids: np.ndarray):
-            C = centroids.copy()
-
-            @F.pandas_udf("int")
-            def _assign(xq_s):
-                import pandas as pd
-
-                X = np.stack(xq_s.to_numpy()).astype(np.int64)
-                # [n, k, d] diffs are int64-exact (≤ ~2^50 per distance)
-                dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                return pd.Series(np.argmin(dists, axis=1).astype(np.int32))
-
-            return _assign(F.col("__xq"))
+            # single source for the assignment arithmetic (the SQL
+            # oracles replay it; two hand-synced copies invited drift)
+            return quantized_assign_expr(centroids)(F.col("__xq"))
 
         for _ in range(iters):
             assigned = q.withColumn("__c", assign_expr(cent))

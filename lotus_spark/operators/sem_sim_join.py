@@ -140,6 +140,21 @@ def _broadcast_exact_join(l, r, left_emb_col, right_emb_col, K, tie_break):
     return l.mapInPandas(run, schema=out_schema)
 
 
+def _require_right_tie(tie_break, r, strategy):
+    """The pq/ivf tiers thread tie_break into the RIGHT-side rerank
+    relation, so it must name a right column (post collision-rename —
+    e.g. ``"doc_id_right"`` when both sides carry ``doc_id``). The
+    crossjoin/exact tiers rank over the joined pair, where either
+    side's column works; here a left-only name would either crash
+    deep inside the join or silently bind to the wrong side."""
+    if tie_break is not None and tie_break not in r.columns:
+        raise ValueError(
+            f"strategy={strategy!r} needs tie_break to name a RIGHT-side "
+            f"column (after collision rename); {tie_break!r} is not in "
+            f"{sorted(r.columns)}"
+        )
+
+
 def sem_sim_join(
     left: DataFrame,
     right: DataFrame,
@@ -216,26 +231,29 @@ def sem_sim_join(
         # the exact tier ships d*4+8 bytes/row (raw float32 + id), the
         # PQ tier ships m+8 (uint8 codes, m<=8, + int64 id). The ratio
         # of those two is how much further the same broadcast budget
-        # reaches. Probe d once when the embedding column already
-        # exists; otherwise assume the HashRM default d=64 —
-        # conservative enough that the codes+ids broadcast at the
-        # ceiling stays ~100 MB, never the GB-scale pull a blind
-        # row-count multiplier allows.
-        if right_emb_col is not None:
-            row0 = right.select(F.size(right_emb_col).alias("d")).first()
-            d_probe = int(row0["d"]) if row0 is not None else 0
-        else:
-            d_probe = 64
-        pq_bytes = 8 + 8  # m<=8 uint8 codes + int64 id
-        ratio = max(1, min(64, (d_probe * 4 + 8) // pq_bytes))
-        pq_max = ratio * broadcast_max_rows
-        n_bounded = right.limit(pq_max + 1).count()
+        # reaches, capped at 64x. ONE bounded count at the 64x ceiling
+        # decides the exact tier; d is probed (skipping NULL embeddings
+        # — F.size(NULL) is NULL) only on the escalation path, so the
+        # common fits-in-broadcast case costs a single action.
+        cap_max = 64 * broadcast_max_rows
+        n_bounded = right.limit(cap_max + 1).count()
         if n_bounded <= broadcast_max_rows:
             strategy = "broadcast_exact"
-        elif n_bounded <= pq_max:
-            strategy = "broadcast_pq"
         else:
-            strategy = "crossjoin"
+            if right_emb_col is not None:
+                row0 = (right.select(F.size(right_emb_col).alias("d"))
+                        .filter(F.col("d").isNotNull()).first())
+                d_probe = int(row0["d"]) if row0 is not None else 0
+            else:
+                # embeddings not yet computed: assume the HashRM
+                # default d=64 — conservative enough that the
+                # codes+ids broadcast at the ceiling stays ~100 MB
+                d_probe = 64
+            pq_bytes = 8 + 8  # m<=8 uint8 codes + int64 id
+            ratio = max(1, min(64, (d_probe * 4 + 8) // pq_bytes))
+            strategy = ("broadcast_pq"
+                        if n_bounded <= ratio * broadcast_max_rows
+                        else "crossjoin")
     model = None
     if left_emb_col is None or right_emb_col is None:
         model = _resolve_rm(rm)
@@ -274,6 +292,8 @@ def sem_sim_join(
 
         from lotus_spark.functions.ann import pq_index
         from lotus_spark.models.vs import BroadcastPQIndex, ann_join_pq
+
+        _require_right_tie(tie_break, r, "broadcast_pq")
 
         # pin the generated right ids: monotonically_increasing_id is
         # partition-layout-dependent, so the encode and the rerank join
@@ -324,23 +344,19 @@ def sem_sim_join(
         ridx = r.withColumn(
             "__r_id", F.monotonically_increasing_id()
         ).localCheckpoint()
+        _require_right_tie(tie_break, r, "ivf_cells")
         l2 = l.withColumn("__l_id", F.monotonically_increasing_id())
+        rcols = ["__r_id", right_emb_col]
+        if tie_break is not None and tie_break not in rcols:
+            rcols.append(tie_break)
         matched = ann_join_ivf(
-            l2, ridx.select("__r_id", right_emb_col), "__l_id",
+            l2, ridx.select(*rcols), "__l_id",
             left_emb_col, "__r_id", right_emb_col, K,
             n_cells=ivf_n_cells, n_probe=ivf_n_probe,
-            id_out="__r_id", score_out=SCORE_COL,
+            id_out="__r_id", score_out=SCORE_COL, tie_col=tie_break,
         )
-        out = matched.join(ridx.drop(right_emb_col), "__r_id")
-        if tie_break is not None:
-            # re-rank ties on the caller's key (ann_join_ivf broke them
-            # on the internal id) now that the payload column is joined;
-            # K-boundary ties may differ, as in any approximate tier
-            w2 = Window.partitionBy("__l_id").orderBy(
-                F.desc(SCORE_COL), F.asc(tie_break), F.asc("__r_id"))
-            out = out.drop("_rank").withColumn(
-                "_rank", F.row_number().over(w2))
-        out = out.drop("__r_id", "__l_id", "_rank")
+        out = matched.join(ridx.drop(right_emb_col), "__r_id") \
+                     .drop("__r_id", "__l_id", "_rank")
         for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}",
                   f"__r_emb{rsuffix}"):
             if c in out.columns:

@@ -728,7 +728,7 @@ def test_ivf_mllib_sampled_training_parity_and_auto_threshold(spark):
         got = [r["vec_id"] for r in
                knn_topk_ivf(idx, cc, "embedding", q, k=10, n_probe=6,
                             id_col="vec_id",
-                            probe_method="float").collect()]
+                            probe_method="cosine").collect()]
         return len(set(exact) & set(got)) / 10
 
     # sampled centroids shift which cells exist, so on 500 rows allow a

@@ -648,3 +648,54 @@ def test_sem_sim_join_ivf_cells_strategy(spark):
     # the self-match cell is always probed first: rank-1 is the query row
     top = {(q, r) for q, r, _, s in part if s == 1.0}
     assert top == {(100 + j, j * 9) for j in range(3)}
+
+
+def test_ann_join_ivf_null_embeddings_and_tie_break(spark):
+    """Round-7 review fixes pinned: (a) NULL left embeddings probe no
+    cells (row silently contributes no candidates) instead of crashing
+    the pandas UDF batch; (b) tie_col reaches ann_join_ivf's rank
+    window, so with duplicated right vectors the ivf_cells strategy
+    matches broadcast_exact's tie order; (c) a left-only tie_break name
+    raises a clear error in the pq/ivf tiers instead of failing deep in
+    the join."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lotus_spark.functions.ann import ann_join_ivf
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(8, 8).astype("float64")
+    rows = [(i, [float(x) for x in base[i % 8]]) for i in range(16)]
+    right = spark.createDataFrame(rows, ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(100, [float(x) for x in base[2]]), (101, None)],
+        "qid long, lemb array<double>")
+
+    out = ann_join_ivf(left, right, "qid", "lemb", "rid", "remb",
+                       K=4, n_cells=2, n_probe=2, seed=5, tie_col="rid")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["_rank"], r["match_id"]))
+    assert 101 not in got                  # NULL query: no candidates
+    # rid 2 and 10 share a vector: the tie resolves low-rid first
+    ranked = [m for _, m in sorted(got[100])]
+    assert ranked[:2] == [2, 10]
+
+    # sem_sim_join ivf_cells parity with exact under ties
+    def run(strategy):
+        out = sem_sim_join(
+            left.filter("qid = 100"), right, "lemb", "remb", K=4,
+            left_emb_col="lemb", right_emb_col="remb", tie_break="rid",
+            strategy=strategy,
+            **({"ivf_n_cells": 2, "ivf_n_probe": 2}
+               if strategy == "ivf_cells" else {}))
+        return sorted((r["rid"], round(r["_scores"], 6))
+                      for r in out.collect())
+
+    assert run("ivf_cells") == run("broadcast_exact")
+
+    with _pytest.raises(ValueError, match="RIGHT-side"):
+        sem_sim_join(left, right, "lemb", "remb", K=2,
+                     left_emb_col="lemb", right_emb_col="remb",
+                     tie_break="qid", strategy="ivf_cells").collect()
