@@ -125,6 +125,9 @@ def deterministic_kmeans(
     """
     a, b = kmeans_init_params(seed)
     q = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
+    # NULL embeddings cannot train (they assign NULL at the end); an
+    # unlucky init hash must never promote one to a centroid
+    q = q.filter(F.col("__xq").isNotNull())
     if train_filter is not None:
         q = q.filter(train_filter)
     q = ensure_parallelism(q)
@@ -204,9 +207,16 @@ def quantized_assign_expr(centroids: np.ndarray):
     def _assign(xq_s):
         import pandas as pd
 
-        X = np.stack(xq_s.to_numpy()).astype(np.int64)
-        dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(dists, axis=1).astype(np.int32))
+        # NULL embeddings assign NULL (quantize_embedding of NULL is
+        # NULL): tolerate instead of crashing the whole Arrow batch
+        valid = xq_s.notna().to_numpy()
+        out = np.full(len(xq_s), None, dtype=object)
+        if valid.any():
+            X = np.stack(xq_s[valid].to_numpy()).astype(np.int64)
+            # [n, k, d] diffs are int64-exact (<= ~2^50 per distance)
+            dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out[valid] = np.argmin(dists, axis=1).astype(np.int32)
+        return pd.Series(out, dtype=object)
 
     return _assign
 
@@ -238,6 +248,7 @@ def pq_train_codebooks(
     from pyspark.sql import Window
 
     q = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
+    q = q.filter(F.col("__xq").isNotNull())  # NULLs cannot train
     if train_filter is not None:
         q = q.filter(train_filter)
     q = ensure_parallelism(q)
