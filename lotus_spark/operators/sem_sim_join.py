@@ -178,14 +178,17 @@ def sem_sim_join(
 ) -> DataFrame:
     """``strategy``:
 
-    - ``"auto"`` (default): bounded count of the right side — at most
-      ``ratio * broadcast_max_rows + 1`` rows scanned, where ``ratio``
-      is the measured exact-tier/PQ-tier bytes-per-row quotient
-      (``(d*4+8)/(m+8)``, capped at 64) — escalates ``broadcast_exact``
-      (raw vectors fit the broadcast) → ``broadcast_pq`` (raw doesn't,
-      but uint8 PQ codes do: same byte budget, ``ratio``× the rows) →
-      ``crossjoin``. Kills the silent pair-shuffle footgun without ever
-      executing the full right subtree to decide.
+    - ``"auto"`` (default): ONE bounded count of the right side (at
+      most ``64 * broadcast_max_rows + 1`` rows scanned) decides
+      ``broadcast_exact`` (raw vectors fit the broadcast); only on the
+      escalation path is the embedding dim probed (skipping NULLs) to
+      size the PQ tier by the measured exact/PQ bytes-per-row quotient
+      (``(d*4+8)/(m+8)``, capped at 64): ``broadcast_pq`` when the
+      uint8 codes fit that budget, else ``crossjoin``. Kills the silent
+      pair-shuffle footgun without ever executing the full right
+      subtree to decide. Auto never picks an APPROXIMATE tier — for
+      right sides beyond even the code budget, opt into
+      ``"ivf_cells"`` explicitly.
     - ``"broadcast_exact"`` (exact tier when the right side fits in
       executor memory): the right side is collected once and broadcast; one
       ``mapInPandas`` over the left computes fold-order-exact cosine scores

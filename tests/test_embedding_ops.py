@@ -699,3 +699,30 @@ def test_ann_join_ivf_null_embeddings_and_tie_break(spark):
         sem_sim_join(left, right, "lemb", "remb", K=2,
                      left_emb_col="lemb", right_emb_col="remb",
                      tie_break="qid", strategy="ivf_cells").collect()
+
+
+def test_sem_sim_join_auto_tolerates_null_first_embedding(spark):
+    """Review fix pinned: auto's dim probe skips NULL embeddings
+    (F.size(NULL) is NULL; int(None) crashed before) — a right side
+    whose FIRST row carries a NULL embedding still escalates correctly
+    and the NULL row simply never matches."""
+    import numpy as np
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float64")
+    rows = [(0, None)] + [
+        (i, [float(x) for x in vecs[i]]) for i in range(1, 30)]
+    right = spark.createDataFrame(rows, "rid long, remb array<double>")
+    left = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[5]])], ["qid", "lemb"])
+
+    # force the escalation path (raw doesn't fit) so the d-probe runs
+    out = sem_sim_join(left, right, "lemb", "remb", K=2,
+                       left_emb_col="lemb", right_emb_col="remb",
+                       tie_break="rid", strategy="auto",
+                       broadcast_max_rows=10, pq_candidates=30)
+    got = sorted(r["rid"] for r in out.collect())
+    assert len(got) == 2 and 0 not in got
+    assert 5 in got  # exact self-match survives the pq tier
