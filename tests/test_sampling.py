@@ -496,6 +496,13 @@ def test_weighted_sample_deterministic_and_proportional(spark):
                weighted_sample(df.repartition(13), "w", 20, "id").collect())
     assert a == b and len(a) == 20            # deterministic, exact n
 
+    # A-ES keys are fixed per (data, seed), so samples NEST across n:
+    # growing the budget only ever ADDS rows — a pipeline can enlarge a
+    # curated draw without reshuffling what it already trained on
+    bigger = sorted(r["id"] for r in
+                    weighted_sample(df, "w", 35, "id").collect())
+    assert set(a) <= set(bigger) and len(bigger) == 35
+
     heavy_hits = light_hits = 0
     for seed in range(30):
         got = {r["id"] for r in
