@@ -590,7 +590,13 @@ def knn_topk_ivfpq(
     ``pq_dist`` instead of ``score_col``), or an int to size the
     shortlist yourself.
     """
-    if rerank_k == "auto":
+    if isinstance(rerank_k, str):
+        if rerank_k != "auto":
+            raise ValueError(
+                f"rerank_k={rerank_k!r}: the only string sentinel is "
+                "'auto' (max(4*k, 40)); pass an int to size the ADC "
+                "shortlist or None to opt out of the exact rerank"
+            )
         rerank_k = max(4 * k, 40)
     probe = rank_cells_quantized(centroids, query_vec, n_probe)
     pruned = indexed_df.filter(F.col(cell_col).isin(probe))

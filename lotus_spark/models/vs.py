@@ -187,15 +187,32 @@ class BroadcastPQIndex:
     def build(cls, encoded_df: DataFrame, id_col: str, code_col: str,
               codebooks) -> "BroadcastPQIndex":
         # Arrow path: one zero-copy-ish transfer of (id, flat codes) —
-        # no per-row Python list objects on the driver. The list column
-        # is fixed-length (m codes for every row, never null), so
-        # flatten+reshape is exact.
-        tbl = encoded_df.select(id_col, code_col).toArrow()
+        # no per-row Python list objects on the driver. NULL-embedding
+        # rows carry NULL codes (quantized_assign_expr emits NULL for
+        # NULL inputs); Arrow's to_numpy would silently turn those into
+        # NaN floats that uint8-cast to garbage code 0 — a VALID
+        # codebook index, so phantom rows would earn plausible ADC
+        # distances and displace real candidates. Exclude them loudly
+        # here, mirroring the other NULL-hardened paths.
+        tbl = (
+            encoded_df
+            .filter(F.col(code_col).isNotNull())
+            .filter(F.forall(F.col(code_col), lambda c: c.isNotNull()))
+            .select(id_col, code_col)
+            .toArrow()
+        )
         ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
         m = len(codebooks)
         if len(ids):
             lists = tbl.column(code_col).combine_chunks()
             flat = lists.flatten().to_numpy(zero_copy_only=False)
+            has_nan = (np.issubdtype(flat.dtype, np.floating)
+                       and bool(np.isnan(flat).any()))
+            if lists.null_count or has_nan:
+                raise ValueError(
+                    "BroadcastPQIndex.build: NULL PQ codes survived the "
+                    "pre-transfer filter — refuse to cast NaN to uint8"
+                )
             codes = flat.reshape(len(ids), m)
         else:
             codes = np.zeros((0, m), np.int64)

@@ -244,7 +244,11 @@ def sem_sim_join(
             strategy = "broadcast_exact"
         else:
             if right_emb_col is not None:
-                row0 = (right.select(F.size(right_emb_col).alias("d"))
+                # bound the probe: scan at most the cap_max+1 prefix the
+                # count above already read, so a mostly-NULL embedding
+                # column can't turn this into a full-table scan
+                row0 = (right.limit(cap_max + 1)
+                        .select(F.size(right_emb_col).alias("d"))
                         .filter(F.col("d").isNotNull()).first())
                 d_probe = int(row0["d"]) if row0 is not None else 0
             else:
@@ -341,13 +345,16 @@ def sem_sim_join(
     if strategy == "ivf_cells":
         from lotus_spark.functions.ann import ann_join_ivf
 
+        # validate BEFORE the eager checkpoint: a misconfigured
+        # (left-only) tie_break must not pay a full materialization of
+        # the arbitrarily-large right table just to raise
+        _require_right_tie(tie_break, r, "ivf_cells")
         # pin the generated right ids (partition-layout-dependent), same
         # contract as broadcast_pq: the cell assignment and the payload
         # re-attachment must see ONE materialization
         ridx = r.withColumn(
             "__r_id", F.monotonically_increasing_id()
         ).localCheckpoint()
-        _require_right_tie(tie_break, r, "ivf_cells")
         l2 = l.withColumn("__l_id", F.monotonically_increasing_id())
         rcols = ["__r_id", right_emb_col]
         if tie_break is not None and tie_break not in rcols:

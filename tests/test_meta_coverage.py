@@ -98,7 +98,8 @@ def test_registry_rotation_no_stale_rows():
         data = json.loads(p.read_text())
         for k, v in data.items():
             ok = (isinstance(v, dict) and not v.get("err")
-                  and v.get("rows_match") and v.get("schema_match"))
+                  and v.get("rows_match") and v.get("schema_match")
+                  and v.get("hash_match"))
             if ok:
                 recent.add(k)
 
