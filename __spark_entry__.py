@@ -2843,6 +2843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds); (d) the tail (>50) holds ONLY queries that are
         # round-6-green AND whose modules are byte-untouched this round.
         # -- NEW this round (previously tests-only components) ------------
+        "streaming_neardup": q_streaming_neardup,            # NEW r8
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,  # NEW r8
         "weighted_sample": q_weighted_sample,        # NEW r7 (+ NaN fix)
         "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r7
         "ann_join_pq": q_ann_join_pq,                # NEW r7 (uint8 codes)
@@ -3232,6 +3234,131 @@ WHERE session_end <= (SELECT MAX(ts) FROM events)
 """
 
 
+def q_streaming_neardup(spark, sf_dir):
+    """Streaming SimHash near-dup drop (streaming/ops.py:332) under the
+    driver gate: documents stream → ``streaming_neardup`` (30-bit
+    SimHash, low-16-bit bucket key, watermark-evicted
+    ``dropDuplicatesWithinWatermark``) → survivors projected onto the
+    RECOMPUTED bucket. Which row survives inside a bucket is
+    arrival-order-dependent (the state store keeps the first row it
+    sees), but the bucket SET is exactly the distinct input buckets —
+    deterministic by construction — so the oracle replays the
+    fingerprint + bucket algebra and the dedup cardinality in DuckDB
+    while per-survivor batch/stream parity stays pinned by
+    tests (``test_streaming.py``)."""
+    import uuid
+
+    from lotus_spark.functions.dedup import simhash_expr
+    from lotus_spark.streaming.ops import (
+        read_parquet_stream,
+        streaming_neardup,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_parquet_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    )
+    # +60: a row whose event time IS epoch 0 sits at the initial
+    # watermark and dropDuplicatesWithinWatermark discards it as late
+    # (same gotcha the heavy-hitters row documents)
+    stream = stream.withColumn(
+        "ts", F.timestamp_seconds(F.col("doc_id") % 600 + 60)
+    )
+    out = streaming_neardup(stream, "text", "ts", watermark="10 minutes",
+                            bits=16, n_bits=30)
+    qname = f"oracle_neardup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    surv = spark.table(qname)
+    bucket = F.pmod(simhash_expr(F.col("text"), n_bits=30),
+                    F.lit(2 ** 16)).cast("long")
+    return surv.select(bucket.alias("bucket"))
+
+
+_SQL_STREAMING_NEARDUP = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents
+),
+th AS (SELECT doc_id, {_sql_strhash('t')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.b AS b,
+    SUM((CAST(floor(h / pow(2.0, b.b)) AS BIGINT) % 2) * 2 - 1) AS s
+  FROM th, range(0, 30) AS b(b)
+  GROUP BY doc_id, b.b
+),
+fp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT DISTINCT simhash % 65536 AS bucket FROM fp
+"""
+
+
+def q_streaming_neardup_minhash(spark, sf_dir):
+    """Streaming MinHash-band near-dup drop (streaming/ops.py:520) under
+    the driver gate, at ``bands=1`` — the band key is then the FULL
+    16-hash signature, so the survivor set is one row per distinct
+    signature regardless of arrival order, and the output projected onto
+    the recomputed signature is deterministic (the driver's availableNow
+    batch gives no ordering guarantee, so any ``bands>1`` chain — whose
+    survivor set depends on which near-dup the state store saw first —
+    cannot be driver-hashed; the multi-band chain semantics are pinned
+    by batch/stream parity tests instead). Exercised end to end here:
+    ``minhash_expr`` on a stream, ``minhash_band_keys`` construction,
+    the watermark + ``dropDuplicatesWithinWatermark`` state machinery,
+    and real drops (exact-duplicate texts collapse)."""
+    import uuid
+
+    from lotus_spark.functions.dedup import minhash_expr
+    from lotus_spark.streaming.ops import (
+        read_parquet_stream,
+        streaming_neardup_minhash,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = read_parquet_stream(
+        spark, sf_dir, schema, glob="documents.parquet"
+    )
+    stream = stream.withColumn(  # +60: epoch-0 rows are "late", see above
+        "ts", F.timestamp_seconds(F.col("doc_id") % 600 + 60)
+    )
+    out = streaming_neardup_minhash(
+        stream, "text", "ts", watermark="10 minutes",
+        n_hashes=16, bands=1, shingle_n=3,
+    )
+    qname = f"oracle_neardup_mh_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    surv = spark.table(qname)
+    sig = minhash_expr(F.col("text"), n_hashes=16, shingle_n=3)
+    return surv.select(
+        *[sig[j].alias(f"sig{j}") for j in range(16)]
+    )
+
+
+def _sql_streaming_neardup_minhash() -> str:
+    sig_exprs = []
+    for j in range(16):
+        a, b = _hash_params(j)
+        sig_exprs.append(
+            f"list_min(list_transform(shingles, sh -> ({a} * {_sql_strhash('sh')} + {b}) % {MOD})) AS sig{j}"
+        )
+    return f"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
+s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-3, 0)+2),
+        i -> array_to_string(words[i:i+2], ' '))) shingles FROM d),
+sig AS (SELECT doc_id, {', '.join(sig_exprs)} FROM s)
+SELECT DISTINCT {', '.join(f'sig{j}' for j in range(16))} FROM sig
+"""
+
+
 def q_sem_search(spark, sf_dir):
     """sem_search operator path (scores col, tie-break, vector entry point)
     over the stored embedding column — reference sem_search.py:91-157."""
@@ -3349,6 +3476,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _sql_hash_split(),
         "weighted_sample": _sql_weighted_sample(),
         "streaming_heavy_hitters": _SQL_STREAMING_HEAVY_HITTERS,
+        "streaming_neardup": _SQL_STREAMING_NEARDUP,
+        "streaming_neardup_minhash": _sql_streaming_neardup_minhash(),
         "ann_join_pq": _SQL_ANN_JOIN_PQ,
         "sem_join_cascade": _SQL_SEM_JOIN_CASCADE,
         "answer_cache_map": _SQL_ANSWER_CACHE_MAP,

@@ -75,6 +75,28 @@ def test_minhash_signature_similar_docs_share_values(spark):
     assert sim_ab > 0.5 > sim_ac
 
 
+def test_minhash_and_simhash_exprs_match_batch_wrappers(spark):
+    """minhash_expr / simhash_expr are the shared batch+stream fingerprint
+    expressions; the batch wrappers (minhash_signature / simhash) must be
+    exactly these exprs — the streaming near-dup oracle rows recompute
+    fingerprints on survivors via the raw exprs and rely on this parity."""
+    from lotus_spark.functions.dedup import minhash_expr, simhash_expr
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps"), (1, "pack my box with jugs"),
+         (2, "")],
+        ["id", "t"],
+    )
+    viaw = minhash_signature(df, "t", n_hashes=8, shingle_n=3)
+    viae = df.withColumn("minhash", minhash_expr(F.col("t"), 8, 3))
+    assert [r.asDict() for r in viaw.orderBy("id").collect()] == \
+        [r.asDict() for r in viae.orderBy("id").collect()]
+    simw = simhash(df, "t", n_bits=24)
+    sime = df.withColumn("simhash", simhash_expr(F.col("t"), 24))
+    assert [r.asDict() for r in simw.orderBy("id").collect()] == \
+        [r.asDict() for r in sime.orderBy("id").collect()]
+
+
 def test_minhash_lsh_dedup_removes_near_dup(spark):
     a = "the quick brown fox jumps over the lazy dog every single day"
     b = "the quick brown fox jumps over the lazy dog every single night"
