@@ -2785,6 +2785,58 @@ WHERE doc_id % 10 = 0 AND contains(text, kw)
 """
 
 
+def q_sem_join_cascade_routed(spark, sf_dir):
+    """NON-degenerate join cascade (cascades/join_cascade.py; reference
+    lotus/sem_ops/sem_join.py:180-341): unlike the targets-1.0 row above
+    (oracle-for-everything by construction), here the learned thresholds
+    ROUTE. TieredEvidenceRM gives every (doc, 'spark') pair one of three
+    proxy scores — strong (contains spark AND table: all TRUE), weak
+    (spark-without-table: TRUE; scan-without-spark: FALSE — a mixed
+    tier), none (neither: all FALSE). At sf0.01 the tiers split
+    312/153/35 of 500 pairs, so with targets 0.85 and a 350-row sample
+    (Hoeffding eps ~0.055) the learner provably lands tau+ at the strong
+    tier (pure, 1-eps >= 0.85), tau- below the weak tier (dropping it
+    would cap recall at ~0.81 < 0.85+eps), giving nonzero
+    accept/gray/reject partitions: strong accepted WITHOUT oracle calls,
+    weak oracle-filtered, none rejected. route_col='src' carries the
+    routing into the value hash — the oracle replays it as a CASE on the
+    same contains() predicates, so the driver checks the gray-zone path
+    itself, not just final membership."""
+    from lotus_spark.cascades.join_cascade import sem_join_cascade
+    from lotus_spark.cascades.utils import CascadeArgs
+    from lotus_spark.models.demo_lms import (
+        PairKeywordJoinLM,
+        TieredEvidenceRM,
+    )
+    from lotus_spark.session import settings
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    kws = spark.createDataFrame([("spark",)], ["kw"])
+    out = sem_join_cascade(
+        docs, kws,
+        "the document [text] mentions the keyword [kw]",
+        ["text"], ["kw"], {},
+        oracle_lm=PairKeywordJoinLM("text", "kw"),
+        cascade_args=CascadeArgs(
+            recall_target=0.85, precision_target=0.85,
+            min_sample_size=350, max_sample_size=2000,
+            join_cascade_strategy="search_filter",
+        ),
+        fmt=settings.serialization_format,
+        rm=TieredEvidenceRM("spark", "table", "scan"),
+        route_col="src",
+    )
+    return out.select("doc_id", "kw", "src")
+
+
+_SQL_SEM_JOIN_CASCADE_ROUTED = """
+SELECT doc_id, kw,
+       CASE WHEN contains(text, 'table') THEN 'accept' ELSE 'gray' END AS src
+FROM documents, (VALUES ('spark')) AS k(kw)
+WHERE contains(text, 'spark')
+"""
+
+
 def q_answer_cache_map(spark, sf_dir):
     """Distributed answer cache short-circuiting a semantic pass
     (models/cache.py::join_answer_cache; reference operator-cache
@@ -2843,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds); (d) the tail (>50) holds ONLY queries that are
         # round-6-green AND whose modules are byte-untouched this round.
         # -- NEW this round (previously tests-only components) ------------
+        "sem_join_cascade_routed": q_sem_join_cascade_routed,  # NEW r8
         "streaming_neardup": q_streaming_neardup,            # NEW r8
         "streaming_neardup_minhash": q_streaming_neardup_minhash,  # NEW r8
         "weighted_sample": q_weighted_sample,        # NEW r7 (+ NaN fix)
@@ -3476,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _sql_hash_split(),
         "weighted_sample": _sql_weighted_sample(),
         "streaming_heavy_hitters": _SQL_STREAMING_HEAVY_HITTERS,
+        "sem_join_cascade_routed": _SQL_SEM_JOIN_CASCADE_ROUTED,
         "streaming_neardup": _SQL_STREAMING_NEARDUP,
         "streaming_neardup_minhash": _sql_streaming_neardup_minhash(),
         "ann_join_pq": _SQL_ANN_JOIN_PQ,

@@ -182,8 +182,14 @@ def sem_join_cascade(
     fmt: str,
     rm=None,
     map_instruction: Optional[str] = None,
+    route_col: Optional[str] = None,
     **model_kwargs,
 ) -> DataFrame:
+    """``route_col``: when set, the output carries a column naming which
+    cascade partition produced each row — ``'accept'`` (proxy-confident,
+    no oracle call) or ``'gray'`` (oracle-verified). Rows the proxy
+    rejected never appear. Lets callers (and the driver's value-hash
+    gate) verify the ROUTING, not just the final membership."""
     model_rm = _resolve_rm(rm)
     doc_cols = lcols + rcols
 
@@ -241,4 +247,7 @@ def sem_join_cascade(
         .filter(F.col("__o.label"))
         .drop("__o")
     )
+    if route_col is not None:
+        accepted = accepted.withColumn(route_col, F.lit("accept"))
+        gray_kept = gray_kept.withColumn(route_col, F.lit("gray"))
     return accepted.unionByName(gray_kept).drop(SCORE, "__bucket")

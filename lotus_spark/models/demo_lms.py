@@ -125,6 +125,50 @@ class FieldCompareLM(FakeLM):
         super().__init__(fn)
 
 
+class TieredEvidenceRM:
+    """Join-cascade proxy RM with a DESIGNED similarity ordering (the RM
+    analogue of the fake LMs above, built for driver-hashable cascade
+    ROUTING): a string equal to the keyword embeds as the keyword axis
+    [1, 0]; any other string (a document) embeds as the L2-normalized
+    evidence vector [a, 1] with
+
+        a = 4.0  if kw in s and co_word in s      (strong evidence)
+            1.0  if kw in s or decoy in s          (weak evidence)
+            0.0  otherwise                         (no evidence)
+
+    so cosine(document, keyword) takes exactly three values
+    {4/sqrt(17) = 0.9701, 1/sqrt(2) = 0.7071, 0.0}: a pure-true strong
+    tier, a MIXED weak tier (kw-without-co-word is true, decoy-without-kw
+    is false), and a pure-false none tier. A cascade learned on these
+    scores provably accepts the strong tier, routes the weak tier through
+    the oracle, and rejects the none tier (given achievable targets and
+    enough labeled mass per tier) — making accept/gray/reject routing a
+    deterministic function of three contains() predicates that DuckDB can
+    replay. Reference plan semantics: lotus/sem_ops/sem_join.py:376-421."""
+
+    def __init__(self, kw: str, co_word: str, decoy: str):
+        self.kw, self.co_word, self.decoy = kw, co_word, decoy
+
+    def __call__(self, docs):
+        import numpy as np
+
+        out = np.zeros((len(docs), 2), dtype=np.float64)
+        for i, doc in enumerate(docs):
+            s = str(doc) if doc is not None else ""
+            if s == self.kw:
+                out[i] = (1.0, 0.0)
+                continue
+            if self.kw in s and self.co_word in s:
+                a = 4.0
+            elif self.kw in s or self.decoy in s:
+                a = 1.0
+            else:
+                a = 0.0
+            n = (a * a + 1.0) ** 0.5
+            out[i] = (a / n, 1.0 / n)
+        return out
+
+
 class PolyHashRM:
     """SQL-expressible demo RM: component j of a doc's embedding is
     ``float32(((a_j·H + b_j) mod M) / M)`` where H is the polynomial char

@@ -107,6 +107,59 @@ def test_join_cascade_end_to_end(spark):
     assert expected <= pairs or pairs == expected
 
 
+def test_join_cascade_routed_tiers_deterministic(spark):
+    """TieredEvidenceRM + route_col: a corpus with designed strong/weak/
+    none evidence tiers must route strong -> accept (no oracle), the
+    mixed weak tier -> gray (oracle-filtered), none -> rejected, and the
+    union must equal the exact join (the sem_join_cascade_routed driver
+    row's mechanism, pinned hermetically here)."""
+    from lotus_spark.cascades.join_cascade import sem_join_cascade
+    from lotus_spark.models.demo_lms import PairKeywordJoinLM, TieredEvidenceRM
+    from lotus_spark.session import settings
+
+    rows = []
+    for i in range(120):
+        if i % 4 == 0:
+            rows.append((i, "spark table row"))        # strong, TRUE
+        elif i % 4 == 1:
+            rows.append((i, "spark join row"))         # weak, TRUE
+        elif i % 4 == 2:
+            rows.append((i, "scan join row"))          # weak, FALSE
+        else:
+            rows.append((i, "hash join row"))          # none, FALSE
+    left = spark.createDataFrame(rows, ["id", "text"])
+    right = spark.createDataFrame([("spark",)], ["kw"])
+    out = sem_join_cascade(
+        left, right, "the document [text] mentions [kw]",
+        ["text"], ["kw"], {},
+        oracle_lm=PairKeywordJoinLM("text", "kw"),
+        cascade_args=CascadeArgs(
+            recall_target=0.85, precision_target=0.85,
+            min_sample_size=100, join_cascade_strategy="search_filter",
+        ),
+        fmt=settings.serialization_format,
+        rm=TieredEvidenceRM("spark", "table", "scan"),
+        route_col="src",
+    ).collect()
+    got = {(r["id"], r["src"]) for r in out}
+    expected = {(i, "accept") for i in range(120) if i % 4 == 0} | {
+        (i, "gray") for i in range(120) if i % 4 == 1}
+    assert got == expected
+
+
+def test_tiered_evidence_rm_similarity_values():
+    import numpy as np
+
+    from lotus_spark.models.demo_lms import TieredEvidenceRM
+
+    rm = TieredEvidenceRM("spark", "table", "scan")
+    vecs = rm(["spark", "spark table x", "spark only", "scan only", "none"])
+    kw = vecs[0]
+    sims = vecs[1:] @ kw
+    assert np.allclose(sims, [4 / 17 ** 0.5, 1 / 2 ** 0.5,
+                              1 / 2 ** 0.5, 0.0])
+
+
 def test_join_cascade_size_gate(spark):
     """Below min_join_cascade_size the nested-loop path runs even when
     cascade_args is set (reference sem_join.py:761-775)."""
