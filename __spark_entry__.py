@@ -515,6 +515,35 @@ FROM documents QUALIFY _rank <= 10
 """
 
 
+def q_sem_topk_quicksem(spark, sf_dir):
+    """sem_topk method='quick-sem' (operators/sem_topk.py::quicksem_topk;
+    reference lotus/sem_ops/sem_topk.py:407-423): quickselect whose pivot
+    is the pool element most similar to the instruction under the RM —
+    PolyHashRM sims steer every pivot choice, and quickselect is exact
+    w.r.t. the comparator's total order, so the result must still equal
+    the SQL top-10 no matter which pivots the sims pick (the sims path
+    is thereby driver-exercised: a wrong sims vector length, ordering,
+    or indexing would derail the partition recursion and break the
+    hash). prefilter_factor=0 keeps the reference-exact full pool — the
+    embedding PREFILTER's boundary on duplicate texts is score-tied and
+    arbitrary, so it cannot be value-hashed; it stays covered by
+    tests/test_semantic_ops.py."""
+    from lotus_spark import sem_topk
+    from lotus_spark.models.demo_lms import FieldCompareLM, PolyHashRM
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sem_topk(
+        docs,
+        "Rank documents by {n_chars} breaking ties by {doc_id}",
+        K=10,
+        lm=FieldCompareLM("n_chars", "doc_id"),
+        method="quick-sem",
+        rm=PolyHashRM(dim=4),
+        prefilter_factor=0,
+    )
+    return out.select("doc_id", "n_chars", F.col("_rank"))
+
+
 # ---------------------------------------------------------------------------
 # embedding operators — seeded vectors from the embeddings table (SURVEY §2.1)
 # ---------------------------------------------------------------------------
@@ -2884,6 +2913,82 @@ FROM documents
 """
 
 
+def q_agentic_mapreduce(spark, sf_dir):
+    """Agentic map/filter/reduce pipeline under the driver gate (agentic/
+    pipeline.py::run_pipeline; reference lotus/agentic/pipeline.py:235-440)
+    — the last subsystem previously verified only by pytest. Batched
+    shards (25 units/agent) run FILTER (keep docs mentioning 'scan') and
+    MAP (per-unit whitespace token count) as executor-side agents inside
+    applyInPandas, exercising the '[unit id]' shard prompt rendering and
+    the per-unit JSON-array reply parsing; REDUCE is the terminal
+    driver-side agent summing the per-unit counts. The scripted completer
+    computes each answer deterministically from the shard prompt itself,
+    so every line — one per kept doc plus the reduce total — is a pure
+    function of the corpus that DuckDB replays."""
+    import json as _json
+    import re as _re
+
+    from lotus_spark.agentic.corpus import Corpus
+    from lotus_spark.agentic.loop import ScriptedCompleter
+    from lotus_spark.agentic.pipeline import run_pipeline
+    from lotus_spark.agentic.planner import Plan
+
+    def _units(user: str) -> list[tuple[str, str]]:
+        shard = user.split("YOUR SHARD:\n", 1)[1]
+        shard = shard.split("\n\nThe shard has MULTIPLE", 1)[0]
+        out = []
+        for chunk in shard.split("[unit ")[1:]:
+            uid, rest = chunk.split("]\n", 1)
+            out.append((uid, rest.rstrip("\n").split("\n\n")[0]))
+        return out
+
+    def completer(messages):
+        sys0 = messages[0]["content"]
+        user = [m for m in messages if m["role"] == "user"][-1]["content"]
+        if "final aggregator" in sys0:
+            total = sum(int(m) for m in _re.findall(r"toks=(\d+)", user))
+            return f"total={total}"
+        units = _units(user)
+        if "keep-or-drop" in sys0:
+            return _json.dumps(
+                [{"id": u, "keep": "scan" in c} for u, c in units])
+        return _json.dumps(
+            [{"id": u, "output": f"id={u} toks={len(c.split())}"}
+             for u, c in units])
+
+    def factory(tools):
+        return ScriptedCompleter(completer)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("text").alias("content"),
+    )
+    corpus = Corpus(docs)
+    plan = Plan(
+        ops=["filter", "map", "reduce"],
+        instructions={"filter": "keep docs about scans",
+                      "map": "count the tokens in each unit",
+                      "reduce": "sum the per-unit token counts"},
+        strategies={"filter": "batched", "map": "batched"},
+        shard_size=25, parallelism=8,
+    )
+    res = run_pipeline(corpus, "token accounting", ops=plan.ops,
+                       completer_factory=factory, plan=plan)
+    rows = [(f,) for f in res.findings] + [(res.output,)]
+    return spark.createDataFrame(rows, ["line"])
+
+
+_SQL_AGENTIC_MAPREDUCE = """
+WITH k AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents WHERE contains(text, 'scan')
+)
+SELECT 'id=' || CAST(doc_id AS VARCHAR) || ' toks=' || CAST(n AS VARCHAR) AS line FROM k
+UNION ALL
+SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-7 rotation. The driver checks at most the FIRST 50
@@ -2896,6 +3001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6-green AND whose modules are byte-untouched this round.
         # -- NEW this round (previously tests-only components) ------------
         "sem_join_cascade_routed": q_sem_join_cascade_routed,  # NEW r8
+        "sem_topk_quicksem": q_sem_topk_quicksem,            # NEW r8
+        "agentic_mapreduce": q_agentic_mapreduce,            # NEW r8
         "streaming_neardup": q_streaming_neardup,            # NEW r8
         "streaming_neardup_minhash": q_streaming_neardup_minhash,  # NEW r8
         "weighted_sample": q_weighted_sample,        # NEW r7 (+ NaN fix)
@@ -3530,6 +3637,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _sql_weighted_sample(),
         "streaming_heavy_hitters": _SQL_STREAMING_HEAVY_HITTERS,
         "sem_join_cascade_routed": _SQL_SEM_JOIN_CASCADE_ROUTED,
+        "sem_topk_quicksem": _SQL_SEM_TOPK,
+        "agentic_mapreduce": _SQL_AGENTIC_MAPREDUCE,
         "streaming_neardup": _SQL_STREAMING_NEARDUP,
         "streaming_neardup_minhash": _sql_streaming_neardup_minhash(),
         "ann_join_pq": _SQL_ANN_JOIN_PQ,
