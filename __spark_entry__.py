@@ -2991,75 +2991,22 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-7 rotation. The driver checks at most the FIRST 50
-        # entries in dict order, so: (a) the 5 NEW rows sit first;
-        # (b) every query whose MODULE was edited this round is inside
-        # the window — sampling.py, ann.py, sem_sim_join.py, vs.py,
-        # lazyframe.py changed in round 7; (c) the 20 queries carrying
-        # round-5 rows rotate back in (no green row older than 2
-        # rounds); (d) the tail (>50) holds ONLY queries that are
-        # round-6-green AND whose modules are byte-untouched this round.
-        # -- NEW this round (previously tests-only components) ------------
+        # Round-8 rotation. The driver checks at most the FIRST 50
+        # entries in dict order, so: (a) the 5 NEW r8 rows sit first;
+        # (b) the 26 entries whose last green row is r6 (the r7 tail)
+        # rotate back in — the staleness test caps rows at 2 rounds old;
+        # (c) every query whose MODULE was edited this round is inside
+        # the window — ann.py, vs.py, sem_sim_join.py (post-r7-advice
+        # hardening), demo_lms.py (TieredEvidenceRM), join_cascade.py
+        # (route_col); (d) the tail (>50) holds ONLY r7-green queries
+        # whose modules are byte-untouched this round.
+        # -- NEW this round --------------------------------------------
         "sem_join_cascade_routed": q_sem_join_cascade_routed,  # NEW r8
-        "sem_topk_quicksem": q_sem_topk_quicksem,            # NEW r8
-        "agentic_mapreduce": q_agentic_mapreduce,            # NEW r8
-        "streaming_neardup": q_streaming_neardup,            # NEW r8
+        "sem_topk_quicksem": q_sem_topk_quicksem,              # NEW r8
+        "agentic_mapreduce": q_agentic_mapreduce,              # NEW r8
+        "streaming_neardup": q_streaming_neardup,              # NEW r8
         "streaming_neardup_minhash": q_streaming_neardup_minhash,  # NEW r8
-        "weighted_sample": q_weighted_sample,        # NEW r7 (+ NaN fix)
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,  # NEW r7
-        "ann_join_pq": q_ann_join_pq,                # NEW r7 (uint8 codes)
-        "ann_join_ivf": q_ann_join_ivf,              # NEW r7 (cell join)
-        "sem_join_cascade": q_sem_join_cascade,      # NEW r7
-        "answer_cache_map": q_answer_cache_map,      # NEW r7
-        # -- modules edited this round -------------------------------------
-        "sem_sim_join": q_sem_sim_join,            # r7: byte-sized pq tier
-        "knn_ivfpq": q_knn_ivfpq,                  # r7: explicit ADC opt-out
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,    # ann.py edited
-        "ivfpq_roundtrip": q_ivfpq_roundtrip,      # ann.py edited
-        "knn_pq": q_knn_pq,                        # ann.py edited
-        "knn_ivf": q_knn_ivf,                      # ann.py edited
-        "knn_bruteforce": q_knn_bruteforce,        # ann.py edited
-        "knn_lsh": q_knn_lsh,                      # ann.py edited
-        "hash_split": q_hash_split,                # sampling.py edited
-        "mix_to_weights": q_mix_to_weights,        # sampling.py edited
-        "stratified_sample": q_stratified_sample,  # sampling.py edited
-        "quantile_filter": q_quantile_filter,      # sampling.py edited
-        "perplexity_bucket": q_perplexity_bucket,  # sampling.py edited
-        "pack_sequences": q_pack_sequences,        # sampling.py edited
-        "cap_per_key": q_cap_per_key,              # sampling.py edited
-        "pipeline_curate": q_pipeline_curate,      # lazyframe.py edited
-        "pipeline_pack": q_pipeline_pack,          # lazyframe.py edited
-        "pipeline_clean": q_pipeline_clean,        # lazyframe.py edited
-        "sem_pipeline": q_sem_pipeline,            # lazyframe.py edited
-        "lazy_multi_join": q_lazy_multi_join,      # lazyframe.py edited
-        # -- r05-row holders rotated back into the window ------------------
-        "profile": q_profile,
-        "pricing_summary": q_pricing_summary,
-        "top3_orders_per_customer": q_top3_orders_per_customer,
-        "part_brand_stats": q_part_brand_stats,
-        "orders_union_extremes": q_orders_union_extremes,
-        "distinct_priorities": q_distinct_priorities,
-        "supplier_intersect": q_supplier_intersect,
-        "sem_filter": q_sem_filter,
-        "sem_map": q_sem_map,
-        "sem_extract": q_sem_extract,
-        "sem_join": q_sem_join,
-        "sem_agg": q_sem_agg,
-        "sem_topk": q_sem_topk,
-        "exact_dedup": q_exact_dedup,
-        "sem_dedup": q_sem_dedup,
-        "sem_search": q_sem_search,
-        "sem_search_rerank": q_sem_search_rerank,
-        "text_stats": q_text_stats,
-        "quality_signals": q_quality_signals,
-        "sessionize": q_sessionize,
-        # -- streaming/ops.py edited this round (docstring gotcha note) ----
-        "streaming_doc_stats": q_streaming_doc_stats,
-        "streaming_sessions": q_streaming_sessions,
-        # -- r6-green fillers adjacent to this round's edits ----------------
-        "sem_filter_cascade": q_sem_filter_cascade,  # shares cascades/utils
-        "sem_cluster_by": q_sem_cluster,             # kmeans.py edited (r7)
-        # -- tail (>50): round-6 green, modules byte-untouched in round 7 --
+        # -- r6-row holders at the 2-round staleness limit -------------
         "filter_reorder": q_filter_reorder,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
@@ -3086,6 +3033,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "llm_judge": q_llm_judge,
         "pairwise_judge": q_pairwise_judge,
+        # -- ann.py / vs.py / sem_sim_join.py edited this round --------
+        "sem_sim_join": q_sem_sim_join,
+        "ann_join_pq": q_ann_join_pq,
+        "ann_join_ivf": q_ann_join_ivf,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,
+        "knn_pq": q_knn_pq,
+        "knn_ivf": q_knn_ivf,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        # -- demo_lms.py / join_cascade.py / sem_topk row edited -------
+        "sem_join_cascade": q_sem_join_cascade,
+        "sem_extract": q_sem_extract,
+        "sem_join": q_sem_join,
+        "sem_agg": q_sem_agg,
+        "sem_topk": q_sem_topk,
+        # -- r7-green fillers (cheap rows topping the window to 50) ----
+        "sem_filter": q_sem_filter,
+        "sem_map": q_sem_map,
+        "sem_filter_cascade": q_sem_filter_cascade,
+        "exact_dedup": q_exact_dedup,
+        # -- tail (>50): r7-green, modules byte-untouched in round 8 ---
+        "weighted_sample": q_weighted_sample,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "answer_cache_map": q_answer_cache_map,
+        "streaming_doc_stats": q_streaming_doc_stats,
+        "streaming_sessions": q_streaming_sessions,
+        "hash_split": q_hash_split,
+        "mix_to_weights": q_mix_to_weights,
+        "stratified_sample": q_stratified_sample,
+        "quantile_filter": q_quantile_filter,
+        "perplexity_bucket": q_perplexity_bucket,
+        "pack_sequences": q_pack_sequences,
+        "cap_per_key": q_cap_per_key,
+        "pipeline_curate": q_pipeline_curate,
+        "pipeline_pack": q_pipeline_pack,
+        "pipeline_clean": q_pipeline_clean,
+        "sem_pipeline": q_sem_pipeline,
+        "lazy_multi_join": q_lazy_multi_join,
+        "profile": q_profile,
+        "pricing_summary": q_pricing_summary,
+        "top3_orders_per_customer": q_top3_orders_per_customer,
+        "part_brand_stats": q_part_brand_stats,
+        "orders_union_extremes": q_orders_union_extremes,
+        "distinct_priorities": q_distinct_priorities,
+        "supplier_intersect": q_supplier_intersect,
+        "sem_cluster_by": q_sem_cluster,
+        "sem_dedup": q_sem_dedup,
+        "sem_search": q_sem_search,
+        "sem_search_rerank": q_sem_search_rerank,
+        "text_stats": q_text_stats,
+        "quality_signals": q_quality_signals,
+        "sessionize": q_sessionize,
     }
 
 
