@@ -3425,6 +3425,11 @@ def q_streaming_neardup(spark, sf_dir):
     stream = stream.withColumn(
         "ts", F.timestamp_seconds(F.col("doc_id") % 600 + 60)
     )
+    # the single-parquet-file source yields ONE scan partition per
+    # micro-batch; round-robin repartition spreads the fingerprint
+    # expression (the dominant cost) across cores before the dedup
+    # shuffle — a production multi-file ingest gets this for free
+    stream = stream.repartition(32)
     out = streaming_neardup(stream, "text", "ts", watermark="10 minutes",
                             bits=16, n_bits=30)
     qname = f"oracle_neardup_{uuid.uuid4().hex[:8]}"
@@ -3487,6 +3492,7 @@ def q_streaming_neardup_minhash(spark, sf_dir):
     stream = stream.withColumn(  # +60: epoch-0 rows are "late", see above
         "ts", F.timestamp_seconds(F.col("doc_id") % 600 + 60)
     )
+    stream = stream.repartition(32)  # one-file source: see above
     out = streaming_neardup_minhash(
         stream, "text", "ts", watermark="10 minutes",
         n_hashes=16, bands=1, shingle_n=3,

@@ -589,6 +589,32 @@ def knn_topk_ivfpq(
     to explicitly opt out and get the raw ADC ordering (returns
     ``pq_dist`` instead of ``score_col``), or an int to size the
     shortlist yourself.
+
+    **Sizing m / nbits** (per-subspace codebooks = ``2**nbits`` entries,
+    code payload = ``m * nbits / 8`` bytes/row): the defaults used by
+    the oracle rows — m=8, nbits=4 on 64-dim vectors — are the
+    AGGRESSIVE end (8-dim subspaces, 16 centroids each, 4 bytes/row,
+    128x compression); they keep the oracle SQL tractable but cost ADC
+    ordering quality on weakly-clustered data. Measured@k=10, n_probe=8
+    (``BENCH_annrecall.json``): near-uniform testdata embeddings —
+    adc 0.22 / auto-rerank 0.40; the same knobs on a 16-cluster
+    mixture of Gaussians recover far higher recall (see the
+    ``clustered_mog`` row) because ADC ordering is informative when the
+    corpus HAS structure. Guidance:
+
+    ======================  =========================================
+    regime                  sizing
+    ======================  =========================================
+    default (FAISS-like)    m = dim/8, nbits = 8 (1 byte/subspace;
+                            256-entry codebooks)
+    tight memory            m = dim/8, nbits = 4 — halve payload
+                            before shrinking m
+    weak/unknown structure  raise m (more, smaller subspaces) before
+                            raising nbits; keep the auto rerank ON
+    recall-critical         rerank_k = 2*auto and/or n_probe up; the
+                            rerank_all_probed artifact row bounds what
+                            rerank can recover at a given n_probe
+    ======================  =========================================
     """
     if isinstance(rerank_k, str):
         if rerank_k != "auto":

@@ -197,6 +197,25 @@ def probe_fns():
         )
 
     fns["embedding_neardup_lsh"] = embedding_neardup_lsh_auto
+
+    def jaccard_dedup_lsh(spark, sf_dir):
+        """The documented linear-growth remedy for jaccard_pairs'
+        exact block-local tier (round-8 verdict item 6): MinHash-LSH
+        banding bounds candidate generation — n·bands band-key rows
+        cross the wire, bucket-local exact Jaccard verify, connected
+        components, anti-join — so growth should track rows ~linearly
+        where the language-blocked exact miner grows with block size
+        squared (its 1x/10x ratio ~5-7x on this corpus). Threshold 0.7
+        is the realistic near-dup dedup setting LSH banding is sized
+        for (band collision P ≈ 1-(1-J^4)^4)."""
+        from lotus_spark.functions.dedup import minhash_lsh_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_dedup(docs, "text", "doc_id", n_hashes=16,
+                                 bands=4, shingle_n=2,
+                                 jaccard_threshold=0.7)
+
+    fns["jaccard_dedup_lsh"] = jaccard_dedup_lsh
     return fns
 
 
