@@ -548,6 +548,99 @@ def read_ivfpq_index(
     return df, meta["centroids"], meta["codebooks"], meta["cell_col"]
 
 
+def encode_ivfpq(
+    df: DataFrame,
+    emb_col: str,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    cell_col: str = "__ivf_cell",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Map-only IVF-PQ encode of rows against EXISTING quantizers: assign
+    each row's coarse cell (nearest integer centroid) and its per-subspace
+    PQ codes with the same deterministic arithmetic the build used
+    (``kmeans.quantized_assign_expr``) — no training, no shuffle, one
+    codegen+Arrow pass. This is the half of the index build that must see
+    every row, factored out so increments can reuse trained codebooks
+    (:func:`append_ivfpq_index`).
+
+    NULL embeddings encode as NULL cell/codes (they are not indexable);
+    callers decide whether to drop or surface them.
+    """
+    from lotus_spark.functions.kmeans import (
+        quantize_embedding,
+        quantized_assign_expr,
+    )
+
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("empty codebooks")
+    sub = len(codebooks[0][0])
+    cents = np.asarray(centroids, dtype=np.int64)
+    if cents.shape[1] != m * sub:
+        raise ValueError(
+            f"centroid dim {cents.shape[1]} != m*sub = {m * sub}")
+    out = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
+    out = out.withColumn(cell_col, quantized_assign_expr(cents)(F.col("__xq")))
+    for s in range(m):
+        out = out.withColumn(
+            f"__pq_c{s}",
+            quantized_assign_expr(np.asarray(codebooks[s], dtype=np.int64))(
+                F.slice(F.col("__xq"), s * sub + 1, sub)),
+        )
+    return out.withColumn(
+        code_col, F.array(*[F.col(f"__pq_c{s}") for s in range(m)])
+    ).drop("__xq", *[f"__pq_c{s}" for s in range(m)])
+
+
+def append_ivfpq_index(
+    spark, path: str, new_df: DataFrame, emb_col: str = "embedding"
+) -> None:
+    """Incremental index maintenance: encode ``new_df`` with the index's
+    EXISTING quantizers (coarse centroids + PQ codebooks from the
+    ``_ivfpq_meta.json`` sidecar) and append the encoded rows to the
+    partitioned parquet layout — no retraining, no touch of the already-
+    indexed data. This is how a 100 TB index absorbs increments: codebooks
+    train once on a representative sample and stay valid (FAISS `add`
+    after `train` works the same way); each increment costs ONE map-only
+    encode pass over the new rows plus a partitioned append, and every
+    subsequent probe prunes to n_probe cell directories across old + new
+    rows alike. Encoding with pinned codebooks is deterministic, so the
+    grown index is bit-identical to a from-scratch encode of the union
+    with the same codebooks (parity-pinned in tests; oracle row
+    ``ivfpq_incremental`` replays train-on-initial-half → encode-all in
+    SQL).
+
+    ``new_df`` must carry every non-derived column of the stored index
+    (the id/embedding/payload columns); rows with NULL ``emb_col`` are
+    rejected loudly — they can never match a probe, so appending them
+    would only corrupt the layout with a null-partition directory.
+    """
+    stored, centroids, codebooks, cell_col = read_ivfpq_index(spark, path)
+    # the stored layout = new_df's payload columns + exactly two derived
+    # ones (cell_col + the code column); anything else the index has but
+    # new_df lacks is a payload-schema mismatch
+    derived = [
+        c for c in stored.columns
+        if c not in new_df.columns and c != cell_col
+    ]
+    if len(derived) > 1:
+        raise ValueError(
+            f"append_ivfpq_index: new_df lacks index columns {derived} — "
+            "only the derived code column may be absent from the increment")
+    code_col = derived[0] if derived else "pq_codes"
+    n_null = new_df.filter(F.col(emb_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"append_ivfpq_index: {n_null} rows have NULL {emb_col!r} — "
+            "drop them before appending (NULL embeddings are not indexable)")
+    enc = encode_ivfpq(
+        new_df, emb_col, centroids, codebooks,
+        cell_col=cell_col, code_col=code_col,
+    ).select(*stored.columns)
+    enc.write.partitionBy(cell_col).mode("append").parquet(path)
+
+
 def knn_topk_ivfpq(
     indexed_df: DataFrame,
     centroids: list[list[int]],

@@ -680,6 +680,92 @@ def test_ivfpq_write_read_roundtrip_lossless(spark, tmp_path):
     assert "PartitionFilters" in scan and "__ivf_cell" in scan
 
 
+def test_ivfpq_incremental_append_matches_full_encode(spark, tmp_path):
+    """append_ivfpq_index grows a persisted index WITHOUT retraining:
+    build on the first half of a corpus, append the second half, and the
+    stored rows are bit-identical to a from-scratch encode of the union
+    with the same (half-trained) quantizers; a high-probe rerank query
+    over the grown index matches brute-force cosine over the union."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        append_ivfpq_index, encode_ivfpq, ivf_index, knn_topk,
+        knn_topk_ivfpq, pq_index, read_ivfpq_index, write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(77)
+    vecs = rng.randn(120, 8).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    full = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    first, second = full.filter("vec_id < 60"), full.filter("vec_id >= 60")
+
+    indexed, cents = ivf_index(first, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+    append_ivfpq_index(spark, path, second)
+
+    stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+    # stored == one-pass encode of the UNION with the half-trained books
+    want = encode_ivfpq(full, "embedding", cents2, books2, cell_col=cell_col)
+    a = sorted((r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
+               for r in stored.collect())
+    b = sorted((r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
+               for r in want.collect())
+    assert a == b
+    assert len(a) == 120
+
+    # search correctness across old + new rows: probe every cell with an
+    # all-candidates rerank == exact brute force over the union
+    q = [float(x) for x in vecs[95]]          # a vector from the INCREMENT
+    exact = [r["vec_id"] for r in
+             knn_topk(full, "embedding", q, k=5, id_col="vec_id").collect()]
+    got = [r["vec_id"] for r in
+           knn_topk_ivfpq(stored, cents2, books2, q, k=5, n_probe=4,
+                          id_col="vec_id", cell_col=cell_col,
+                          rerank_k=120).collect()]
+    assert got == exact
+    assert got[0] == 95
+
+
+def test_ivfpq_append_rejects_nulls_and_schema_mismatch(spark, tmp_path):
+    """The increment path fails loudly, not silently: NULL-embedding rows
+    raise (they can never match a probe; appending them would write a
+    null-partition directory), and an increment missing a payload column
+    of the stored layout raises before any write."""
+    import numpy as np
+    import pytest
+
+    from lotus_spark.functions.ann import (
+        append_ivfpq_index, ivf_index, pq_index, write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    with_null = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[0]]), (101, None)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="NULL"):
+        append_ivfpq_index(spark, path, with_null)
+
+    no_id = spark.createDataFrame(
+        [([float(x) for x in vecs[1]],)], "embedding array<double>")
+    with pytest.raises(ValueError, match="lacks index columns"):
+        append_ivfpq_index(spark, path, no_id)
+
+
 def test_ivf_mllib_sampled_training_parity_and_auto_threshold(spark):
     """MLlib-tier ivf_index trains on the same pinned hash sample the
     deterministic tier uses: centroids from ivf_index(train_sample=ts)

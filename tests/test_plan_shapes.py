@@ -237,3 +237,50 @@ def test_ann_join_ivf_is_single_equi_join(spark):
     for args, cols in exchanges(plan):
         if "remb" in cols:
             assert "lemb" not in cols and "qid" not in cols, (args, cols)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The bucketed-storage claim on the plan: two tables bucketed on
+    the join key with equal bucket counts SortMergeJoin with ZERO
+    Exchange on either side — the write-time shuffle is amortized across
+    every later join. Also pins that sortBy makes the per-bucket Sort
+    unnecessary only when Spark can prove one file per bucket; the
+    no-Exchange property is the load-bearing one."""
+    from lotus_spark.sources.bucketed import (
+        drop_bucketed, read_bucketed, write_bucketed,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(200)], ["k", "av"])
+    b = spark.createDataFrame(
+        [(i % 100, f"b{i}") for i in range(300)], ["k", "bv"])
+    write_bucketed(a, "psb_a", "k", 4, sort_cols="k",
+                   path=str(tmp_path / "a"))
+    write_bucketed(b, "psb_b", "k", 4, sort_cols="k",
+                   path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "psb_a").join(
+            read_bucketed(spark, "psb_b"), "k")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 300
+
+        # groupBy on the bucket key also avoids the aggregate exchange:
+        # partial and final aggregation collapse onto the bucketed read
+        agg = read_bucketed(spark, "psb_b").groupBy("k").count()
+        aplan = formatted_plan(agg)
+        assert "Exchange" not in aplan, aplan
+
+        # a plain path read of the same files does NOT know the layout —
+        # the catalog carries the bucketing, so consumers must read the
+        # table (documented contract of read_bucketed)
+        raw = spark.read.parquet(str(tmp_path / "a")).join(
+            spark.read.parquet(str(tmp_path / "b")), "k")
+        assert "Exchange" in formatted_plan(raw)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        drop_bucketed(spark, "psb_a")
+        drop_bucketed(spark, "psb_b")
