@@ -842,6 +842,37 @@ def q_ivfpq_roundtrip(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_shard_for_training(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding for training export
+    (functions/sharding.py::shard_for_training): every document gets a
+    (shard, pos) coordinate — shard by content-hash residue (map-only),
+    pos by an independent content hash ranked within the shard. The only
+    exchange is a window keyed by the hash-uniform shard column (cannot
+    be skew-hot; contrast the single-task global ORDER BY rand()
+    anti-pattern). Pure function of (doc_id, seed): the oracle replays
+    both hashes and the per-shard rank in SQL."""
+    from lotus_spark.functions.sharding import shard_for_training
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_for_training(docs, "doc_id", 8, seed=0).select(
+        "doc_id", "shard", "pos")
+
+
+def _sql_shard_for_training() -> str:
+    hs = _sql_strhash("(CAST(doc_id AS VARCHAR) || ':s0')")
+    ho = _sql_strhash("(CAST(doc_id AS VARCHAR) || ':o0')")
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         (({hs} * {_MIX_CONST}) % {_MIX_BUCKETS}) % 8 AS shard,
+         ({ho} * {_MIX_CONST}) % {_MIX_BUCKETS} AS okey
+  FROM documents)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS pos
+FROM s
+"""
+
+
 def q_bucketed_join(spark, sf_dir):
     """Bucketed-storage co-located join (sources/bucketed.py): customer
     and orders are persisted ``bucketBy(8, custkey)`` + ``sortBy`` — the
@@ -3109,8 +3140,9 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-8 rotation. The driver checks at most the FIRST 50
-        # entries in dict order, so: (a) the 7 NEW r8 rows sit first
-        # (5 verification rows + ivfpq_incremental + bucketed_join);
+        # entries in dict order, so: (a) the 8 NEW r8 rows sit first
+        # (5 verification rows + ivfpq_incremental + bucketed_join +
+        # shard_for_training);
         # (b) the 26 entries whose last green row is r6 (the r7 tail)
         # rotate back in — the staleness test caps rows at 2 rounds old;
         # (c) every query whose MODULE was edited this round is inside
@@ -3127,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_neardup_minhash": q_streaming_neardup_minhash,  # NEW r8
         "ivfpq_incremental": q_ivfpq_incremental,              # NEW r8
         "bucketed_join": q_bucketed_join,                      # NEW r8
+        "shard_for_training": q_shard_for_training,            # NEW r8
         # -- r6-row holders at the 2-round staleness limit -------------
         "filter_reorder": q_filter_reorder,
         "sem_index_roundtrip": q_sem_index_roundtrip,
@@ -3171,10 +3204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_join": q_sem_join,
         "sem_agg": q_sem_agg,
         "sem_topk": q_sem_topk,
-        # -- r7-green fillers (cheap rows topping the window to 50) ----
+        # -- r7-green filler (cheap row topping the window to 50) ------
         "sem_filter": q_sem_filter,
-        "sem_map": q_sem_map,
         # -- tail (>50): r7-green, modules byte-untouched in round 8 ---
+        "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
         "exact_dedup": q_exact_dedup,
         "weighted_sample": q_weighted_sample,
@@ -3770,6 +3803,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_neardup": _SQL_STREAMING_NEARDUP,
         "streaming_neardup_minhash": _sql_streaming_neardup_minhash(),
         "bucketed_join": _SQL_BUCKETED_JOIN,
+        "shard_for_training": _sql_shard_for_training(),
         "ann_join_pq": _SQL_ANN_JOIN_PQ,
         "sem_join_cascade": _SQL_SEM_JOIN_CASCADE,
         "answer_cache_map": _SQL_ANSWER_CACHE_MAP,

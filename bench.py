@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "sem_topk_quicksem",
     "agentic_mapreduce",
     "streaming_neardup",
+    "shard_for_training",
+    # bucketed_join / ivfpq_incremental stay out for the knn_pq reason:
+    # their wall is one-time build cost (bucketed table writes; quantizer
+    # training + index write/append) — the recurring query paths they
+    # enable are the shapes pricing_summary / knn_ivfpq already time
 ]
 
 

@@ -534,3 +534,53 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     with pytest.raises(ValueError, match="n must"):
         weighted_sample(df, "w", -1, "id")
     assert weighted_sample(df, "w", 0, "id").count() == 0
+
+
+def test_shard_for_training_deterministic_uniform_contiguous(spark):
+    """shard_for_training: (shard, pos) is a pure function of (id, seed)
+    — identical under repartitioning; shards are hash-uniform-ish; pos
+    is contiguous 1..count(shard) per shard; a different seed produces a
+    different permutation; n_shards=1 degenerates to one global
+    pseudo-random total order."""
+    from lotus_spark.functions.sharding import shard_for_training
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], ["doc_id", "text"])
+    out = shard_for_training(df, "doc_id", 8, seed=0)
+    rows = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    assert len(rows) == 400
+
+    # partition-layout independence
+    out2 = shard_for_training(df.repartition(13), "doc_id", 8, seed=0)
+    assert {r["doc_id"]: (r["shard"], r["pos"])
+            for r in out2.collect()} == rows
+
+    # shard range + rough uniformity (expected 50/shard)
+    from collections import Counter
+    per = Counter(s for s, _ in rows.values())
+    assert set(per) <= set(range(8))
+    assert all(20 <= per[s] <= 90 for s in per), per
+
+    # pos contiguous per shard
+    by_shard = {}
+    for s, p in rows.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+
+    # the shard-order coordinate is decorrelated from the shard id:
+    # a different seed yields a different global permutation
+    other = {r["doc_id"]: (r["shard"], r["pos"])
+             for r in shard_for_training(df, "doc_id", 8, seed=1).collect()}
+    assert other != rows
+
+    # n_shards=1: single shard, pos = a permutation of 1..400 that is
+    # NOT the id order (it's hash order)
+    one = shard_for_training(df, "doc_id", 1, seed=0).collect()
+    assert {r["shard"] for r in one} == {0}
+    order = [r["doc_id"] for r in sorted(one, key=lambda r: r["pos"])]
+    assert sorted(order) == list(range(400)) and order != list(range(400))
+
+    import pytest
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_for_training(df, "doc_id", 0)

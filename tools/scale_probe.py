@@ -87,6 +87,8 @@ PROBE_QUERIES = [
     "ann_join_pq",
     "ann_join_ivf",
     "answer_cache_map",
+    # round 8
+    "shard_for_training",
 ]
 
 
