@@ -3204,9 +3204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_join": q_sem_join,
         "sem_agg": q_sem_agg,
         "sem_topk": q_sem_topk,
-        # -- r7-green filler (cheap row topping the window to 50) ------
-        "sem_filter": q_sem_filter,
+        # -- demo_lms.py edited this round (TieredEvidenceRM): its last
+        # importing query rotates IN (rule c), displacing sem_filter ----
+        "sem_pipeline": q_sem_pipeline,
         # -- tail (>50): r7-green, modules byte-untouched in round 8 ---
+        "sem_filter": q_sem_filter,
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
         "exact_dedup": q_exact_dedup,
@@ -3225,7 +3227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "pipeline_pack": q_pipeline_pack,
         "pipeline_clean": q_pipeline_clean,
-        "sem_pipeline": q_sem_pipeline,
         "lazy_multi_join": q_lazy_multi_join,
         "profile": q_profile,
         "pricing_summary": q_pricing_summary,
