@@ -446,3 +446,85 @@ def test_streaming_heavy_hitters_exact_when_capacity_fits(spark, tmp_path):
 
     with pytest.raises(ValueError, match="capacity"):
         streaming_heavy_hitters(stream, "body", "ts", capacity=0)
+
+
+def test_stream_append_ivfpq_grows_index_exactly_once(spark, tmp_path):
+    """stream_append_ivfpq: micro-batches encode with the EXISTING
+    quantizers and append to the persisted index; after draining the
+    backlog the index equals a from-scratch encode of the union; a NULL
+    embedding row is dropped, not fatal; and a REPLAY from a fresh
+    checkpoint (same files, batch ids restart at 0) appends nothing —
+    the _stream_batches.json high-water sidecar makes the append
+    idempotent per epoch."""
+    import os
+
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        encode_ivfpq, ivf_index, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from lotus_spark.streaming.index_sink import stream_append_ivfpq
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 8).astype("float64")
+
+    def rows(lo, hi):
+        return [(i, [float(x) for x in vecs[i]]) for i in range(lo, hi)]
+
+    base = spark.createDataFrame(rows(0, 60), ["vec_id", "embedding"])
+    indexed, cents = ivf_index(base, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    # two increment FILES (file source does not recurse; increasing
+    # mtimes + maxFilesPerTrigger=1 = two deterministic micro-batches);
+    # the second carries one NULL-embedding row that must be dropped
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [rows(60, 90), rows(90, 120) + [(999, None)]]
+    for i, data in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        (spark.createDataFrame(data, "vec_id long, embedding array<double>")
+         .coalesce(1).write.parquet(stage))
+        part = next(g for g in os.listdir(stage) if g.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        t = 1_700_000_000 + i * 10
+        os.utime(dst, (t, t))
+
+    schema = "vec_id long, embedding array<double>"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_append_ivfpq(stream, path,
+                            checkpoint_dir=str(tmp_path / "ck1"),
+                            available_now=True)
+    q.awaitTermination()
+
+    stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+    assert stored.count() == 120          # NULL row dropped
+    full = spark.createDataFrame(rows(0, 120), ["vec_id", "embedding"])
+    want = encode_ivfpq(full, "embedding", cents2, books2,
+                        cell_col=cell_col)
+    assert (sorted((r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
+                   for r in stored.collect())
+            == sorted((r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
+                      for r in want.collect()))
+
+    # replay with a FRESH checkpoint: same two files re-arrive as batch
+    # ids 0 and 1, both at/below the sidecar high-water mark -> no-op
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    q2 = stream_append_ivfpq(stream2, path,
+                             checkpoint_dir=str(tmp_path / "ck2"),
+                             available_now=True)
+    q2.awaitTermination()
+    assert spark.read.parquet(path).count() == 120
+
+    # batch input is rejected (the batch API is append_ivfpq_index)
+    import pytest
+    with pytest.raises(ValueError, match="streaming"):
+        stream_append_ivfpq(base, path)
