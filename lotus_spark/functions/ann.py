@@ -776,6 +776,8 @@ def ann_join_ivf(
     id_out: str = "match_id",
     score_out: str = "_scores",
     tie_col: str | None = None,
+    prebuilt: tuple[DataFrame, list[list[int]]] | None = None,
+    cell_col: str = "__ivf_cell",
 ) -> DataFrame:
     """K-NN join where NEITHER side broadcasts — the tier above
     ``ann_join_pq`` in the ladder: broadcast_exact (raw fits) →
@@ -810,16 +812,35 @@ def ann_join_ivf(
     the ``ann_join_ivf`` oracle row replays the whole composition.
     Reference analog: ``lotus/sem_ops/sem_sim_join.py`` over a
     FAISS-IVF vector store.
+
+    ``prebuilt=(indexed_df, centroids)`` joins against an EXISTING
+    cell-assigned right side — e.g. a persisted index reloaded with
+    ``read_ivfpq_index`` (pass its ``cell_col``) — skipping training and
+    assignment entirely; ``right``/``n_cells``/``seed``/``train_*`` are
+    then ignored. The repeat-join shape at 100 TB: the index is built
+    (and incrementally grown) once, every join against the static corpus
+    is probe + ONE cell equi-join over a table already LAID OUT by the
+    join key (partitionBy(cell) storage).
     """
     from pyspark.sql import Window
 
     from lotus_spark.functions.vectors import pair_cosine
 
-    indexed, cents = ivf_index(
-        right, right_emb_col, n_cells=n_cells, seed=seed,
-        method="deterministic", id_col=right_id_col,
-        train_sample=train_sample, max_train_rows=max_train_rows,
-    )
+    if prebuilt is not None:
+        indexed, cents = prebuilt
+        if cell_col != "__ivf_cell":
+            indexed = indexed.withColumnRenamed(cell_col, "__ivf_cell")
+        missing = [c for c in (right_id_col, right_emb_col, "__ivf_cell")
+                   if c not in indexed.columns]
+        if missing:
+            raise ValueError(
+                f"ann_join_ivf(prebuilt=...): indexed df lacks {missing}")
+    else:
+        indexed, cents = ivf_index(
+            right, right_emb_col, n_cells=n_cells, seed=seed,
+            method="deterministic", id_col=right_id_col,
+            train_sample=train_sample, max_train_rows=max_train_rows,
+        )
     lx = (
         left.withColumn(
             "__probe",

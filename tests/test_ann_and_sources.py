@@ -882,3 +882,52 @@ def test_pq_grouped_training_matches_per_subspace(spark):
         ref2 = ref2.drop("__sub")
         ref2_books.append([[int(x) for x in c] for c in cent])
     assert books2 == ref2_books
+
+
+def test_ann_join_ivf_prebuilt_index_matches_inline(spark, tmp_path):
+    """ann_join_ivf(prebuilt=...) joins against a persisted index
+    (reloaded via read_ivfpq_index) without training or assignment and
+    returns exactly what the inline build returns with the same
+    quantizer; validation rejects an index frame missing the join
+    columns."""
+    import numpy as np
+    import pytest
+
+    from lotus_spark.functions.ann import (
+        ann_join_ivf, ivf_index, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(90, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(200 + j, [float(x) for x in vecs[j * 7]]) for j in range(5)],
+        ["qid", "lemb"])
+
+    inline = ann_join_ivf(left, right, "qid", "lemb", "rid", "remb",
+                          K=3, n_cells=4, n_probe=2, seed=9)
+    key = lambda r: (r["qid"], r["_rank"])
+    want = sorted(((r["qid"], r["_rank"], r["match_id"], r["_scores"])
+                   for r in inline.collect()))
+
+    indexed, cents = ivf_index(right, "remb", n_cells=4, seed=9,
+                               method="deterministic", id_col="rid")
+    encoded, books = pq_index(indexed, "remb", "rid", m=4, nbits=2,
+                              seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+    stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+
+    pre = ann_join_ivf(left, None, "qid", "lemb", "rid", "remb",
+                       K=3, n_probe=2, prebuilt=(stored, cents2),
+                       cell_col=cell_col)
+    got = sorted(((r["qid"], r["_rank"], r["match_id"], r["_scores"])
+                  for r in pre.collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="lacks"):
+        ann_join_ivf(left, None, "qid", "lemb", "rid", "MISSING",
+                     K=3, prebuilt=(stored, cents2), cell_col=cell_col)
