@@ -284,3 +284,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         drop_bucketed(spark, "psb_a")
         drop_bucketed(spark, "psb_b")
+
+
+def test_bucketed_join_coalesces_mismatched_bucket_counts(spark, tmp_path):
+    """Integer-multiple bucket counts (8 vs 4) still join exchange-free
+    under spark.sql.bucketing.coalesceBucketsInJoin — the larger side's
+    buckets coalesce pairwise onto the smaller's. Matters operationally:
+    re-bucketing a petabyte table to match every partner's count is
+    exactly the shuffle bucketing exists to avoid."""
+    from lotus_spark.sources.bucketed import (
+        drop_bucketed, read_bucketed, write_bucketed,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(200)], ["k", "av"])
+    b = spark.createDataFrame(
+        [(i % 100, f"b{i}") for i in range(300)], ["k", "bv"])
+    write_bucketed(a, "cbj_a", "k", 8, sort_cols="k",
+                   path=str(tmp_path / "a"))
+    write_bucketed(b, "cbj_b", "k", 4, sort_cols="k",
+                   path=str(tmp_path / "b"))
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_co = spark.conf.get(
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+        joined = read_bucketed(spark, "cbj_a").join(
+            read_bucketed(spark, "cbj_b"), "k")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 300
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", prev_co)
+        drop_bucketed(spark, "cbj_a")
+        drop_bucketed(spark, "cbj_b")
