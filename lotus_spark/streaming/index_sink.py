@@ -16,6 +16,23 @@ batch_id, so the sink records committed batch ids in a
 any batch id at or below the high-water mark — a replayed epoch appends
 nothing twice. Single-writer (one streaming query per index path), the
 normal topology for an index feed.
+
+Contract boundaries, stated plainly:
+
+- **Batch ids are checkpoint-scoped.** With the SAME checkpoint dir,
+  ids increase monotonically across restarts and the sidecar gives
+  exactly-once. Starting a FRESH checkpoint re-reads the source from
+  scratch with ids restarting at 0 — safe as a full-replay backfill
+  (every low id is an already-appended epoch, skipped), but NOT safe
+  if the source also gained NEW files since the original run: their
+  epochs would reuse low ids and be wrongly skipped. Resuming with new
+  data means reusing the original checkpoint (the normal operation) or
+  deleting the sidecar alongside the checkpoint.
+- **The append and the sidecar write are two steps.** A crash between
+  them replays that one epoch's append (at-least-once for exactly the
+  crashed epoch). Downstream exact-dedup by id, or accepting duplicate
+  index entries (search returns the same vector twice; rerank output
+  unaffected beyond the duplicate id), covers the residue.
 """
 
 from __future__ import annotations
