@@ -641,6 +641,67 @@ def append_ivfpq_index(
     enc.write.partitionBy(cell_col).mode("append").parquet(path)
 
 
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Small-files maintenance for a persisted IVF-PQ index: every
+    append (batch ``append_ivfpq_index`` or a micro-batch of
+    ``streaming/index_sink.py``) adds new files under each touched cell
+    directory, and a long-lived index degrades into thousands of tiny
+    parquet files per cell — the classic streaming-sink pathology (scan
+    cost becomes file-open bound, not byte bound). This rewrites the
+    index so each cell holds ONE file: hash-repartition by the cell id
+    (each cell lands in exactly one task) and re-write the partitioned
+    layout to a sibling directory, copy the sidecars
+    (``_ivfpq_meta.json`` + ``_stream_batches.json`` if present), verify
+    the row count, then swap via two FS renames.
+
+    Single-writer maintenance op: do not run concurrently with an
+    appender (same contract as the appenders themselves). The swap is
+    two renames, not atomic — a crash between them leaves the old index
+    at ``<path>.old`` and the compacted one at ``path`` or ``path``
+    missing with both siblings present; both states are recoverable by
+    hand and the data is never deleted before the new copy is verified.
+    """
+    import uuid
+
+    stored, centroids, codebooks, cell_col = read_ivfpq_index(spark, path)
+    n_before = stored.count()
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    (
+        stored.repartition(F.col(cell_col))
+        .write.partitionBy(cell_col).parquet(tmp)
+    )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = _p(path).getFileSystem(conf)
+    for sidecar in ("_ivfpq_meta.json", "_stream_batches.json"):
+        src = _p(f"{path}/{sidecar}")
+        if fs.exists(src):
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, src, fs, _p(f"{tmp}/{sidecar}"), False, conf)
+
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        fs.delete(_p(tmp), True)
+        raise RuntimeError(
+            f"compact_ivfpq_index: compacted copy has {n_after} rows, "
+            f"expected {n_before}; original left untouched")
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(_p(path), _p(old)):
+        fs.delete(_p(tmp), True)
+        raise RuntimeError(f"compact_ivfpq_index: could not move {path}")
+    if not fs.rename(_p(tmp), _p(path)):
+        fs.rename(_p(old), _p(path))  # roll back
+        raise RuntimeError(
+            f"compact_ivfpq_index: could not install compacted index; "
+            f"original restored")
+    fs.delete(_p(old), True)
+
+
 def knn_topk_ivfpq(
     indexed_df: DataFrame,
     centroids: list[list[int]],

@@ -931,3 +931,79 @@ def test_ann_join_ivf_prebuilt_index_matches_inline(spark, tmp_path):
     with pytest.raises(ValueError, match="lacks"):
         ann_join_ivf(left, None, "qid", "lemb", "rid", "MISSING",
                      K=3, prebuilt=(stored, cents2), cell_col=cell_col)
+
+
+def test_compact_ivfpq_index_one_file_per_cell_preserves_everything(
+        spark, tmp_path):
+    """compact_ivfpq_index: after several appends each cell directory
+    holds multiple small parquet files; compaction rewrites to ONE file
+    per cell, preserves the row set bit-for-bit, both sidecars (meta +
+    stream high-water), and search answers."""
+    import os
+
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        append_ivfpq_index, compact_ivfpq_index, ivf_index, knn_topk_ivfpq,
+        pq_index, read_ivfpq_index, write_ivfpq_index,
+    )
+    from lotus_spark.streaming.index_sink import (
+        _read_high_water, _write_high_water,
+    )
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(120, 8).astype("float64")
+
+    def df_of(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(lo, hi)],
+            ["vec_id", "embedding"])
+
+    indexed, cents = ivf_index(df_of(0, 60), "embedding", n_cells=4,
+                               seed=9, method="deterministic",
+                               id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+    for lo in (60, 80, 100):                    # three appends
+        append_ivfpq_index(spark, path, df_of(lo, lo + 20))
+    _write_high_water(spark, path, 5)           # simulated stream sidecar
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__ivf_cell="):
+                out[d] = sum(1 for f in os.listdir(os.path.join(path, d))
+                             if f.endswith(".parquet"))
+        return out
+
+    assert max(files_per_cell().values()) > 1   # fragmented before
+
+    stored, cents1, books1, cell_col = read_ivfpq_index(spark, path)
+    rows_before = sorted(
+        (r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
+        for r in stored.collect())
+    q = [float(x) for x in vecs[95]]
+    ans_before = [
+        (r["vec_id"], r["score"])
+        for r in knn_topk_ivfpq(stored, cents1, books1, q, k=5,
+                                n_probe=4, id_col="vec_id",
+                                cell_col=cell_col, rerank_k=120).collect()]
+
+    compact_ivfpq_index(spark, path)
+
+    assert set(files_per_cell().values()) == {1}  # one file per cell
+    stored2, cents2, books2, cell_col2 = read_ivfpq_index(spark, path)
+    assert cents2 == cents1 and books2 == books1 and cell_col2 == cell_col
+    assert sorted((r["vec_id"], r[cell_col2], tuple(r["pq_codes"]))
+                  for r in stored2.collect()) == rows_before
+    assert _read_high_water(spark, path) == 5
+    ans_after = [
+        (r["vec_id"], r["score"])
+        for r in knn_topk_ivfpq(stored2, cents2, books2, q, k=5,
+                                n_probe=4, id_col="vec_id",
+                                cell_col=cell_col2, rerank_k=120).collect()]
+    assert ans_after == ans_before
+    assert not [d for d in os.listdir(str(tmp_path))
+                if ".compact-" in d or ".old-" in d]  # siblings cleaned
