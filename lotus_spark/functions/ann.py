@@ -482,6 +482,52 @@ def knn_topk_pq(
     )
 
 
+def _fs_write_json(spark, path: str, obj) -> None:
+    """Atomic-ish JSON sidecar write through the Hadoop FS API (works on
+    hdfs:///s3a:// like local): write to a temp sibling, delete the
+    destination, rename the temp over it. A crash can leave the sidecar
+    MISSING (recoverable; readers treat missing as absent) but never
+    TRUNCATED mid-json — the failure mode that wedges a consumer on
+    JSONDecodeError. Single point of hardening for every index sidecar
+    (meta, stream high-water)."""
+    import json
+    import uuid
+
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}.tmp-{uuid.uuid4().hex[:8]}")
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode()))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"could not install sidecar {path}")
+
+
+def _fs_read_json(spark, path: str):
+    """Read a JSON sidecar via the Hadoop FS API; returns None if the
+    file does not exist."""
+    import json
+
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return json.loads(bytes(baos.toByteArray()).decode())
+    finally:
+        stream.close()
+
+
 def write_ivfpq_index(
     indexed_df: DataFrame,
     path: str,
@@ -489,6 +535,7 @@ def write_ivfpq_index(
     codebooks: list[list[list[int]]],
     cell_col: str = "__ivf_cell",
     mode: str = "error",
+    code_col: str = "pq_codes",
 ) -> None:
     """Persist an IVF-PQ index as an engine-portable parquet layout
     (the ANN analog of ``sem_index``'s parquet persistence): the
@@ -504,25 +551,16 @@ def write_ivfpq_index(
     At 100 TB this is the index build's ONLY full-data write; queries
     after it read n_probe directories of PQ codes, never the corpus.
     """
-    import json
-
     indexed_df.write.partitionBy(cell_col).mode(mode).parquet(path)
     meta = {
         "cell_col": cell_col,
+        "code_col": code_col,
         "centroids": [[int(x) for x in c] for c in centroids],
         "codebooks": [
             [[int(x) for x in cent] for cent in book] for book in codebooks
         ],
     }
-    spark = indexed_df.sparkSession
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_ivfpq_meta.json")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode()))
-    finally:
-        out.close()
+    _fs_write_json(indexed_df.sparkSession, f"{path}/_ivfpq_meta.json", meta)
 
 
 def read_ivfpq_index(
@@ -532,18 +570,9 @@ def read_ivfpq_index(
     (encoded df incl. the partition cell column, centroids, codebooks,
     cell_col). The scan stays partition-prunable — compose directly
     with :func:`knn_topk_ivfpq`."""
-    import json
-
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_ivfpq_meta.json")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(p)
-    try:
-        baos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
-        meta = json.loads(bytes(baos.toByteArray()).decode())
-    finally:
-        stream.close()
+    meta = _fs_read_json(spark, f"{path}/_ivfpq_meta.json")
+    if meta is None:
+        raise FileNotFoundError(f"{path}/_ivfpq_meta.json")
     df = spark.read.parquet(path)
     return df, meta["centroids"], meta["codebooks"], meta["cell_col"]
 
@@ -617,18 +646,31 @@ def append_ivfpq_index(
     would only corrupt the layout with a null-partition directory.
     """
     stored, centroids, codebooks, cell_col = read_ivfpq_index(spark, path)
-    # the stored layout = new_df's payload columns + exactly two derived
-    # ones (cell_col + the code column); anything else the index has but
-    # new_df lacks is a payload-schema mismatch
-    derived = [
+    meta = _fs_read_json(spark, f"{path}/_ivfpq_meta.json") or {}
+    # the meta sidecar RECORDS which column holds the codes (since r8);
+    # older sidecars without it fall back to the single-missing-column
+    # inference. Never guess when the meta is explicit: inferring from a
+    # column-set difference can silently write code arrays into a missing
+    # PAYLOAD column if the increment happens to carry a code column.
+    code_col = meta.get("code_col")
+    if code_col is None:
+        derived = [
+            c for c in stored.columns
+            if c not in new_df.columns and c != cell_col
+        ]
+        if len(derived) > 1:
+            raise ValueError(
+                f"append_ivfpq_index: new_df lacks index columns "
+                f"{derived} — only the derived code column may be absent")
+        code_col = derived[0] if derived else "pq_codes"
+    missing = [
         c for c in stored.columns
-        if c not in new_df.columns and c != cell_col
+        if c not in new_df.columns and c not in (cell_col, code_col)
     ]
-    if len(derived) > 1:
+    if missing:
         raise ValueError(
-            f"append_ivfpq_index: new_df lacks index columns {derived} — "
-            "only the derived code column may be absent from the increment")
-    code_col = derived[0] if derived else "pq_codes"
+            f"append_ivfpq_index: new_df lacks index payload columns "
+            f"{missing}")
     n_null = new_df.filter(F.col(emb_col).isNull()).count()
     if n_null:
         raise ValueError(

@@ -246,11 +246,20 @@ def sem_sim_join(
             if right_emb_col is not None:
                 # bound the probe: scan at most the cap_max+1 prefix the
                 # count above already read, so a mostly-NULL embedding
-                # column can't turn this into a full-table scan
+                # column can't turn this into a full-table scan. An
+                # all-NULL prefix falls back to the conservative d=64
+                # assumption (same as the not-yet-embedded branch), NOT
+                # d=0: d=0 forced ratio=1, silently demoting to
+                # crossjoin. Since the bounded count caps at the same
+                # prefix, an all-NULL prefix here means the whole
+                # (bounded) table is NULL-embedded — under d=64 that
+                # now picks the PQ tier, whose quantizer training
+                # RAISES loudly on zero usable rows instead of silently
+                # cross-joining garbage NULL-score pairs.
                 row0 = (right.limit(cap_max + 1)
                         .select(F.size(right_emb_col).alias("d"))
                         .filter(F.col("d").isNotNull()).first())
-                d_probe = int(row0["d"]) if row0 is not None else 0
+                d_probe = int(row0["d"]) if row0 is not None else 64
             else:
                 # embeddings not yet computed: assume the HashRM
                 # default d=64 — conservative enough that the
@@ -308,10 +317,16 @@ def sem_sim_join(
         ridx = r.withColumn(
             "__r_id", F.monotonically_increasing_id()
         ).localCheckpoint()
-        first = ridx.select(
-            F.size(right_emb_col).alias("d")).first()
+        # skip NULL embeddings in the dim probe (F.size(NULL) is NULL —
+        # a NULL first row gave d=None and a TypeError at d % m); no
+        # non-NULL row at all means the quantizer has nothing to train
+        # on, so say that instead of crashing deeper in pq_index
+        first = (ridx.select(F.size(right_emb_col).alias("d"))
+                 .filter(F.col("d").isNotNull()).first())
         if first is None:
-            raise ValueError("broadcast_pq: right side is empty")
+            raise ValueError(
+                "broadcast_pq: right side has no non-NULL embeddings — "
+                "nothing is indexable")
         d = first["d"]
         m = next(mm for mm in (8, 4, 2, 1) if d % mm == 0)
         n_r = ridx.count()

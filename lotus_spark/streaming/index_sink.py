@@ -15,7 +15,10 @@ batch_id, so the sink records committed batch ids in a
 ``_stream_batches.json`` sidecar next to the index metadata and skips
 any batch id at or below the high-water mark — a replayed epoch appends
 nothing twice. Single-writer (one streaming query per index path), the
-normal topology for an index feed.
+normal topology for an index feed. The sidecar write goes through
+``ann._fs_write_json`` (temp + rename), so a crash mid-write leaves it
+missing-or-previous, never truncated mid-json — a consumer can always
+parse what it finds.
 
 Contract boundaries, stated plainly:
 
@@ -37,38 +40,21 @@ Contract boundaries, stated plainly:
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame
 
 
-def _sidecar_path(spark, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_stream_batches.json")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return p, fs, jvm
-
-
 def _read_high_water(spark, path: str) -> int:
-    p, fs, jvm = _sidecar_path(spark, path)
-    if not fs.exists(p):
-        return -1
-    stream = fs.open(p)
-    try:
-        baos = jvm.java.io.ByteArrayOutputStream()
-        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
-        return int(json.loads(bytes(baos.toByteArray()).decode())["last_batch_id"])
-    finally:
-        stream.close()
+    from lotus_spark.functions.ann import _fs_read_json
+
+    meta = _fs_read_json(spark, f"{path}/_stream_batches.json")
+    return -1 if meta is None else int(meta["last_batch_id"])
 
 
 def _write_high_water(spark, path: str, batch_id: int) -> None:
-    p, fs, jvm = _sidecar_path(spark, path)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(json.dumps({"last_batch_id": int(batch_id)}).encode()))
-    finally:
-        out.close()
+    from lotus_spark.functions.ann import _fs_write_json
+
+    _fs_write_json(spark, f"{path}/_stream_batches.json",
+                   {"last_batch_id": int(batch_id)})
 
 
 def stream_append_ivfpq(
@@ -85,27 +71,50 @@ def stream_append_ivfpq(
     must not crash on one bad row; the batch-path
     ``append_ivfpq_index`` raises instead — both documented).
 
+    Hot-path cost: the quantizers/meta are read ONCE when the first
+    batch arrives and cached in the closure (single-writer: nothing
+    else mutates them mid-run; a compaction between runs preserves the
+    sidecar, see ``compact_ivfpq_index``), so each epoch is one encode+
+    append job over the micro-batch plus the sidecar write — no
+    per-batch meta re-read, no redundant NULL recount.
+
     Returns the started ``StreamingQuery``. ``available_now=True``
     drains the current backlog and stops (the deterministic test/
     backfill trigger); otherwise the query runs until stopped.
     """
     from pyspark.sql import functions as F
 
-    from lotus_spark.functions.ann import append_ivfpq_index
+    from lotus_spark.functions.ann import (
+        _fs_read_json, encode_ivfpq, read_ivfpq_index,
+    )
 
     if not stream.isStreaming:
         raise ValueError("stream_append_ivfpq expects a streaming "
                          "DataFrame; use append_ivfpq_index for batches")
 
+    cached: dict = {}
+
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id <= _read_high_water(spark, index_path):
             return  # replayed epoch after failure: already appended
-        clean = batch_df.filter(F.col(emb_col).isNotNull())
-        if clean.isEmpty():
-            _write_high_water(spark, index_path, batch_id)
-            return
-        append_ivfpq_index(spark, index_path, clean, emb_col=emb_col)
+        if not cached:
+            stored, cents, books, cell_col = read_ivfpq_index(
+                spark, index_path)
+            meta = _fs_read_json(
+                spark, f"{index_path}/_ivfpq_meta.json") or {}
+            cached.update(
+                columns=stored.columns, cents=cents, books=books,
+                cell_col=cell_col,
+                code_col=meta.get("code_col", "pq_codes"))
+        enc = encode_ivfpq(
+            batch_df.filter(F.col(emb_col).isNotNull()),
+            emb_col, cached["cents"], cached["books"],
+            cell_col=cached["cell_col"], code_col=cached["code_col"],
+        ).select(*cached["columns"])
+        # an empty epoch appends zero files — no isEmpty pre-check job
+        enc.write.partitionBy(cached["cell_col"]).mode("append").parquet(
+            index_path)
         _write_high_water(spark, index_path, batch_id)
 
     w = stream.writeStream.foreachBatch(_append).outputMode("append")

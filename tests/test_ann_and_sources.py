@@ -762,7 +762,7 @@ def test_ivfpq_append_rejects_nulls_and_schema_mismatch(spark, tmp_path):
 
     no_id = spark.createDataFrame(
         [([float(x) for x in vecs[1]],)], "embedding array<double>")
-    with pytest.raises(ValueError, match="lacks index columns"):
+    with pytest.raises(ValueError, match="lacks index payload"):
         append_ivfpq_index(spark, path, no_id)
 
 

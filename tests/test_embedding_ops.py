@@ -726,3 +726,25 @@ def test_sem_sim_join_auto_tolerates_null_first_embedding(spark):
     got = sorted(r["rid"] for r in out.collect())
     assert len(got) == 2 and 0 not in got
     assert 5 in got  # exact self-match survives the pq tier
+
+
+def test_sem_sim_join_auto_all_null_embeddings_fails_loudly(spark):
+    """Review fix pinned: when the whole (bounded) right side has NULL
+    embeddings, the auto dim-probe's d=64 fallback routes to the PQ
+    tier, which raises 'no non-NULL embeddings' at its own dim probe —
+    instead of the old d=0 path silently demoting to a crossjoin of
+    NULL-score pairs (and instead of the TypeError the pq tier's
+    unguarded probe used to throw on a NULL first row)."""
+    import pytest
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    right = spark.createDataFrame(
+        [(i, None) for i in range(30)], "rid long, remb array<double>")
+    left = spark.createDataFrame(
+        [(100, [1.0] * 8)], ["qid", "lemb"])
+    with pytest.raises(ValueError, match="no non-NULL embeddings"):
+        sem_sim_join(left, right, "lemb", "remb", K=2,
+                     left_emb_col="lemb", right_emb_col="remb",
+                     tie_break="rid", strategy="auto",
+                     broadcast_max_rows=10).collect()

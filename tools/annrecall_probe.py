@@ -160,7 +160,10 @@ def main() -> int:
         }
     wall = round(time.time() - t0, 1)
 
-    td = out_corpora.get("testdata", {})
+    # headline = testdata's auto-rerank recall; if --corpora excluded
+    # testdata, fall back to the first measured corpus so the artifact's
+    # "value" field is never null (the BENCH_* consumer convention)
+    td = out_corpora.get("testdata") or next(iter(out_corpora.values()), {})
     out = {
         "metric": "ivfpq_recall_at_k",
         "value": (td.get("recalls_by_n_probe", {})
