@@ -60,3 +60,40 @@ def shard_for_training(
         .withColumn(pos_col, F.row_number().over(w))
         .drop("__okey")
     )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize :func:`shard_for_training`'s layout: ONE file per
+    shard directory, rows physically ordered by ``pos`` inside it — the
+    on-disk contract data loaders stream (open shard, read rows in
+    order, no further sort). The plan is repartition-by-shard (each
+    shard lands in exactly ONE task, keys hash-uniform so no hot task)
+    → ``sortWithinPartitions(shard, pos)`` → ``partitionBy(shard)``
+    write: a single shuffle end-to-end — the ``pos`` window already
+    hash-partitions by shard, so no further repartition is added and
+    the within-task sort IS the shard order; each task streams its
+    shards out already sorted.
+
+    At 100 TB: shards ≈ corpus/n_shards bytes each; size ``n_shards``
+    so one shard fits an executor's write buffer comfortably (the same
+    1k-100k guidance as :func:`shard_for_training`). Determinism: the
+    file CONTENT (row order included) is a pure function of (data, id,
+    seed); only parquet metadata (e.g. created-by timestamps) varies
+    between runs.
+    """
+    out = shard_for_training(df, id_col, n_shards, seed=seed,
+                             shard_col=shard_col, pos_col=pos_col)
+    (
+        out.sortWithinPartitions(shard_col, pos_col)
+        .write.partitionBy(shard_col).mode("error").format(fmt)
+        .save(path)
+    )

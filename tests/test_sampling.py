@@ -584,3 +584,49 @@ def test_shard_for_training_deterministic_uniform_contiguous(spark):
     import pytest
     with pytest.raises(ValueError, match="n_shards"):
         shard_for_training(df, "doc_id", 0)
+
+
+def test_write_shards_one_sorted_file_per_shard(spark, tmp_path):
+    """write_shards materializes the training-export layout: one
+    parquet file per shard directory, rows inside each file physically
+    ordered by pos (a loader streams without sorting), content equal to
+    shard_for_training, and ONE shuffle in the plan (the pos window's
+    — no extra repartition exchange)."""
+    import os
+
+    from lotus_spark.functions.sharding import (
+        shard_for_training, write_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], ["doc_id", "text"])
+    path = str(tmp_path / "shards")
+    write_shards(df, path, "doc_id", 6, seed=0)
+
+    shard_dirs = sorted(d for d in os.listdir(path)
+                        if d.startswith("shard="))
+    assert len(shard_dirs) == 6
+    want = {(r["doc_id"], r["shard"], r["pos"])
+            for r in shard_for_training(df, "doc_id", 6, seed=0).collect()}
+    got = set()
+    for d in shard_dirs:
+        files = [f for f in os.listdir(os.path.join(path, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)          # one file per shard
+        shard_id = int(d.split("=")[1])
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(path, d, files[0]))
+        pos = t.column("pos").to_pylist()
+        assert pos == sorted(pos)                   # physically ordered
+        for did, p in zip(t.column("doc_id").to_pylist(), pos):
+            got.add((did, shard_id, p))
+    assert got == want
+
+    # single exchange: the pos window's hashpartitioning(shard) — the
+    # write path adds no second shuffle
+    from tests.test_plan_shapes import exchanges, formatted_plan
+
+    out = shard_for_training(df, "doc_id", 6, seed=0) \
+        .sortWithinPartitions("shard", "pos")
+    plan = formatted_plan(out)
+    assert len(exchanges(plan)) == 1, plan
