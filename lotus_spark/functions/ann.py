@@ -406,6 +406,32 @@ def pq_index(
     return out, codebooks
 
 
+def _adc_dist_expr(
+    codebooks: list[list[list[int]]], qq: list[int], code_col: str
+) -> Column:
+    """The ADC scoring expression for ONE quantized query: per subspace,
+    the L2 distance to every codebook centroid is precomputed
+    driver-side and baked in as a literal lookup array; the row score is
+    ``m`` array lookups + adds. Single source for knn_topk_pq and the
+    batched knn_topk_ivfpq_batch so the arithmetic (and the SQL oracles
+    replaying it) cannot drift."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dist_cols = []
+    for s in range(m):
+        qsub = qq[s * sub:(s + 1) * sub]
+        table = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, cent))
+            for cent in codebooks[s]
+        ]
+        lut = F.array(*[F.lit(int(x)).cast("long") for x in table])
+        dist_cols.append(F.element_at(lut, F.col(code_col)[s] + 1))
+    total = dist_cols[0]
+    for c in dist_cols[1:]:
+        total = total + c
+    return total
+
+
 def knn_topk_pq(
     encoded_df: DataFrame,
     codebooks: list[list[list[int]]],
@@ -448,18 +474,7 @@ def knn_topk_pq(
     if len(qq) != m * sub:
         raise ValueError(
             f"query dim {len(qq)} != m*sub = {m * sub}")
-    dist_cols = []
-    for s in range(m):
-        qsub = qq[s * sub:(s + 1) * sub]
-        table = [
-            sum((a - b) * (a - b) for a, b in zip(qsub, cent))
-            for cent in codebooks[s]
-        ]
-        lut = F.array(*[F.lit(int(x)).cast("long") for x in table])
-        dist_cols.append(F.element_at(lut, F.col(code_col)[s] + 1))
-    total = dist_cols[0]
-    for c in dist_cols[1:]:
-        total = total + c
+    total = _adc_dist_expr(codebooks, qq, code_col)
     if rerank_k is not None and rerank_k < k:
         raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
     adc = (
@@ -825,6 +840,109 @@ def knn_topk_ivfpq(
     return knn_topk_pq(
         pruned, codebooks, query_vec, k, id_col=id_col, code_col=code_col,
         rerank_k=rerank_k, emb_col=emb_col, score_col=score_col,
+    )
+
+
+def knn_topk_ivfpq_batch(
+    indexed_df: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    queries: dict,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    cell_col: str = "__ivf_cell",
+    code_col: str = "pq_codes",
+    rerank_k: int | None | str = "auto",
+    emb_col: str = "embedding",
+    score_col: str = "score",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Batched IVF-PQ serving: answer MANY queries in ONE pass over the
+    union of their probed cells, per-query identical to
+    :func:`knn_topk_ivfpq` (parity-pinned). ``queries`` maps a query id
+    (stringified into ``query_col``) to its vector; returns
+    (query_col, id_col, score_col) — or ``pq_dist`` under
+    ``rerank_k=None`` — with ``k`` rows per query.
+
+    Why batch: a query's marginal cost at scale is dominated by the
+    scan of its probed cells, and concurrent queries' probe sets
+    overlap heavily (popular cells). One scan of the UNION serves the
+    whole batch: each scanned row evaluates every query's literal ADC
+    lookup in the same codegen stage (masked to that query's probed
+    cells), so I/O is paid once — the standard ANN serving shape
+    (FAISS also batches query matrices for exactly this reason).
+    Per-row compute is still per-query; the win is the amortized scan +
+    ONE job instead of Q jobs of scheduling.
+
+    Shape caveat: the per-query top-k uses a window keyed on the query
+    id (Q-way parallel, one task per query). For a LARGE single query
+    over a huge probed set, the single-query :func:`knn_topk_ivfpq`'s
+    TakeOrdered plan is the better shape; this API optimizes the
+    many-small-queries serving batch.
+    """
+    from pyspark.sql import Window
+
+    from lotus_spark.functions.kmeans import quantize_vector
+
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if isinstance(rerank_k, str):
+        if rerank_k != "auto":
+            raise ValueError(
+                f"rerank_k={rerank_k!r}: the only string sentinel is "
+                "'auto'")
+        rerank_k = max(4 * k, 40)
+    if rerank_k is not None and rerank_k < k:
+        raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("empty codebooks")
+    sub = len(codebooks[0][0])
+
+    probes, entries, qvec_lits = {}, [], []
+    for qid, vec in queries.items():
+        qq = quantize_vector(vec)
+        if len(qq) != m * sub:
+            raise ValueError(
+                f"query {qid!r} dim {len(qq)} != m*sub = {m * sub}")
+        probes[qid] = rank_cells_quantized(centroids, vec, n_probe)
+        entries.append(F.struct(
+            F.lit(str(qid)).alias(query_col),
+            _adc_dist_expr(codebooks, qq, code_col).alias("pq_dist"),
+            F.col(cell_col).isin(probes[qid]).alias("__m"),
+        ))
+        qvec_lits += [F.lit(str(qid)),
+                      F.array(*[F.lit(float(x)) for x in vec])]
+
+    all_cells = sorted({c for p in probes.values() for c in p})
+    pruned = indexed_df.filter(F.col(cell_col).isin(all_cells))
+    cand = (
+        pruned.select(id_col, F.explode(F.array(*entries)).alias("__e"))
+        .select(id_col, "__e.*").filter(F.col("__m")).drop("__m")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.asc("pq_dist"), F.asc(id_col))
+    ranked = cand.withColumn("__rk", F.row_number().over(w))
+    if rerank_k is None:
+        return (ranked.filter(F.col("__rk") <= k)
+                .select(query_col, id_col, "pq_dist"))
+    shortlist = ranked.filter(F.col("__rk") <= rerank_k) \
+                      .select(query_col, id_col)
+    from lotus_spark.functions.vectors import pair_cosine
+
+    qv = F.element_at(F.create_map(*qvec_lits), F.col(query_col))
+    exact = (
+        indexed_df.select(id_col, emb_col)
+        .join(F.broadcast(shortlist), id_col)
+        .withColumn(score_col, pair_cosine(F.col(emb_col), qv))
+    )
+    w2 = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(id_col))
+    return (
+        exact.withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .select(query_col, id_col, score_col)
     )
 
 

@@ -1007,3 +1007,59 @@ def test_compact_ivfpq_index_one_file_per_cell_preserves_everything(
     assert ans_after == ans_before
     assert not [d for d in os.listdir(str(tmp_path))
                 if ".compact-" in d or ".old-" in d]  # siblings cleaned
+
+
+def test_knn_topk_ivfpq_batch_matches_single_queries(spark):
+    """knn_topk_ivfpq_batch: one union-of-probed-cells pass answers many
+    queries with PER-QUERY results identical (ids AND scores, both
+    rerank and raw-ADC modes) to separate knn_topk_ivfpq calls; map
+    keys stringify into query_id; validation on empty/mis-dimensioned
+    queries."""
+    import numpy as np
+    import pytest
+
+    from lotus_spark.functions.ann import (
+        ivf_index, knn_topk_ivfpq, knn_topk_ivfpq_batch, pq_index,
+    )
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(150, 8).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=6, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    queries = {f"q{j}": [float(x) for x in vecs[j * 37]]
+               for j in range(4)}
+
+    batch = knn_topk_ivfpq_batch(encoded, cents, books, queries, k=5,
+                                 n_probe=3, rerank_k=20)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["score"]))
+    for qid, vec in queries.items():
+        single = knn_topk_ivfpq(encoded, cents, books, vec, k=5,
+                                n_probe=3, rerank_k=20).collect()
+        want = [(r["vec_id"], r["score"]) for r in single]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == want, qid
+
+    # raw-ADC mode parity
+    batch_adc = knn_topk_ivfpq_batch(encoded, cents, books, queries,
+                                     k=5, n_probe=3, rerank_k=None)
+    got_adc = {}
+    for r in batch_adc.collect():
+        got_adc.setdefault(r["query_id"], []).append(
+            (r["pq_dist"], r["vec_id"]))
+    for qid, vec in queries.items():
+        single = knn_topk_ivfpq(encoded, cents, books, vec, k=5,
+                                n_probe=3, rerank_k=None).collect()
+        want = [(r["pq_dist"], r["vec_id"]) for r in single]
+        assert sorted(got_adc[qid]) == sorted(want), qid
+
+    with pytest.raises(ValueError, match="non-empty"):
+        knn_topk_ivfpq_batch(encoded, cents, books, {}, k=5)
+    with pytest.raises(ValueError, match="dim"):
+        knn_topk_ivfpq_batch(encoded, cents, books, {"bad": [1.0]}, k=5)
