@@ -1,0 +1,126 @@
+"""K-NN JOIN recall probe: what do the approximate join tiers actually
+recover, at which knobs?
+
+``BENCH_annrecall.json`` measures the single-query IVF-PQ path;
+this probe measures the JOIN tiers — ``ann_join_ivf`` (cell-partitioned,
+neither side broadcasts) across ``n_probe``, and ``ann_join_pq``
+(broadcast PQ codes + exact rerank) across ``pq_candidates`` — against
+the exact K-NN join (``sem_sim_join`` broadcast_exact) on the same
+left/right split. Recall@K = mean per-left-row overlap of the
+approximate neighbor set with the exact one.
+
+Usage: python tools/joinrecall_probe.py [sf_dir] (default sf0.1)
+Writes BENCH_joinrecall.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+K = 10
+N_LEFT = 200
+N_CELLS = 16
+
+
+def neighbor_sets(rows, qcol, mcol):
+    out = {}
+    for r in rows:
+        out.setdefault(r[qcol], set()).add(r[mcol])
+    return out
+
+
+def recall(approx: dict, exact: dict) -> float:
+    vals = [
+        len(approx.get(q, set()) & ex) / len(ex)
+        for q, ex in exact.items() if ex
+    ]
+    return round(sum(vals) / len(vals), 3) if vals else 0.0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.ann import ann_join_ivf, pq_index
+    from lotus_spark.models.vs import BroadcastPQIndex, ann_join_pq
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+    from lotus_spark.session import get_spark
+
+    spark = get_spark(master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = (emb.filter(F.col("vec_id") % 10 == 0).limit(N_LEFT)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("lemb"))
+            .localCheckpoint())
+    right = emb.select(F.col("vec_id").alias("rid"),
+                       F.col("embedding").alias("remb"))
+    n_right = right.count()
+
+    exact_df = sem_sim_join(
+        left, right, "lemb", "remb", K=K, left_emb_col="lemb",
+        right_emb_col="remb", tie_break="rid",
+        strategy="broadcast_exact")
+    exact = neighbor_sets(exact_df.select("qid", "rid").collect(),
+                          "qid", "rid")
+
+    out = {"ivf_by_n_probe": {}, "pq_by_candidates": {}}
+    for n_probe in (1, 2, 4, 8, N_CELLS):
+        t0 = time.time()
+        got = ann_join_ivf(left, right, "qid", "lemb", "rid", "remb",
+                           K=K, n_cells=N_CELLS, n_probe=n_probe,
+                           seed=42)
+        sets = neighbor_sets(got.select("qid", "match_id").collect(),
+                             "qid", "match_id")
+        out["ivf_by_n_probe"][str(n_probe)] = {
+            "recall": recall(sets, exact),
+            "wall_sec": round(time.time() - t0, 2),
+        }
+    enc, books = pq_index(right, "remb", "rid", m=8, nbits=4, seed=101)
+    pq_idx = BroadcastPQIndex.build(enc, "rid", "pq_codes", books)
+    for cand in (K, 2 * K, 4 * K, 16 * K, n_right):
+        t0 = time.time()
+        got = ann_join_pq(left, right, pq_idx, "qid", "lemb", "rid",
+                          "remb", K=K, candidates=cand)
+        sets = neighbor_sets(got.select("qid", "match_id").collect(),
+                             "qid", "match_id")
+        out["pq_by_candidates"][str(cand)] = {
+            "recall": recall(sets, exact),
+            "wall_sec": round(time.time() - t0, 2),
+        }
+
+    headline = out["ivf_by_n_probe"].get("8", {}).get("recall")
+    rec = {
+        "metric": "knn_join_recall_at_k",
+        "value": headline,
+        "unit": "recall",
+        "k": K,
+        "n_left": N_LEFT,
+        "n_right": n_right,
+        "n_cells": N_CELLS,
+        "sf_dir": sf_dir,
+        **out,
+        "note": ("recall of the approximate K-NN JOIN tiers vs the exact "
+                 "broadcast join on the same left sample; headline = "
+                 "ann_join_ivf at the oracle row's n_probe=8/n_cells=16 "
+                 "knobs; the full-probe / candidates=n rows are the "
+                 "==1.0 sanity (both tiers are exact at their budget "
+                 "ceiling by construction)"),
+    }
+    with open(os.path.join(ROOT, "BENCH_joinrecall.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps({k: rec[k] for k in
+                      ("value", "ivf_by_n_probe", "pq_by_candidates")}))
+
+
+if __name__ == "__main__":
+    main()
