@@ -1063,3 +1063,48 @@ def test_knn_topk_ivfpq_batch_matches_single_queries(spark):
         knn_topk_ivfpq_batch(encoded, cents, books, {}, k=5)
     with pytest.raises(ValueError, match="dim"):
         knn_topk_ivfpq_batch(encoded, cents, books, {"bad": [1.0]}, k=5)
+
+
+def test_ann_join_pq_from_persisted_index_codes(spark, tmp_path):
+    """The persisted index composes with the broadcast-PQ join with ZERO
+    re-encoding: BroadcastPQIndex.build over the RELOADED index's stored
+    codes + sidecar codebooks answers ann_join_pq identically to an
+    index built from the in-memory encode — the repeat-join shape when
+    the code broadcast fits (the ivf_cells prebuilt= path covers when it
+    doesn't)."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, read_ivfpq_index, write_ivfpq_index,
+    )
+    from lotus_spark.models.vs import BroadcastPQIndex, ann_join_pq
+
+    rng = np.random.RandomState(41)
+    vecs = rng.randn(80, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(300 + j, [float(x) for x in vecs[j * 11]]) for j in range(4)],
+        ["qid", "lemb"])
+
+    indexed, cents = ivf_index(right, "remb", n_cells=4, seed=9,
+                               method="deterministic", id_col="rid")
+    encoded, books = pq_index(indexed, "remb", "rid", m=4, nbits=2,
+                              seed=5)
+    mem_idx = BroadcastPQIndex.build(encoded, "rid", "pq_codes", books)
+    want = sorted(
+        (r["qid"], r["_rank"], r["match_id"], r["_scores"])
+        for r in ann_join_pq(left, right, mem_idx, "qid", "lemb",
+                             "rid", "remb", K=3, candidates=12).collect())
+
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+    stored, _, books2, _ = read_ivfpq_index(spark, path)
+    disk_idx = BroadcastPQIndex.build(stored, "rid", "pq_codes", books2)
+    got = sorted(
+        (r["qid"], r["_rank"], r["match_id"], r["_scores"])
+        for r in ann_join_pq(left, stored.select("rid", "remb"), disk_idx,
+                             "qid", "lemb", "rid", "remb", K=3,
+                             candidates=12).collect())
+    assert got == want
