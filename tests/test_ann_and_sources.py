@@ -1108,3 +1108,77 @@ def test_ann_join_pq_from_persisted_index_codes(spark, tmp_path):
                              "qid", "lemb", "rid", "remb", K=3,
                              candidates=12).collect())
     assert got == want
+
+
+def test_ivfpq_index_full_lifecycle(spark, tmp_path):
+    """Capstone: the whole index lifecycle end to end — build on an
+    initial corpus, persist, grow by STREAMING micro-batches, compact
+    the fragmented layout, then answer a BATCH of queries over the
+    final index — and the k=top results with an all-candidates rerank
+    equal exact brute-force cosine over the full corpus for every
+    query. Every stage is the already-verified operator; this pins that
+    they compose."""
+    import os
+
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        compact_ivfpq_index, ivf_index, knn_topk, knn_topk_ivfpq_batch,
+        pq_index, read_ivfpq_index, write_ivfpq_index,
+    )
+    from lotus_spark.streaming.index_sink import stream_append_ivfpq
+
+    rng = np.random.RandomState(53)
+    vecs = rng.randn(160, 8).astype("float64")
+
+    def rows(lo, hi):
+        return [(i, [float(x) for x in vecs[i]]) for i in range(lo, hi)]
+
+    base = spark.createDataFrame(rows(0, 80), ["vec_id", "embedding"])
+    indexed, cents = ivf_index(base, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, (lo, hi) in enumerate(((80, 120), (120, 160))):
+        stage = str(tmp_path / f"stage{i}")
+        (spark.createDataFrame(rows(lo, hi),
+                               "vec_id long, embedding array<double>")
+         .coalesce(1).write.parquet(stage))
+        part = next(g for g in os.listdir(stage) if g.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.rename(os.path.join(stage, part), dst)
+        t = 1_700_000_000 + i * 10
+        os.utime(dst, (t, t))
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<double>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_append_ivfpq(stream, path,
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            available_now=True)
+    q.awaitTermination()
+
+    compact_ivfpq_index(spark, path)
+
+    stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+    assert stored.count() == 160
+    full = spark.createDataFrame(rows(0, 160), ["vec_id", "embedding"])
+    queries = {f"q{j}": [float(x) for x in vecs[13 + j * 41]]
+               for j in range(4)}
+    batch = knn_topk_ivfpq_batch(stored, cents2, books2, queries, k=5,
+                                 n_probe=4, cell_col=cell_col,
+                                 rerank_k=160)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["score"]))
+    for qid, vec in queries.items():
+        want = [(r["vec_id"], round(r["score"], 12)) for r in
+                knn_topk(full, "embedding", vec, k=5,
+                         id_col="vec_id").collect()]
+        ours = [(v, round(s, 12)) for v, s in
+                sorted(got[qid], key=lambda t: (-t[1], t[0]))]
+        assert ours == want, qid
