@@ -1,0 +1,81 @@
+"""Runnable walkthrough: a training-data curation pipeline end to end.
+
+Documents in, training shards out — the 100 TB corpus-preparation shape:
+near-dup removal (MinHash-LSH banding, never O(n²)), quality gating
+(Gopher heuristics), per-language quality-quantile trim, deterministic
+train/val/test split, and finally a reproducible global shuffle
+materialized as one sorted file per shard. Runs locally:
+
+    python examples/curation_pipeline.py [sf_dir]   # default sf0.001
+
+Every stage is a hash-checked oracle query on its own (see
+__spark_entry__ / CORRECTNESS artifacts); this file is the user-facing
+composition. For the checkpointed LazyFrame variant of a composed
+pipeline (resume after a mid-run crash), see
+``__spark_entry__.q_pipeline_curate``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup import minhash_lsh_dedup
+    from lotus_spark.functions.sampling import hash_split, quantile_filter
+    from lotus_spark.functions.sharding import write_shards
+    from lotus_spark.functions.text import gopher_keep, token_count
+    from lotus_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "source", "text"))
+    n0 = docs.count()
+
+    # 1. NEAR-DUP removal: MinHash signatures -> LSH band buckets ->
+    # connected components; keeps one representative per duplicate
+    # cluster. Banded candidate generation — no all-pairs stage.
+    deduped = minhash_lsh_dedup(docs, "text", "doc_id",
+                                n_hashes=16, bands=4)
+    n1 = deduped.count()
+
+    # 2. QUALITY gate: Gopher-style heuristics (length, symbol ratios,
+    # stopword presence) as pure Column expressions — codegen, no UDF.
+    gated = deduped.filter(gopher_keep(F.col("text")))
+    n2 = gated.count()
+
+    # 3. QUANTILE trim: keep each language's top 80% by token count
+    # (exact per-group percent_rank, one shuffle).
+    trimmed = quantile_filter(
+        gated.withColumn("n_tokens", token_count(F.col("text"))),
+        "n_tokens", keep_frac=0.8, by="lang", tiebreak="doc_id")
+    n3 = trimmed.count()
+
+    # 4. SPLIT: deterministic content-hash train/val/test — zero
+    # shuffle, stable across reruns and derived tables.
+    split = hash_split(trimmed, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05})
+
+    # 5. SHARD: reproducible global shuffle, one sorted file per shard
+    # — the layout a data loader streams directly.
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="curated_"), "shards")
+    write_shards(split.filter("split = 'train'"), out_dir,
+                 "doc_id", n_shards=4)
+
+    shards = sorted(d for d in os.listdir(out_dir)
+                    if d.startswith("shard="))
+    print(f"docs {n0} -> dedup {n1} -> quality {n2} -> trim {n3}")
+    print(f"train shards at {out_dir}: {shards}")
+
+
+if __name__ == "__main__":
+    main()
