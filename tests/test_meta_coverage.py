@@ -108,3 +108,49 @@ def test_registry_rotation_no_stale_rows():
         f"registry tail entries with no green row in the last two "
         f"rounds (rotate them into the first-50 window): {stale}"
     )
+
+
+def test_registry_tail_modules_untouched_this_round():
+    """Round-6 rotation policy, mechanized (was checked by hand each
+    round): every registry entry PAST the 50-query driver window must
+    only import lotus_spark modules that are byte-untouched since the
+    round base commit (recorded in .round_base; each round's first
+    session updates it to the previous round's final commit as part of
+    executing the rotation). An edited module's queries must sit INSIDE
+    the window so they earn a fresh driver row."""
+    import subprocess
+
+    root = TESTS_DIR.parent
+    base_file = root / ".round_base"
+    assert base_file.exists(), (
+        ".round_base missing — write the previous round's final commit "
+        "hash there when executing the rotation")
+    base = base_file.read_text().strip()
+    try:
+        changed = subprocess.run(
+            ["git", "diff", "--name-only", f"{base}..HEAD",
+             "--", "lotus_spark/"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+            check=True,
+        ).stdout.split()
+    except (subprocess.SubprocessError, FileNotFoundError):
+        import pytest
+
+        pytest.skip("git unavailable or base commit unknown")
+    changed_files = set(changed)
+
+    entry = __import__("__spark_entry__")
+    qs = entry.queries()
+    violations = []
+    for i, (name, fn) in enumerate(qs.items()):
+        if i < 50:
+            continue
+        src = inspect.getsource(fn)
+        for m in _IMPORT_RE.finditer(src):
+            path = m.group(1).replace(".", "/") + ".py"
+            if path in changed_files:
+                violations.append((name, path))
+    assert not violations, (
+        "tail (>50) queries import modules edited this round — rotate "
+        f"them into the driver window: {violations}"
+    )
