@@ -154,3 +154,13 @@ def test_registry_tail_modules_untouched_this_round():
         "tail (>50) queries import modules edited this round — rotate "
         f"them into the driver window: {violations}"
     )
+
+
+def test_examples_compile():
+    """The examples/ walkthroughs are user-facing documentation — they
+    must at least parse and reference only importable names (full runs
+    are manual; each was executed when added, see NOTES round 8)."""
+    ex_dir = TESTS_DIR.parent / "examples"
+    assert ex_dir.is_dir() and list(ex_dir.glob("*.py"))
+    for p in ex_dir.glob("*.py"):
+        compile(p.read_text(), str(p), "exec")
