@@ -762,7 +762,7 @@ def q_knn_ivfpq(spark, sf_dir):
     subspace-kmeans chains, same sample WHERE) and replays the probe +
     ADC scan. ``rerank_k=None`` is the EXPLICIT opt-out documenting the
     raw ADC tier — the function's default is now the recall-safe
-    ``"auto"`` rerank (max(4k, 40); see knn_ivfpq_rerank)."""
+    ``"auto"`` rerank (max(8k, 80); see knn_ivfpq_rerank)."""
     from lotus_spark.functions.ann import ivf_index, knn_topk_ivfpq, pq_index
 
     emb = _t(spark, sf_dir, "embeddings")

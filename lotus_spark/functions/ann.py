@@ -499,29 +499,47 @@ def knn_topk_pq(
 
 def _fs_write_json(spark, path: str, obj) -> None:
     """Atomic-ish JSON sidecar write through the Hadoop FS API (works on
-    hdfs:///s3a:// like local): write to a temp sibling, delete the
-    destination, rename the temp over it. A crash can leave the sidecar
-    MISSING (recoverable; readers treat missing as absent) but never
-    TRUNCATED mid-json — the failure mode that wedges a consumer on
-    JSONDecodeError. Single point of hardening for every index sidecar
+    hdfs:///s3a:// like local): write the new content to a temp sibling,
+    rename any EXISTING sidecar aside to a ``.bak`` sibling (never
+    delete it first — for ``_ivfpq_meta.json`` the old content holds the
+    trained centroids/codebooks, and losing both copies would leave the
+    parquet data unqueryable), install the temp via rename, then drop
+    the backup. A crash can leave the destination missing, but the
+    previous content then still exists at the ``.bak`` sibling — every
+    overwrite is recoverable, and the sidecar is never TRUNCATED
+    mid-json (the failure mode that wedges a consumer on
+    JSONDecodeError). Single point of hardening for every index sidecar
     (meta, stream high-water)."""
     import json
     import uuid
 
     jvm = spark._jvm
     dst = jvm.org.apache.hadoop.fs.Path(path)
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{path}.tmp-{uuid.uuid4().hex[:8]}")
+    token = uuid.uuid4().hex[:8]
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{token}")
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(obj).encode()))
     finally:
         out.close()
+    bak = None
     if fs.exists(dst):
-        fs.delete(dst, False)
+        bak = jvm.org.apache.hadoop.fs.Path(f"{path}.bak-{token}")
+        if not fs.rename(dst, bak):
+            fs.delete(tmp, False)
+            raise IOError(
+                f"could not move existing sidecar {path} aside — "
+                "aborting without touching it")
     if not fs.rename(tmp, dst):
-        raise IOError(f"could not install sidecar {path}")
+        if bak is not None and not fs.rename(bak, dst):
+            raise IOError(
+                f"could not install sidecar {path} AND the rollback "
+                f"failed — previous content preserved at {bak}")
+        raise IOError(f"could not install sidecar {path}"
+                      + ("; previous content restored" if bak else ""))
+    if bak is not None:
+        fs.delete(bak, False)
 
 
 def _fs_read_json(spark, path: str):
@@ -752,7 +770,13 @@ def compact_ivfpq_index(spark, path: str) -> None:
         fs.delete(_p(tmp), True)
         raise RuntimeError(f"compact_ivfpq_index: could not move {path}")
     if not fs.rename(_p(tmp), _p(path)):
-        fs.rename(_p(old), _p(path))  # roll back
+        if not fs.rename(_p(old), _p(path)):  # roll back
+            raise RuntimeError(
+                f"compact_ivfpq_index: could not install compacted index "
+                f"AND the rollback rename failed — index data is intact at "
+                f"{old} (original) and {tmp} (compacted copy); rename one "
+                f"back to {path} by hand")
+        fs.delete(_p(tmp), True)  # don't leak a full-size duplicate
         raise RuntimeError(
             f"compact_ivfpq_index: could not install compacted index; "
             f"original restored")
@@ -794,9 +818,13 @@ def knn_topk_ivfpq(
     **Recall contract**: raw ADC ordering at low m/nbits can rank badly
     on weakly-structured vectors (measured recall@20 of 0.25 on uniform
     synthetic data, ``BENCH_pqtrain.json``), so the exact rerank is ON
-    by default — ``rerank_k="auto"`` shortlists ``max(4*k, 40)`` ADC
-    candidates before the exact top-k (the standard refine sizing;
-    measured recall in ``BENCH_annrecall.json``). Pass ``rerank_k=None``
+    by default — ``rerank_k="auto"`` shortlists ``max(8*k, 80)`` ADC
+    candidates before the exact top-k (raised from ``max(4*k, 40)`` in
+    r9: at m=8/nbits=4 the ADC ordering is coarse enough that the 4k
+    shortlist left recall at ~0.43@10 on structured vectors where the
+    8k budget reaches ~0.7 — see ``BENCH_annrecall.json``; the rerank
+    itself stays a broadcast join over the probed cells, so the extra
+    cost is k-proportional, not corpus-proportional). Pass ``rerank_k=None``
     to explicitly opt out and get the raw ADC ordering (returns
     ``pq_dist`` instead of ``score_col``), or an int to size the
     shortlist yourself.
@@ -831,10 +859,10 @@ def knn_topk_ivfpq(
         if rerank_k != "auto":
             raise ValueError(
                 f"rerank_k={rerank_k!r}: the only string sentinel is "
-                "'auto' (max(4*k, 40)); pass an int to size the ADC "
+                "'auto' (max(8*k, 80)); pass an int to size the ADC "
                 "shortlist or None to opt out of the exact rerank"
             )
-        rerank_k = max(4 * k, 40)
+        rerank_k = max(8 * k, 80)
     probe = rank_cells_quantized(centroids, query_vec, n_probe)
     pruned = indexed_df.filter(F.col(cell_col).isin(probe))
     return knn_topk_pq(
@@ -887,12 +915,20 @@ def knn_topk_ivfpq_batch(
 
     if not queries:
         raise ValueError("queries must be non-empty")
+    # query ids land in query_col STRINGIFIED; distinct dict keys that
+    # stringify equal (1 and "1") would silently merge candidate pools
+    # under rerank_k=None and fail with an opaque DUPLICATE_MAP_KEY
+    # under rerank — reject the collision up front instead.
+    if len({str(qid) for qid in queries}) != len(queries):
+        raise ValueError(
+            "knn_topk_ivfpq_batch: query ids collide after str() — "
+            f"{sorted(str(q) for q in queries)}; use distinct string ids")
     if isinstance(rerank_k, str):
         if rerank_k != "auto":
             raise ValueError(
                 f"rerank_k={rerank_k!r}: the only string sentinel is "
                 "'auto'")
-        rerank_k = max(4 * k, 40)
+        rerank_k = max(8 * k, 80)
     if rerank_k is not None and rerank_k < k:
         raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
     m = len(codebooks)
@@ -932,8 +968,14 @@ def knn_topk_ivfpq_batch(
     from lotus_spark.functions.vectors import pair_cosine
 
     qv = F.element_at(F.create_map(*qvec_lits), F.col(query_col))
+    # rerank over the probed-cells union (`pruned`), NOT the full index:
+    # every shortlist id comes from `pruned`, so the output is identical,
+    # and the rerank scan inherits the same cell partition-pruning the
+    # ADC pass already paid for — otherwise the default batch path would
+    # re-scan the ENTIRE index once per batch, erasing the amortization
+    # this API exists for.
     exact = (
-        indexed_df.select(id_col, emb_col)
+        pruned.select(id_col, emb_col)
         .join(F.broadcast(shortlist), id_col)
         .withColumn(score_col, pair_cosine(F.col(emb_col), qv))
     )

@@ -31,11 +31,18 @@ Contract boundaries, stated plainly:
   epochs would reuse low ids and be wrongly skipped. Resuming with new
   data means reusing the original checkpoint (the normal operation) or
   deleting the sidecar alongside the checkpoint.
-- **The append and the sidecar write are two steps.** A crash between
-  them replays that one epoch's append (at-least-once for exactly the
-  crashed epoch). Downstream exact-dedup by id, or accepting duplicate
-  index entries (search returns the same vector twice; rerank output
-  unaffected beyond the duplicate id), covers the residue.
+- **Replayed epochs are IDEMPOTENT, not just skipped.** Each epoch is
+  written to a staging dir (``_staging/batch-<id>`` — an ``_``-prefixed
+  sibling Spark's file index ignores), then its data files are renamed
+  into the live cell directories with a ``batch<id>-`` filename prefix,
+  and only then does the sidecar high-water mark advance. A crash
+  anywhere in that window leaves ``batch_id`` above the high-water
+  mark, so the checkpoint replays the epoch — and the replay FIRST
+  deletes every live file carrying its own ``batch<id>-`` prefix plus
+  any stale staging dir before re-appending. The crashed attempt's
+  partial (or complete-but-unacknowledged) output is removed before the
+  redo, so recovery leaves no duplicate codes and needs no downstream
+  dedup (exactly-once for the data, pinned by an injected-crash test).
 """
 
 from __future__ import annotations
@@ -55,6 +62,55 @@ def _write_high_water(spark, path: str, batch_id: int) -> None:
 
     _fs_write_json(spark, f"{path}/_stream_batches.json",
                    {"last_batch_id": int(batch_id)})
+
+
+def _cleanup_crashed_epoch(fs, jvm, index_path: str, batch_id: int) -> None:
+    """Remove every trace a crashed attempt of ``batch_id`` may have
+    left: live data files carrying its ``batch<id>-`` prefix (a partial
+    or complete-but-unacknowledged commit) and its staging directory.
+    Run before re-appending a replayed epoch — this is what makes the
+    replay idempotent instead of at-least-once."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    stale = fs.globStatus(Path(f"{index_path}/*/batch{batch_id}-*"))
+    for st in (stale or []):
+        fs.delete(st.getPath(), False)
+    staging = Path(f"{index_path}/_staging/batch-{batch_id}")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+
+
+def _commit_epoch(spark, enc: DataFrame, index_path: str, cell_col: str,
+                  batch_id: int) -> None:
+    """Stage-then-rename commit of one epoch's encoded rows into the
+    live partitioned layout. The staged files are renamed into the cell
+    directories under a ``batch<id>-`` prefix so a crashed attempt is
+    enumerable (and removable) by its batch id alone; the high-water
+    mark advances only after every rename has succeeded."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    _cleanup_crashed_epoch(fs, jvm, index_path, batch_id)
+
+    staging = f"{index_path}/_staging/batch-{batch_id}"
+    enc.write.partitionBy(cell_col).mode("overwrite").parquet(staging)
+    for cell_st in fs.listStatus(Path(staging)):
+        if not cell_st.isDirectory():
+            continue  # _SUCCESS marker
+        cell_name = cell_st.getPath().getName()  # e.g. "__ivf_cell=3"
+        dest_dir = Path(f"{index_path}/{cell_name}")
+        fs.mkdirs(dest_dir)
+        for f_st in fs.listStatus(cell_st.getPath()):
+            name = f_st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            dst = Path(f"{index_path}/{cell_name}/batch{batch_id}-{name}")
+            if not fs.rename(f_st.getPath(), dst):
+                raise IOError(
+                    f"stream_append_ivfpq: could not commit {name} into "
+                    f"{cell_name} for epoch {batch_id} — the epoch will "
+                    "replay and clean up by its batch prefix")
+    fs.delete(Path(staging), True)
+    _write_high_water(spark, index_path, batch_id)
 
 
 def stream_append_ivfpq(
@@ -112,10 +168,11 @@ def stream_append_ivfpq(
             emb_col, cached["cents"], cached["books"],
             cell_col=cached["cell_col"], code_col=cached["code_col"],
         ).select(*cached["columns"])
-        # an empty epoch appends zero files — no isEmpty pre-check job
-        enc.write.partitionBy(cached["cell_col"]).mode("append").parquet(
-            index_path)
-        _write_high_water(spark, index_path, batch_id)
+        # staged commit: write to _staging/batch-<id>, rename the files
+        # into the live cells under a batch<id>- prefix, THEN advance the
+        # high-water mark — a crash anywhere in between replays the epoch
+        # and the replay deletes its own prefix first (idempotent).
+        _commit_epoch(spark, enc, index_path, cached["cell_col"], batch_id)
 
     w = stream.writeStream.foreachBatch(_append).outputMode("append")
     if checkpoint_dir is not None:

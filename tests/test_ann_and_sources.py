@@ -618,13 +618,16 @@ def test_ivfpq_rerank_recall_on_real_embeddings(spark):
     assert r_rerank >= r_plain
     assert rer[0] == 0                  # exact self-match leads post-rerank
 
-    # recall contract: the DEFAULT is the auto rerank (max(4k, 40) = 40
-    # here), identical to the explicit rerank_k=40 call — callers who
+    # recall contract: the DEFAULT is the auto rerank (max(8k, 80) = 80
+    # here), identical to the explicit rerank_k=80 call — callers who
     # want raw ADC ordering must opt out with rerank_k=None
+    rer80 = [r["vec_id"] for r in
+             knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
+                            id_col="vec_id", rerank_k=80).collect()]
     dflt = knn_topk_ivfpq(encoded, cents, books, q, k=10, n_probe=8,
                           id_col="vec_id").collect()
     assert "score" in dflt[0].asDict()  # reranked shape, not pq_dist
-    assert [r["vec_id"] for r in dflt] == rer
+    assert [r["vec_id"] for r in dflt] == rer80
 
 
 def test_ivfpq_write_read_roundtrip_lossless(spark, tmp_path):

@@ -528,3 +528,101 @@ def test_stream_append_ivfpq_grows_index_exactly_once(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="streaming"):
         stream_append_ivfpq(base, path)
+
+
+def test_stream_append_ivfpq_crash_recovery_no_duplicates(
+        spark, tmp_path, monkeypatch):
+    """Round-8 verdict item 6: the old sink had an at-least-once window
+    between the parquet append and the sidecar high-water write — a
+    crash exactly there replayed the epoch and duplicated its codes.
+    The staged-commit protocol (stage -> rename under a batch<id>-
+    prefix -> advance high water; replay deletes its own prefix first)
+    must make that same injected crash recover with ZERO duplicates."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    import lotus_spark.streaming.index_sink as sink
+    from lotus_spark.functions.ann import (
+        encode_ivfpq, ivf_index, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(90, 8).astype("float64")
+
+    def rows(lo, hi):
+        return [(i, [float(x) for x in vecs[i]]) for i in range(lo, hi)]
+
+    base = spark.createDataFrame(rows(0, 60), ["vec_id", "embedding"])
+    indexed, cents = ivf_index(base, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    (spark.createDataFrame(rows(60, 90),
+                           "vec_id long, embedding array<double>")
+     .coalesce(1).write.parquet(stage))
+    part = next(g for g in os.listdir(stage) if g.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "inc.parquet"))
+
+    # crash INSIDE the old at-least-once window: the epoch's files are
+    # fully renamed into the live cells, the high-water mark is not yet
+    # advanced
+    real_hw = sink._write_high_water
+    state = {"crashed": False}
+
+    def crash_once(sp, p, bid):
+        if not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("injected crash before high-water write")
+        return real_hw(sp, p, bid)
+
+    monkeypatch.setattr(sink, "_write_high_water", crash_once)
+
+    schema = "vec_id long, embedding array<double>"
+    stream = (spark.readStream.schema(schema).parquet(src))
+    q = sink.stream_append_ivfpq(stream, path,
+                                 checkpoint_dir=str(tmp_path / "ck"),
+                                 available_now=True)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert state["crashed"]
+    # the crashed attempt DID commit its files (count 90, high water -1)
+    assert spark.read.parquet(path).count() == 90
+    assert sink._read_high_water(spark, path) == -1
+
+    # plant a stale staging dir too — a crash one step earlier leaves
+    # one; the replay must clear it alongside the prefixed files
+    stale = os.path.join(path, "_staging", "batch-0")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk.bin"), "wb") as f:
+        f.write(b"\x00stale")
+
+    # restart from the SAME checkpoint: batch 0 replays, deletes its own
+    # batch0- prefixed files + staging, re-appends exactly once
+    stream2 = (spark.readStream.schema(schema).parquet(src))
+    q2 = sink.stream_append_ivfpq(stream2, path,
+                                  checkpoint_dir=str(tmp_path / "ck"),
+                                  available_now=True)
+    q2.awaitTermination()
+
+    stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+    got = stored.collect()
+    assert len(got) == 90                                  # no duplicates
+    assert len({r["vec_id"] for r in got}) == 90
+    assert sink._read_high_water(spark, path) == 0
+    assert not os.path.exists(stale)
+    full = spark.createDataFrame(rows(0, 90), ["vec_id", "embedding"])
+    want = encode_ivfpq(full, "embedding", cents2, books2,
+                        cell_col=cell_col)
+    assert (sorted((r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
+                   for r in got)
+            == sorted((r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
+                      for r in want.collect()))

@@ -5,7 +5,9 @@ on TWO corpora.
 Round-6 verdict item 2: `BENCH_pqtrain.json` measured ADC-only recall@20
 of 0.25 on uniform synthetic vectors, and nothing stated what a caller
 of the default path actually gets. Round 7 made the exact rerank the
-default (`rerank_k="auto"` = max(4k, 40), opt-out via None); this probe
+default (`rerank_k="auto"`, opt-out via None; r9 raised auto from
+max(4k, 40) to max(8k, 80) after this probe showed the 2x budget nearly
+doubles structured-corpus recall at k-proportional cost); this probe
 MEASURES the resulting recall so the contract is an artifact, not a
 claim. Round-8 verdict item 4: the testdata embeddings turn out to be
 near-uniform (weak cluster structure — the hardest possible case for a
@@ -75,7 +77,7 @@ def _measure(spark, emb, k: int, n_queries: int, n_probe: int,
     encoded.count()
 
     qrows = emb.orderBy("vec_id").limit(n_queries).collect()
-    auto = max(4 * k, 40)
+    auto = max(8 * k, 80)
     tiers = {
         "adc_only": None,
         "auto_default": "auto",
