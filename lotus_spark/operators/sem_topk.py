@@ -66,7 +66,8 @@ class BatchedComparator:
         self.helper_lm = helper_lm
         self.cascade_threshold = cascade_threshold
         self.kw = kw
-        self.calls = 0
+        self.calls = 0          # pairwise comparisons answered
+        self.rounds = 0         # LM ROUND-TRIPS (batched compare() calls)
         self.oracle_calls = 0
 
     def _ask(self, lm: Any, pairs: list[tuple[str, str]], logprobs: bool):
@@ -78,6 +79,7 @@ class BatchedComparator:
         if not pairs:
             return []
         self.calls += len(pairs)
+        self.rounds += 1
         if self.helper_lm is None or self.cascade_threshold is None:
             outs = self._ask(self.lm, pairs, logprobs=False).outputs
             self.oracle_calls += len(pairs)
@@ -169,26 +171,82 @@ def quickselect_topk(
     )
 
 
-def heap_topk(docs: list[str], K: int, cmp: BatchedComparator) -> list[int]:
-    """Insertion-based top-K with LLM comparisons (reference 'heap' method).
+def heap_topk(docs: list[str], K: int, cmp: BatchedComparator,
+              batch_size: int = 16) -> list[int]:
+    """Insertion-based top-K with LLM comparisons (reference 'heap'
+    method, ``lotus/sem_ops/sem_topk.py:491-621``) — WAVE-BATCHED.
 
-    SERIAL BY CONSTRUCTION: each binary-insertion step depends on the
-    previous comparison, so calls can't batch — O(n log K) sequential LM
-    round-trips. This mirrors the reference's 'heap' method for parity;
-    at scale prefer the default ``method='quick'``, whose pivot
-    comparisons batch into one LM call per round."""
-    top: list[int] = []  # kept sorted best→worst
-    for i in range(len(docs)):
-        lo, hi = 0, len(top)
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if cmp.compare([(docs[i], docs[top[mid]])])[0] == 0:
-                hi = mid
-            else:
-                lo = mid + 1
-        top.insert(lo, i)
-        if len(top) > K:
-            top.pop()
+    The reference inserts docs one at a time, each binary-insertion step
+    a separate LM round-trip (O(n log K) sequential calls: its LM client
+    is per-call). Our LM client is batched, so sibling comparisons can
+    share a call: docs arrive in waves of ``batch_size``, every wave
+    member runs its binary search against the SAME snapshot of the kept
+    list in lockstep — each search DEPTH is one batched compare() over
+    all still-active members — then members landing in the same slot are
+    ordered with one more batched round-robin call and the wave merges
+    in. Round-trips drop from ``n·log2(K)`` to ``~(n/B)·(log2(K)+1)``
+    (pinned by a call-count test) while the comparison COUNT stays the
+    same order.
+
+    Output equals the serial reference insertion under a consistent
+    (total-order) comparator — both produce the globally sorted top-K:
+    a binary search against the sorted snapshot gives each member its
+    exact rank among snapshot elements, and the intra-slot round-robin
+    gives distinct win counts that sort same-slot members exactly.
+    (Under a non-transitive comparator neither serial nor batched
+    insertion has a canonical answer; ties break deterministically by
+    doc position, mirroring the serial arrival order.)"""
+    from collections import defaultdict
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    top: list[int] = []  # kept sorted best→worst, at most K entries
+    n = len(docs)
+    start = 0
+    while start < n:
+        wave = list(range(start, min(start + batch_size, n)))
+        start += len(wave)
+        # lockstep binary search: one batched call per depth level
+        lo = {c: 0 for c in wave}
+        hi = {c: len(top) for c in wave}
+        while True:
+            active = [c for c in wave if lo[c] < hi[c]]
+            if not active:
+                break
+            mid = {c: (lo[c] + hi[c]) // 2 for c in active}
+            outs = cmp.compare(
+                [(docs[c], docs[top[mid[c]]]) for c in active])
+            for c, w in zip(active, outs):
+                if w == 0:
+                    hi[c] = mid[c]
+                else:
+                    lo[c] = mid[c] + 1
+        # order same-slot members: ALL slots' round-robin pairs in ONE call
+        slots: dict[int, list[int]] = defaultdict(list)
+        for c in wave:
+            slots[lo[c]].append(c)
+        rr_pairs, rr_idx = [], []
+        for s, group in slots.items():
+            for a in range(len(group)):
+                for b in range(a + 1, len(group)):
+                    rr_idx.append((s, a, b))
+                    rr_pairs.append((docs[group[a]], docs[group[b]]))
+        outs = cmp.compare(rr_pairs)
+        wins: dict[int, list[int]] = {
+            s: [0] * len(g) for s, g in slots.items()}
+        for (s, a, b), w in zip(rr_idx, outs):
+            wins[s][a if w == 0 else b] += 1
+        ordered = {
+            s: [g[t] for t in sorted(range(len(g)),
+                                     key=lambda t: (-wins[s][t], t))]
+            for s, g in slots.items()
+        }
+        merged: list[int] = []
+        for pos in range(len(top) + 1):
+            merged.extend(ordered.get(pos, ()))
+            if pos < len(top):
+                merged.append(top[pos])
+        top = merged[:K]
     return top
 
 
