@@ -1140,3 +1140,179 @@ def ann_join_ivf(
         .filter(F.col("_rank") <= K)
     )
     return out.drop("__ivf_tie") if tie_col is not None else out
+
+
+def ann_join_ivfpq(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str,
+    left_emb_col: str,
+    right_id_col: str,
+    right_emb_col: str,
+    K: int,
+    n_cells: int | str = 64,
+    n_probe: int = 8,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    pq_seed: int = 101,
+    train_sample: tuple[int, int] | None = None,
+    max_train_rows: int | None = 1_000_000,
+    rerank_k: int | None | str = "auto",
+    id_out: str = "match_id",
+    score_out: str = "_scores",
+    prebuilt: tuple[DataFrame, list[list[int]], list[list[list[int]]]] | None = None,
+    cell_col: str = "__ivf_cell",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """K-NN join combining BOTH index halves — the top of the join
+    ladder for a right side whose raw vectors are too big even to ship
+    through a cell equi-join:
+
+    - ``ann_join_ivf`` prunes WHICH right rows each left row meets (ONE
+      cell equi-join, nothing broadcast) but ships the full right
+      embedding as join payload — d*8 bytes/row through the shuffle.
+    - ``ann_join_pq`` shrinks the payload to m codes but broadcasts the
+      whole code table to every left task — caps at driver/executor
+      memory.
+    - **This** does both with neither cap: the cell equi-join carries
+      (right id, m-byte codes) — 64x less right payload than
+      ``ann_join_ivf`` at d=64/m=8 — and nothing broadcasts but the
+      centroid/codebook literals (a few KB). Scoring inside each
+      (left row, probed cell) group is asymmetric-distance (ADC): an
+      Arrow-batched numpy gather over the codebook array, integer-exact
+      (same arithmetic as ``_adc_dist_expr``, vectorized over pairs
+      because the query varies per row — a literal LUT only works for
+      ONE query). The ADC top ``rerank_k`` per left row then joins back
+      to the right embeddings BY ID (narrow relation, ``rerank_k`` rows
+      per left row crossing the shuffle) for the fold-exact cosine top
+      ``K`` — the standard IVFPQ+refine join, FAISS's shape for
+      billion-to-billion joins, expressed as two bounded shuffles.
+
+    Windows key on the UNIQUE ``left_id_col`` (bounded, skew-free); the
+    hot-cell join is a plain skewed equi-join AQE can split. Recall
+    follows the single-query ladder: raise ``n_probe`` / ``rerank_k``
+    (default ``"auto"`` = ``max(8K, 80)``, the measured knee in
+    ``BENCH_annrecall.json``) for recall, exactness at full probe +
+    ``rerank_k >= |cells scanned|`` (parity-pinned in tests).
+    Deterministic end-to-end (integer Lloyd's both quantizers), so the
+    whole composition is SQL-oracle-replayable.
+
+    ``prebuilt=(indexed_df, centroids, codebooks)`` joins against an
+    EXISTING encoded right side — e.g. ``read_ivfpq_index`` output
+    (pass its ``cell_col``) — skipping training/assign/encode: the
+    repeat-join shape where the index is built once, grown
+    incrementally, and every join is probe + one cell equi-join over a
+    table already laid out by the join key.
+
+    Returns left columns + (``id_out``, ``score_out``, ``_rank``) — or
+    (``id_out``, ``pq_dist``, ``_rank``) under ``rerank_k=None`` (the
+    explicit raw-ADC opt-out).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lotus_spark.functions.kmeans import QUANT, SHIFT
+    from lotus_spark.functions.vectors import pair_cosine
+
+    if isinstance(rerank_k, str):
+        if rerank_k != "auto":
+            raise ValueError(
+                f"rerank_k={rerank_k!r}: the only string sentinel is "
+                "'auto' (max(8*K, 80)); int to size the shortlist, None "
+                "for raw ADC")
+        rerank_k = max(8 * K, 80)
+    if rerank_k is not None and rerank_k < K:
+        raise ValueError(f"rerank_k={rerank_k} must be >= K={K}")
+
+    if prebuilt is not None:
+        indexed, cents, books = prebuilt
+        if cell_col != "__ivf_cell":
+            indexed = indexed.withColumnRenamed(cell_col, "__ivf_cell")
+        missing = [c for c in (right_id_col, right_emb_col, code_col,
+                               "__ivf_cell") if c not in indexed.columns]
+        if missing:
+            raise ValueError(
+                f"ann_join_ivfpq(prebuilt=...): indexed df lacks {missing}")
+    else:
+        coarse, cents = ivf_index(
+            right, right_emb_col, n_cells=n_cells, seed=seed,
+            method="deterministic", id_col=right_id_col,
+            train_sample=train_sample, max_train_rows=max_train_rows,
+        )
+        indexed, books = pq_index(
+            coarse, right_emb_col, right_id_col, m=m, nbits=nbits,
+            seed=pq_seed, code_col=code_col, train_sample=train_sample,
+            max_train_rows=max_train_rows,
+        )
+
+    cb = np.asarray(books, dtype=np.int64)        # [m, 2**nbits, sub]
+    n_sub, _, sub_d = cb.shape
+    d_total = n_sub * sub_d
+
+    lx = (
+        left.withColumn(
+            "__probe",
+            probe_cells_expr(cents, n_probe)(
+                F.col(left_emb_col).cast("array<double>")),
+        )
+        .withColumn("__ivfpq_cell", F.explode("__probe"))
+        .drop("__probe")
+    )
+    right_sel = indexed.select(
+        F.col("__ivf_cell").alias("__ivfpq_cell"),
+        F.col(right_id_col).alias(id_out),
+        F.col(code_col).alias("__pq_codes"),
+    )
+    pairs = lx.join(right_sel, "__ivfpq_cell").drop("__ivfpq_cell")
+
+    out_fields = StructType(
+        pairs.schema.fields + [StructField("pq_dist", LongType())])
+
+    def adc(it):
+        sub_idx = np.arange(n_sub)[None, :]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[left_emb_col].map(np.asarray).to_list())
+            if q.shape[1] != d_total:
+                raise ValueError(
+                    f"ann_join_ivfpq: left dim {q.shape[1]} != "
+                    f"m*sub = {d_total}")
+            # same float64 op order as kmeans.quantize_vector, vectorized
+            qq = np.floor((q.astype(np.float64) + SHIFT)
+                          * float(QUANT)).astype(np.int64)
+            codes = np.stack(
+                pdf["__pq_codes"].map(np.asarray).to_list()).astype(np.int64)
+            gathered = cb[sub_idx, codes]           # [N, m, sub]
+            diff = qq.reshape(len(pdf), n_sub, sub_d) - gathered
+            pdf = pdf.copy()
+            pdf["pq_dist"] = (diff * diff).sum(axis=(1, 2))  # int64-exact
+            yield pdf
+
+    scored = pairs.mapInPandas(adc, schema=out_fields).drop("__pq_codes")
+    w = Window.partitionBy(left_id_col).orderBy(
+        F.asc("pq_dist"), F.asc(id_out))
+    ranked = scored.withColumn("_rank", F.row_number().over(w))
+    if rerank_k is None:
+        return ranked.filter(F.col("_rank") <= K)
+    shortlist = ranked.filter(F.col("_rank") <= rerank_k) \
+                      .drop("pq_dist", "_rank")
+    remb = indexed.select(
+        F.col(right_id_col).alias(id_out),
+        F.col(right_emb_col).alias("__r_emb"),
+    )
+    exact = (
+        shortlist.join(remb, id_out)
+        .withColumn(
+            score_out,
+            F.round(pair_cosine(F.col(left_emb_col), F.col("__r_emb")), 6),
+        )
+        .drop("__r_emb")
+    )
+    w2 = Window.partitionBy(left_id_col).orderBy(
+        F.desc(score_out), F.asc(id_out))
+    return (
+        exact.withColumn("_rank", F.row_number().over(w2))
+        .filter(F.col("_rank") <= K)
+    )

@@ -1185,3 +1185,102 @@ def test_ivfpq_index_full_lifecycle(spark, tmp_path):
         ours = [(v, round(s, 12)) for v, s in
                 sorted(got[qid], key=lambda t: (-t[1], t[0]))]
         assert ours == want, qid
+
+
+def test_ann_join_ivfpq_exact_at_full_probe_and_rerank(spark):
+    """ann_join_ivfpq composes cell pruning + ADC codes + exact rerank;
+    at n_probe = n_cells with rerank_k >= |corpus| the composition is
+    exhaustive — per left row it must equal brute-force cosine top-K.
+    At the default knobs it returns K rows per left row with recall
+    that the rerank can only improve over raw ADC."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import ann_join_ivfpq, knn_topk
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(120, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["rid", "remb"])
+    queries = [(300 + j, [float(x) for x in vecs[j * 11]])
+               for j in range(4)]
+    left = spark.createDataFrame(queries, ["qid", "lemb"])
+
+    out = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                         K=5, n_cells=4, n_probe=4, m=4, nbits=2,
+                         seed=9, pq_seed=5, rerank_k=120)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["_rank"], r["match_id"], r["_scores"]))
+    assert set(got) == {qid for qid, _ in queries}
+    for qid, qv in queries:
+        want = [(i + 1, r["rid"], round(r["score"], 6)) for i, r in
+                enumerate(knn_topk(right, "remb", qv, k=5,
+                                   id_col="rid").collect())]
+        assert sorted(got[qid]) == want, qid
+
+    # default knobs: K rows per query, raw-ADC opt-out returns pq_dist
+    dflt = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                          K=3, n_cells=4, n_probe=2, m=4, nbits=2,
+                          seed=9, pq_seed=5)
+    counts = {}
+    for r in dflt.collect():
+        counts[r["qid"]] = counts.get(r["qid"], 0) + 1
+        assert "_scores" in r.asDict()
+    assert all(v == 3 for v in counts.values())
+    raw = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                         K=3, n_cells=4, n_probe=2, m=4, nbits=2,
+                         seed=9, pq_seed=5, rerank_k=None)
+    assert "pq_dist" in raw.columns and "_scores" not in raw.columns
+
+
+def test_ann_join_ivfpq_prebuilt_matches_inline(spark, tmp_path):
+    """prebuilt=(indexed, centroids, codebooks) — e.g. a reloaded
+    persisted index — answers identically to the inline build with the
+    same quantizers, and validates the frame's columns."""
+    import numpy as np
+    import pytest
+
+    from lotus_spark.functions.ann import (
+        ann_join_ivfpq, ivf_index, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(33)
+    vecs = rng.randn(90, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(500 + j, [float(x) for x in vecs[j * 7]]) for j in range(4)],
+        ["qid", "lemb"])
+
+    inline = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                            K=3, n_cells=4, n_probe=2, m=4, nbits=2,
+                            seed=9, pq_seed=5, rerank_k=20)
+    want = sorted((r["qid"], r["_rank"], r["match_id"], r["_scores"])
+                  for r in inline.collect())
+
+    indexed, cents = ivf_index(right, "remb", n_cells=4, seed=9,
+                               method="deterministic", id_col="rid")
+    encoded, books = pq_index(indexed, "remb", "rid", m=4, nbits=2,
+                              seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+    stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+    pre = ann_join_ivfpq(left, None, "qid", "lemb", "rid", "remb",
+                         K=3, n_probe=2, rerank_k=20,
+                         prebuilt=(stored, cents2, books2),
+                         cell_col=cell_col)
+    got = sorted((r["qid"], r["_rank"], r["match_id"], r["_scores"])
+                 for r in pre.collect())
+    assert got == want
+
+    with pytest.raises(ValueError, match="lacks"):
+        ann_join_ivfpq(left, None, "qid", "lemb", "rid", "MISSING",
+                       K=3, prebuilt=(stored, cents2, books2),
+                       cell_col=cell_col)
+    with pytest.raises(ValueError, match="rerank_k"):
+        ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                       K=5, rerank_k=2)

@@ -323,3 +323,39 @@ def test_bucketed_join_coalesces_mismatched_bucket_counts(spark, tmp_path):
             "spark.sql.bucketing.coalesceBucketsInJoin.enabled", prev_co)
         drop_bucketed(spark, "cbj_a")
         drop_bucketed(spark, "cbj_b")
+
+
+def test_ann_join_ivfpq_cell_join_ships_codes_not_vectors(spark):
+    """ann_join_ivfpq's scale claim on the plan: the candidate stage is
+    ONE equi-join on the cell id with the right side contributing only
+    (cell, id, codes) — the full right embedding must NOT cross the
+    candidate shuffle (that is ann_join_ivf's payload; the whole point
+    of the PQ tier is the m-byte code payload). The right embedding may
+    only appear in the RERANK join, keyed by the match id, where the
+    left embedding does not ride along with it."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import ann_join_ivfpq
+
+    rng = np.random.RandomState(6)
+    vecs = rng.randn(80, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(100 + j, [float(x) for x in vecs[j]]) for j in range(4)],
+        ["qid", "lemb"])
+    out = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                         K=3, n_cells=4, n_probe=2, m=4, nbits=2,
+                         seed=9, pq_seed=5)
+    plan = formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for args, cols in exchanges(plan):
+        if "__pq_codes" in cols:
+            # the candidate-side shuffle: codes yes, vectors no
+            assert "remb" not in cols, (args, cols)
+        if "remb" in cols:
+            # the rerank-side shuffle: narrow (id, embedding) relation
+            assert "lemb" not in cols and "__pq_codes" not in cols, \
+                (args, cols)
