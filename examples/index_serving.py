@@ -100,6 +100,20 @@ def main() -> None:
         print("join matches:",
               joined.select("qid", "match_id").count())
 
+        # 5d. Same join one tier up the ladder (ann_join_ivfpq): the
+        # cell equi-join ships the m-byte PQ codes instead of full
+        # vectors and reranks the ADC shortlist through a narrow by-id
+        # join — the shape for right sides whose raw vectors are too
+        # wide even for a cell join's shuffle payload.
+        from lotus_spark.functions.ann import ann_join_ivfpq
+
+        joined_pq = ann_join_ivfpq(left, None, "qid", "lemb",
+                                   "vec_id", "embedding", K=3, n_probe=8,
+                                   prebuilt=(stored, cents2, books2),
+                                   cell_col=cell_col)
+        print("ivfpq join matches:",
+              joined_pq.select("qid", "match_id").count())
+
 
 if __name__ == "__main__":
     main()

@@ -3,8 +3,10 @@ recover, at which knobs?
 
 ``BENCH_annrecall.json`` measures the single-query IVF-PQ path;
 this probe measures the JOIN tiers — ``ann_join_ivf`` (cell-partitioned,
-neither side broadcasts) across ``n_probe``, and ``ann_join_pq``
-(broadcast PQ codes + exact rerank) across ``pq_candidates`` — against
+neither side broadcasts) across ``n_probe``, ``ann_join_pq``
+(broadcast PQ codes + exact rerank) across ``pq_candidates``, and
+``ann_join_ivfpq`` (cell join over code payloads + by-id rerank, r9)
+across ``n_probe`` at the default auto rerank — against
 the exact K-NN join (``sem_sim_join`` broadcast_exact) on the same
 left/right split. Recall@K = mean per-left-row overlap of the
 approximate neighbor set with the exact one.
@@ -85,6 +87,33 @@ def main() -> None:
             "recall": recall(sets, exact),
             "wall_sec": round(time.time() - t0, 2),
         }
+    from lotus_spark.functions.ann import ann_join_ivfpq
+
+    out["ivfpq_by_n_probe"] = {}
+    for n_probe in (2, 4, 8, N_CELLS):
+        t0 = time.time()
+        got = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                             K=K, n_cells=N_CELLS, n_probe=n_probe,
+                             m=8, nbits=4, seed=42, pq_seed=101)
+        sets = neighbor_sets(got.select("qid", "match_id").collect(),
+                             "qid", "match_id")
+        out["ivfpq_by_n_probe"][str(n_probe)] = {
+            "recall": recall(sets, exact),
+            "wall_sec": round(time.time() - t0, 2),
+        }
+    # sanity ceiling: full probe + rerank over everything scanned == 1.0
+    t0 = time.time()
+    got = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                         K=K, n_cells=N_CELLS, n_probe=N_CELLS,
+                         m=8, nbits=4, seed=42, pq_seed=101,
+                         rerank_k=n_right)
+    sets = neighbor_sets(got.select("qid", "match_id").collect(),
+                         "qid", "match_id")
+    out["ivfpq_by_n_probe"]["full_probe_full_rerank"] = {
+        "recall": recall(sets, exact),
+        "wall_sec": round(time.time() - t0, 2),
+    }
+
     enc, books = pq_index(right, "remb", "rid", m=8, nbits=4, seed=101)
     pq_idx = BroadcastPQIndex.build(enc, "rid", "pq_codes", books)
     for cand in (K, 2 * K, 4 * K, 16 * K, n_right):
@@ -112,9 +141,12 @@ def main() -> None:
         "note": ("recall of the approximate K-NN JOIN tiers vs the exact "
                  "broadcast join on the same left sample; headline = "
                  "ann_join_ivf at the oracle row's n_probe=8/n_cells=16 "
-                 "knobs; the full-probe / candidates=n rows are the "
-                 "==1.0 sanity (both tiers are exact at their budget "
-                 "ceiling by construction)"),
+                 "knobs; the full-probe / candidates=n / "
+                 "full_probe_full_rerank rows are the ==1.0 sanity "
+                 "(every tier is exact at its budget ceiling by "
+                 "construction); ivfpq_by_n_probe runs the r9 "
+                 "ann_join_ivfpq at the default auto rerank "
+                 "(max(8K, 80))"),
     }
     with open(os.path.join(ROOT, "BENCH_joinrecall.json"), "w") as f:
         json.dump(rec, f, indent=1)
