@@ -3083,6 +3083,106 @@ FROM rk WHERE rank <= 3
 """
 
 
+def q_ann_join_ivfpq(spark, sf_dir):
+    """IVF+PQ K-NN JOIN (functions/ann.py::ann_join_ivfpq, NEW r9) —
+    the join-ladder top: the cell equi-join ships (right id, m-byte PQ
+    codes) instead of full vectors, nothing broadcasts but quantizer
+    literals, ADC is an Arrow-batched numpy gather per pair, and the
+    per-left ADC shortlist reranks through a narrow by-id join. The
+    oracle replays the ENTIRE composition: the IVF Lloyd's chain +
+    per-left probe (same replica as ann_join_ivf), all 8 per-subspace
+    codebook chains trained on the right rows, per-pair integer ADC over
+    the probed cells, the per-left shortlist window, and the exact-
+    cosine rerank. NOT yet registered (r9 window at 50-capacity);
+    queued as an r10 window row — cross-checked against DuckDB in
+    tests/test_ann_and_sources.py meanwhile."""
+    from lotus_spark.functions.ann import ann_join_ivfpq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    right = emb.filter(F.col("vec_id") >= 20)
+    out = ann_join_ivfpq(
+        left, right, "qid", "embedding", "vec_id", "embedding",
+        K=3, n_cells=16, n_probe=4, m=8, nbits=4, seed=42, pq_seed=101,
+        rerank_k=20,
+    )
+    return out.select(
+        "qid",
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("_scores").alias("score"),
+        F.col("_rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_ann_join_ivfpq(d: int) -> str:
+    m, nbits, iters = 8, 4, 3
+    sub = d // m
+    pdist = " + ".join(
+        f"(l.xq[{j}]-c3.v[{j}])*(l.xq[{j}]-c3.v[{j}])"
+        for j in range(1, d + 1)
+    )
+    pq_chains = [
+        _sql_kmeans_ctes(
+            k=2 ** nbits, iters=iters, seed=101 + s, d=sub,
+            emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+            p=f"jq{s}_", train_where="vec_id >= 20")
+        for s in range(m)
+    ]
+    pair_joins = " ".join(
+        f"JOIN jq{s}_p lp{s} ON lp{s}.vec_id = l.qid "
+        f"JOIN jq{s}_afinal ra{s} ON ra{s}.vec_id = rc.match_id "
+        f"JOIN jq{s}_c{iters} cc{s} ON cc{s}.c = ra{s}.c"
+        for s in range(m)
+    )
+    adc = " + ".join(
+        f"(lp{s}.xq[{j}]-cc{s}.v[{j}])*(lp{s}.xq[{j}]-cc{s}.v[{j}])"
+        for s in range(m) for j in range(1, sub + 1)
+    )
+    return f"""
+WITH {_sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d,
+                       train_where="vec_id >= 20")},
+{",".join(pq_chains)},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+probe AS (
+  SELECT l.vec_id AS qid, c3.c,
+         row_number() OVER (PARTITION BY l.vec_id
+                            ORDER BY {pdist}, c3.c) AS pr
+  FROM (SELECT vec_id, xq FROM p WHERE vec_id < 20) l, c3
+),
+pc AS (SELECT qid, c FROM probe WHERE pr <= 4),
+rc AS (SELECT vec_id AS match_id, c FROM afinal WHERE vec_id >= 20),
+cand AS (
+  SELECT l.qid, rc.match_id, CAST({adc} AS BIGINT) AS pq_dist
+  FROM (SELECT vec_id AS qid FROM e WHERE vec_id < 20) l
+  JOIN pc ON pc.qid = l.qid
+  JOIN rc ON rc.c = pc.c
+  {pair_joins}
+),
+short AS (
+  SELECT qid, match_id FROM (
+    SELECT qid, match_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY pq_dist, match_id) AS rk
+    FROM cand) WHERE rk <= 20
+),
+fin AS (
+  SELECT s.qid, s.match_id,
+         ROUND({_sql_cosine('lv.v', 'rv.v')}, 6) AS score
+  FROM short s
+  JOIN e lv ON lv.vec_id = s.qid
+  JOIN e rv ON rv.vec_id = s.match_id
+),
+rk AS (SELECT qid, match_id, score,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, match_id) AS rank
+       FROM fin)
+SELECT qid, CAST(match_id AS BIGINT) AS match_id, score,
+       CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3
+"""
+
+
 def q_sem_join_cascade(spark, sf_dir):
     """sem_join CASCADE path (cascades/join_cascade.py::sem_join_cascade;
     reference lotus/sem_ops/sem_join.py:180-341): proxy-scored pairs,

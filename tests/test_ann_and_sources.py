@@ -1284,3 +1284,40 @@ def test_ann_join_ivfpq_prebuilt_matches_inline(spark, tmp_path):
     with pytest.raises(ValueError, match="rerank_k"):
         ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
                        K=5, rerank_k=2)
+
+
+def test_ann_join_ivfpq_matches_duckdb_oracle(spark):
+    """Cross-engine check of the r10-queued oracle pair
+    (__spark_entry__.q_ann_join_ivfpq / _sql_ann_join_ivfpq) ahead of
+    its driver registration: the full IVF chain + 8 codebook chains +
+    per-pair ADC + shortlist + exact rerank must hash-match DuckDB at
+    sf0.001 — same compare the driver runs (columns sorted, floats
+    rounded, rows sorted)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    d = len(con.execute(
+        "SELECT embedding FROM embeddings LIMIT 1").fetchone()[0])
+    odf = con.execute(entry._sql_ann_join_ivfpq(d)).df()
+    sdf = entry.q_ann_join_ivfpq(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("float"):
+                pdf[c] = pdf[c].astype(float).round(6)
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
