@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     # their wall is one-time build cost (bucketed table writes; quantizer
     # training + index write/append) — the recurring query paths they
     # enable are the shapes pricing_summary / knn_ivfpq already time
+    # round 9: ivfpq_compacted / write_shards / bucketed_join_coalesced
+    # stay out for the same reason — all three are one-time maintenance/
+    # materialization compositions (append+compact; one-file-per-shard
+    # export; a second bucketed-table write) whose recurring paths are
+    # already timed above
 ]
 
 
