@@ -1190,7 +1190,10 @@ def ann_join_ivfpq(
       billion-to-billion joins, expressed as two bounded shuffles.
 
     Windows key on the UNIQUE ``left_id_col`` (bounded, skew-free); the
-    hot-cell join is a plain skewed equi-join AQE can split. Recall
+    hot-cell join is a plain skewed equi-join AQE can split. The left
+    table's payload columns never enter the candidate stages — only
+    (id, embedding) rides the cell join and rank window (plan-pinned);
+    everything else rejoins once at the end, K rows per left row. Recall
     follows the single-query ladder: raise ``n_probe`` / ``rerank_k``
     (default ``"auto"`` = ``max(8K, 80)``, the measured knee in
     ``BENCH_annrecall.json``) for recall, exactness at full probe +
@@ -1250,8 +1253,15 @@ def ann_join_ivfpq(
     n_sub, _, sub_d = cb.shape
     d_total = n_sub * sub_d
 
+    # Candidate stages carry ONLY (left id, left emb): the emb must ride
+    # per pair (ADC needs it, and at 128 codebook entries a per-query LUT
+    # would be BIGGER than the vector), but the left table's payload
+    # columns — documents bring whole text bodies — must not multiply by
+    # n_probe x cell size through the cell join and rank window. They
+    # rejoin once at the end, K (or rerank_k) rows per left row.
+    lq = left.select(left_id_col, left_emb_col)
     lx = (
-        left.withColumn(
+        lq.withColumn(
             "__probe",
             probe_cells_expr(cents, n_probe)(
                 F.col(left_emb_col).cast("array<double>")),
@@ -1290,20 +1300,22 @@ def ann_join_ivfpq(
             pdf["pq_dist"] = (diff * diff).sum(axis=(1, 2))  # int64-exact
             yield pdf
 
-    scored = pairs.mapInPandas(adc, schema=out_fields).drop("__pq_codes")
+    scored = pairs.mapInPandas(adc, schema=out_fields).select(
+        left_id_col, id_out, "pq_dist")   # narrow into the rank window
     w = Window.partitionBy(left_id_col).orderBy(
         F.asc("pq_dist"), F.asc(id_out))
     ranked = scored.withColumn("_rank", F.row_number().over(w))
     if rerank_k is None:
-        return ranked.filter(F.col("_rank") <= K)
+        return left.join(ranked.filter(F.col("_rank") <= K), left_id_col)
     shortlist = ranked.filter(F.col("_rank") <= rerank_k) \
-                      .drop("pq_dist", "_rank")
+                      .select(left_id_col, id_out)
     remb = indexed.select(
         F.col(right_id_col).alias(id_out),
         F.col(right_emb_col).alias("__r_emb"),
     )
     exact = (
         shortlist.join(remb, id_out)
+        .join(lq, left_id_col)
         .withColumn(
             score_out,
             F.round(pair_cosine(F.col(left_emb_col), F.col("__r_emb")), 6),
@@ -1312,7 +1324,9 @@ def ann_join_ivfpq(
     )
     w2 = Window.partitionBy(left_id_col).orderBy(
         F.desc(score_out), F.asc(id_out))
-    return (
+    topk = (
         exact.withColumn("_rank", F.row_number().over(w2))
         .filter(F.col("_rank") <= K)
+        .select(left_id_col, id_out, score_out, "_rank")
     )
+    return left.join(topk, left_id_col)

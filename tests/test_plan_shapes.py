@@ -343,14 +343,16 @@ def test_ann_join_ivfpq_cell_join_ships_codes_not_vectors(spark):
         [(i, [float(x) for x in vecs[i]]) for i in range(80)],
         ["rid", "remb"])
     left = spark.createDataFrame(
-        [(100 + j, [float(x) for x in vecs[j]]) for j in range(4)],
-        ["qid", "lemb"])
+        [(100 + j, [float(x) for x in vecs[j]], "x" * 50)
+         for j in range(4)],
+        ["qid", "lemb", "payload"])
     out = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
                          K=3, n_cells=4, n_probe=2, m=4, nbits=2,
                          seed=9, pq_seed=5)
     plan = formatted_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "payload" in out.columns  # left payload survives to the output
     for args, cols in exchanges(plan):
         if "__pq_codes" in cols:
             # the candidate-side shuffle: codes yes, vectors no
@@ -359,3 +361,6 @@ def test_ann_join_ivfpq_cell_join_ships_codes_not_vectors(spark):
             # the rerank-side shuffle: narrow (id, embedding) relation
             assert "lemb" not in cols and "__pq_codes" not in cols, \
                 (args, cols)
+        if "__pq_codes" in cols or "pq_dist" in cols:
+            # wide left payload columns never ride the candidate stages
+            assert "payload" not in cols, (args, cols)
