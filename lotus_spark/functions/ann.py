@@ -1104,8 +1104,13 @@ def ann_join_ivf(
             method="deterministic", id_col=right_id_col,
             train_sample=train_sample, max_train_rows=max_train_rows,
         )
+    # candidate stages carry ONLY (left id, left emb) — r9: the left
+    # table's payload columns (document text bodies etc.) must not
+    # multiply by n_probe x cell size through the cell join and rank
+    # window; they rejoin once at the end, K rows per left row
+    lq = left.select(left_id_col, left_emb_col)
     lx = (
-        left.withColumn(
+        lq.withColumn(
             "__probe",
             probe_cells_expr(cents, n_probe)(
                 F.col(left_emb_col).cast("array<double>")),
@@ -1135,11 +1140,12 @@ def ann_join_ivf(
         order.append(F.asc("__ivf_tie"))
     order.append(F.asc(id_out))
     w = Window.partitionBy(left_id_col).orderBy(*order)
-    out = (
+    topk = (
         pairs.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= K)
+        .select(left_id_col, id_out, score_out, "_rank")
     )
-    return out.drop("__ivf_tie") if tie_col is not None else out
+    return left.join(topk, left_id_col)
 
 
 def ann_join_ivfpq(

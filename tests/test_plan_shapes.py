@@ -226,17 +226,22 @@ def test_ann_join_ivf_is_single_equi_join(spark):
         [(i, [float(x) for x in vecs[i]]) for i in range(80)],
         ["rid", "remb"])
     left = spark.createDataFrame(
-        [(100 + j, [float(x) for x in vecs[j]]) for j in range(4)],
-        ["qid", "lemb"])
+        [(100 + j, [float(x) for x in vecs[j]], "y" * 50)
+         for j in range(4)],
+        ["qid", "lemb", "payload"])
     out = ann_join_ivf(left, right, "qid", "lemb", "rid", "remb",
                        K=3, n_cells=4, n_probe=2, seed=9)
     plan = formatted_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Join") >= 1  # the cell equi-join is a real join
+    assert "payload" in out.columns
     for args, cols in exchanges(plan):
         if "remb" in cols:
             assert "lemb" not in cols and "qid" not in cols, (args, cols)
+        if "remb" in cols or "_scores" in cols:
+            # r9: wide left payload never rides the candidate stages
+            assert "payload" not in cols, (args, cols)
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
