@@ -306,8 +306,14 @@ def ann_join_pq(
     if c < K:
         raise ValueError(f"candidates={c} must be >= K={K}")
     spark_ids_are_int = np.issubdtype(index.ids.dtype, np.integer)
+    # candidate stages carry ONLY (left id, left emb) — r9: the emb must
+    # ride per candidate (the exact rerank needs it), but the left
+    # table's payload columns must not multiply by ``candidates`` through
+    # the rerank join and rank window; they rejoin once at the end, K
+    # rows per left row
+    lq = left.select(left_id_col, left_emb_col)
     cand_schema = StructType(
-        left.schema.fields
+        lq.schema.fields
         + [StructField(id_out, LongType() if spark_ids_are_int else
                        ArrayType(DoubleType()).elementType)]
     )
@@ -323,7 +329,7 @@ def ann_join_pq(
             rep[id_out] = ids.reshape(-1)
             yield rep
 
-    cand = left.mapInPandas(gen, schema=cand_schema)
+    cand = lq.mapInPandas(gen, schema=cand_schema)
     right_cols = [
         F.col(right_id_col).alias(id_out),
         F.col(right_emb_col).alias("__pq_r_emb"),
@@ -345,11 +351,12 @@ def ann_join_pq(
         order.append(F.asc("__pq_tie"))
     order.append(F.asc(id_out))
     w = Window.partitionBy(left_id_col).orderBy(*order)
-    out = (
+    topk = (
         scored.withColumn("_rank", F.row_number().over(w))
         .filter(F.col("_rank") <= K)
+        .select(left_id_col, id_out, score_out, "_rank")
     )
-    return out.drop("__pq_tie") if tie_col is not None else out
+    return left.join(topk, left_id_col)
 
 
 class QdrantVS:
