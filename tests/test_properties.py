@@ -228,3 +228,32 @@ def test_misra_gries_merge_guarantees(pairs, capacity, n_batches):
     for t, f in truth.items():
         if f > err:
             assert t in c, (t, f, err, dict(c))                # (4)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=70, unique=True),
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=20))
+@hyp_settings(max_examples=40, deadline=None)
+def test_heap_topk_wave_equals_serial_equals_sorted(vals, K, batch):
+    """r9 wave-batched heap_topk: for EVERY consistent comparator
+    (distinct integer values compared by magnitude), any wave size must
+    return exactly the serial protocol's answer — which is the global
+    sorted top-K. Exercises uneven final waves, K > n, single-doc
+    inputs, and batch_size=1 (the serial degenerate) by construction."""
+    from lotus_spark.operators.sem_topk import BatchedComparator, heap_topk
+    from lotus_spark.models.fake_lm import FakeLM
+
+    docs = [f"{v:07d}" for v in vals]
+
+    def fn(prompt: str) -> str:
+        import re as _re
+
+        d1, d2 = _re.search(
+            r"Document 1:\n(\d+)\n\nDocument 2:\n(\d+)", prompt).groups()
+        return "Document 1" if int(d1) > int(d2) else "Document 2"
+
+    expected = sorted(range(len(vals)), key=lambda i: -vals[i])[:K]
+    got = heap_topk(docs, K, BatchedComparator(FakeLM(fn), "bigger"),
+                    batch_size=batch)
+    assert got == expected
