@@ -43,6 +43,13 @@ Contract boundaries, stated plainly:
   partial (or complete-but-unacknowledged) output is removed before the
   redo, so recovery leaves no duplicate codes and needs no downstream
   dedup (exactly-once for the data, pinned by an injected-crash test).
+- **Object stores**: on s3a:// a "rename" is copy+delete — per-object
+  atomic (a reader never sees a partial file) but not free, so each
+  epoch pays one extra copy of its own files. The protocol stays
+  CORRECT (cleanup enumerates by the batch<id>- prefix, which survives
+  any crash point of a copy-based rename); on HDFS/local renames are
+  metadata-only. For very high epoch rates on S3, compact more often or
+  front the index with an HDFS/local staging tier.
 """
 
 from __future__ import annotations
