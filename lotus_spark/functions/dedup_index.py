@@ -1,0 +1,210 @@
+"""Persisted MinHash-LSH signature index: corpus-vs-increment near-dup.
+
+The daily-pipeline shape ``minhash_lsh_dedup`` cannot serve: the corpus
+is 100 TB and ALREADY deduped — the question each day is whether the
+NEW batch duplicates it, without recomputing (or even reading) a single
+corpus document. This module persists the corpus's LSH state once and
+answers increments incrementally, the same train-once/add-many
+lifecycle as the IVF-PQ index (``functions/ann.py``):
+
+- ``write_minhash_index`` — one map-only pass over the corpus writes
+  two parquet tables: ``buckets`` (one row per (doc, band): the LSH
+  band bucket string + doc id) and ``sigs`` (one row per doc: the
+  ``n_hashes``-long MinHash signature). Signatures are stored ONCE,
+  not per band — at 10^11 docs the signature table is ~TBs; banding it
+  x``bands`` would multiply exactly the storage the index exists to
+  bound. Parameters (n_hashes/bands/shingle_n/seeded hash family) pin
+  in a ``_minhash_meta.json`` sidecar so every later writer/prober uses
+  bit-identical expressions (same contract as ``_ivfpq_meta.json``).
+- ``append_minhash_index`` — encode new rows with the PINNED parameters
+  and append to both tables: the incremental-growth path.
+- ``neardup_join_index`` — the probe: signature the increment
+  (map-only), explode its band keys, ONE equi-join against ``buckets``
+  on the band string, then verify the distinct candidate pairs against
+  ``sigs`` by signature agreement. Returns (increment id, corpus id,
+  est_jaccard). Per-increment cost is proportional to the increment
+  and its bucket collisions — never to the corpus.
+- ``dedup_against_index`` — convenience: drop increment rows with any
+  verified corpus match (the "is today's crawl new?" filter).
+
+Verification semantics, stated plainly: ``minhash_lsh_dedup`` verifies
+candidates with EXACT Jaccard over shingle sets (it holds the text);
+the index stores only signatures, so the verify is the standard MinHash
+ESTIMATOR — the fraction of agreeing signature components, an unbiased
+estimate of Jaccard with sd ~ sqrt(J(1-J)/n_hashes). Raise ``n_hashes``
+at write time for tighter verification; the banding (b bands of r rows)
+sets the candidate-recall curve P(candidate) = 1-(1-J^r)^b exactly as
+in the self-dedup path (shared ``minhash_band_keys`` expressions).
+
+Reference analog: ``lotus/sem_ops/sem_dedup.py`` deduplicates within
+one frame; the persisted-index shape is the scale extension (FAISS-like
+lifecycle applied to the LSH family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_META = "_minhash_meta.json"
+
+
+def _check_cols(df: DataFrame, text_col: str, id_col: str, who: str) -> None:
+    missing = [c for c in (text_col, id_col) if c not in df.columns]
+    if missing:
+        raise ValueError(f"{who}: input lacks columns {missing}")
+
+
+def _encode(df: DataFrame, text_col: str, id_col: str, n_hashes: int,
+            bands: int, shingle_n: int) -> tuple[DataFrame, DataFrame]:
+    """(buckets, sigs) frames for ``df`` under the given parameters —
+    the single encode definition shared by write/append/probe so the
+    three can never drift."""
+    from lotus_spark.functions.dedup import (
+        minhash_band_keys, minhash_signature,
+    )
+
+    sigd = minhash_signature(df, text_col, n_hashes, shingle_n)
+    sigs = sigd.select(F.col(id_col).alias("id"), "minhash")
+    band_keys = minhash_band_keys(F.col("minhash"), n_hashes, bands)
+    buckets = sigd.select(
+        F.explode(F.array(*band_keys)).alias("band"),
+        F.col(id_col).alias("id"),
+    )
+    return buckets, sigs
+
+
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    mode: str = "error",
+) -> None:
+    """Persist the corpus's LSH state: ``{path}/buckets`` +
+    ``{path}/sigs`` parquet tables and the parameter sidecar. One
+    map-only pass over the corpus (signature + band explode inside the
+    scan projection, zero shuffles); the writes are plain appends of
+    narrow rows, so the corpus text is read once and never again."""
+    if n_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes}")
+    _check_cols(df, text_col, id_col, "write_minhash_index")
+    buckets, sigs = _encode(df, text_col, id_col, n_hashes, bands,
+                            shingle_n)
+    buckets.write.mode(mode).parquet(f"{path}/buckets")
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    from lotus_spark.functions.ann import _fs_write_json
+
+    _fs_write_json(df.sparkSession, f"{path}/{_META}", {
+        "n_hashes": int(n_hashes), "bands": int(bands),
+        "shingle_n": int(shingle_n), "id_col": id_col,
+    })
+
+
+def read_minhash_meta(spark, path: str) -> dict:
+    from lotus_spark.functions.ann import _fs_read_json
+
+    meta = _fs_read_json(spark, f"{path}/{_META}")
+    if meta is None:
+        raise FileNotFoundError(
+            f"no {_META} sidecar at {path} — not a minhash index "
+            "(write_minhash_index creates it)")
+    return meta
+
+
+def append_minhash_index(
+    spark, path: str, new_df: DataFrame, text_col: str, id_col: str,
+) -> None:
+    """Incremental growth: encode ``new_df`` with the index's PINNED
+    parameters (never the caller's) and append to both tables — one
+    map-only pass over the new rows, the already-indexed corpus is
+    untouched. The grown index is row-identical to a from-scratch
+    write of the union (parity-pinned in tests). Single-writer, like
+    the IVF-PQ appenders. NULL ids are rejected loudly (a NULL id can
+    never be reported as a match, so indexing it only pollutes
+    buckets)."""
+    meta = read_minhash_meta(spark, path)
+    _check_cols(new_df, text_col, id_col, "append_minhash_index")
+    n_null = new_df.filter(F.col(id_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"append_minhash_index: {n_null} rows have NULL {id_col!r}")
+    buckets, sigs = _encode(new_df, text_col, id_col, meta["n_hashes"],
+                            meta["bands"], meta["shingle_n"])
+    buckets.write.mode("append").parquet(f"{path}/buckets")
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+
+
+def neardup_join_index(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    match_col: str = "match_id",
+    score_col: str = "est_jaccard",
+) -> DataFrame:
+    """Probe: which indexed corpus docs does each ``query_df`` row
+    near-duplicate? Signature + band keys for the increment are
+    map-only; candidates come from ONE equi-join on the band string
+    (the corpus side is the narrow ``buckets`` table — two columns,
+    never text or signatures); the distinct candidate pairs then join
+    ``sigs`` by id (narrow, candidate-bounded) and verify by signature
+    agreement >= ``threshold``. Returns (id_col, match_col, score_col),
+    one row per verified (increment, corpus) pair.
+
+    est_jaccard = fraction of agreeing MinHash components — the
+    standard unbiased Jaccard estimator (sd ~ sqrt(J(1-J)/n_hashes));
+    the exact-verify twin for in-hand text is ``minhash_lsh_dedup``."""
+    meta = read_minhash_meta(spark, path)
+    _check_cols(query_df, text_col, id_col, "neardup_join_index")
+    n_hashes = meta["n_hashes"]
+    qb, qs = _encode(query_df, text_col, id_col, n_hashes,
+                     meta["bands"], meta["shingle_n"])
+    corpus_buckets = spark.read.parquet(f"{path}/buckets")
+    cand = (
+        qb.withColumnRenamed("id", "__qid")
+        .join(corpus_buckets, "band")
+        .select(F.col("__qid"), F.col("id").alias(match_col))
+        .dropDuplicates(["__qid", match_col])
+    )
+    corpus_sigs = spark.read.parquet(f"{path}/sigs").select(
+        F.col("id").alias(match_col), F.col("minhash").alias("__msig"))
+    qsigs = qs.select(F.col("id").alias("__qid"),
+                      F.col("minhash").alias("__qsig"))
+    agree = F.size(F.filter(
+        F.zip_with("__qsig", "__msig", lambda a, b: a == b),
+        lambda x: x,
+    ))
+    return (
+        cand.join(corpus_sigs, match_col)
+        .join(qsigs, "__qid")
+        .withColumn(score_col,
+                    agree.cast("double") / F.lit(float(n_hashes)))
+        .filter(F.col(score_col) >= threshold)
+        .select(F.col("__qid").alias(id_col), match_col, score_col)
+    )
+
+
+def dedup_against_index(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Keep only the ``query_df`` rows with NO verified corpus match —
+    the "is today's batch new?" filter. An anti-join against the
+    verified matches; the increment's own internal duplicates are out
+    of scope (run ``minhash_lsh_dedup`` on the increment first, then
+    ``append_minhash_index`` the survivors)."""
+    matches = neardup_join_index(
+        spark, path, query_df, text_col, id_col, threshold,
+    ).select(id_col).distinct()
+    return query_df.join(matches, id_col, "left_anti")

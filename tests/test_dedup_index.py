@@ -1,0 +1,131 @@
+"""Tests for the persisted MinHash-LSH signature index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "spark dataframes shuffle data between executors during wide joins"),
+    (3, "training corpora need deduplication before the tokenizer ever runs"),
+    (4, "completely unrelated content about cooking pasta with fresh basil"),
+]
+
+
+def test_minhash_index_roundtrip_probe_and_dedup(spark, tmp_path):
+    from lotus_spark.functions.dedup_index import (
+        dedup_against_index, neardup_join_index, read_minhash_meta,
+        write_minhash_index,
+    )
+
+    path = str(tmp_path / "mh")
+    write_minhash_index(_docs(spark, BASE), path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    meta = read_minhash_meta(spark, path)
+    assert meta["n_hashes"] == 16 and meta["bands"] == 4
+
+    inc = _docs(spark, [
+        # near-dup of doc 1 (one word changed)
+        (101, "the quick brown fox jumps over the lazy dog near the river shore"),
+        # exact dup of doc 2
+        (102, "spark dataframes shuffle data between executors during wide joins"),
+        # novel
+        (103, "quantum chemistry basis sets converge slowly for heavy atoms"),
+    ])
+    got = neardup_join_index(spark, path, inc, "text", "doc_id",
+                             threshold=0.5)
+    pairs = {(r["doc_id"], r["match_id"]): r["est_jaccard"]
+             for r in got.collect()}
+    assert (102, 2) in pairs and pairs[(102, 2)] == 1.0  # exact dup
+    assert any(q == 101 and m == 1 for q, m in pairs)    # near dup found
+    assert all(q != 103 for q, _ in pairs)               # novel is clean
+
+    kept = dedup_against_index(spark, path, inc, "text", "doc_id",
+                               threshold=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {103}
+
+
+def test_minhash_index_append_equals_fresh_write(spark, tmp_path):
+    """append with PINNED meta == from-scratch write of the union, row
+    for row in both tables (the train-once/add-many parity the IVF-PQ
+    index pins; caller-supplied parameters must NOT leak in)."""
+    from lotus_spark.functions.dedup_index import (
+        append_minhash_index, write_minhash_index,
+    )
+
+    first, second = BASE[:2], BASE[2:]
+    grown = str(tmp_path / "grown")
+    write_minhash_index(_docs(spark, first), grown, "text", "doc_id",
+                        n_hashes=8, bands=2)
+    append_minhash_index(spark, grown, _docs(spark, second),
+                         "text", "doc_id")
+    fresh = str(tmp_path / "fresh")
+    write_minhash_index(_docs(spark, BASE), fresh, "text", "doc_id",
+                        n_hashes=8, bands=2)
+    for table in ("buckets", "sigs"):
+        a = sorted(map(str, spark.read.parquet(f"{grown}/{table}")
+                       .collect()))
+        b = sorted(map(str, spark.read.parquet(f"{fresh}/{table}")
+                       .collect()))
+        assert a == b, table
+
+    with pytest.raises(ValueError, match="NULL"):
+        append_minhash_index(
+            spark, grown,
+            spark.createDataFrame([(None, "x")], "doc_id long, text string"),
+            "text", "doc_id")
+
+
+def test_minhash_index_validation(spark, tmp_path):
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        write_minhash_index(_docs(spark, BASE), str(tmp_path / "x"),
+                            "text", "doc_id", n_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="lacks"):
+        write_minhash_index(_docs(spark, BASE), str(tmp_path / "x"),
+                            "MISSING", "doc_id")
+    with pytest.raises(FileNotFoundError, match="sidecar"):
+        neardup_join_index(spark, str(tmp_path / "nothere"),
+                           _docs(spark, BASE), "text", "doc_id")
+
+
+def test_minhash_index_probe_matches_self_dedup_buckets(spark, tmp_path):
+    """Bucketing parity with the self-dedup path: a pair that
+    minhash_lsh_dedup candidates (same band bucket) must also be a
+    candidate through the index probe at the same parameters — shared
+    minhash_band_keys expressions, pinned here end-to-end."""
+    from lotus_spark.functions.dedup import (
+        minhash_band_keys, minhash_signature,
+    )
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+
+    docs = _docs(spark, BASE)
+    path = str(tmp_path / "mh2")
+    write_minhash_index(docs, path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    # each doc probes ITSELF: every doc shares all bands with itself,
+    # so the probe must return the identity match with est_jaccard 1.0
+    got = neardup_join_index(spark, path, docs, "text", "doc_id",
+                             threshold=0.99)
+    ident = {(r["doc_id"], r["match_id"]) for r in got.collect()}
+    assert {(i, i) for i, _ in BASE} <= ident
+
+    # and the band keys the probe used are exactly the shared exprs
+    sigd = minhash_signature(docs, "text", 16, 3)
+    bands = sigd.select(
+        F.col("doc_id"),
+        F.explode(F.array(*minhash_band_keys(F.col("minhash"), 16, 4))
+                  ).alias("band"))
+    stored = spark.read.parquet(f"{path}/buckets")
+    a = sorted((r["doc_id"], r["band"]) for r in bands.collect())
+    b = sorted((r["id"], r["band"]) for r in stored.collect())
+    assert a == b

@@ -369,3 +369,27 @@ def test_ann_join_ivfpq_cell_join_ships_codes_not_vectors(spark):
         if "__pq_codes" in cols or "pq_dist" in cols:
             # wide left payload columns never ride the candidate stages
             assert "payload" not in cols, (args, cols)
+
+
+def test_minhash_index_probe_shuffles_are_narrow(spark, tmp_path, docs):
+    """The corpus-vs-increment probe's scale claim: the candidate
+    equi-join on the band string shuffles only (band, id) rows — never
+    document text and never signatures; signatures join by id after the
+    candidate dedup, and text never leaves the map stage at all."""
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx")
+    write_minhash_index(docs, path, "text", "doc_id",
+                        n_hashes=8, bands=2)
+    out = neardup_join_index(spark, path, docs, "text", "doc_id",
+                             threshold=0.5)
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for args, cols in exchanges(plan):
+        assert "text" not in cols, (args, cols)
+        if "hashpartitioning(band" in args:
+            assert "minhash" not in cols and "__qsig" not in cols \
+                and "__msig" not in cols, (args, cols)
