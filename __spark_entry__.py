@@ -3183,6 +3183,77 @@ FROM rk WHERE rank <= 3
 """
 
 
+def q_neardup_index(spark, sf_dir):
+    """Corpus-vs-increment near-dup via the persisted MinHash-LSH index
+    (functions/dedup_index.py, NEW r9): index the ``doc_id % 4 == 0``
+    docs, APPEND the ``% 4 == 2`` docs with the sidecar-pinned
+    parameters (the train-once/add-many growth path), then probe every
+    odd doc — one band equi-join + signature-agreement verify. The
+    oracle replays signature, banding, candidate join, and the
+    agreement estimator over corpus = all evens, so a hash match checks
+    write + append + probe together. NOT yet registered (r9 window at
+    50-capacity); queued as an r10 window row — cross-checked against
+    DuckDB in tests/test_dedup_index.py meanwhile."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.dedup_index import (
+        append_minhash_index, neardup_join_index, write_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="mh_idx_")
+    try:
+        path = f"{d}/idx"
+        write_minhash_index(docs.filter("doc_id % 4 = 0"), path,
+                            "text", "doc_id", n_hashes=16, bands=4)
+        append_minhash_index(spark, path, docs.filter("doc_id % 4 = 2"),
+                             "text", "doc_id")
+        out = neardup_join_index(spark, path, docs.filter("doc_id % 2 = 1"),
+                                 "text", "doc_id", threshold=0.5)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["match_id"], r["est_jaccard"])
+             for r in out.collect()],
+            "doc_id long, match_id long, est_jaccard double",
+        ).select("doc_id", "match_id",
+                 F.round(F.col("est_jaccard"), 6).alias("est_jaccard"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_neardup_index() -> str:
+    sig_exprs = []
+    for j in range(16):
+        a, b = _hash_params(j)
+        sig_exprs.append(
+            f"list_min(list_transform(shingles, sh -> ({a} * {_sql_strhash('sh')} + {b}) % {MOD})) AS sig{j}"
+        )
+    band_keys = []
+    for i in range(4):
+        parts = " || '_' || ".join(
+            f"CAST(sig{i * 4 + j} AS VARCHAR)" for j in range(4))
+        band_keys.append(f"CAST({i} AS VARCHAR) || '_' || {parts}")
+    agree = " + ".join(
+        f"CASE WHEN gq.sig{j} = gc.sig{j} THEN 1 ELSE 0 END"
+        for j in range(16))
+    return f"""
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
+s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-3, 0)+2),
+        i -> array_to_string(words[i:i+2], ' '))) shingles FROM d),
+g AS (SELECT doc_id, {', '.join(sig_exprs)} FROM s),
+banded AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band FROM g),
+cand AS (SELECT DISTINCT q.doc_id AS doc_id, c.doc_id AS match_id
+         FROM banded q JOIN banded c ON q.band = c.band
+         WHERE q.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+SELECT cand.doc_id, cand.match_id,
+       ROUND(CAST({agree} AS DOUBLE) / 16.0, 6) AS est_jaccard
+FROM cand
+JOIN g gq ON gq.doc_id = cand.doc_id
+JOIN g gc ON gc.doc_id = cand.match_id
+WHERE CAST({agree} AS DOUBLE) / 16.0 >= 0.5
+"""
+
+
 def q_sem_join_cascade(spark, sf_dir):
     """sem_join CASCADE path (cascades/join_cascade.py::sem_join_cascade;
     reference lotus/sem_ops/sem_join.py:180-341): proxy-scored pairs,

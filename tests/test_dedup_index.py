@@ -129,3 +129,36 @@ def test_minhash_index_probe_matches_self_dedup_buckets(spark, tmp_path):
     a = sorted((r["doc_id"], r["band"]) for r in bands.collect())
     b = sorted((r["id"], r["band"]) for r in stored.collect())
     assert a == b
+
+
+def test_neardup_index_matches_duckdb_oracle(spark):
+    """Cross-engine check of the r10-queued oracle pair
+    (__spark_entry__.q_neardup_index / _sql_neardup_index) ahead of its
+    driver registration: write + append + probe must hash-match the
+    DuckDB replay at sf0.001 under the driver's canonical compare."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry._sql_neardup_index()).df()
+    sdf = entry.q_neardup_index(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("float"):
+                pdf[c] = pdf[c].astype(float).round(6)
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
