@@ -59,12 +59,17 @@ def _encode(df: DataFrame, text_col: str, id_col: str, n_hashes: int,
             bands: int, shingle_n: int) -> tuple[DataFrame, DataFrame]:
     """(buckets, sigs) frames for ``df`` under the given parameters —
     the single encode definition shared by write/append/probe so the
-    three can never drift."""
+    three can never drift. Stream-safe: ``minhash_expr`` is a pure
+    Column expression; the parallelism guard only applies to batch
+    inputs (``df.rdd`` is illegal on a stream)."""
     from lotus_spark.functions.dedup import (
-        minhash_band_keys, minhash_signature,
+        ensure_parallelism, minhash_band_keys, minhash_expr,
     )
 
-    sigd = minhash_signature(df, text_col, n_hashes, shingle_n)
+    if not df.isStreaming:
+        df = ensure_parallelism(df)
+    sigd = df.withColumn(
+        "minhash", minhash_expr(F.col(text_col), n_hashes, shingle_n))
     sigs = sigd.select(F.col(id_col).alias("id"), "minhash")
     band_keys = minhash_band_keys(F.col("minhash"), n_hashes, bands)
     buckets = sigd.select(
@@ -208,3 +213,79 @@ def dedup_against_index(
         spark, path, query_df, text_col, id_col, threshold,
     ).select(id_col).distinct()
     return query_df.join(matches, id_col, "left_anti")
+
+
+def neardup_matches_stream(
+    spark,
+    path: str,
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    ts_col: str,
+    threshold: float = 0.7,
+    watermark: str = "10 minutes",
+    match_col: str = "match_id",
+    score_col: str = "est_jaccard",
+) -> DataFrame:
+    """Streaming probe: verified corpus near-dup matches for a LIVE
+    feed — (ts, id, match, score), one row per (stream doc, corpus doc)
+    pair. The pipeline is the batch probe re-expressed in stream-legal
+    operators: map-side signature + band explode (pure Column exprs),
+    a STREAM-STATIC inner join against the persisted ``buckets`` table,
+    a second static join for the candidate's stored signature, the
+    agreement filter, and ``dropDuplicatesWithinWatermark`` to collapse
+    the multi-band hits of one pair (bounded state, watermark-evicted;
+    the same chained-stateful pattern as ``streaming_neardup_minhash``).
+
+    The static sides are CACHED once at setup (``persist()``), so each
+    micro-batch pays the join probe, not a corpus re-read plan build.
+
+    GATING (keep only novel rows) is intentionally not a pure-stream
+    op here: "no verified match for this row" is a per-row aggregation
+    over its band hits, i.e. more watermark state for strictly less
+    information. The gate shape for pipelines is ``foreachBatch`` +
+    :func:`dedup_against_index` per micro-batch — the batch operator
+    verbatim, with the sink's replay story handled exactly as in
+    ``streaming/index_sink.py``.
+    """
+    if not stream.isStreaming:
+        raise ValueError(
+            "neardup_matches_stream expects a streaming DataFrame; "
+            "use neardup_join_index for batches")
+    meta = read_minhash_meta(spark, path)
+    _check_cols(stream, text_col, id_col, "neardup_matches_stream")
+    n_hashes = meta["n_hashes"]
+    from lotus_spark.functions.dedup import minhash_band_keys, minhash_expr
+
+    sigd = stream.withColumn(
+        "__qsig", minhash_expr(F.col(text_col), n_hashes,
+                               meta["shingle_n"]))
+    band_keys = minhash_band_keys(F.col("__qsig"), n_hashes,
+                                  meta["bands"])
+    banded = sigd.select(
+        F.col(ts_col), F.col(id_col), F.col("__qsig"),
+        F.explode(F.array(*band_keys)).alias("band"),
+    )
+    corpus_buckets = spark.read.parquet(f"{path}/buckets").persist()
+    corpus_sigs = (
+        spark.read.parquet(f"{path}/sigs")
+        .select(F.col("id").alias(match_col),
+                F.col("minhash").alias("__msig"))
+        .persist()
+    )
+    agree = F.size(F.filter(
+        F.zip_with("__qsig", "__msig", lambda a, b: a == b),
+        lambda x: x,
+    ))
+    matches = (
+        banded.join(corpus_buckets.withColumnRenamed("id", match_col),
+                    "band")
+        .join(corpus_sigs, match_col)
+        .withColumn(score_col,
+                    agree.cast("double") / F.lit(float(n_hashes)))
+        .filter(F.col(score_col) >= threshold)
+        .select(ts_col, id_col, match_col, score_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, match_col])
+    )
+    return matches

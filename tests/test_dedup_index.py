@@ -162,3 +162,57 @@ def test_neardup_index_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_neardup_matches_stream(spark, tmp_path):
+    """Streaming probe over the persisted index: a live feed's verified
+    corpus matches arrive as (ts, id, match, score) rows; multi-band
+    hits of one pair collapse to a single row (watermark-bounded
+    dedup); novel docs produce nothing; batch input is rejected."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup_index import (
+        neardup_matches_stream, write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(BASE, ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    write_minhash_index(corpus, path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+
+    inc_rows = [
+        (101, BASE[0][1], "2024-01-01 00:00:01"),            # exact dup of 1
+        (102, BASE[1][1].replace("wide", "narrow"),          # near dup of 2
+         "2024-01-01 00:00:02"),
+        (103, "entirely novel text about glacier formation dynamics",
+         "2024-01-01 00:00:03"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    (spark.createDataFrame(inc_rows, "doc_id long, text string, ts string")
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.parquet(stage))
+    part = next(g for g in os.listdir(stage) if g.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "inc.parquet"))
+
+    schema = "doc_id long, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = neardup_matches_stream(spark, path, stream, "text", "doc_id",
+                                 "ts", threshold=0.4)
+    q = (out.writeStream.format("memory").queryName("mh_matches")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("mh_matches").collect()
+    pairs = {(r["doc_id"], r["match_id"]) for r in got}
+    assert (101, 1) in pairs
+    assert all(q_ != 103 for q_, _ in pairs)
+    # one row per verified pair even though an exact dup agrees in all 4 bands
+    assert len(got) == len(pairs)
+
+    with pytest.raises(ValueError, match="streaming"):
+        neardup_matches_stream(spark, path, corpus.withColumn(
+            "ts", F.current_timestamp()), "text", "doc_id", "ts")
