@@ -76,6 +76,26 @@ def main() -> None:
     print(f"docs {n0} -> dedup {n1} -> quality {n2} -> trim {n3}")
     print(f"train shards at {out_dir}: {shards}")
 
+    # 6. THE NEXT DAY: persist the curated corpus's LSH state once,
+    # then dedupe each new batch AGAINST it without re-reading a single
+    # corpus document (functions/dedup_index.py) — the incremental
+    # lifecycle: probe, filter, append the survivors.
+    from lotus_spark.functions.dedup_index import (
+        append_minhash_index, dedup_against_index, write_minhash_index,
+    )
+
+    idx = os.path.join(tempfile.mkdtemp(prefix="corpus_idx_"), "mh")
+    write_minhash_index(trimmed, idx, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    batch = (docs.limit(50)                      # yesterday's docs...
+             .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    novel = dedup_against_index(spark, idx, batch, "text", "doc_id",
+                                threshold=0.5)
+    n_new = novel.count()
+    append_minhash_index(spark, idx, novel, "text", "doc_id")
+    print(f"increment: {batch.count()} arriving -> {n_new} novel "
+          f"(rest near-duplicate the indexed corpus); survivors appended")
+
 
 if __name__ == "__main__":
     main()
