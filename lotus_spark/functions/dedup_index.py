@@ -22,8 +22,13 @@ lifecycle as the IVF-PQ index (``functions/ann.py``):
   (map-only), explode its band keys, ONE equi-join against ``buckets``
   on the band string, then verify the distinct candidate pairs against
   ``sigs`` by signature agreement. Returns (increment id, corpus id,
-  est_jaccard). Per-increment cost is proportional to the increment
-  and its bucket collisions — never to the corpus.
+  est_jaccard). Cost, stated honestly: the band join scans/shuffles the
+  NARROW index tables — (band, id) strings and 16 longs per doc,
+  ~0.1% of the corpus text bytes — so the corpus-proportional term is
+  over the index, never the documents; the verify work is bounded by
+  the increment's bucket collisions. (Measured: see
+  ``BENCH_mhindex.json`` — probe wall vs corpus size at a fixed
+  increment.)
 - ``dedup_against_index`` — convenience: drop increment rows with any
   verified corpus match (the "is today's crawl new?" filter).
 
