@@ -104,3 +104,68 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def estimator_vs_exact(sf_dir: str = "/root/testdata/sf0.1") -> dict:
+    """How good is the signature-agreement verify RELATIVE to the exact
+    shingle-Jaccard verify it replaces, on the same candidate set?
+    (Banding recall is a separate, analytically-known curve; this
+    isolates the estimator.) Precision/recall of est>=tau against
+    exact>=tau over the band candidates of an even/odd documents split."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup import word_shingles
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+    from lotus_spark.session import get_spark
+
+    spark = get_spark(master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text"))
+    corpus = docs.filter("doc_id % 2 = 0")
+    inc = docs.filter("doc_id % 2 = 1")
+    d = tempfile.mkdtemp(prefix="mhest_")
+    try:
+        path = f"{d}/idx"
+        write_minhash_index(corpus, path, "text", "doc_id",
+                            n_hashes=16, bands=4)
+        cand = neardup_join_index(spark, path, inc, "text", "doc_id",
+                                  threshold=0.0)
+        sh = docs.select("doc_id",
+                         word_shingles(F.col("text"), 3).alias("sh"))
+        exact = (
+            cand
+            .join(sh.withColumnRenamed("doc_id", "q")
+                    .withColumnRenamed("sh", "sq"),
+                  F.col("doc_id") == F.col("q"))
+            .join(sh.withColumnRenamed("doc_id", "m")
+                    .withColumnRenamed("sh", "sm"),
+                  F.col("match_id") == F.col("m"))
+            .withColumn(
+                "exact_j",
+                F.size(F.array_intersect("sq", "sm")).cast("double")
+                / F.size(F.array_union("sq", "sm")).cast("double"))
+            .select("doc_id", "match_id", "est_jaccard", "exact_j")
+        )
+        rows = exact.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    out = {"n_candidates": len(rows), "by_tau": {}}
+    for tau in (0.5, 0.7, 0.9):
+        tp = sum(1 for r in rows
+                 if r["est_jaccard"] >= tau and r["exact_j"] >= tau)
+        fp = sum(1 for r in rows
+                 if r["est_jaccard"] >= tau and r["exact_j"] < tau)
+        fn = sum(1 for r in rows
+                 if r["est_jaccard"] < tau and r["exact_j"] >= tau)
+        out["by_tau"][str(tau)] = {
+            "precision": round(tp / (tp + fp), 3) if tp + fp else None,
+            "recall": round(tp / (tp + fn), 3) if tp + fn else None,
+            "tp": tp, "fp": fp, "fn": fn,
+        }
+    return out
