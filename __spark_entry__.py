@@ -3221,6 +3221,54 @@ def q_neardup_index(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_neardup_index_stream(spark, sf_dir):
+    """Streaming corpus-index probe (dedup_index.neardup_matches_stream,
+    NEW r9): the odd docs arrive as a STREAM and near-dup match against
+    the persisted even-doc index via stream-static band joins +
+    watermark-bounded pair dedup. Matches are deterministic (inner
+    joins + agreement filter; the pair dedup collapses identical rows,
+    so no arrival-order dependence), and the drained result must equal
+    the batch probe — the oracle IS the batch replay
+    (_sql_neardup_index with corpus = all evens). NOT yet registered
+    (r9 window at capacity); queued for r10, CI-cross-checked in
+    tests/test_dedup_index.py meanwhile."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from lotus_spark.functions.dedup_index import (
+        neardup_matches_stream, write_minhash_index,
+    )
+    from lotus_spark.streaming.ops import read_parquet_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="mh_idx_stream_")
+    try:
+        path = f"{d}/idx"
+        write_minhash_index(docs.filter("doc_id % 2 = 0"), path,
+                            "text", "doc_id", n_hashes=16, bands=4)
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        stream = read_parquet_stream(
+            spark, sf_dir, schema, glob="documents.parquet"
+        ).filter("doc_id % 2 = 1").withColumn(
+            "ts", F.timestamp_seconds(F.col("doc_id") % 600 + 60))
+        out = neardup_matches_stream(spark, path, stream, "text",
+                                     "doc_id", "ts", threshold=0.5)
+        qname = f"oracle_mhidx_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = spark.table(qname)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["match_id"], r["est_jaccard"])
+             for r in got.collect()],
+            "doc_id long, match_id long, est_jaccard double",
+        ).select("doc_id", "match_id",
+                 F.round(F.col("est_jaccard"), 6).alias("est_jaccard"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _sql_neardup_index() -> str:
     sig_exprs = []
     for j in range(16):

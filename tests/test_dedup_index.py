@@ -216,3 +216,36 @@ def test_neardup_matches_stream(spark, tmp_path):
     with pytest.raises(ValueError, match="streaming"):
         neardup_matches_stream(spark, path, corpus.withColumn(
             "ts", F.current_timestamp()), "text", "doc_id", "ts")
+
+
+def test_neardup_index_stream_matches_duckdb_oracle(spark):
+    """The r10-queued STREAMING row: the drained stream-static probe
+    must equal the batch replay (corpus = evens, probe = odds) under
+    the driver's canonical compare — stream and batch probes share the
+    band/verify expressions, so this also pins batch/stream parity."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry._sql_neardup_index()).df()
+    sdf = entry.q_neardup_index_stream(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("float"):
+                pdf[c] = pdf[c].astype(float).round(6)
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
