@@ -98,7 +98,13 @@ def write_minhash_index(
     ``{path}/sigs`` parquet tables and the parameter sidecar. One
     map-only pass over the corpus (signature + band explode inside the
     scan projection, zero shuffles); the writes are plain appends of
-    narrow rows, so the corpus text is read once and never again."""
+    narrow rows, so the corpus text is read once and never again.
+
+    ``mode="overwrite"`` is NOT atomic across the two tables (a crash
+    between them leaves buckets/sigs inconsistent) — rebuilds should
+    write to a fresh path and swap, the same discipline as
+    ``compact_ivfpq_index``. Same single-writer contract as the other
+    index maintainers."""
     if n_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide n_hashes={n_hashes}")

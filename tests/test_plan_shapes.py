@@ -174,14 +174,21 @@ def test_ann_join_pq_candidates_are_zero_shuffle(spark):
         [(i, [float(x) for x in vecs[i]]) for i in range(60)],
         ["vec_id", "embedding"])
     left = spark.createDataFrame(
-        [(100 + j, [float(x) for x in vecs[j]]) for j in range(4)],
-        ["qid", "lemb"])
+        [(100 + j, [float(x) for x in vecs[j]], "z" * 50)
+         for j in range(4)],
+        ["qid", "lemb", "payload"])
     enc, books = pq_index(right, "embedding", "vec_id", m=4, nbits=2,
                           seed=5)
     ix = BroadcastPQIndex.build(enc, "vec_id", "pq_codes", books)
     out = ann_join_pq(left, right, ix, "qid", "lemb", "vec_id",
                       "embedding", K=3, candidates=60)
     plan = formatted_plan(out)
+    # r9: wide left payload never rides the per-candidate stages — it
+    # rejoins at the end, so no exchange carrying the score may carry it
+    assert "payload" in out.columns
+    for args, cols in exchanges(plan):
+        if "_scores" in cols:
+            assert "payload" not in cols, (args, cols)
 
     # no Exchange UPSTREAM of the candidate-generating python stage: in
     # the formatted tree, MapInPandas's inputs are the more-indented
