@@ -248,8 +248,11 @@ def neardup_matches_stream(
     the multi-band hits of one pair (bounded state, watermark-evicted;
     the same chained-stateful pattern as ``streaming_neardup_minhash``).
 
-    The static sides are CACHED once at setup (``persist()``), so each
-    micro-batch pays the join probe, not a corpus re-read plan build.
+    The static sides are CACHED once at setup (``persist()``,
+    MEMORY_AND_DISK — Spark spills or recomputes what exceeds memory),
+    so each micro-batch pays the join probe, not a corpus re-read. The
+    cached tables live until the query stops and the session drops them
+    (``spark.catalog.clearCache()`` reclaims them eagerly).
 
     GATING (keep only novel rows) is intentionally not a pure-stream
     op here: "no verified match for this row" is a per-row aggregation

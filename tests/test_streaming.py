@@ -626,3 +626,39 @@ def test_stream_append_ivfpq_crash_recovery_no_duplicates(
                    for r in got)
             == sorted((r["vec_id"], r[cell_col], tuple(r["pq_codes"]))
                       for r in want.collect()))
+
+
+def test_cleanup_crashed_epoch_prefix_is_exact(spark, tmp_path):
+    """_cleanup_crashed_epoch removes ONLY its own epoch's files: the
+    batch<id>- filename prefix must not glob into higher ids sharing a
+    digit prefix (batch1- vs batch10-) and must clear the epoch's
+    staging dir while leaving other epochs' staging alone."""
+    import os
+
+    from lotus_spark.streaming.index_sink import _cleanup_crashed_epoch
+
+    idx = tmp_path / "idx"
+    cell = idx / "__ivf_cell=3"
+    os.makedirs(cell)
+    keep_cell = idx / "__ivf_cell=7"
+    os.makedirs(keep_cell)
+    victims = [cell / "batch1-part-a.parquet"]
+    keepers = [cell / "batch10-part-b.parquet",
+               cell / "batch2-part-c.parquet",
+               keep_cell / "batch10-part-d.parquet"]
+    for p in victims + keepers:
+        p.write_bytes(b"x")
+    os.makedirs(idx / "_staging" / "batch-1")
+    (idx / "_staging" / "batch-1" / "junk").write_bytes(b"y")
+    os.makedirs(idx / "_staging" / "batch-2")
+    (idx / "_staging" / "batch-2" / "junk").write_bytes(b"y")
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(str(idx)).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    _cleanup_crashed_epoch(fs, jvm, str(idx), 1)
+
+    assert not victims[0].exists()
+    assert all(p.exists() for p in keepers)
+    assert not (idx / "_staging" / "batch-1").exists()
+    assert (idx / "_staging" / "batch-2" / "junk").exists()
