@@ -303,3 +303,43 @@ def neardup_matches_stream(
         .dropDuplicatesWithinWatermark([id_col, match_col])
     )
     return matches
+
+
+def embedding_neardup_index(
+    spark,
+    index_path: str,
+    query_df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    index_id_col: str,
+    index_emb_col: str,
+    threshold: float = 0.9,
+    n_probe: int = 8,
+    k: int = 10,
+    match_col: str = "match_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Embedding-space twin of :func:`neardup_join_index`: which indexed
+    corpus vectors does each query row near-duplicate by cosine? Probes
+    a persisted IVF-PQ index (``ann.write_ivfpq_index`` — grown
+    incrementally by ``append_ivfpq_index`` / the streaming sink) via
+    :func:`~lotus_spark.functions.ann.ann_join_ivfpq` ``prebuilt=`` and
+    keeps exact-reranked matches with cosine >= ``threshold``. Returns
+    (id_col, match_col, score_col).
+
+    APPROXIMATE like any IVF probe: a near-dup hiding in an unprobed
+    cell is missed — raise ``n_probe`` (recall curves:
+    ``BENCH_joinrecall.json``), and size ``k`` to the duplicate
+    multiplicity you need surfaced (at most ``k`` matches per query row
+    are checked against the threshold). The MinHash index is the text
+    twin with the same write/append/probe lifecycle."""
+    from lotus_spark.functions.ann import ann_join_ivfpq, read_ivfpq_index
+
+    stored, cents, books, cell_col = read_ivfpq_index(spark, index_path)
+    out = ann_join_ivfpq(
+        query_df, None, id_col, emb_col, index_id_col, index_emb_col,
+        K=k, n_probe=n_probe, prebuilt=(stored, cents, books),
+        cell_col=cell_col, id_out=match_col, score_out=score_col,
+    )
+    return (out.filter(F.col(score_col) >= threshold)
+            .select(id_col, match_col, score_col))

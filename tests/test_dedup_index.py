@@ -249,3 +249,39 @@ def test_neardup_index_stream_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_embedding_neardup_index(spark, tmp_path):
+    """Embedding-space corpus dedup over the persisted IVF-PQ index:
+    an increment's exact-duplicate vector matches its corpus twin at
+    threshold ~1.0; a novel vector passes clean at a high threshold."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.functions.dedup_index import embedding_neardup_index
+
+    rng = np.random.RandomState(44)
+    vecs = rng.randn(100, 8).astype("float64")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(corpus, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "emb_idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    novel = rng.randn(8) * 10  # far from every corpus vector
+    inc = spark.createDataFrame(
+        [(500, [float(x) for x in vecs[7]]),         # exact dup of 7
+         (501, [float(x) for x in novel])],
+        ["qid", "emb"])
+    got = embedding_neardup_index(
+        spark, path, inc, "qid", "emb", "vec_id", "embedding",
+        threshold=0.999, n_probe=4)
+    rows = {(r["qid"], r["match_id"]): r["score"] for r in got.collect()}
+    assert (500, 7) in rows and rows[(500, 7)] >= 0.999
+    assert all(q != 501 for q, _ in rows)
