@@ -735,16 +735,25 @@ def compact_ivfpq_index(spark, path: str) -> None:
     at ``<path>.old`` and the compacted one at ``path`` or ``path``
     missing with both siblings present; both states are recoverable by
     hand and the data is never deleted before the new copy is verified.
+
+    CRASHED-STREAM GUARD: a stopped ``streaming/index_sink.py`` feed may
+    have died inside its commit window — epoch files fully renamed into
+    the live cells under their ``batch<id>-`` prefix but the
+    ``_stream_batches.json`` high-water mark not yet advanced. Those
+    rows are UNACKNOWLEDGED: on restart the checkpoint replays the
+    epoch, and the replay's cleanup finds them BY that prefix.
+    Compacting first would rewrite them into prefix-less files (and copy
+    the stale sidecar verbatim), so the replay would find nothing to
+    delete and re-append the whole epoch — duplicating every row and
+    silently breaking exactly-once. This function therefore REFUSES to
+    run while any live file's batch id exceeds the sidecar high-water
+    mark (or exists with no sidecar at all): restart the stream, let it
+    replay and drain (``available_now=True`` suffices), then compact.
     """
+    import re as _re
     import uuid
 
     stored, centroids, codebooks, cell_col = read_ivfpq_index(spark, path)
-    n_before = stored.count()
-    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
-    (
-        stored.repartition(F.col(cell_col))
-        .write.partitionBy(cell_col).parquet(tmp)
-    )
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -753,6 +762,34 @@ def compact_ivfpq_index(spark, path: str) -> None:
         return jvm.org.apache.hadoop.fs.Path(s)
 
     fs = _p(path).getFileSystem(conf)
+
+    sidecar_meta = _fs_read_json(spark, f"{path}/_stream_batches.json")
+    high_water = -1 if sidecar_meta is None else int(
+        sidecar_meta["last_batch_id"])
+    live = fs.globStatus(_p(f"{path}/*/batch*-*")) or []
+    unacked = sorted({
+        int(m.group(1))
+        for st in live
+        for m in [_re.match(r"batch(\d+)-", st.getPath().getName())]
+        if m and int(m.group(1)) > high_water
+    })
+    if unacked:
+        raise RuntimeError(
+            f"compact_ivfpq_index: live files from stream epoch(s) "
+            f"{unacked} exceed the _stream_batches.json high-water mark "
+            f"({high_water}) — a stream crashed inside its commit window. "
+            "Compacting now would erase the batch<id>- prefixes the "
+            "replay uses for cleanup and the epoch would re-append as "
+            "duplicates. Restart the stream (its replay cleans up and "
+            "re-commits these epochs), drain it, then compact.")
+
+    n_before = stored.count()
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    (
+        stored.repartition(F.col(cell_col))
+        .write.partitionBy(cell_col).parquet(tmp)
+    )
+
     for sidecar in ("_ivfpq_meta.json", "_stream_batches.json"):
         src = _p(f"{path}/{sidecar}")
         if fs.exists(src):
@@ -1280,7 +1317,12 @@ def ann_join_ivfpq(
         F.col(right_id_col).alias(id_out),
         F.col(code_col).alias("__pq_codes"),
     )
-    pairs = lx.join(right_sel, "__ivfpq_cell").drop("__ivfpq_cell")
+    # keep the cell id on each candidate: the rerank stage joins the
+    # right embeddings back on (cell, id) so the scan of the indexed
+    # table inherits the ADC pass's cell pruning (dynamic partition
+    # pruning on a write_ivfpq_index layout) instead of re-scanning the
+    # full index per join — one extra int through the rank window.
+    pairs = lx.join(right_sel, "__ivfpq_cell")
 
     out_fields = StructType(
         pairs.schema.fields + [StructField("pq_dist", LongType())])
@@ -1307,20 +1349,28 @@ def ann_join_ivfpq(
             yield pdf
 
     scored = pairs.mapInPandas(adc, schema=out_fields).select(
-        left_id_col, id_out, "pq_dist")   # narrow into the rank window
+        left_id_col, id_out, "__ivfpq_cell",
+        "pq_dist")   # narrow into the rank window (ids + one int cell)
     w = Window.partitionBy(left_id_col).orderBy(
         F.asc("pq_dist"), F.asc(id_out))
     ranked = scored.withColumn("_rank", F.row_number().over(w))
     if rerank_k is None:
-        return left.join(ranked.filter(F.col("_rank") <= K), left_id_col)
+        return left.join(
+            ranked.filter(F.col("_rank") <= K).drop("__ivfpq_cell"),
+            left_id_col)
     shortlist = ranked.filter(F.col("_rank") <= rerank_k) \
-                      .select(left_id_col, id_out)
+                      .select(left_id_col, id_out, "__ivfpq_cell")
+    # rerank source = the probed-cell subset, not the full index: every
+    # shortlist id came from a probed cell, so joining on (cell, id) is
+    # exact and lets the indexed-side scan prune to those cells (DPP on
+    # a partitioned layout) — the same pruning the ADC pass already paid.
     remb = indexed.select(
+        F.col("__ivf_cell").alias("__ivfpq_cell"),
         F.col(right_id_col).alias(id_out),
         F.col(right_emb_col).alias("__r_emb"),
     )
     exact = (
-        shortlist.join(remb, id_out)
+        shortlist.join(remb, ["__ivfpq_cell", id_out]).drop("__ivfpq_cell")
         .join(lq, left_id_col)
         .withColumn(
             score_out,

@@ -53,6 +53,24 @@ from pyspark.sql import functions as F
 
 _META = "_minhash_meta.json"
 
+# static sides persisted by neardup_matches_stream, keyed by index path —
+# repeat setup calls reuse one cached copy instead of stacking persists
+_STREAM_STATIC_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
+def release_stream_index_cache(path: str | None = None) -> None:
+    """Unpersist the static index frames cached by
+    :func:`neardup_matches_stream` — for ``path`` only, or all of them
+    (``path=None``). Call after stopping the streaming query; also the
+    way to make a running-session probe see rows appended after setup
+    (release, then call ``neardup_matches_stream`` again)."""
+    keys = [path] if path is not None else list(_STREAM_STATIC_CACHE)
+    for k in keys:
+        cached = _STREAM_STATIC_CACHE.pop(k, None)
+        if cached is not None:
+            for df in cached:
+                df.unpersist()
+
 
 def _check_cols(df: DataFrame, text_col: str, id_col: str, who: str) -> None:
     missing = [c for c in (text_col, id_col) if c not in df.columns]
@@ -248,11 +266,15 @@ def neardup_matches_stream(
     the multi-band hits of one pair (bounded state, watermark-evicted;
     the same chained-stateful pattern as ``streaming_neardup_minhash``).
 
-    The static sides are CACHED once at setup (``persist()``,
+    The static sides are CACHED once PER INDEX PATH (``persist()``,
     MEMORY_AND_DISK — Spark spills or recomputes what exceeds memory),
-    so each micro-batch pays the join probe, not a corpus re-read. The
-    cached tables live until the query stops and the session drops them
-    (``spark.catalog.clearCache()`` reclaims them eagerly).
+    so each micro-batch pays the join probe, not a corpus re-read.
+    Repeat calls for the same path (e.g. a restart loop) REUSE the
+    cached frames instead of stacking new copies; call
+    :func:`release_stream_index_cache` when done with an index to
+    unpersist them eagerly. Consequence of the snapshot: rows added by
+    ``append_minhash_index`` AFTER setup are invisible to a running
+    probe — release the cache and restart the query to pick them up.
 
     GATING (keep only novel rows) is intentionally not a pure-stream
     op here: "no verified match for this row" is a per-row aggregation
@@ -280,13 +302,17 @@ def neardup_matches_stream(
         F.col(ts_col), F.col(id_col), F.col("__qsig"),
         F.explode(F.array(*band_keys)).alias("band"),
     )
-    corpus_buckets = spark.read.parquet(f"{path}/buckets").persist()
-    corpus_sigs = (
-        spark.read.parquet(f"{path}/sigs")
-        .select(F.col("id").alias(match_col),
-                F.col("minhash").alias("__msig"))
-        .persist()
-    )
+    cached = _STREAM_STATIC_CACHE.get(path)
+    if cached is None:
+        cached = (
+            spark.read.parquet(f"{path}/buckets").persist(),
+            spark.read.parquet(f"{path}/sigs").persist(),
+        )
+        _STREAM_STATIC_CACHE[path] = cached
+    raw_buckets, raw_sigs = cached
+    corpus_buckets = raw_buckets
+    corpus_sigs = raw_sigs.select(
+        F.col("id").alias(match_col), F.col("minhash").alias("__msig"))
     agree = F.size(F.filter(
         F.zip_with("__qsig", "__msig", lambda a, b: a == b),
         lambda x: x,
@@ -333,13 +359,20 @@ def embedding_neardup_index(
     multiplicity you need surfaced (at most ``k`` matches per query row
     are checked against the threshold). The MinHash index is the text
     twin with the same write/append/probe lifecycle."""
-    from lotus_spark.functions.ann import ann_join_ivfpq, read_ivfpq_index
+    from lotus_spark.functions.ann import (
+        _fs_read_json, ann_join_ivfpq, read_ivfpq_index,
+    )
 
     stored, cents, books, cell_col = read_ivfpq_index(spark, index_path)
+    # the sidecar pins which column holds the PQ codes — an index written
+    # with a non-default code_col must probe under that name, exactly as
+    # append_ivfpq_index honors it
+    meta = _fs_read_json(spark, f"{index_path}/_ivfpq_meta.json") or {}
     out = ann_join_ivfpq(
         query_df, None, id_col, emb_col, index_id_col, index_emb_col,
         K=k, n_probe=n_probe, prebuilt=(stored, cents, books),
         cell_col=cell_col, id_out=match_col, score_out=score_col,
+        code_col=meta.get("code_col", "pq_codes"),
     )
     return (out.filter(F.col(score_col) >= threshold)
             .select(id_col, match_col, score_col))

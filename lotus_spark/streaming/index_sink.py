@@ -43,6 +43,12 @@ Contract boundaries, stated plainly:
   partial (or complete-but-unacknowledged) output is removed before the
   redo, so recovery leaves no duplicate codes and needs no downstream
   dedup (exactly-once for the data, pinned by an injected-crash test).
+- **Compaction after a crash**: ``ann.compact_ivfpq_index`` rewrites
+  data files, erasing the ``batch<id>-`` prefixes the replay cleanup
+  enumerates. It REFUSES to run while any live file's batch id exceeds
+  the sidecar high-water mark (the crashed-commit-window state) —
+  restart the stream and drain it (``available_now=True``) before
+  compacting, so the replay re-commits those epochs first.
 - **Object stores**: on s3a:// a "rename" is copy+delete — per-object
   atomic (a reader never sees a partial file) but not free, so each
   epoch pays one extra copy of its own files. The protocol stays

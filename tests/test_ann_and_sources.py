@@ -1321,3 +1321,63 @@ def test_ann_join_ivfpq_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_compact_ivfpq_index_refuses_unacknowledged_stream_epoch(
+        spark, tmp_path):
+    """Crashed-stream guard (r9 ADVICE): a stream that died inside its
+    commit window leaves live ``batch<id>-`` files ABOVE the sidecar
+    high-water mark. Compacting then would erase the prefixes the
+    replay's cleanup enumerates (and copy the stale sidecar), so the
+    replayed epoch would re-append as duplicates — compact must REFUSE
+    until the stream has been restarted and drained. Covers both the
+    sidecar-behind state and the no-sidecar-at-all state; after the
+    'replay' (here: high-water advanced), the same compaction runs."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    from lotus_spark.functions.ann import (
+        compact_ivfpq_index, ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.streaming.index_sink import _write_high_water
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    # simulate a commit-window crash: a fully-renamed epoch-3 file exists
+    # but no sidecar acknowledges it (pre-first-commit crash state)
+    cell_dir = next(os.path.join(path, d) for d in os.listdir(path)
+                    if d.startswith("__ivf_cell="))
+    src = next(os.path.join(cell_dir, f) for f in os.listdir(cell_dir)
+               if f.endswith(".parquet"))
+    crashed = os.path.join(cell_dir, "batch3-" + os.path.basename(src))
+    shutil.copy(src, crashed)
+    with pytest.raises(RuntimeError, match=r"epoch\(s\) \[3\]"):
+        compact_ivfpq_index(spark, path)
+
+    # sidecar exists but is BEHIND the epoch file: still refused
+    _write_high_water(spark, path, 2)
+    with pytest.raises(RuntimeError, match="high-water"):
+        compact_ivfpq_index(spark, path)
+
+    # stream restarted and drained (high-water caught up): compacts fine
+    _write_high_water(spark, path, 3)
+    compact_ivfpq_index(spark, path)
+    per_cell = [
+        sum(1 for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet"))
+        for d in os.listdir(path) if d.startswith("__ivf_cell=")
+    ]
+    assert set(per_cell) == {1}

@@ -285,3 +285,75 @@ def test_embedding_neardup_index(spark, tmp_path):
     rows = {(r["qid"], r["match_id"]): r["score"] for r in got.collect()}
     assert (500, 7) in rows and rows[(500, 7)] >= 0.999
     assert all(q != 501 for q, _ in rows)
+
+
+def test_embedding_neardup_index_honors_pinned_code_col(spark, tmp_path):
+    """r9 ADVICE: an IVF-PQ index written with a non-default code_col
+    records it in _ivfpq_meta.json; the embedding probe must read it
+    from the sidecar (as append_ivfpq_index does) instead of assuming
+    'pq_codes' and failing prebuilt validation."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.functions.dedup_index import embedding_neardup_index
+
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(60, 8).astype("float64")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(corpus, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5, code_col="my_codes")
+    path = str(tmp_path / "idx_cc")
+    write_ivfpq_index(encoded, path, cents, books, code_col="my_codes")
+
+    inc = spark.createDataFrame(
+        [(900, [float(x) for x in vecs[11]])], ["qid", "emb"])
+    got = embedding_neardup_index(
+        spark, path, inc, "qid", "emb", "vec_id", "embedding",
+        threshold=0.999, n_probe=4)
+    rows = {(r["qid"], r["match_id"]) for r in got.collect()}
+    assert (900, 11) in rows
+
+
+def test_neardup_stream_static_cache_reused_and_released(spark, tmp_path):
+    """r9 ADVICE: repeat neardup_matches_stream setups for one index
+    path must REUSE the persisted static frames (no unbounded cache
+    stacking in a restart loop); release_stream_index_cache unpersists
+    them and a later setup re-caches fresh."""
+    from pyspark import StorageLevel
+
+    from lotus_spark.functions import dedup_index as di
+    from lotus_spark.functions.dedup_index import (
+        neardup_matches_stream, release_stream_index_cache,
+        write_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(BASE, ["doc_id", "text"])
+    path = str(tmp_path / "idx_cache")
+    write_minhash_index(corpus, path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    schema = "doc_id long, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(src))
+
+    release_stream_index_cache()  # clean slate
+    neardup_matches_stream(spark, path, stream, "text", "doc_id", "ts")
+    assert path in di._STREAM_STATIC_CACHE
+    first = di._STREAM_STATIC_CACHE[path]
+    assert first[0].storageLevel != StorageLevel.NONE
+
+    # second setup (restart loop): same cached frames, not new persists
+    neardup_matches_stream(spark, path, stream, "text", "doc_id", "ts")
+    assert di._STREAM_STATIC_CACHE[path] is first
+
+    release_stream_index_cache(path)
+    assert path not in di._STREAM_STATIC_CACHE
+    assert first[0].storageLevel == StorageLevel.NONE
+    assert first[1].storageLevel == StorageLevel.NONE
