@@ -820,6 +820,29 @@ def compact_ivfpq_index(spark, path: str) -> None:
     fs.delete(_p(old), True)
 
 
+def auto_rerank_k(k: int, join: bool = False) -> int:
+    """The ONE definition of the ``rerank_k="auto"`` ADC-shortlist size,
+    shared by every IVF-PQ tier (single-query, batch serving, K-NN join)
+    so a recall-tuning round moves all tiers together (r9 carried three
+    drifting copies of the literal).
+
+    Single-query/batch tiers: ``max(8k, 80)`` — the measured knee of the
+    recall-vs-budget curve on the testdata embeddings
+    (``BENCH_annrecall.json``: 4k left 0.43@10 where 8k reaches ~0.72).
+
+    Join tier (``join=True``): ``max(32K, 320)`` — the join reranks per
+    LEFT ROW, and the r10 sweep (``BENCH_joinrecall.json``) shows the
+    join wall is ADC-dominated and FLAT in the budget (17.1s at 80 vs
+    16.7s at 320 at n_probe=8) while recall climbs 0.574 → 0.78 (ceiling
+    0.826 = the IVF probe recall at those knobs); 32K buys ~95% of the
+    recoverable recall without the 64K budget's 2x shortlist-shuffle
+    volume (0.821 at 640 — raise ``rerank_k`` yourself for the last few
+    points). Cost stays k-proportional per left row, never
+    corpus-proportional.
+    """
+    return max(32 * k, 320) if join else max(8 * k, 80)
+
+
 def knn_topk_ivfpq(
     indexed_df: DataFrame,
     centroids: list[list[int]],
@@ -896,10 +919,10 @@ def knn_topk_ivfpq(
         if rerank_k != "auto":
             raise ValueError(
                 f"rerank_k={rerank_k!r}: the only string sentinel is "
-                "'auto' (max(8*k, 80)); pass an int to size the ADC "
+                "'auto' (auto_rerank_k(k)); pass an int to size the ADC "
                 "shortlist or None to opt out of the exact rerank"
             )
-        rerank_k = max(8 * k, 80)
+        rerank_k = auto_rerank_k(k)
     probe = rank_cells_quantized(centroids, query_vec, n_probe)
     pruned = indexed_df.filter(F.col(cell_col).isin(probe))
     return knn_topk_pq(
@@ -965,7 +988,7 @@ def knn_topk_ivfpq_batch(
             raise ValueError(
                 f"rerank_k={rerank_k!r}: the only string sentinel is "
                 "'auto'")
-        rerank_k = max(8 * k, 80)
+        rerank_k = auto_rerank_k(k)
     if rerank_k is not None and rerank_k < k:
         raise ValueError(f"rerank_k={rerank_k} must be >= k={k}")
     m = len(codebooks)
@@ -1238,9 +1261,12 @@ def ann_join_ivfpq(
     (id, embedding) rides the cell join and rank window (plan-pinned);
     everything else rejoins once at the end, K rows per left row. Recall
     follows the single-query ladder: raise ``n_probe`` / ``rerank_k``
-    (default ``"auto"`` = ``max(8K, 80)``, the measured knee in
-    ``BENCH_annrecall.json``) for recall, exactness at full probe +
-    ``rerank_k >= |cells scanned|`` (parity-pinned in tests).
+    (default ``"auto"`` = ``auto_rerank_k(K, join=True)`` =
+    ``max(32K, 320)`` — the r10 sweep showed the join wall is
+    ADC-dominated and flat in the rerank budget while recall climbs
+    0.574→0.78 at n_probe=8, see ``BENCH_joinrecall.json``) for recall,
+    exactness at full probe + ``rerank_k >= |cells scanned|``
+    (parity-pinned in tests).
     Deterministic end-to-end (integer Lloyd's both quantizers), so the
     whole composition is SQL-oracle-replayable.
 
@@ -1265,9 +1291,9 @@ def ann_join_ivfpq(
         if rerank_k != "auto":
             raise ValueError(
                 f"rerank_k={rerank_k!r}: the only string sentinel is "
-                "'auto' (max(8*K, 80)); int to size the shortlist, None "
-                "for raw ADC")
-        rerank_k = max(8 * K, 80)
+                "'auto' (auto_rerank_k(K, join=True)); int to size the "
+                "shortlist, None for raw ADC")
+        rerank_k = auto_rerank_k(K, join=True)
     if rerank_k is not None and rerank_k < K:
         raise ValueError(f"rerank_k={rerank_k} must be >= K={K}")
 

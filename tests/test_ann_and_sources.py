@@ -1381,3 +1381,35 @@ def test_compact_ivfpq_index_refuses_unacknowledged_stream_epoch(
         for d in os.listdir(path) if d.startswith("__ivf_cell=")
     ]
     assert set(per_cell) == {1}
+
+
+def test_auto_rerank_k_single_definition_all_tiers(spark):
+    """r9 verdict item 6: one shared auto-rerank definition. The join
+    tier's default must equal auto_rerank_k(K, join=True) exactly (the
+    r10 budget raise — max(32K, 320), measured in BENCH_joinrecall.json)
+    and the single-query tiers auto_rerank_k(k) = max(8k, 80)."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import ann_join_ivfpq, auto_rerank_k
+
+    assert auto_rerank_k(10) == 80
+    assert auto_rerank_k(50) == 400
+    assert auto_rerank_k(10, join=True) == 320
+    assert auto_rerank_k(20, join=True) == 640
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(120, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(300, [float(x) for x in vecs[11]])], ["qid", "lemb"])
+    dflt = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                          K=3, n_cells=4, n_probe=2, m=4, nbits=2,
+                          seed=9, pq_seed=5)
+    expl = ann_join_ivfpq(left, right, "qid", "lemb", "rid", "remb",
+                          K=3, n_cells=4, n_probe=2, m=4, nbits=2,
+                          seed=9, pq_seed=5,
+                          rerank_k=auto_rerank_k(3, join=True))
+    assert sorted(map(tuple, dflt.collect())) == \
+        sorted(map(tuple, expl.collect()))
