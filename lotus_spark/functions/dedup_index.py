@@ -182,21 +182,51 @@ def neardup_join_index(
     threshold: float = 0.7,
     match_col: str = "match_id",
     score_col: str = "est_jaccard",
+    verify: str = "estimate",
+    corpus_df: DataFrame | None = None,
+    corpus_text_col: str | None = None,
+    corpus_id_col: str | None = None,
 ) -> DataFrame:
     """Probe: which indexed corpus docs does each ``query_df`` row
     near-duplicate? Signature + band keys for the increment are
     map-only; candidates come from ONE equi-join on the band string
     (the corpus side is the narrow ``buckets`` table — two columns,
-    never text or signatures); the distinct candidate pairs then join
-    ``sigs`` by id (narrow, candidate-bounded) and verify by signature
-    agreement >= ``threshold``. Returns (id_col, match_col, score_col),
+    never text or signatures). Returns (id_col, match_col, score_col),
     one row per verified (increment, corpus) pair.
 
-    est_jaccard = fraction of agreeing MinHash components — the
-    standard unbiased Jaccard estimator (sd ~ sqrt(J(1-J)/n_hashes));
-    the exact-verify twin for in-hand text is ``minhash_lsh_dedup``."""
+    ``verify`` picks the candidate-verification tier:
+
+    - ``"estimate"`` (default): the distinct candidate pairs join
+      ``sigs`` by id (narrow, candidate-bounded) and score by signature
+      agreement — the standard unbiased Jaccard estimator
+      (sd ~ sqrt(J(1-J)/n_hashes); measured at n_hashes=16: precision
+      1.0, recall 0.949 at the τ=0.9 knife-edge, ``BENCH_mhindex.json``).
+      The corpus TEXT is never read.
+    - ``"exact"``: pass the corpus table (``corpus_df`` +
+      ``corpus_text_col``/``corpus_id_col``, defaulting to the probe's
+      column names) and the candidate pairs join it BY MATCHED ID ONLY
+      to fetch text and score exact shingle-set Jaccard — the same
+      verify ``minhash_lsh_dedup`` runs (shared ``word_shingles``
+      expressions with the index's PINNED shingle_n), closing the
+      estimator's measured τ=0.9 recall miss. Cost, stated honestly:
+      the join touches matched corpus rows' text (candidate-bounded
+      shuffle — only collision rows move; the scan itself prunes when
+      the corpus table is partitioned/bucketed/z-ordered by id,
+      otherwise it is one full scan with only (id, text) read), so
+      "exact" trades the estimate tier's never-read-the-corpus property
+      for exact scores. ``score_col`` then holds true Jaccard.
+    """
     meta = read_minhash_meta(spark, path)
     _check_cols(query_df, text_col, id_col, "neardup_join_index")
+    if verify not in ("estimate", "exact"):
+        raise ValueError(
+            f"verify={verify!r}: pick 'estimate' (signature agreement, "
+            "corpus text never read) or 'exact' (shingle Jaccard over "
+            "corpus_df, candidate-bounded)")
+    if verify == "exact" and corpus_df is None:
+        raise ValueError(
+            "verify='exact' needs corpus_df (the indexed corpus table; "
+            "only candidate-matched ids' rows are joined)")
     n_hashes = meta["n_hashes"]
     qb, qs = _encode(query_df, text_col, id_col, n_hashes,
                      meta["bands"], meta["shingle_n"])
@@ -207,6 +237,32 @@ def neardup_join_index(
         .select(F.col("__qid"), F.col("id").alias(match_col))
         .dropDuplicates(["__qid", match_col])
     )
+    if verify == "exact":
+        from lotus_spark.functions.text import word_shingles
+
+        ctext = corpus_text_col or text_col
+        cid = corpus_id_col or id_col
+        _check_cols(corpus_df, ctext, cid,
+                    "neardup_join_index(verify='exact') corpus_df")
+        sh_n = meta["shingle_n"]
+        cshingles = corpus_df.select(
+            F.col(cid).alias(match_col),
+            word_shingles(F.col(ctext), sh_n).alias("__csh"),
+        )
+        qshingles = query_df.select(
+            F.col(id_col).alias("__qid"),
+            word_shingles(F.col(text_col), sh_n).alias("__qsh"),
+        )
+        inter = F.size(F.array_intersect("__qsh", "__csh"))
+        union = F.size(F.array_union("__qsh", "__csh"))
+        return (
+            cand.join(cshingles, match_col)      # candidate-bounded
+            .join(qshingles, "__qid")
+            .withColumn(score_col,
+                        inter.cast("double") / union.cast("double"))
+            .filter(F.col(score_col) >= threshold)
+            .select(F.col("__qid").alias(id_col), match_col, score_col)
+        )
     corpus_sigs = spark.read.parquet(f"{path}/sigs").select(
         F.col("id").alias(match_col), F.col("minhash").alias("__msig"))
     qsigs = qs.select(F.col("id").alias("__qid"),
@@ -232,14 +288,18 @@ def dedup_against_index(
     text_col: str,
     id_col: str,
     threshold: float = 0.7,
+    **verify_kwargs,
 ) -> DataFrame:
     """Keep only the ``query_df`` rows with NO verified corpus match —
     the "is today's batch new?" filter. An anti-join against the
     verified matches; the increment's own internal duplicates are out
     of scope (run ``minhash_lsh_dedup`` on the increment first, then
-    ``append_minhash_index`` the survivors)."""
+    ``append_minhash_index`` the survivors). ``verify_kwargs`` pass
+    through to :func:`neardup_join_index` (e.g. ``verify="exact",
+    corpus_df=...``)."""
     matches = neardup_join_index(
         spark, path, query_df, text_col, id_col, threshold,
+        **verify_kwargs,
     ).select(id_col).distinct()
     return query_df.join(matches, id_col, "left_anti")
 

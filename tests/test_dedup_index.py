@@ -357,3 +357,80 @@ def test_neardup_stream_static_cache_reused_and_released(spark, tmp_path):
     assert path not in di._STREAM_STATIC_CACHE
     assert first[0].storageLevel == StorageLevel.NONE
     assert first[1].storageLevel == StorageLevel.NONE
+
+
+def test_neardup_index_exact_verify_parity_and_recall(spark, tmp_path):
+    """verify='exact' (r9 verdict item 3): candidate pairs come from the
+    SAME band join as the estimator tier, but scores are true shingle
+    Jaccard computed against corpus text joined by matched id only —
+    parity-pinned against minhash_lsh_dedup's verify expressions
+    (shared word_shingles + array_intersect/union with the index's
+    pinned shingle_n). Also pins the recall property the tier exists
+    for: a pair whose TRUE Jaccard clears the threshold is kept by
+    exact verify even when the 16-hash estimator lands below it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+    from lotus_spark.functions.text import word_shingles
+
+    corpus = _docs(spark, BASE)
+    path = str(tmp_path / "mh_exact")
+    write_minhash_index(corpus, path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    inc = _docs(spark, [
+        (101, BASE[0][1].replace("river bank", "river shore")),
+        (102, BASE[1][1]),
+        (103, "novel text about nothing indexed at all whatsoever"),
+    ])
+
+    exact = neardup_join_index(
+        spark, path, inc, "text", "doc_id", threshold=0.3,
+        score_col="jaccard", verify="exact", corpus_df=corpus)
+    got = {(r["doc_id"], r["match_id"]): r["jaccard"]
+           for r in exact.collect()}
+    assert (102, 2) in got and got[(102, 2)] == 1.0
+
+    # parity: every exact score equals the directly computed shingle
+    # Jaccard (minhash_lsh_dedup's verify arithmetic) for that pair
+    sh = {r["doc_id"]: set(r["sh"]) for r in
+          corpus.select("doc_id", word_shingles(F.col("text"), 3)
+                        .alias("sh")).collect()}
+    sh.update({r["doc_id"]: set(r["sh"]) for r in
+               inc.select("doc_id", word_shingles(F.col("text"), 3)
+                          .alias("sh")).collect()})
+    for (q, m), j in got.items():
+        want = len(sh[q] & sh[m]) / len(sh[q] | sh[m])
+        assert abs(j - want) < 1e-12, (q, m)
+
+    # recall property: pick a threshold between the estimator's score
+    # and the true Jaccard for the near-dup pair — estimator drops it,
+    # exact keeps it (the measured τ=0.9 miss class, BENCH_mhindex.json)
+    est = neardup_join_index(spark, path, inc, "text", "doc_id",
+                             threshold=0.0)
+    est_scores = {(r["doc_id"], r["match_id"]): r["est_jaccard"]
+                  for r in est.collect()}
+    true_j = got[(101, 1)]
+    est_j = est_scores[(101, 1)]
+    assert est_j != true_j  # 16-hash estimate is off the exact value
+    lo, hi = sorted((est_j, true_j))
+    tau = (lo + hi) / 2
+    est_tau = {(r["doc_id"], r["match_id"]) for r in neardup_join_index(
+        spark, path, inc, "text", "doc_id", threshold=tau).collect()}
+    ex_tau = {(r["doc_id"], r["match_id"]) for r in neardup_join_index(
+        spark, path, inc, "text", "doc_id", threshold=tau,
+        verify="exact", corpus_df=corpus).collect()}
+    if est_j < true_j:
+        assert (101, 1) in ex_tau and (101, 1) not in est_tau
+    else:  # estimator overshoots: exact correctly drops it
+        assert (101, 1) in est_tau and (101, 1) not in ex_tau
+
+    # validation
+    with pytest.raises(ValueError, match="corpus_df"):
+        neardup_join_index(spark, path, inc, "text", "doc_id",
+                           verify="exact")
+    with pytest.raises(ValueError, match="estimate"):
+        neardup_join_index(spark, path, inc, "text", "doc_id",
+                           verify="bogus")
