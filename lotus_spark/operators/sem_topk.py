@@ -11,9 +11,12 @@ best satisfy an NL criterion, using pairwise LLM comparisons
 - ``naive``  — all-pairs voting, O(n²) comparisons (``:276-344``)
 ``group_by`` ranks within each group (``:762-780``).
 
-Spark design: grouped top-k runs the tournament inside ``applyInPandas`` (one
-task per group, all groups in parallel; each round's comparisons batched into
-ONE LM call). Global top-k over a big table first reduces the candidate pool
+Spark design: grouped top-k repartitions on the group key and runs every
+group's tournament in LOCKSTEP inside one ``mapInPandas`` task per
+partition — each GLOBAL round batches all co-resident groups' pending
+comparisons into ONE LM call (``_drive_lockstep``; r10 — previously one
+``applyInPandas`` task per group multiplied round trips by the group
+count). Global top-k over a big table first reduces the candidate pool
 with an embedding prefilter (``orderBy(desc(sim)).limit(cK)``) — the
 LLM tournament then runs on the bounded pool. Driver materialization is
 bounded to the candidate pool (reference behavior is a full in-memory sort).
@@ -110,9 +113,50 @@ class BatchedComparator:
         return choices
 
 
-def _order_round_robin(
-    pool: list[int], docs: list[str], cmp: BatchedComparator
-) -> list[int]:
+def _drive(gen, cmp: BatchedComparator):
+    """Run ONE tournament generator to completion: each yielded pair
+    list becomes one batched ``cmp.compare`` round trip. The sync public
+    algorithms (``quickselect_topk`` etc.) are thin wrappers over this —
+    identical call counts to the pre-generator implementations."""
+    payload = None
+    while True:
+        try:
+            pairs = gen.send(payload)
+        except StopIteration as e:
+            return e.value
+        payload = cmp.compare(pairs)
+
+
+def _drive_lockstep(gens: list, cmp: BatchedComparator) -> list:
+    """Run MANY tournament generators in lockstep (r9 verdict item 7):
+    each global round concatenates every still-active tournament's
+    pending pairs into ONE ``cmp.compare`` call and routes the verdicts
+    back. LM round trips collapse from sum-over-tournaments to
+    max-over-tournaments (pinned by a call-count test); comparison
+    COUNT and every per-tournament result are identical to driving
+    each generator alone — answers are per-pair, so batching siblings
+    cannot change them."""
+    active = dict(enumerate(gens))
+    payload: dict[int, object] = {}
+    results: dict[int, list[int]] = {}
+    while active:
+        spans: list[tuple[int, int, int]] = []
+        batch: list[tuple[str, str]] = []
+        for i in list(active):
+            try:
+                pairs = active[i].send(payload.get(i))
+            except StopIteration as e:
+                results[i] = e.value
+                del active[i]
+                continue
+            spans.append((i, len(batch), len(batch) + len(pairs)))
+            batch.extend(pairs)
+        outs = cmp.compare(batch)
+        payload = {i: outs[lo:hi] for i, lo, hi in spans}
+    return [results[i] for i in range(len(gens))]
+
+
+def _order_round_robin_gen(pool: list[int], docs: list[str]):
     """Rank the K quickselect winners best→worst with ONE batched all-pairs
     call (K is small — K(K-1)/2 comparisons, single LM round trip), instead
     of O(K²) serial one-pair calls. With a consistent comparator the wins
@@ -122,31 +166,33 @@ def _order_round_robin(
     if m <= 1:
         return list(pool)
     pairs = [(i, j) for i in range(m) for j in range(i + 1, m)]
-    outs = cmp.compare([(docs[pool[i]], docs[pool[j]]) for i, j in pairs])
+    outs = yield [(docs[pool[i]], docs[pool[j]]) for i, j in pairs]
     wins = [0] * m
     for (i, j), w in zip(pairs, outs):
         wins[i if w == 0 else j] += 1
     return [pool[t] for t in sorted(range(m), key=lambda t: (-wins[t], t))]
 
 
-def _quickselect(
+def _quickselect_gen(
     docs: list[str],
     K: int,
-    cmp: BatchedComparator,
     pivot_fn: Callable[[list[int]], int],
-) -> list[int]:
-    """Shared quickselect body: partition against a pivot (all comparisons
-    of the round in one batched call), recurse only into the side holding
-    rank K, then order the winners with one round-robin batch."""
+):
+    """Shared quickselect body as a GENERATOR: each ``yield`` is one
+    round's batched comparisons (partition against a pivot, recurse only
+    into the side holding rank K, one round-robin batch for the
+    winners). Driven alone (``_drive``) it is the classic protocol;
+    driven with siblings (``_drive_lockstep``) its rounds share LM
+    calls across tournaments."""
 
-    def select(pool: list[int], k: int) -> list[int]:
+    def select(pool: list[int], k: int):
         if k <= 0:
             return []
         if len(pool) <= k:
             return pool
         pivot = pivot_fn(pool)
         others = [i for i in pool if i != pivot]
-        wins = cmp.compare([(docs[i], docs[pivot]) for i in others])
+        wins = yield [(docs[i], docs[pivot]) for i in others]
         better = [i for i, w in zip(others, wins) if w == 0]  # doc_i beats pivot
         worse = [i for i, w in zip(others, wins) if w == 1]
         if len(better) == k:
@@ -154,11 +200,12 @@ def _quickselect(
         if len(better) == k - 1:
             return better + [pivot]
         if len(better) > k:
-            return select(better, k)
-        return better + [pivot] + select(worse, k - len(better) - 1)
+            return (yield from select(better, k))
+        rest = yield from select(worse, k - len(better) - 1)
+        return better + [pivot] + rest
 
-    top = select(list(range(len(docs))), K)
-    return _order_round_robin(top, docs, cmp)
+    top = yield from select(list(range(len(docs))), K)
+    return (yield from _order_round_robin_gen(top, docs))
 
 
 def quickselect_topk(
@@ -166,15 +213,17 @@ def quickselect_topk(
 ) -> list[int]:
     """Indices of the top-K docs; pivot comparisons batched per round."""
     rng = random.Random(seed)
-    return _quickselect(
-        docs, K, cmp, lambda pool: pool[rng.randrange(len(pool))]
+    return _drive(
+        _quickselect_gen(docs, K, lambda pool: pool[rng.randrange(len(pool))]),
+        cmp,
     )
 
 
 def heap_topk(docs: list[str], K: int, cmp: BatchedComparator,
               batch_size: int = 16) -> list[int]:
     """Insertion-based top-K with LLM comparisons (reference 'heap'
-    method, ``lotus/sem_ops/sem_topk.py:491-621``) — WAVE-BATCHED.
+    method, ``lotus/sem_ops/sem_topk.py:491-621``) — WAVE-BATCHED;
+    sync wrapper over :func:`_heap_topk_gen`.
 
     The reference inserts docs one at a time, each binary-insertion step
     a separate LM round-trip (O(n log K) sequential calls: its LM client
@@ -196,10 +245,14 @@ def heap_topk(docs: list[str], K: int, cmp: BatchedComparator,
     (Under a non-transitive comparator neither serial nor batched
     insertion has a canonical answer; ties break deterministically by
     doc position, mirroring the serial arrival order.)"""
-    from collections import defaultdict
-
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    return _drive(_heap_topk_gen(docs, K, batch_size), cmp)
+
+
+def _heap_topk_gen(docs: list[str], K: int, batch_size: int = 16):
+    from collections import defaultdict
+
     top: list[int] = []  # kept sorted best→worst, at most K entries
     n = len(docs)
     start = 0
@@ -214,8 +267,7 @@ def heap_topk(docs: list[str], K: int, cmp: BatchedComparator,
             if not active:
                 break
             mid = {c: (lo[c] + hi[c]) // 2 for c in active}
-            outs = cmp.compare(
-                [(docs[c], docs[top[mid[c]]]) for c in active])
+            outs = yield [(docs[c], docs[top[mid[c]]]) for c in active]
             for c, w in zip(active, outs):
                 if w == 0:
                     hi[c] = mid[c]
@@ -231,7 +283,7 @@ def heap_topk(docs: list[str], K: int, cmp: BatchedComparator,
                 for b in range(a + 1, len(group)):
                     rr_idx.append((s, a, b))
                     rr_pairs.append((docs[group[a]], docs[group[b]]))
-        outs = cmp.compare(rr_pairs)
+        outs = yield rr_pairs
         wins: dict[int, list[int]] = {
             s: [0] * len(g) for s, g in slots.items()}
         for (s, a, b), w in zip(rr_idx, outs):
@@ -252,9 +304,13 @@ def heap_topk(docs: list[str], K: int, cmp: BatchedComparator,
 
 def naive_topk(docs: list[str], K: int, cmp: BatchedComparator) -> list[int]:
     """All-pairs voting; single batched LM call for every pair."""
+    return _drive(_naive_topk_gen(docs, K), cmp)
+
+
+def _naive_topk_gen(docs: list[str], K: int):
     n = len(docs)
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-    outs = cmp.compare([(docs[i], docs[j]) for i, j in pairs])
+    outs = yield [(docs[i], docs[j]) for i, j in pairs]
     wins = [0] * n
     for (i, j), w in zip(pairs, outs):
         wins[i if w == 0 else j] += 1
@@ -269,8 +325,10 @@ def quicksem_topk(
     ``sem_topk.py:407-423``): instead of a random pivot, pick the pool
     element most similar to the query — likely near the top, so the first
     partition already discards most of the pool. Deterministic given sims."""
-    return _quickselect(
-        docs, K, cmp, lambda pool: max(pool, key=lambda i: (sims[i], -i))
+    return _drive(
+        _quickselect_gen(docs, K,
+                         lambda pool: max(pool, key=lambda i: (sims[i], -i))),
+        cmp,
     )
 
 
@@ -340,20 +398,55 @@ def sem_topk(
             return algo(docs, K, cmp, _instruction_sims(docs, instr, rm_obj))
         return algo(docs, K, cmp)
 
+    def make_gen(docs: list[str]):
+        """One tournament GENERATOR per group — result-identical to
+        run_algo (same bodies, driven through yields) but composable
+        into cross-group lockstep waves."""
+        if method == "quick":
+            rng = random.Random(seed)
+            return _quickselect_gen(
+                docs, K, lambda pool: pool[rng.randrange(len(pool))])
+        if method == "quick-sem":
+            sims = _instruction_sims(docs, instr, rm_obj)
+            return _quickselect_gen(
+                docs, K, lambda pool: max(pool, key=lambda i: (sims[i], -i)))
+        if method == "heap":
+            return _heap_topk_gen(docs, K)
+        return _naive_topk_gen(docs, K)
+
     if group_by:
         out_schema = StructType(df.schema.fields + [StructField("_rank", LongType())])
+        group_cols = list(group_by)
 
-        def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            docs = docs_from_pdf(pdf, cols, fmt)
+        def rank_partition(batches):
+            # every group in this partition runs its tournament in
+            # LOCKSTEP: one LM round trip per global round, not per
+            # group round (r9 verdict item 7 — at many-small-groups
+            # scale the per-group protocol multiplied round trips by
+            # the group count). Memory bound = the partition's rows,
+            # the same data a groupBy.applyInPandas partition holds.
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            if pdf.empty:
+                return
+            groups = [g for _, g in
+                      pdf.groupby(group_cols, sort=False, dropna=False)]
+            gens = [make_gen(docs_from_pdf(g, cols, fmt)) for g in groups]
             cmp = BatchedComparator(model, instr, helper_lm=helper_lm,
                                     cascade_threshold=cascade_threshold,
                                     **model_kwargs)
-            top = run_algo(docs, cmp)
-            out = pdf.iloc[top].copy()
-            out["_rank"] = range(1, len(top) + 1)
-            return out
+            tops = _drive_lockstep(gens, cmp)
+            outs = []
+            for g, top in zip(groups, tops):
+                o = g.iloc[top].copy()
+                o["_rank"] = range(1, len(top) + 1)
+                outs.append(o)
+            yield pd.concat(outs, ignore_index=True)
 
-        return df.groupBy(*group_by).applyInPandas(rank_group, schema=out_schema)
+        return df.repartition(*group_by).mapInPandas(
+            rank_partition, schema=out_schema)
 
     if prefilter_factor is None:
         # auto: bound the pool only when the caller passed an rm

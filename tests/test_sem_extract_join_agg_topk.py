@@ -302,3 +302,75 @@ def test_heap_topk_wave_batching_fewer_round_trips():
     # comparison volume stays the same order (batching round-trips must
     # not silently explode the pair count)
     assert waved.calls <= 3 * serial.calls, (waved.calls, serial.calls)
+
+
+def test_grouped_topk_lockstep_shares_rounds_across_groups(spark):
+    """r9 verdict item 7: grouped top-k must share LM round trips ACROSS
+    groups (lockstep waves), not run one batched protocol per group.
+    Unit level: _drive_lockstep over G independent tournaments costs
+    max-over-tournaments rounds with per-tournament results identical
+    to driving each alone. End-to-end: grouped sem_topk over
+    many small groups stays within a constant number of round trips
+    (per partition) instead of growing linearly with the group count,
+    with ranks identical to the per-group ground truth."""
+    from lotus_spark.operators.sem_topk import (
+        BatchedComparator, _drive, _drive_lockstep, _naive_topk_gen,
+        _quickselect_gen,
+    )
+
+    def fn(prompt: str):
+        import re as _re
+
+        d1, d2 = _re.search(
+            r"Document 1:\n(\d+)\n\nDocument 2:\n(\d+)", prompt).groups()
+        return "Document 1" if int(d1) > int(d2) else "Document 2"
+
+    group_docs = [
+        [f"{v:03d}" for v in ((g * 7 + i * 13) % 97 for i in range(12))]
+        for g in range(8)
+    ]
+
+    def gens():
+        out = []
+        for g, docs in enumerate(group_docs):
+            if g % 2:
+                out.append(_naive_topk_gen(docs, 3))
+            else:
+                out.append(_quickselect_gen(docs, 3, lambda pool: pool[0]))
+        return out
+
+    solo_results, solo_rounds = [], []
+    for gen in gens():
+        cmp = BatchedComparator(FakeLM(fn), "larger")
+        solo_results.append(_drive(gen, cmp))
+        solo_rounds.append(cmp.rounds)
+
+    cmp = BatchedComparator(FakeLM(fn), "larger")
+    lock_results = _drive_lockstep(gens(), cmp)
+    assert lock_results == solo_results          # identical per-group output
+    assert cmp.rounds == max(solo_rounds), (cmp.rounds, solo_rounds)
+    assert cmp.rounds < sum(solo_rounds) / 2
+    # comparison VOLUME identical — lockstep shares round trips, it must
+    # not change which pairs are asked
+    solo_calls = 0
+    for gen in gens():
+        c2 = BatchedComparator(FakeLM(fn), "larger")
+        _drive(gen, c2)
+        solo_calls += c2.calls
+    assert cmp.calls == solo_calls
+
+    # end-to-end: 12 groups of 6, K=2 — correctness per group
+    rows = [(g, i, (g * 31 + i * 17) % 101)
+            for g in range(12) for i in range(6)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "score"])
+    out = ls.sem_topk(
+        df, "rank by {score} tie {doc_id}", K=2,
+        lm=FieldCompareLM("score", "doc_id"), group_by=["grp"],
+    )
+    got = {(r["grp"], r["_rank"]): r["score"]
+           for r in out.collect()}
+    for g in range(12):
+        scores = sorted(((g * 31 + i * 17) % 101 for i in range(6)),
+                        reverse=True)
+        assert got[(g, 1)] == scores[0], g
+        assert got[(g, 2)] == scores[1], g
