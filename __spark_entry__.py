@@ -3093,9 +3093,8 @@ def q_ann_join_ivfpq(spark, sf_dir):
     per-left probe (same replica as ann_join_ivf), all 8 per-subspace
     codebook chains trained on the right rows, per-pair integer ADC over
     the probed cells, the per-left shortlist window, and the exact-
-    cosine rerank. NOT yet registered (r9 window at 50-capacity);
-    queued as an r10 window row — cross-checked against DuckDB in
-    tests/test_ann_and_sources.py meanwhile."""
+    cosine rerank. Staged in r9 (window capacity), REGISTERED r10;
+    also cross-checked against DuckDB in tests/test_ann_and_sources.py."""
     from lotus_spark.functions.ann import ann_join_ivfpq
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3191,9 +3190,8 @@ def q_neardup_index(spark, sf_dir):
     odd doc — one band equi-join + signature-agreement verify. The
     oracle replays signature, banding, candidate join, and the
     agreement estimator over corpus = all evens, so a hash match checks
-    write + append + probe together. NOT yet registered (r9 window at
-    50-capacity); queued as an r10 window row — cross-checked against
-    DuckDB in tests/test_dedup_index.py meanwhile."""
+    write + append + probe together. Staged in r9 (window capacity),
+    REGISTERED r10; also cross-checked in tests/test_dedup_index.py."""
     import shutil
     import tempfile
 
@@ -3229,9 +3227,9 @@ def q_neardup_index_stream(spark, sf_dir):
     joins + agreement filter; the pair dedup collapses identical rows,
     so no arrival-order dependence), and the drained result must equal
     the batch probe — the oracle IS the batch replay
-    (_sql_neardup_index with corpus = all evens). NOT yet registered
-    (r9 window at capacity); queued for r10, CI-cross-checked in
-    tests/test_dedup_index.py meanwhile."""
+    (_sql_neardup_index with corpus = all evens). Staged in r9 (window
+    capacity), REGISTERED r10; also CI-cross-checked in
+    tests/test_dedup_index.py."""
     import shutil
     import tempfile
     import uuid
@@ -3299,6 +3297,239 @@ FROM cand
 JOIN g gq ON gq.doc_id = cand.doc_id
 JOIN g gc ON gc.doc_id = cand.match_id
 WHERE CAST({agree} AS DOUBLE) / 16.0 >= 0.5
+"""
+
+
+def q_neardup_index_lifecycle(spark, sf_dir):
+    """End-to-end "daily increment" lifecycle over the persisted
+    MinHash-LSH corpus index (functions/dedup_index.py, r10 — the
+    composition a user actually runs, r9 verdict item 4): day 0 indexes
+    the %4==0 docs; day 1's increment (%4==1) first SELF-dedups
+    (minhash_lsh_dedup: band candidates → exact-Jaccard verify →
+    connected components), then drops rows matching the corpus
+    (dedup_against_index, estimator verify), and the survivors are
+    APPENDED with the sidecar-pinned parameters; day 2's increment
+    (%4==2) probes the GROWN index through the r10 ``verify="exact"``
+    tier (true shingle Jaccard against corpus text joined by matched id
+    only). The oracle replays BOTH days in one SQL statement: shared
+    signature/band CTEs, the day-1 recursive-CTE CC + signature-
+    agreement gate, and the day-2 band join + exact Jaccard over
+    corpus0 ∪ day-1 survivors — so one hash match checks write, append,
+    self-dedup, estimator gate, growth, and exact probe together."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.dedup import minhash_lsh_dedup
+    from lotus_spark.functions.dedup_index import (
+        append_minhash_index, dedup_against_index, neardup_join_index,
+        write_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="mh_life_")
+    try:
+        path = f"{d}/idx"
+        corpus0 = docs.filter("doc_id % 4 = 0")
+        write_minhash_index(corpus0, path, "text", "doc_id",
+                            n_hashes=16, bands=4, shingle_n=3)
+        inc1 = docs.filter("doc_id % 4 = 1")
+        self1 = minhash_lsh_dedup(inc1, "text", "doc_id", n_hashes=16,
+                                  bands=4, shingle_n=3,
+                                  jaccard_threshold=0.5)
+        surv1 = dedup_against_index(spark, path, self1, "text", "doc_id",
+                                    threshold=0.5)
+        append_minhash_index(spark, path, surv1, "text", "doc_id")
+        inc2 = docs.filter("doc_id % 4 = 2")
+        grown_corpus = corpus0.unionByName(surv1)
+        out = neardup_join_index(
+            spark, path, inc2, "text", "doc_id", threshold=0.5,
+            score_col="jaccard", verify="exact", corpus_df=grown_corpus)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["match_id"], r["jaccard"])
+             for r in out.collect()],
+            "doc_id long, match_id long, jaccard double",
+        ).select("doc_id", "match_id",
+                 F.round(F.col("jaccard"), 6).alias("jaccard"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_neardup_index_lifecycle() -> str:
+    sig_exprs = []
+    for j in range(16):
+        a, b = _hash_params(j)
+        sig_exprs.append(
+            f"list_min(list_transform(shingles, sh -> ({a} * {_sql_strhash('sh')} + {b}) % {MOD})) AS sig{j}"
+        )
+    band_keys = []
+    for i in range(4):
+        parts = " || '_' || ".join(
+            f"CAST(sig{i * 4 + j} AS VARCHAR)" for j in range(4))
+        band_keys.append(f"CAST({i} AS VARCHAR) || '_' || {parts}")
+    agree = " + ".join(
+        f"CASE WHEN gq.sig{j} = gc.sig{j} THEN 1 ELSE 0 END"
+        for j in range(16))
+    exact_j = ("CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+               " / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE)")
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
+s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-3, 0)+2),
+        i -> array_to_string(words[i:i+2], ' '))) shingles FROM d),
+g AS (SELECT doc_id, shingles, {', '.join(sig_exprs)} FROM s),
+banded AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band FROM g),
+cand1 AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+          FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+          WHERE a.doc_id % 4 = 1 AND b.doc_id % 4 = 1),
+edges1 AS (SELECT src, dst FROM cand1
+  JOIN s sa ON cand1.src = sa.doc_id JOIN s sb ON cand1.dst = sb.doc_id
+  WHERE {exact_j} >= 0.5),
+sym AS (SELECT src AS sx, dst AS dx FROM edges1
+        UNION ALL SELECT dst, src FROM edges1),
+reach(sx, dx) AS (
+  SELECT sx, dx FROM sym
+  UNION
+  SELECT r.sx, y.dx FROM reach r JOIN sym y ON r.dx = y.sx
+),
+rep AS (SELECT sx AS id, LEAST(sx, MIN(dx)) AS comp FROM reach GROUP BY sx),
+self1 AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1
+          AND doc_id NOT IN (SELECT id FROM rep WHERE comp < id)),
+candc AS (SELECT DISTINCT q.doc_id AS qid, c.doc_id AS mid
+          FROM banded q JOIN banded c ON q.band = c.band
+          WHERE q.doc_id IN (SELECT doc_id FROM self1) AND c.doc_id % 4 = 0),
+m1 AS (SELECT DISTINCT candc.qid
+       FROM candc
+       JOIN g gq ON gq.doc_id = candc.qid
+       JOIN g gc ON gc.doc_id = candc.mid
+       WHERE CAST({agree} AS DOUBLE) / 16.0 >= 0.5),
+surv1 AS (SELECT doc_id FROM self1 WHERE doc_id NOT IN (SELECT qid FROM m1)),
+grown AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0
+          UNION ALL SELECT doc_id FROM surv1),
+cand2 AS (SELECT DISTINCT q.doc_id AS doc_id, c.doc_id AS match_id
+          FROM banded q JOIN banded c ON q.band = c.band
+          WHERE q.doc_id % 4 = 2
+            AND c.doc_id IN (SELECT doc_id FROM grown))
+SELECT cand2.doc_id, cand2.match_id, ROUND({exact_j}, 6) AS jaccard
+FROM cand2
+JOIN s sa ON sa.doc_id = cand2.doc_id
+JOIN s sb ON sb.doc_id = cand2.match_id
+WHERE {exact_j} >= 0.5
+"""
+
+
+def q_embedding_neardup_index(spark, sf_dir):
+    """Embedding-modality corpus dedup over a PERSISTED IVF-PQ index
+    (functions/dedup_index.py::embedding_neardup_index, r10 — r9
+    verdict item 5): build the deterministic IVF(16)+PQ(m=8, nbits=4)
+    index over the vec_id >= 20 corpus, persist it partitioned-by-cell
+    (write_ivfpq_index), then probe every vec_id % 7 == 0 corpus vector
+    as an "increment" — cell probe, per-pair integer ADC, auto exact
+    rerank (auto_rerank_k(3, join=True) = 320 — covers every probed
+    candidate here), keep cosine >= 0.9. Every query is itself indexed,
+    so self-matches at 1.0 pin the roundtrip and near neighbors pin the
+    threshold gate. The oracle replays the full composition: both
+    quantizer Lloyd's chains, the per-query probe, ADC, shortlist
+    window, exact-cosine rerank, top-k, threshold."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.functions.dedup_index import embedding_neardup_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    d = tempfile.mkdtemp(prefix="emb_ndidx_")
+    try:
+        path = f"{d}/idx"
+        indexed, cents = ivf_index(corpus, "embedding", n_cells=16,
+                                   seed=42, method="deterministic",
+                                   id_col="vec_id")
+        encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                                  nbits=4, seed=101)
+        write_ivfpq_index(encoded, path, cents, books)
+        inc = emb.filter("vec_id % 7 = 0 AND vec_id >= 20").select(
+            F.col("vec_id").alias("qid"), "embedding")
+        out = embedding_neardup_index(
+            spark, path, inc, "qid", "embedding", "vec_id", "embedding",
+            threshold=0.9, n_probe=4, k=3)
+        return spark.createDataFrame(
+            [(r["qid"], r["match_id"], r["score"]) for r in out.collect()],
+            "qid long, match_id long, score double",
+        ).select("qid", F.col("match_id").cast("long").alias("match_id"),
+                 F.round(F.col("score"), 6).alias("score"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_embedding_neardup_index(d: int) -> str:
+    m, nbits, iters = 8, 4, 3
+    k, n_probe, rerank, tau = 3, 4, 320, 0.9
+    sub = d // m
+    pdist = " + ".join(
+        f"(l.xq[{j}]-c3.v[{j}])*(l.xq[{j}]-c3.v[{j}])"
+        for j in range(1, d + 1)
+    )
+    pq_chains = [
+        _sql_kmeans_ctes(
+            k=2 ** nbits, iters=iters, seed=101 + s, d=sub,
+            emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+            p=f"eq{s}_", train_where="vec_id >= 20")
+        for s in range(m)
+    ]
+    pair_joins = " ".join(
+        f"JOIN eq{s}_p lp{s} ON lp{s}.vec_id = l.qid "
+        f"JOIN eq{s}_afinal ra{s} ON ra{s}.vec_id = rc.match_id "
+        f"JOIN eq{s}_c{iters} cc{s} ON cc{s}.c = ra{s}.c"
+        for s in range(m)
+    )
+    adc = " + ".join(
+        f"(lp{s}.xq[{j}]-cc{s}.v[{j}])*(lp{s}.xq[{j}]-cc{s}.v[{j}])"
+        for s in range(m) for j in range(1, sub + 1)
+    )
+    return f"""
+WITH {_sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d,
+                       train_where="vec_id >= 20")},
+{",".join(pq_chains)},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+probe AS (
+  SELECT l.vec_id AS qid, c3.c,
+         row_number() OVER (PARTITION BY l.vec_id
+                            ORDER BY {pdist}, c3.c) AS pr
+  FROM (SELECT vec_id, xq FROM p
+        WHERE vec_id % 7 = 0 AND vec_id >= 20) l, c3
+),
+pc AS (SELECT qid, c FROM probe WHERE pr <= {n_probe}),
+rc AS (SELECT vec_id AS match_id, c FROM afinal WHERE vec_id >= 20),
+cand AS (
+  SELECT l.qid, rc.match_id, CAST({adc} AS BIGINT) AS pq_dist
+  FROM (SELECT vec_id AS qid FROM e
+        WHERE vec_id % 7 = 0 AND vec_id >= 20) l
+  JOIN pc ON pc.qid = l.qid
+  JOIN rc ON rc.c = pc.c
+  {pair_joins}
+),
+short AS (
+  SELECT qid, match_id FROM (
+    SELECT qid, match_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY pq_dist, match_id) AS rk
+    FROM cand) WHERE rk <= {rerank}
+),
+fin AS (
+  SELECT s.qid, s.match_id,
+         ROUND({_sql_cosine('lv.v', 'rv.v')}, 6) AS score
+  FROM short s
+  JOIN e lv ON lv.vec_id = s.qid
+  JOIN e rv ON rv.vec_id = s.match_id
+),
+rk AS (SELECT qid, match_id, score,
+       row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, match_id) AS rank
+       FROM fin)
+SELECT qid, CAST(match_id AS BIGINT) AS match_id, score
+FROM rk WHERE rank <= {k} AND score >= {tau}
 """
 
 
@@ -3520,23 +3751,83 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-9 rotation. The driver checks at most the FIRST 50
-        # entries in dict order, so: (a) the 3 NEW r9 rows sit first
-        # (ivfpq_compacted lifecycle composition, write_shards
-        # file-layout read-back, bucketed_join_coalesced mismatched
-        # bucket counts); (b) the 34 entries whose last green row is r7
-        # (the r8 tail) rotate back in — the staleness test caps rows
-        # at 2 rounds old; (c) every query whose MODULE was edited this
-        # round is inside the window — functions/ann.py (r8-advice
-        # hardening + staged-commit helpers + auto-rerank raise) and
-        # operators/sem_topk.py (heap-level comparison batching); (d)
-        # the tail (>50) holds ONLY r8-green queries whose modules are
-        # byte-untouched since .round_base.
+        # Round-10 rotation. The driver checks at most the FIRST 50
+        # entries in dict order, so: (a) the 5 NEW r10 rows lead — the
+        # three r9-staged pairs (persisted-MinHash-index probe, its
+        # streaming twin, the ann_join_ivfpq ladder top) plus the two
+        # r9-verdict lifecycle rows (daily-increment end-to-end with
+        # the new exact-verify tier; embedding-modality corpus dedup
+        # over the persisted IVF-PQ index); (b) every query whose
+        # MODULE was edited this round sits inside the window —
+        # functions/ann.py (probed-cell rerank, compact crash guard,
+        # shared auto_rerank_k + join-budget raise) and
+        # operators/sem_topk.py (cross-group lockstep waves); (c) 31 of
+        # the 37 r8-row holders at the 2-round staleness limit rotate
+        # back in; the remaining 6 (pure-SQL relational rows on
+        # byte-untouched modules) carry builder-recorded CHECKS_r10
+        # rows instead (tools/check_oracle.py --record — the same
+        # re-verification channel the r9 verdict used for its tail
+        # audit); (d) the tail (>50) holds ONLY queries green in r9 or
+        # CHECKS_r10 whose modules are byte-untouched since
+        # .round_base.
         # -- NEW this round --------------------------------------------
+        "neardup_index": q_neardup_index,
+        "neardup_index_stream": q_neardup_index_stream,
+        "neardup_index_lifecycle": q_neardup_index_lifecycle,
+        "embedding_neardup_index": q_embedding_neardup_index,
+        "ann_join_ivfpq": q_ann_join_ivfpq,
+        # -- functions/ann.py edited this round ------------------------
         "ivfpq_compacted": q_ivfpq_compacted,
+        "ivfpq_incremental": q_ivfpq_incremental,
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "knn_pq": q_knn_pq,
+        "knn_ivf": q_knn_ivf,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "ann_join_pq": q_ann_join_pq,
+        "ann_join_ivf": q_ann_join_ivf,
+        "hybrid_search": q_hybrid_search,
+        # -- operators/sem_topk.py edited this round -------------------
+        "sem_topk": q_sem_topk,
+        "sem_topk_quicksem": q_sem_topk_quicksem,
+        # -- r8-row holders at the 2-round staleness limit -------------
+        "sem_join_cascade_routed": q_sem_join_cascade_routed,
+        "agentic_mapreduce": q_agentic_mapreduce,
+        "streaming_neardup": q_streaming_neardup,
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,
+        "bucketed_join": q_bucketed_join,
+        "shard_for_training": q_shard_for_training,
+        "filter_reorder": q_filter_reorder,
+        "sem_index_roundtrip": q_sem_index_roundtrip,
+        "sem_partition_agg": q_sem_partition_agg,
+        "span_dedup": q_span_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "paragraph_dedup": q_paragraph_dedup,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ngram_stats": q_ngram_stats,
+        "contamination": q_contamination,
+        "embedding_neardup": q_embedding_neardup,
+        "dedupe_doc_units": q_dedupe_doc_units,
+        "bm25_search": q_bm25_search,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "llm_judge": q_llm_judge,
+        "pairwise_judge": q_pairwise_judge,
+        "sem_sim_join": q_sem_sim_join,
+        "sem_join_cascade": q_sem_join_cascade,
+        "sem_extract": q_sem_extract,
+        "sem_join": q_sem_join,
+        "sem_agg": q_sem_agg,
+        "sem_pipeline": q_sem_pipeline,
+        # -- tail (>50): r9-green (or CHECKS_r10-green for the 6
+        # -- relational rows), modules byte-untouched in round 10 ------
         "write_shards": q_write_shards,
         "bucketed_join_coalesced": q_bucketed_join_coalesced,
-        # -- r7-row holders at the 2-round staleness limit -------------
         "sem_filter": q_sem_filter,
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
@@ -3571,59 +3862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_signals": q_quality_signals,
         "sessionize": q_sessionize,
-        # -- functions/ann.py edited this round ------------------------
-        "ivfpq_incremental": q_ivfpq_incremental,
-        "ivfpq_roundtrip": q_ivfpq_roundtrip,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
-        "knn_pq": q_knn_pq,
-        "knn_ivf": q_knn_ivf,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "ann_join_pq": q_ann_join_pq,
-        "ann_join_ivf": q_ann_join_ivf,
-        "hybrid_search": q_hybrid_search,
-        # -- operators/sem_topk.py edited this round -------------------
-        "sem_topk": q_sem_topk,
-        "sem_topk_quicksem": q_sem_topk_quicksem,
-        # -- tail (>50): r8-green, modules byte-untouched in round 9 ---
-        "sem_join_cascade_routed": q_sem_join_cascade_routed,
-        "agentic_mapreduce": q_agentic_mapreduce,
-        "streaming_neardup": q_streaming_neardup,
-        "streaming_neardup_minhash": q_streaming_neardup_minhash,
-        "bucketed_join": q_bucketed_join,
-        "shard_for_training": q_shard_for_training,
-        "filter_reorder": q_filter_reorder,
-        "sem_index_roundtrip": q_sem_index_roundtrip,
-        "sem_partition_agg": q_sem_partition_agg,
-        "span_dedup": q_span_dedup,
-        "strip_boilerplate": q_strip_boilerplate,
-        "paragraph_dedup": q_paragraph_dedup,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash": q_simhash,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ngram_stats": q_ngram_stats,
-        "contamination": q_contamination,
-        "embedding_neardup": q_embedding_neardup,
-        "dedupe_doc_units": q_dedupe_doc_units,
-        "bm25_search": q_bm25_search,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
+        # CHECKS_r10-covered relational overflow (window arithmetic:
+        # 5 new + 12 ann + 2 sem_topk + 31 = 50; these 6 pure-SQL rows
+        # on untouched modules took the builder-recorded channel)
         "time_rollup": q_time_rollup,
         "customers_no_orders": q_customers_no_orders,
         "orders_rollup": q_orders_rollup,
         "top_revenue": q_top_revenue,
         "region_revenue": q_region_revenue,
         "events_hourly": q_events_hourly,
-        "llm_judge": q_llm_judge,
-        "pairwise_judge": q_pairwise_judge,
-        "sem_sim_join": q_sem_sim_join,
-        "sem_join_cascade": q_sem_join_cascade,
-        "sem_extract": q_sem_extract,
-        "sem_join": q_sem_join,
-        "sem_agg": q_sem_agg,
-        "sem_pipeline": q_sem_pipeline,
     }
 
 
@@ -4172,6 +4419,11 @@ def oracle_sql() -> dict[str, str]:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     sqls = {
+        "neardup_index": _sql_neardup_index(),
+        "neardup_index_stream": _sql_neardup_index(),  # stream == batch replay
+        "neardup_index_lifecycle": _sql_neardup_index_lifecycle(),
+        "embedding_neardup_index": _sql_embedding_neardup_index(64),
+        "ann_join_ivfpq": _sql_ann_join_ivfpq(64),
         "span_dedup": _SQL_SPAN_DEDUP,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "perplexity_bucket": _SQL_PERPLEXITY_BUCKET,

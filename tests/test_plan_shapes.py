@@ -400,3 +400,29 @@ def test_minhash_index_probe_shuffles_are_narrow(spark, tmp_path, docs):
         if "hashpartitioning(band" in args:
             assert "minhash" not in cols and "__qsig" not in cols \
                 and "__msig" not in cols, (args, cols)
+
+
+def test_minhash_index_exact_verify_text_only_in_id_join(
+        spark, tmp_path, docs):
+    """The r10 exact-verify tier's scale claim: corpus text enters the
+    plan ONLY through the candidate-bounded by-id join — the band
+    equi-join still shuffles nothing but (band, id), and no shingle
+    arrays ride the band shuffle either (shingling happens after the
+    candidate set is fixed)."""
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+
+    path = str(tmp_path / "mhidx_exact")
+    write_minhash_index(docs, path, "text", "doc_id",
+                        n_hashes=8, bands=2)
+    out = neardup_join_index(spark, path, docs, "text", "doc_id",
+                             threshold=0.5, verify="exact",
+                             corpus_df=docs)
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for args, cols in exchanges(plan):
+        if "hashpartitioning(band" in args:
+            assert "text" not in cols, (args, cols)
+            assert "__qsh" not in cols and "__csh" not in cols, (args, cols)

@@ -4,10 +4,18 @@ Runs every ``queries()`` entry and its ``oracle_sql()`` twin at a given
 sf dir, compares row count, schema (column names), and an order-insensitive
 value hash (columns sorted by name, rows sorted, values stringified with
 float rounding). Usage:  python tools/check_oracle.py [sf_dir] [name ...]
+
+``--record OUT.json`` additionally writes the per-query results in the
+driver's CORRECTNESS format. Recording into ``CHECKS_r<N>.json`` at the
+repo root is the builder-side re-verification channel the registry
+staleness meta-test accepts for tail (>50) entries whose driver row
+aged past two rounds — the same audit the r9 verdict ran by hand over
+the whole tail. Only use it at the DRIVER's sf (0.01).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -34,8 +42,14 @@ def canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    record_path = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        record_path = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     import os
 
     os.environ["SPARK_GRAFT_SF_DIR"] = sf_dir
@@ -54,6 +68,16 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    record: dict = {}
+
+    def rec(name, *, rows=False, schema=False, hashm=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {
+            "rows_match": rows, "schema_match": schema,
+            "hash_match": hashm, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -62,37 +86,52 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            rec(name, err=f"spark: {type(e).__name__}: {e}")
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
         dt = time.time() - t0
         if name not in oracles:
             status = "ROWS-ONLY" if len(sdf) >= 0 else "EMPTY"
+            rec(name, rows=len(sdf) >= 0, schema=True, hashm=None,
+                spark_rows=len(sdf))
             print(f"{status:5s} {name}: rows={len(sdf)} ({dt:.1f}s)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
+            rec(name, spark_rows=len(sdf), err=f"oracle: {e}")
             print(f"FAIL  {name}: oracle error: {e}")
             continue
         a, b = canon(sdf), canon(odf)
         if list(a.columns) != list(b.columns):
             failures.append(name)
+            rec(name, spark_rows=len(a), oracle_rows=len(b),
+                err="schema mismatch")
             print(f"FAIL  {name}: cols spark={list(a.columns)} oracle={list(b.columns)}")
             continue
         if len(a) != len(b):
             failures.append(name)
+            rec(name, schema=True, spark_rows=len(a), oracle_rows=len(b))
             print(f"FAIL  {name}: rows spark={len(a)} oracle={len(b)}")
             continue
         if not a.equals(b):
             neq = (a != b).any(axis=1)
             failures.append(name)
+            rec(name, rows=True, schema=True, spark_rows=len(a),
+                oracle_rows=len(b))
             print(f"FAIL  {name}: {int(neq.sum())}/{len(a)} rows differ; first:")
             i = neq.idxmax()
             print("  spark :", a.loc[i].to_dict())
             print("  oracle:", b.loc[i].to_dict())
             continue
+        rec(name, rows=True, schema=True, hashm=True,
+            spark_rows=len(a), oracle_rows=len(b))
         print(f"OK    {name}: rows={len(a)} ({dt:.1f}s)")
+    if record_path:
+        with open(record_path, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"recorded {len(record)} results -> {record_path}")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 

@@ -67,6 +67,16 @@ def main() -> None:
                 neardup_join_index(spark, path, inc, "text", "doc_id",
                                    threshold=0.5).count()
                 probes.append(time.time() - t0)
+            # r10 exact-verify tier: same candidates, true shingle
+            # Jaccard against corpus text joined by matched id — the
+            # estimator/exact wall trade, measured
+            probes_exact = []
+            for _ in range(3):
+                t0 = time.time()
+                neardup_join_index(spark, path, inc, "text", "doc_id",
+                                   threshold=0.5, verify="exact",
+                                   corpus_df=corpus).count()
+                probes_exact.append(time.time() - t0)
             # the alternative the index replaces: self-dedup of
             # corpus + increment from scratch (once; it's the slow arm)
             t0 = time.time()
@@ -78,6 +88,8 @@ def main() -> None:
                 "write_sec": round(t_write, 2),
                 "probe_sec_best": round(min(probes), 2),
                 "probe_secs": [round(p, 2) for p in probes],
+                "probe_exact_sec_best": round(min(probes_exact), 2),
+                "probe_exact_secs": [round(p, 2) for p in probes_exact],
                 "rededup_from_scratch_sec": round(t_rededup, 2),
             }
     finally:
@@ -95,8 +107,14 @@ def main() -> None:
                  "tables so its wall should grow far slower than 10x, "
                  "while re-running the self-dedup over corpus+increment "
                  "(the shape the index replaces) pays the corpus every "
-                 "day; write_sec is the one-time index cost"),
+                 "day; write_sec is the one-time index cost; "
+                 "probe_exact_* is the r10 verify='exact' tier (true "
+                 "shingle Jaccard, corpus text joined by matched id) — "
+                 "the estimator/exact wall trade at both corpus sizes"),
     }
+    # keep the estimator-quality addendum in the artifact (it was merged
+    # in manually in r9; recompute so a re-run never silently drops it)
+    rec["estimator_vs_exact"] = estimator_vs_exact(sf_dir)
     with open(os.path.join(ROOT, "BENCH_mhindex.json"), "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec))
