@@ -120,10 +120,6 @@ def main() -> None:
     print(json.dumps(rec))
 
 
-if __name__ == "__main__":
-    main()
-
-
 def estimator_vs_exact(sf_dir: str = "/root/testdata/sf0.1") -> dict:
     """How good is the signature-agreement verify RELATIVE to the exact
     shingle-Jaccard verify it replaces, on the same candidate set?
@@ -187,3 +183,7 @@ def estimator_vs_exact(sf_dir: str = "/root/testdata/sf0.1") -> dict:
             "tp": tp, "fp": fp, "fn": fn,
         }
     return out
+
+
+if __name__ == "__main__":
+    main()
