@@ -173,6 +173,74 @@ def append_minhash_index(
     sigs.write.mode("append").parquet(f"{path}/sigs")
 
 
+def compact_minhash_index(
+    spark, path: str, target_file_bytes: int = 128 << 20,
+) -> None:
+    """Small-files maintenance for a persisted MinHash-LSH index: every
+    ``append_minhash_index`` (a daily operation by design) adds new
+    parquet files to ``buckets/`` and ``sigs/``, and a long-lived index
+    degrades into thousands of tiny files — scans become file-open
+    bound, the same pathology ``compact_ivfpq_index`` fixes for the
+    vector index. Rewrites each table to ``ceil(bytes /
+    target_file_bytes)`` files (repartition — row set unchanged),
+    copies the parameter sidecar, VERIFIES both row counts, then swaps
+    via two FS renames. Same recoverable non-atomic-swap contract as
+    ``compact_ivfpq_index``: a crash between the renames leaves the old
+    index at ``<path>.old-*`` and data is never deleted before the new
+    copy is verified. Single-writer: do not run concurrently with an
+    appender or while a ``neardup_matches_stream`` query holds the old
+    files cached (release the cache and restart the probe after)."""
+    import math
+    import uuid
+
+    from lotus_spark.functions.ann import _fs_write_json
+
+    meta = read_minhash_meta(spark, path)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = _p(path).getFileSystem(conf)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+
+    counts = {}
+    for table in ("buckets", "sigs"):
+        src = f"{path}/{table}"
+        df = spark.read.parquet(src)
+        counts[table] = df.count()
+        n_bytes = fs.getContentSummary(_p(src)).getLength()
+        n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+        df.repartition(n_files).write.parquet(f"{tmp}/{table}")
+    _fs_write_json(spark, f"{tmp}/{_META}", meta)
+
+    for table in ("buckets", "sigs"):
+        n_after = spark.read.parquet(f"{tmp}/{table}").count()
+        if n_after != counts[table]:
+            fs.delete(_p(tmp), True)
+            raise RuntimeError(
+                f"compact_minhash_index: compacted {table} has {n_after} "
+                f"rows, expected {counts[table]}; original untouched")
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(_p(path), _p(old)):
+        fs.delete(_p(tmp), True)
+        raise RuntimeError(f"compact_minhash_index: could not move {path}")
+    if not fs.rename(_p(tmp), _p(path)):
+        if not fs.rename(_p(old), _p(path)):  # roll back
+            raise RuntimeError(
+                f"compact_minhash_index: could not install compacted index "
+                f"AND the rollback rename failed — data intact at {old} "
+                f"(original) and {tmp} (compacted); rename one back to "
+                f"{path} by hand")
+        fs.delete(_p(tmp), True)
+        raise RuntimeError(
+            "compact_minhash_index: could not install compacted index; "
+            "original restored")
+    fs.delete(_p(old), True)
+
+
 def neardup_join_index(
     spark,
     path: str,

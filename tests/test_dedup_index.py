@@ -434,3 +434,104 @@ def test_neardup_index_exact_verify_parity_and_recall(spark, tmp_path):
     with pytest.raises(ValueError, match="estimate"):
         neardup_join_index(spark, path, inc, "text", "doc_id",
                            verify="bogus")
+
+
+def test_compact_minhash_index_preserves_rows_and_answers(spark, tmp_path):
+    """compact_minhash_index (r10): after daily appends both tables hold
+    many small files; compaction coalesces them (row set identical in
+    buckets AND sigs, sidecar preserved, probe answers unchanged, no
+    leaked .compact-/.old- siblings)."""
+    import os
+
+    from lotus_spark.functions.dedup_index import (
+        append_minhash_index, compact_minhash_index, neardup_join_index,
+        read_minhash_meta, write_minhash_index,
+    )
+
+    path = str(tmp_path / "mh_compact")
+    write_minhash_index(_docs(spark, BASE[:1]), path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    for row in BASE[1:]:                       # three daily appends
+        append_minhash_index(spark, path, _docs(spark, [row]),
+                             "text", "doc_id")
+
+    def n_files(table):
+        return sum(1 for f in os.listdir(os.path.join(path, table))
+                   if f.endswith(".parquet"))
+
+    assert n_files("buckets") > 1 and n_files("sigs") > 1
+
+    before = {
+        t: sorted(map(str, spark.read.parquet(f"{path}/{t}").collect()))
+        for t in ("buckets", "sigs")
+    }
+    probe_df = _docs(spark, [(101, BASE[1][1])])
+    ans_before = sorted(map(tuple, neardup_join_index(
+        spark, path, probe_df, "text", "doc_id", threshold=0.5).collect()))
+
+    compact_minhash_index(spark, path)
+
+    assert n_files("buckets") == 1 and n_files("sigs") == 1
+    after = {
+        t: sorted(map(str, spark.read.parquet(f"{path}/{t}").collect()))
+        for t in ("buckets", "sigs")
+    }
+    assert after == before
+    meta = read_minhash_meta(spark, path)
+    assert meta["n_hashes"] == 16 and meta["bands"] == 4
+    ans_after = sorted(map(tuple, neardup_join_index(
+        spark, path, probe_df, "text", "doc_id", threshold=0.5).collect()))
+    assert ans_after == ans_before
+    assert not [d for d in os.listdir(str(tmp_path))
+                if ".compact-" in d or ".old-" in d]
+
+
+def test_stream_gate_foreachbatch_dedup_against_index(spark, tmp_path):
+    """The documented streaming GATE shape (neardup_matches_stream
+    docstring): keep-only-novel is foreachBatch + dedup_against_index
+    per micro-batch — the batch operator verbatim against the persisted
+    index, novel rows appended to the sink, corpus matches dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup_index import (
+        dedup_against_index, write_minhash_index,
+    )
+
+    corpus = _docs(spark, BASE)
+    path = str(tmp_path / "gate_idx")
+    write_minhash_index(corpus, path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+
+    inc_rows = [
+        (101, BASE[0][1]),                                   # dup of 1
+        (102, "fresh prose about tidal energy conversion efficiency"),
+        (103, BASE[2][1] + " today"),       # near dup of 3 (J = 7/8)
+        (104, "another novel paragraph on glacier mass balance models"),
+    ]
+    src = str(tmp_path / "gate_src")
+    os.makedirs(src)
+    stage = str(tmp_path / "gate_stage")
+    (spark.createDataFrame(inc_rows, "doc_id long, text string")
+     .coalesce(1).write.parquet(stage))
+    part = next(g for g in os.listdir(stage) if g.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "inc.parquet"))
+
+    sink = str(tmp_path / "gate_out")
+    ckpt = str(tmp_path / "gate_ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+
+    def gate(batch_df, batch_id):
+        kept = dedup_against_index(
+            batch_df.sparkSession, path, batch_df, "text", "doc_id",
+            threshold=0.5)
+        kept.write.mode("append").parquet(sink)
+
+    q = (stream.writeStream.foreachBatch(gate)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {102, 104}
