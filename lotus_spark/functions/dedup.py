@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lotus_spark.functions.text import MOD, shingle_hash, word_shingles
@@ -36,13 +36,23 @@ from lotus_spark.partitioning import ensure_parallelism  # noqa: F401  (re-expor
 
 
 def exact_dedup(df: DataFrame, col: str, id_col: str) -> DataFrame:
-    """Keep the min-id row per exact value of ``col`` (hash-aggregate dedup)."""
-    w = Window.partitionBy(col).orderBy(F.asc(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep the min-id row per exact value of ``col`` (hash-aggregate dedup).
+
+    Shape (r10): aggregate + semi-join, NOT a window over ``col`` — a
+    window partitioned on the text puts every copy of a hot value
+    (boilerplate repeated millions of times in a real crawl) into ONE
+    task, which AQE cannot split. The aggregate computes min-id per
+    value with map-side combine (hot keys reduce before the shuffle);
+    the semi-join keys on the UNIQUE id, so no stage carries a skewed
+    partition. Requires ``id_col`` to be unique (the dedup contract
+    everywhere in this module)."""
+    keep = (
+        df.select(col, id_col)
+        .groupBy(col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(keep, id_col, "semi")
 
 
 def minhash_expr(col: Column, n_hashes: int = 16,
@@ -100,13 +110,46 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """MinHash + LSH near-duplicate removal; keeps min-id per duplicate group.
 
-    signature → ``bands`` band-keys → explode → groupBy band bucket →
-    candidate pairs inside buckets → exact Jaccard verify on shingle sets →
-    connected components → anti-join removals.
+    exact-collapse → signature → ``bands`` band-keys → explode → groupBy
+    band bucket → candidate pairs inside buckets → exact Jaccard verify
+    on shingle sets → connected components → anti-join removals.
+
+    HOT-BUCKET GUARD (r10, the exact-collapse prefix): a group of m
+    IDENTICAL texts shares every band bucket, so the banded self-join
+    alone would emit m²/2 candidate pairs — the classic LSH pathology on
+    real crawls, where one boilerplate page repeats millions of times
+    and would turn the candidate stage quadratic. Identical texts are
+    J=1 duplicates of their group minimum by definition, so each exact
+    group first collapses to its min-id representative (one linear
+    aggregate + skew-splittable join — no text-partitioned window), the
+    banded pipeline runs over representatives only, and non-
+    representatives join the removal set directly. The result is
+    IDENTICAL to running the full pipeline: a component's keep id =
+    min over members = min over its representatives, and even the
+    degenerate groups (identical NULL or sub-shingle texts, which the
+    banded stage dedups through their identical constant signatures)
+    collapse to the same min-id survivor. Pinned by
+    ``test_minhash_lsh_dedup_exact_collapse_semantics`` and the
+    unchanged oracle row.
     """
     from lotus_spark.operators.sem_dedup import connected_components_edges
 
-    sigd = minhash_signature(df, col, n_hashes, shingle_n)
+    grp = df.groupBy(col).agg(F.min(id_col).alias("__keep"))
+    # null-safe equality so NULL texts collapse as one exact group too —
+    # the same outcome the banded stage always gave them (identical
+    # constant signatures verify as duplicates); hot exact-groups are an
+    # AQE-splittable join here, never a text-partitioned window
+    tagged = df.join(
+        grp.withColumnRenamed(col, "__gcol"),
+        F.col(col).eqNullSafe(F.col("__gcol")),
+    ).drop("__gcol")
+    reps = tagged.filter(F.col(id_col) == F.col("__keep")).drop("__keep")
+    exact_rm = (
+        tagged.filter(F.col(id_col) != F.col("__keep"))
+        .select(F.col(id_col))
+    )
+
+    sigd = minhash_signature(reps, col, n_hashes, shingle_n)
     sigd = sigd.withColumn("__shingles", word_shingles(F.col(col), shingle_n))
 
     band_keys = minhash_band_keys(F.col("minhash"), n_hashes, bands)
@@ -147,6 +190,7 @@ def minhash_lsh_dedup(
         .join(comps, "component")
         .filter(F.col("id") != F.col("keep"))
         .select(F.col("id").alias(id_col))
+        .unionByName(exact_rm)  # collapsed exact duplicates
     )
     return df.join(removal, id_col, "left_anti")
 

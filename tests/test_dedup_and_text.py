@@ -506,3 +506,52 @@ def test_strip_boilerplate_validation(spark):
         strip_boilerplate(df, "text", "doc_id", "source", min_frac=0.0)
     with pytest.raises(ValueError):
         strip_boilerplate(df, "text", "doc_id", "source", min_frac=1.5)
+
+
+def test_minhash_lsh_dedup_exact_collapse_semantics(spark):
+    """r10 hot-bucket guard: identical texts collapse to their min-id
+    representative BEFORE banding (a group of m exact copies would
+    otherwise emit m^2/2 candidate pairs through the band self-join).
+    Results must equal the uncollapsed pipeline: min id survives per
+    duplicate group, near-dups still merge ACROSS an exact group via
+    its representative, and NULL / sub-shingle identical texts dedup as
+    one exact group — the same outcome the banded stage always gave
+    them (identical constant signatures verify as duplicates)."""
+    from lotus_spark.functions.dedup import minhash_lsh_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning")
+    near = base.replace("morning", "evening")
+    rows = (
+        [(i, base) for i in range(10, 20)]       # exact group, min id 10
+        + [(5, near)]                             # near-dup, smaller id
+        + [(30, "completely different content about cooking pasta")]
+        + [(40, None), (41, None)]                # nulls: never dedup
+        + [(50, "xy"), (51, "xy")]                # sub-shingle identical
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in minhash_lsh_dedup(
+        df, "text", "doc_id", n_hashes=16, bands=4, shingle_n=3,
+        jaccard_threshold=0.5).collect()}
+    # 5 is the component min (near-dup of the exact group's rep 10);
+    # the other 9 exact copies and rep 10 itself are removals; the null
+    # pair and the sub-shingle pair each keep their min id
+    assert kept == {5, 30, 40, 50}
+
+
+def test_exact_dedup_aggregate_shape_and_nulls(spark):
+    """r10: exact_dedup is an aggregate + id semi-join, not a window
+    over the text (a hot value's copies would all land in one task).
+    Semantics pinned: min id per value, nulls form one group, every
+    column of the kept row survives."""
+    from lotus_spark.functions.dedup import exact_dedup
+
+    rows = [(3, "a", "p3"), (1, "a", "p1"), (2, "b", "p2"),
+            (9, None, "p9"), (7, None, "p7")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, payload string")
+    got = {(r["doc_id"], r["payload"]) for r in
+           exact_dedup(df, "text", "doc_id").collect()}
+    assert got == {(1, "p1"), (2, "p2"), (7, "p7")}
+    plan = exact_dedup(df, "text", "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
