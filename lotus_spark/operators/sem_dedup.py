@@ -4,8 +4,13 @@ Reference semantics (``lotus/sem_ops/sem_dedup.py:32-91``): self sim-join,
 keep pairs with ``_scores > threshold``, build the duplicate graph, connected
 components, drop all but one representative (minimum id) per component.
 
-Spark design: embeddings → pair generation → connected components. Pair
-generation never emits a cartesian/BroadcastNestedLoop stage:
+Spark design: exact-collapse → embeddings → pair generation → connected
+components. The collapse (r10, hot-group guard): for threshold < 1,
+identical inputs are duplicates of their min-id representative by
+construction, so each exact group collapses BEFORE embedding — the RM
+embeds each distinct value once and no pair block goes quadratic in a
+hot value's multiplicity (zero-norm groups excluded; see sem_dedup).
+Pair generation never emits a cartesian/BroadcastNestedLoop stage:
 
 - ``strategy="exact"`` — chunk-pair blocking (``functions.dedup.scored_pairs``):
   rows hash into memory-bounded chunks, every chunk-pair is one
@@ -133,10 +138,59 @@ def sem_dedup(
         id_col = "__dedup_id"
         work = work.withColumn(id_col, F.monotonically_increasing_id())
         work = work.localCheckpoint()  # freeze ids across the self-join
+    full = work  # pre-collapse frame: the anti-join target at the end
+
+    # EXACT-COLLAPSE PREFIX (r10 — the hot-group guard, same shape as
+    # minhash_lsh_dedup's): identical inputs embed identically, so for
+    # threshold < 1 every copy is a duplicate of its group's min-id
+    # representative BY CONSTRUCTION (cosine of a nonzero vector with
+    # itself is 1). Collapsing first — one aggregate + AQE-splittable
+    # null-safe join, never a value-partitioned window — means the RM
+    # embeds each distinct value ONCE (m copies of one boilerplate page
+    # previously cost m embeddings) and the pair stage's blocks are
+    # bounded by distinct-value multiplicity instead of going quadratic
+    # inside the hot LSH bucket / chunk every copy lands in. The
+    # zero-norm corner is excluded below (scored_pairs gives a zero
+    # embedding cosine 0 with itself, not 1, so those groups must NOT
+    # collapse); at thresholds within float-fold ulps of 1.0 the
+    # collapse uses the mathematical cosine(e,e)=1 rather than the
+    # fold's rounding. emb_col-supplied rows collapse on the EMBEDDING
+    # (caller-provided vectors need not be determined by ``col``).
+    exact_rm = None
+    if threshold < 1.0:
+        key = emb_col if emb_col is not None else col
+        grp = work.groupBy(key).agg(F.min(id_col).alias("__keep"))
+        tagged = work.join(
+            grp.withColumnRenamed(key, "__gkey"),
+            F.col(key).eqNullSafe(F.col("__gkey")),
+        ).drop("__gkey")
+        work = tagged.filter(F.col(id_col) == F.col("__keep")) \
+                     .drop("__keep")
+        exact_rm = (
+            tagged.filter(F.col(id_col) != F.col("__keep"))
+            .select(F.col(id_col), F.col("__keep"))
+        )
+
     ecol = emb_col
     if ecol is None:
         work = with_embeddings(work, col, _resolve_rm(rm), "__emb")
         ecol = "__emb"
+
+    if exact_rm is not None:
+        # groups whose representative embeds to the ZERO vector keep all
+        # their members: the uncollapsed pipeline scores cosine(0,0)=0,
+        # never > threshold
+        sumsq = F.aggregate(
+            F.col(ecol).cast("array<double>"), F.lit(0.0),
+            lambda acc, x: acc + x * x)
+        zero_reps = work.filter(sumsq == 0.0) \
+                        .select(F.col(id_col).alias("__zk"))
+        exact_rm = (
+            exact_rm.join(zero_reps,
+                          exact_rm["__keep"] == zero_reps["__zk"],
+                          "left_anti")
+            .select(id_col)
+        )
 
     if strategy == "auto":
         # bounded count: scans at most exact_max+1 rows, never the full table
@@ -165,10 +219,9 @@ def sem_dedup(
         .filter(F.col("id") != F.col("keep"))
         .select(F.col("id").alias(id_col))
     )
-    out = work.join(removal, id_col, "left_anti")
-    drops = []
-    if emb_col is None:
-        drops.append("__emb")
-    if own_id:
-        drops.append(id_col)
-    return out.drop(*drops) if drops else out
+    if exact_rm is not None:
+        removal = removal.unionByName(exact_rm)
+    # anti-join the PRE-collapse frame: survivors keep their original
+    # columns (the derived __emb only ever existed on the rep subset)
+    out = full.join(removal, id_col, "left_anti")
+    return out.drop(id_col) if own_id else out

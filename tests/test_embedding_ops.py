@@ -748,3 +748,34 @@ def test_sem_sim_join_auto_all_null_embeddings_fails_loudly(spark):
                      left_emb_col="lemb", right_emb_col="remb",
                      tie_break="rid", strategy="auto",
                      broadcast_max_rows=10).collect()
+
+
+def test_sem_dedup_exact_collapse_and_corners(spark):
+    """r10 hot-group guard in sem_dedup: exact-equal embeddings collapse
+    to their min-id representative before the pair stage (and, on the
+    text path, before the RM embeds the copies). Corners pinned: the
+    ZERO-norm group does NOT collapse (the uncollapsed pipeline scores
+    cosine(0,0)=0, never > threshold), near-dups still merge through a
+    group's representative, and threshold=1.0 disables the collapse
+    entirely (strict >, so even exact copies are not duplicates)."""
+    from lotus_spark.operators.sem_dedup import sem_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),          # exact dup of 1
+        (3, [0.999, 0.01]),       # near-dup of the group's rep
+        (40, [0.0, 0.0]),
+        (41, [0.0, 0.0]),         # zero-norm twins: both kept
+        (50, [0.0, 1.0]),
+        (51, [0.0, 1.0]),         # exact dup of 50
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+    kept = {r["doc_id"] for r in sem_dedup(
+        df, "emb", threshold=0.8, id_col="doc_id", emb_col="emb",
+        strategy="exact").collect()}
+    assert kept == {1, 40, 41, 50}
+
+    kept_strict = {r["doc_id"] for r in sem_dedup(
+        df, "emb", threshold=1.0, id_col="doc_id", emb_col="emb",
+        strategy="exact").collect()}
+    assert kept_strict == {1, 2, 3, 40, 41, 50, 51}
