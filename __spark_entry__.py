@@ -3820,7 +3820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on builder-recorded CHECKS_r10 rows
         "exact_dedup": q_exact_dedup,
         "pipeline_clean": q_pipeline_clean,
-        "llm_judge": q_llm_judge,
+        # operators/sem_dedup.py edited this round (exact-collapse
+        # prefix) — its tail importer swaps in; llm_judge (untouched
+        # judge.py) tails out on a recorded CHECKS_r10 row
+        "sem_dedup": q_sem_dedup,
         "pairwise_judge": q_pairwise_judge,
         "sem_sim_join": q_sem_sim_join,
         "sem_join_cascade": q_sem_join_cascade,
@@ -3858,7 +3861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_priorities": q_distinct_priorities,
         "supplier_intersect": q_supplier_intersect,
         "sem_cluster_by": q_sem_cluster,
-        "sem_dedup": q_sem_dedup,
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
         "text_stats": q_text_stats,
@@ -3868,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 5 new + 12 ann + 2 sem_topk + 31 = 50; these 6 pure-SQL rows
         # on untouched modules took the builder-recorded channel)
         "time_rollup": q_time_rollup,
+        "llm_judge": q_llm_judge,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "customers_no_orders": q_customers_no_orders,

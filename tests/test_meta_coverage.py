@@ -147,6 +147,8 @@ def test_registry_tail_modules_untouched_this_round():
         pytest.skip("git unavailable or base commit unknown")
     changed_files = set(changed)
 
+    import importlib
+
     entry = __import__("__spark_entry__")
     qs = entry.queries()
     violations = []
@@ -155,9 +157,35 @@ def test_registry_tail_modules_untouched_this_round():
             continue
         src = inspect.getsource(fn)
         for m in _IMPORT_RE.finditer(src):
-            path = m.group(1).replace(".", "/") + ".py"
-            if path in changed_files:
-                violations.append((name, path))
+            mod = m.group(1)
+            paths = set()
+            mod_path = mod.replace(".", "/") + ".py"
+            # package-level re-exports (`from lotus_spark import X`)
+            # must resolve to the module that DEFINES each name — the
+            # package path alone would let an edited operator module
+            # slip through the tail (r10 hardening)
+            pkg_init = mod.replace(".", "/") + "/__init__.py"
+            if (Path(TESTS_DIR.parent) / pkg_init).exists():
+                paths.add(pkg_init)
+                pkg = importlib.import_module(mod)
+                imported = m.group(2) or m.group(3) or ""
+                for nm in imported.split(","):
+                    nm = nm.strip()
+                    obj = getattr(pkg, nm, None) if nm else None
+                    target = inspect.getmodule(obj)
+                    tfile = getattr(target, "__file__", None)
+                    if tfile:
+                        try:
+                            rel = Path(tfile).resolve().relative_to(
+                                Path(TESTS_DIR.parent).resolve())
+                            paths.add(str(rel))
+                        except ValueError:
+                            pass
+            else:
+                paths.add(mod_path)
+            for path in paths:
+                if path in changed_files:
+                    violations.append((name, path))
     assert not violations, (
         "tail (>50) queries import modules edited this round — rotate "
         f"them into the driver window: {violations}"
