@@ -426,3 +426,39 @@ def test_minhash_index_exact_verify_text_only_in_id_join(
         if "hashpartitioning(band" in args:
             assert "text" not in cols, (args, cols)
             assert "__qsh" not in cols and "__csh" not in cols, (args, cols)
+
+
+def test_ann_join_ivfpq_prebuilt_rerank_gets_dynamic_partition_pruning(
+        spark, tmp_path):
+    """The r10 probed-cell rerank claim, pinned at the plan level: with
+    a persisted (partitionBy-cell) index, joining the rerank embeddings
+    on (cell, id) — instead of re-scanning the full index by id — lets
+    Catalyst attach dynamicpruningexpression(__ivf_cell IN ...) to the
+    index-side scans, so the rerank inherits the ADC pass's cell
+    pruning at the storage layer."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ann_join_ivfpq, ivf_index, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(300, 8)
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        ["rid", "remb"])
+    indexed, cents = ivf_index(right, "remb", n_cells=8, seed=9,
+                               method="deterministic", id_col="rid")
+    enc, books = pq_index(indexed, "remb", "rid", m=4, nbits=2, seed=5)
+    path = str(tmp_path / "dppidx")
+    write_ivfpq_index(enc, path, cents, books)
+    stored, c2, b2, cell_col = read_ivfpq_index(spark, path)
+    left = spark.createDataFrame(
+        [(900 + j, [float(x) for x in vecs[j * 7]]) for j in range(5)],
+        ["qid", "lemb"])
+    out = ann_join_ivfpq(left, None, "qid", "lemb", "rid", "remb", K=3,
+                         n_probe=2, prebuilt=(stored, c2, b2),
+                         cell_col=cell_col)
+    plan = formatted_plan(out)
+    assert "dynamicpruningexpression(__ivf_cell" in plan
