@@ -555,3 +555,72 @@ def test_exact_dedup_aggregate_shape_and_nulls(spark):
     plan = exact_dedup(df, "text", "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_minhash_lsh_dedup_collapse_equals_uncollapsed_randomized(spark):
+    """Randomized equivalence pin for the r10 exact-collapse prefix:
+    on corpora mixing exact-duplicate groups, near-duplicates, and
+    unique rows (3 fixed seeds), the collapsed pipeline's survivor set
+    equals an inline replica of the PRE-collapse pipeline (the exact
+    code shape shipped through r9) at several thresholds."""
+    import random
+
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup import (
+        minhash_band_keys, minhash_lsh_dedup, minhash_signature,
+    )
+    from lotus_spark.functions.text import word_shingles
+    from lotus_spark.operators.sem_dedup import connected_components_edges
+
+    def uncollapsed(df, col, id_col, n_hashes, bands, shingle_n, tau):
+        sigd = minhash_signature(df, col, n_hashes, shingle_n)
+        sigd = sigd.withColumn(
+            "__shingles", word_shingles(F.col(col), shingle_n))
+        bk = minhash_band_keys(F.col("minhash"), n_hashes, bands)
+        banded = sigd.withColumn(
+            "__band", F.explode(F.array(*bk))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        left = banded.select("__band", F.col(id_col).alias("src"),
+                             F.col("__shingles").alias("__sa"))
+        right = banded.select("__band", F.col(id_col).alias("dst"),
+                              F.col("__shingles").alias("__sb"))
+        cand = (left.join(right, "__band")
+                .filter(F.col("src") < F.col("dst"))
+                .dropDuplicates(["src", "dst"]))
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        union = F.size(F.array_union("__sa", "__sb"))
+        edges = (cand.withColumn(
+            "__j", inter.cast("double") / union.cast("double"))
+            .filter(F.col("__j") >= tau).select("src", "dst"))
+        comps = connected_components_edges(edges)
+        removal = (comps.groupBy("component")
+                   .agg(F.min("id").alias("keep"))
+                   .join(comps, "component")
+                   .filter(F.col("id") != F.col("keep"))
+                   .select(F.col("id").alias(id_col)))
+        return df.join(removal, id_col, "left_anti")
+
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows, next_id = [], 0
+        for g in range(6):
+            base_words = [rng.choice(vocab) for _ in range(12)]
+            copies = rng.choice((1, 1, 2, 8))      # some hot groups
+            text = " ".join(base_words)
+            for _ in range(copies):
+                rows.append((next_id, text)); next_id += 1
+            if rng.random() < 0.5:                  # a near-dup variant
+                v = list(base_words); v[-1] = rng.choice(vocab)
+                rows.append((next_id, " ".join(v))); next_id += 1
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for tau in (0.4, 0.7):
+            a = {r["doc_id"] for r in minhash_lsh_dedup(
+                df, "text", "doc_id", 16, 4, 3, tau).collect()}
+            b = {r["doc_id"] for r in uncollapsed(
+                df, "text", "doc_id", 16, 4, 3, tau).collect()}
+            assert a == b, (seed, tau, a ^ b)
