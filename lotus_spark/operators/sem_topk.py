@@ -365,7 +365,10 @@ def sem_topk(
 ) -> DataFrame:
     """Top-K rows per the NL criterion. ``prefilter_factor=c > 0`` bounds the
     candidate pool to c*K rows by embedding similarity to the instruction
-    (the 'quick-sem' idea) before the LLM tournament.
+    (the 'quick-sem' idea) before the LLM tournament — globally, and (r10)
+    PER GROUP under ``group_by``, so a huge group costs the LM O(cK)
+    comparisons instead of O(|group|); same explicit-``rm`` opt-in both
+    ways.
 
     Driver-collect bound (the LLM tournament is inherently driver-side, as
     in the reference — but the pool must not be the whole table at scale):
@@ -414,9 +417,16 @@ def sem_topk(
             return _heap_topk_gen(docs, K)
         return _naive_topk_gen(docs, K)
 
+    if prefilter_factor is None:
+        # auto: bound the pool only when the caller passed an rm
+        # explicitly — an ambient settings.rm must not silently change
+        # results vs the reference-exact full-table tournament
+        prefilter_factor = 10 if rm is not None else 0
+
     if group_by:
         out_schema = StructType(df.schema.fields + [StructField("_rank", LongType())])
         group_cols = list(group_by)
+        pf_cap = prefilter_factor * K if prefilter_factor else 0
 
         def rank_partition(batches):
             # every group in this partition runs its tournament in
@@ -431,9 +441,22 @@ def sem_topk(
             pdf = pd.concat(pdfs, ignore_index=True)
             if pdf.empty:
                 return
-            groups = [g for _, g in
-                      pdf.groupby(group_cols, sort=False, dropna=False)]
-            gens = [make_gen(docs_from_pdf(g, cols, fmt)) for g in groups]
+            groups, gens = [], []
+            for _, g in pdf.groupby(group_cols, sort=False, dropna=False):
+                docs = docs_from_pdf(g, cols, fmt)
+                # per-group embedding prefilter (r10): same opt-in
+                # contract as the global path — with an EXPLICIT rm the
+                # tournament pool is bounded to c*K rows by similarity
+                # to the instruction, so a huge group costs the LM
+                # O(cK) comparisons, not O(|group|)
+                if pf_cap and rm_obj is not None and len(docs) > pf_cap:
+                    sims = _instruction_sims(docs, instr, rm_obj)
+                    order = sorted(range(len(docs)),
+                                   key=lambda i: (-sims[i], i))[:pf_cap]
+                    g = g.iloc[order]
+                    docs = [docs[i] for i in order]
+                groups.append(g)
+                gens.append(make_gen(docs))
             cmp = BatchedComparator(model, instr, helper_lm=helper_lm,
                                     cascade_threshold=cascade_threshold,
                                     **model_kwargs)
@@ -448,11 +471,6 @@ def sem_topk(
         return df.repartition(*group_by).mapInPandas(
             rank_partition, schema=out_schema)
 
-    if prefilter_factor is None:
-        # auto: bound the pool only when the caller passed an rm
-        # explicitly — an ambient settings.rm must not silently change
-        # results vs the reference-exact full-table tournament
-        prefilter_factor = 10 if rm is not None else 0
     pool_df = df
     if prefilter_factor and prefilter_factor > 0:
         from lotus_spark.operators.sem_search import sem_search

@@ -374,3 +374,45 @@ def test_grouped_topk_lockstep_shares_rounds_across_groups(spark):
                         reverse=True)
         assert got[(g, 1)] == scores[0], g
         assert got[(g, 2)] == scores[1], g
+
+
+def test_grouped_topk_per_group_embedding_prefilter(spark):
+    """r10: under group_by, an EXPLICIT rm bounds each group's
+    tournament pool to prefilter_factor*K rows by instruction
+    similarity (previously the prefilter only applied to the global
+    path and huge groups cost the LM O(|group|) comparisons). Proved
+    adversarially: an rm whose similarities rank OPPOSITE to the
+    comparator changes the winner under prefilter_factor=1, K=1 — the
+    pool the LM ever sees is the embedding top-1 — while omitting the
+    rm keeps the full-group LM result."""
+    import re as _re
+
+    import numpy as np
+
+    class InverseScoreRM:
+        """sim(doc) = -score parsed from the serialized row; the
+        instruction maps to a unit probe so sims = -score."""
+
+        def __call__(self, texts):
+            out = []
+            for t in texts:
+                m = _re.search(r"score: (\d+)", t)
+                out.append([-float(m.group(1)) if m else 1.0])
+            return np.asarray(out)
+
+    rows = [(g, i, g * 100 + i) for g in range(3) for i in range(6)]
+    df = spark.createDataFrame(rows, ["grp", "doc_id", "score"])
+    lm = FieldCompareLM("score", "doc_id")
+
+    full = ls.sem_topk(df, "rank by {score} tie {doc_id}", K=1, lm=lm,
+                       group_by=["grp"])
+    assert {r["grp"]: r["score"] for r in full.collect()} == \
+        {0: 5, 1: 105, 2: 205}           # LM picks max score per group
+
+    pre = ls.sem_topk(df, "rank by {score} tie {doc_id}", K=1, lm=lm,
+                      group_by=["grp"], rm=InverseScoreRM(),
+                      prefilter_factor=1)
+    # pool per group = embedding top-1 = the LOWEST score row; the LM
+    # can only rank what the prefilter admitted
+    assert {r["grp"]: r["score"] for r in pre.collect()} == \
+        {0: 0, 1: 100, 2: 200}
