@@ -9,9 +9,13 @@ partition-aware fold ordering via ``_lotus_partition_id`` (``:432-436``);
 oversized docs handled by TRUNCATE/CHUNK (``long_context_strategy.py``).
 
 Spark design:
-- grouped: ``groupBy(keys).applyInPandas(fold)`` — each group folds inside
-  one task; groups run in parallel across the cluster (the reference used a
-  thread pool; here it's free parallelism).
+- grouped: repartition on the keys + ONE ``mapInPandas`` task per
+  partition driving every co-resident group's fold generator in LOCKSTEP
+  (r10): each global round batches all active groups' fold-level messages
+  into one LM call, so a partition's round trips are the MAX fold depth,
+  not the sum over groups (previously one ``applyInPandas`` task per
+  group re-paid the protocol per group). Groups still run in parallel
+  across the cluster.
 - global: a treeAggregate-shaped loop — each round packs rows per partition
   into token-budgeted batches and summarizes them with ``mapInPandas``;
   rounds repeat (shrinking partition count) until ≤1 row remains. No driver
@@ -68,8 +72,9 @@ def _pack(docs: list[str], lm: Any, budget: int,
     return batches
 
 
-def _fold_once(docs: list[str], lm: Any, instruction: str, leaf: bool,
-               strategy: str = "truncate", **kw) -> list[str]:
+def _fold_once_msgs(docs: list[str], lm: Any, instruction: str, leaf: bool,
+                    strategy: str = "truncate") -> list:
+    """One fold level's LM messages (pack + prompt-format, no call)."""
     budget = max(1024, lm.max_ctx_len - lm.max_tokens)
     batches = _pack(docs, lm, budget, strategy)
     fmt = prompts.agg_leaf_messages if leaf else prompts.agg_node_messages
@@ -79,19 +84,68 @@ def _fold_once(docs: list[str], lm: Any, instruction: str, leaf: bool,
             f"\tDocument {i + 1}:\n{d}" for i, d in enumerate(batch)
         )
         msgs.append(fmt(block, instruction))
-    return lm(msgs, **kw).outputs
+    return msgs
+
+
+def _fold_once(docs: list[str], lm: Any, instruction: str, leaf: bool,
+               strategy: str = "truncate", **kw) -> list[str]:
+    return lm(_fold_once_msgs(docs, lm, instruction, leaf, strategy),
+              **kw).outputs
+
+
+def _fold_to_one_gen(docs: list[str], lm: Any, instruction: str,
+                     strategy: str = "truncate"):
+    """:func:`fold_to_one` as a GENERATOR: each yield is one fold
+    level's message batch; driven alone it is the classic hierarchical
+    fold, driven in lockstep (grouped path) sibling groups' levels
+    share one LM round trip."""
+    if not docs:
+        return ""
+    level = yield _fold_once_msgs(docs, lm, instruction, True, strategy)
+    while len(level) > 1:
+        # summaries are model-bounded; truncate guards the rare overflow
+        level = yield _fold_once_msgs(level, lm, instruction, False)
+    return level[0]
 
 
 def fold_to_one(docs: list[str], lm: Any, instruction: str,
                 strategy: str = "truncate", **kw) -> str:
     """Full hierarchical fold of a doc list down to a single answer."""
-    if not docs:
-        return ""
-    level = _fold_once(docs, lm, instruction, leaf=True, strategy=strategy, **kw)
-    while len(level) > 1:
-        # summaries are model-bounded; truncate guards the rare overflow
-        level = _fold_once(level, lm, instruction, leaf=False, **kw)
-    return level[0]
+    gen = _fold_to_one_gen(docs, lm, instruction, strategy)
+    payload = None
+    while True:
+        try:
+            msgs = gen.send(payload)
+        except StopIteration as e:
+            return e.value
+        payload = lm(msgs, **kw).outputs
+
+
+def _lockstep_folds(gens: list, lm: Any, **kw) -> list[str]:
+    """Drive many fold generators in lockstep (r10, the sem_topk
+    ``_drive_lockstep`` pattern): each global round concatenates every
+    still-active group's fold-level messages into ONE LM call, so a
+    partition's round trips collapse from sum-over-groups of fold
+    depths to the max depth. Per-message outputs are positionally
+    routed back, so every group's answer is identical to folding it
+    alone."""
+    active = dict(enumerate(gens))
+    payload: dict[int, list] = {}
+    results: dict[int, str] = {}
+    while active:
+        spans, batch = [], []
+        for i in list(active):
+            try:
+                msgs = active[i].send(payload.get(i))
+            except StopIteration as e:
+                results[i] = e.value
+                del active[i]
+                continue
+            spans.append((i, len(batch), len(batch) + len(msgs)))
+            batch.extend(msgs)
+        outs = lm(batch, **kw).outputs if batch else []
+        payload = {i: outs[lo:hi] for i, lo, hi in spans}
+    return [results[i] for i in range(len(gens))]
 
 
 def sem_agg(
@@ -120,16 +174,36 @@ def sem_agg(
         out_schema = StructType(
             [df.schema[c] for c in group_by] + [StructField(suffix, StringType())]
         )
+        group_cols = list(group_by)
 
-        def fold_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            if PARTITION_COL in pdf.columns:
-                pdf = pdf.sort_values(PARTITION_COL)
-            docs = docs_from_pdf(pdf, use_cols, fmt)
-            answer = fold_to_one(docs, model, instr,
-                                 strategy=long_context_strategy, **model_kwargs)
-            return pd.DataFrame([list(key) + [answer]], columns=group_by + [suffix])
+        def fold_partition(batches: Iterator[pd.DataFrame]):
+            # every group in this partition folds in LOCKSTEP: one LM
+            # round trip per global fold level, not per group level
+            # (r10 — the sem_topk lockstep applied to the fold; at
+            # many-small-groups scale the per-group protocol multiplied
+            # round trips by the group count)
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True)
+            if pdf.empty:
+                return
+            keys, gens = [], []
+            for key, gpdf in pdf.groupby(group_cols, sort=False,
+                                         dropna=False):
+                if PARTITION_COL in gpdf.columns:
+                    gpdf = gpdf.sort_values(PARTITION_COL)
+                docs = docs_from_pdf(gpdf, use_cols, fmt)
+                keys.append(key if isinstance(key, tuple) else (key,))
+                gens.append(_fold_to_one_gen(
+                    docs, model, instr, strategy=long_context_strategy))
+            answers = _lockstep_folds(gens, model, **model_kwargs)
+            yield pd.DataFrame(
+                [list(k) + [a] for k, a in zip(keys, answers)],
+                columns=group_cols + [suffix])
 
-        return df.groupBy(*group_by).applyInPandas(fold_group, schema=out_schema)
+        return df.repartition(*group_by).mapInPandas(
+            fold_partition, schema=out_schema)
 
     # global aggregation: per-partition fold rounds until one row remains
     if PARTITION_COL in df.columns:

@@ -416,3 +416,39 @@ def test_grouped_topk_per_group_embedding_prefilter(spark):
     # can only rank what the prefilter admitted
     assert {r["grp"]: r["score"] for r in pre.collect()} == \
         {0: 0, 1: 100, 2: 200}
+
+
+def test_grouped_agg_lockstep_shares_fold_levels_across_groups():
+    """r10: grouped sem_agg folds all co-resident groups in lockstep —
+    LM round trips per partition = MAX fold depth over its groups, not
+    the sum; per-group answers identical to folding each alone."""
+    from lotus_spark.operators.sem_agg import _fold_to_one_gen, _lockstep_folds, fold_to_one
+
+    class RoundCountingAggLM(CountingAggLM):
+        def __init__(self):
+            super().__init__()
+            self.rounds = 0
+
+        def __call__(self, msgs, **kw):
+            self.rounds += 1
+            return super().__call__(msgs, **kw)
+
+    def docs_for(n):
+        return [f"doc {i} " + "pad " * 40 for i in range(n)]
+
+    group_sizes = (3, 9, 27, 50)
+    solo_answers, solo_rounds = [], []
+    for n in group_sizes:
+        lm = RoundCountingAggLM()
+        lm.max_ctx_len = 600  # small budget → several fold levels
+        solo_answers.append(fold_to_one(docs_for(n), lm, "count docs"))
+        solo_rounds.append(lm.rounds)
+
+    lm = RoundCountingAggLM()
+    lm.max_ctx_len = 600
+    gens = [_fold_to_one_gen(docs_for(n), lm, "count docs")
+            for n in group_sizes]
+    lock_answers = _lockstep_folds(gens, lm)
+    assert lock_answers == solo_answers
+    assert lm.rounds == max(solo_rounds), (lm.rounds, solo_rounds)
+    assert lm.rounds < sum(solo_rounds)
