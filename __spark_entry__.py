@@ -3533,6 +3533,73 @@ FROM rk WHERE rank <= {k} AND score >= {tau}
 """
 
 
+def q_contamination_index(spark, sf_dir):
+    """Persisted eval-set n-gram decontamination index
+    (functions/decontam_index.py, NEW r10): index the doc_id < 25 eval
+    docs' hashed 3-gram postings, APPEND the 25 <= doc_id < 50 docs with
+    the sidecar-pinned n (the suite-gains-tasks growth path), then probe
+    every doc_id >= 50 training doc — one hash equi-join against the
+    narrow postings table, per-pair hit counts + eval coverage fraction.
+    The oracle replays postings, join, counts, and sizes over eval = all
+    doc_id < 50, so a hash match checks write + append + probe together.
+    NOT yet registered (the r10 window is at 50-capacity with every slot
+    mandated); staged for the r11 window — cross-checked against DuckDB
+    in tests/test_decontam_index.py meanwhile."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.decontam_index import (
+        append_ngram_index, contamination_against_index, write_ngram_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="ng_idx_")
+    try:
+        path = f"{d}/idx"
+        write_ngram_index(docs.filter("doc_id < 25"), path,
+                          "text", "doc_id", ngram_n=3)
+        append_ngram_index(spark, path,
+                           docs.filter("doc_id >= 25 AND doc_id < 50"),
+                           "text", "doc_id")
+        out = contamination_against_index(
+            spark, path, docs.filter("doc_id >= 50"), "text", "doc_id",
+            min_hits=1)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["match_id"], r["n_hits"], r["eval_frac"])
+             for r in out.collect()],
+            "doc_id long, match_id long, n_hits long, eval_frac double",
+        ).select("doc_id", "match_id", "n_hits",
+                 F.round(F.col("eval_frac"), 6).alias("eval_frac"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_contamination_index() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents
+),
+s AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    list_transform(range(1, greatest(len(words)-3, 0)+2),
+                   i -> array_to_string(words[i:i+2], ' ')),
+    g -> {_sql_strhash('g')}))) AS sh
+  FROM d
+),
+e AS (SELECT doc_id, sh FROM s WHERE doc_id < 50),
+t AS (SELECT doc_id, sh FROM s WHERE doc_id >= 50),
+sz AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM e GROUP BY doc_id),
+h AS (SELECT t.doc_id AS doc_id, e.doc_id AS match_id,
+             COUNT(*) AS n_hits
+      FROM t JOIN e ON t.sh = e.sh
+      GROUP BY t.doc_id, e.doc_id)
+SELECT h.doc_id, h.match_id, h.n_hits,
+       ROUND(CAST(h.n_hits AS DOUBLE) / sz.n_ngrams, 6) AS eval_frac
+FROM h JOIN sz ON sz.doc_id = h.match_id
+WHERE h.n_hits >= 1
+"""
+
+
 def q_sem_join_cascade(spark, sf_dir):
     """sem_join CASCADE path (cascades/join_cascade.py::sem_join_cascade;
     reference lotus/sem_ops/sem_join.py:180-341): proxy-scored pairs,

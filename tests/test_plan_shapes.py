@@ -462,3 +462,23 @@ def test_ann_join_ivfpq_prebuilt_rerank_gets_dynamic_partition_pruning(
                          cell_col=cell_col)
     plan = formatted_plan(out)
     assert "dynamicpruningexpression(__ivf_cell" in plan
+
+
+def test_ngram_index_probe_shuffles_only_hashes(spark, tmp_path, docs):
+    """The decontamination probe's scale claim: the hash equi-join and
+    the per-pair aggregate shuffle only (id, 8-byte hash) rows — train
+    text never leaves the map stage, eval text is never stored at all
+    (the index holds hashes)."""
+    from lotus_spark.functions.decontam_index import (
+        contamination_against_index, write_ngram_index,
+    )
+
+    path = str(tmp_path / "ngidx")
+    write_ngram_index(docs, path, "text", "doc_id", ngram_n=3)
+    out = contamination_against_index(spark, path, docs, "text",
+                                      "doc_id", min_hits=1)
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for args, cols in exchanges(plan):
+        assert "text" not in cols, (args, cols)
