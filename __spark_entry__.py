@@ -3533,6 +3533,44 @@ FROM rk WHERE rank <= {k} AND score >= {tau}
 """
 
 
+def q_neardup_index_compacted(spark, sf_dir):
+    """MinHash-index maintenance lifecycle (functions/dedup_index.py::
+    compact_minhash_index, NEW r10): write the %4==0 docs, APPEND the
+    %4==2 docs (fragmenting both tables), COMPACT the index (coalesced
+    files, row set verified, rename swap), then probe every odd doc —
+    answers must be untouched by the maintenance op, so the oracle is
+    the SAME band-algebra replay as q_neardup_index (corpus = evens).
+    NOT yet registered (the r10 window is at capacity); staged for the
+    r11 window — CI-cross-checked in tests/test_dedup_index.py."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.dedup_index import (
+        append_minhash_index, compact_minhash_index, neardup_join_index,
+        write_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="mh_cmp_")
+    try:
+        path = f"{d}/idx"
+        write_minhash_index(docs.filter("doc_id % 4 = 0"), path,
+                            "text", "doc_id", n_hashes=16, bands=4)
+        append_minhash_index(spark, path, docs.filter("doc_id % 4 = 2"),
+                             "text", "doc_id")
+        compact_minhash_index(spark, path)
+        out = neardup_join_index(spark, path, docs.filter("doc_id % 2 = 1"),
+                                 "text", "doc_id", threshold=0.5)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["match_id"], r["est_jaccard"])
+             for r in out.collect()],
+            "doc_id long, match_id long, est_jaccard double",
+        ).select("doc_id", "match_id",
+                 F.round(F.col("est_jaccard"), 6).alias("est_jaccard"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_contamination_index(spark, sf_dir):
     """Persisted eval-set n-gram decontamination index
     (functions/decontam_index.py, NEW r10): index the doc_id < 25 eval

@@ -535,3 +535,36 @@ def test_stream_gate_foreachbatch_dedup_against_index(spark, tmp_path):
 
     got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
     assert got == {102, 104}
+
+
+def test_neardup_index_compacted_matches_duckdb_oracle(spark):
+    """The r11-staged maintenance row (__spark_entry__.
+    q_neardup_index_compacted): write + append + COMPACT + probe must
+    hash-match the same DuckDB band-algebra replay as the uncompacted
+    probe (_sql_neardup_index) — compaction is value-preserving."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry._sql_neardup_index()).df()
+    sdf = entry.q_neardup_index_compacted(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("float"):
+                pdf[c] = pdf[c].astype(float).round(6)
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
