@@ -3533,6 +3533,47 @@ FROM rk WHERE rank <= {k} AND score >= {tau}
 """
 
 
+def q_image_features(spark, sf_dir):
+    """Multimodal feature extraction driver row (sources/multimodal.py::
+    image_features, STAGED r10): documents' text bytes stand in as the
+    opaque binary media column (the real decode is import-gated PIL —
+    absent here), and the deterministic fake tier derives
+    width/height/mean_luma/phash from sha256 of the payload inside the
+    REAL Arrow-batched mapInPandas plumbing. r10 switched the fake hash
+    to sha256 precisely so this is hash-checkable cross-engine: the
+    oracle recomputes every feature from DuckDB's sha256 over the same
+    bytes — the first driver-checkable multimodal row (previously the
+    plumbing was shape-tested only). NOT yet registered (r10 window at
+    capacity); staged for r11 — CI-cross-checked in
+    tests/test_ann_and_sources.py."""
+    from lotus_spark.sources.multimodal import image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("uri"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+    )
+    out = image_features(media, "media", "uri", fake=True)
+    return out.select(
+        F.col("uri").cast("long").alias("doc_id"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma", "phash",
+    )
+
+
+_SQL_IMAGE_FEATURES = """
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+SELECT doc_id,
+       64 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 192 AS width,
+       64 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 192 AS height,
+       printf('%.4f', CAST(('0x' || substr(hx, 5, 2)) AS INT) / 255.0)
+         AS mean_luma,
+       substr(hx, 1, 16) AS phash
+FROM h
+"""
+
+
 def q_neardup_index_compacted(spark, sf_dir):
     """MinHash-index maintenance lifecycle (functions/dedup_index.py::
     compact_minhash_index, NEW r10): write the %4==0 docs, APPEND the

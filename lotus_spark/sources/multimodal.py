@@ -93,7 +93,11 @@ def _decode_image_bytes(data: bytes, fake: bool) -> dict:
                 "this container; pass fake=True for the deterministic test "
                 "decode"
             ) from e
-    h = hashlib.blake2b(data or b"", digest_size=16).digest()
+    # sha256 (r10; was blake2b): the fake tier's whole point is
+    # deterministic plumbing checks, and sha256 is computable by DuckDB
+    # too — so the image-features pipeline is ORACLE-replayable end to
+    # end (staged row q_image_features), not just shape-tested
+    h = hashlib.sha256(data or b"").digest()
     return {
         "width": 64 + h[0] % 192,
         "height": 64 + h[1] % 192,

@@ -1413,3 +1413,35 @@ def test_auto_rerank_k_single_definition_all_tiers(spark):
                           rerank_k=auto_rerank_k(3, join=True))
     assert sorted(map(tuple, dflt.collect())) == \
         sorted(map(tuple, expl.collect()))
+
+
+def test_image_features_matches_duckdb_oracle(spark):
+    """Cross-engine check of the r11-staged multimodal oracle pair
+    (__spark_entry__.q_image_features / _SQL_IMAGE_FEATURES): the
+    deterministic fake decode (sha256-derived features since r10) run
+    through the real Arrow-batched mapInPandas plumbing must hash-match
+    DuckDB recomputing every feature from sha256 of the same bytes."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry._SQL_IMAGE_FEATURES).df()
+    sdf = entry.q_image_features(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
