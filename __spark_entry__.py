@@ -3574,6 +3574,50 @@ FROM h
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio-modality twin of q_image_features (sources/multimodal.py::
+    audio_features, STAGED r10): text bytes as the opaque audio payload,
+    the sha256-derived fake decode running through the real Arrow-
+    batched plumbing — duration bucketing, the sample-rate lookup table,
+    RMS formatting, fingerprint — all recomputed by the DuckDB oracle
+    from the same hash. NOT yet registered (r10 window at capacity);
+    staged for r11, CI-cross-checked in tests/test_ann_and_sources.py."""
+    from lotus_spark.sources.multimodal import audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("uri"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+    )
+    out = audio_features(media, "media", "uri", fake=True)
+    return out.select(
+        F.col("uri").cast("long").alias("doc_id"),
+        "duration_s",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "rms_energy", "afingerprint",
+    )
+
+
+_SQL_AUDIO_FEATURES = """
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+b AS (SELECT doc_id,
+             CAST(('0x' || substr(hx, 1, 2)) AS INT) AS b0,
+             CAST(('0x' || substr(hx, 3, 2)) AS INT) AS b1,
+             CAST(('0x' || substr(hx, 5, 2)) AS INT) AS b2,
+             CAST(('0x' || substr(hx, 7, 2)) AS INT) AS b3,
+             substr(hx, 1, 16) AS fp
+      FROM h)
+SELECT doc_id,
+       CAST(1 + b0 % 300 AS VARCHAR) || '.' || printf('%02d', b1 % 100)
+         AS duration_s,
+       CAST([8000, 16000, 22050, 44100][(b2 % 4) + 1] AS BIGINT)
+         AS sample_rate,
+       printf('%.4f', b3 / 255.0) AS rms_energy,
+       fp AS afingerprint
+FROM b
+"""
+
+
 def q_neardup_index_compacted(spark, sf_dir):
     """MinHash-index maintenance lifecycle (functions/dedup_index.py::
     compact_minhash_index, NEW r10): write the %4==0 docs, APPEND the

@@ -387,7 +387,10 @@ def audio_features(
                             "audio decoding requires soundfile; pass "
                             "fake=True for the deterministic test decode"
                         ) from e
-                h = hashlib.blake2b(data, digest_size=16).digest()
+                # sha256 (r10; was blake2b): DuckDB-computable, so the
+                # audio plumbing is oracle-replayable like the image
+                # tier (staged row q_audio_features)
+                h = hashlib.sha256(data).digest()
                 rows.append((
                     str(uri),
                     f"{1 + h[0] % 300}.{h[1] % 100:02d}",

@@ -1445,3 +1445,34 @@ def test_image_features_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_audio_features_matches_duckdb_oracle(spark):
+    """Cross-engine check of the r11-staged audio oracle pair
+    (__spark_entry__.q_audio_features / _SQL_AUDIO_FEATURES): duration
+    bucketing, the sample-rate lookup, RMS formatting and fingerprint
+    recomputed by DuckDB from sha256 of the same bytes."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry._SQL_AUDIO_FEATURES).df()
+    sdf = entry.q_audio_features(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
