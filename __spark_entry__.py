@@ -3618,6 +3618,59 @@ FROM b
 """
 
 
+def q_video_frame_features(spark, sf_dir):
+    """Video-path composition (sources/multimodal.py::frame_sample →
+    image_features, STAGED r10): text bytes as the opaque video payload,
+    the fake decode exploding 1 + len%5 deterministic pseudo-frames per
+    doc (sha256-hex payloads), then per-frame image features over the
+    frame binaries — the full sample-then-featurize chain through two
+    real mapInPandas stages. Oracle: frames regenerate from
+    octet_length, the per-frame hash is sha256(text || '#' || i), and
+    the features recompute from sha256 of that hex — all in DuckDB.
+    NOT yet registered (r10 window at capacity); staged for r11,
+    CI-cross-checked in tests/test_ann_and_sources.py."""
+    from lotus_spark.sources.multimodal import frame_sample, image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("uri"),
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+    )
+    frames = frame_sample(media, "media", "uri", every_n=30, fake=True)
+    keyed = frames.select(
+        F.concat_ws("#", F.col("uri"), F.col("frame_idx").cast("string"))
+         .alias("uri"),
+        F.col("frame").alias("media"),
+    )
+    out = image_features(keyed, "media", "uri", fake=True)
+    return out.select(
+        F.col("uri").alias("frame_key"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_luma", "phash",
+    )
+
+
+_SQL_VIDEO_FRAME_FEATURES = """
+WITH d AS (SELECT doc_id, text,
+                  1 + octet_length(CAST(text AS BLOB)) % 5 AS n_frames
+           FROM documents),
+f AS (SELECT d.doc_id, g.i AS i, d.text
+      FROM d, range(0, 5) g(i) WHERE g.i < d.n_frames),
+hh AS (SELECT doc_id, i,
+              sha256(sha256(text || '#' || CAST(i AS VARCHAR))) AS hx
+       FROM f)
+SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i * 30 AS VARCHAR)
+         AS frame_key,
+       64 + CAST(('0x' || substr(hx, 1, 2)) AS INT) % 192 AS width,
+       64 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 192 AS height,
+       printf('%.4f', CAST(('0x' || substr(hx, 5, 2)) AS INT) / 255.0)
+         AS mean_luma,
+       substr(hx, 1, 16) AS phash
+FROM hh
+"""
+
+
 def q_neardup_index_compacted(spark, sf_dir):
     """MinHash-index maintenance lifecycle (functions/dedup_index.py::
     compact_minhash_index, NEW r10): write the %4==0 docs, APPEND the

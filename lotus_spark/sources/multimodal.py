@@ -184,11 +184,16 @@ def frame_sample(
                             "video decoding requires PyAV/ffmpeg; pass "
                             "fake=True for the deterministic test decode"
                         ) from e
+                # sha256-hex payloads (r10; was raw blake2b): ascii-hex
+                # bytes make the downstream image_features(frame) hash
+                # DuckDB-recomputable — sha256(sha256(text || '#' || i))
+                # — so the whole frame_sample → per-frame features chain
+                # is oracle-replayable (staged row q_video_frame_features)
                 n_frames = 1 + (len(data) % 5)
                 for i in range(n_frames):
-                    fh = hashlib.blake2b(
-                        data + i.to_bytes(4, "big"), digest_size=32
-                    ).digest()
+                    fh = hashlib.sha256(
+                        data + f"#{i}".encode()
+                    ).hexdigest().encode()
                     rows.append((str(uri), i * every_n, fh))
             yield pd.DataFrame(rows, columns=["uri", "frame_idx", "frame"])
 

@@ -1476,3 +1476,35 @@ def test_audio_features_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_video_frame_features_matches_duckdb_oracle(spark):
+    """Cross-engine check of the r11-staged video oracle pair
+    (__spark_entry__.q_video_frame_features): frame_sample's exploded
+    pseudo-frames flow into per-frame image features through two real
+    mapInPandas stages, and DuckDB regenerates frames from octet_length
+    and recomputes every feature from sha256(sha256(text || '#' || i))."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry._SQL_VIDEO_FRAME_FEATURES).df()
+    sdf = entry.q_video_frame_features(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
