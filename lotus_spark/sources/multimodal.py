@@ -252,10 +252,12 @@ def image_resize(
                             "installed in this container; pass fake=True "
                             "for the deterministic test path"
                         ) from e
-                seed = hashlib.blake2b(
-                    data + width.to_bytes(4, "big") + height.to_bytes(4, "big"),
-                    digest_size=32,
-                ).digest()
+                # sha256-hex seed (r10, module-wide convention): keeps
+                # every fake tier DuckDB-recomputable should a resize
+                # row ever stage (image/audio/frame tiers already are)
+                seed = hashlib.sha256(
+                    data + f"#{width}x{height}".encode()
+                ).hexdigest().encode()
                 n = max(1, (width * height) // 256)
                 payload = (seed * (n // len(seed) + 1))[:n]
                 out.append((str(uri), width, height, payload))
@@ -378,10 +380,9 @@ def audio_features(
                         wav, sr = sf.read(io.BytesIO(data), dtype="float64")
                         dur = len(wav) / sr if sr else 0.0
                         rms = float(np.sqrt(np.mean(np.square(wav)))) if len(wav) else 0.0
-                        fp = hashlib.blake2b(
-                            np.asarray(wav, dtype=np.float32).tobytes(),
-                            digest_size=8,
-                        ).hexdigest()
+                        fp = hashlib.sha256(
+                            np.asarray(wav, dtype=np.float32).tobytes()
+                        ).hexdigest()[:16]
                         rows.append((
                             str(uri), f"{dur:.2f}", int(sr),
                             f"{rms:.4f}", fp,
