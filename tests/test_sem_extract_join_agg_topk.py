@@ -452,3 +452,24 @@ def test_grouped_agg_lockstep_shares_fold_levels_across_groups():
     assert lock_answers == solo_answers
     assert lm.rounds == max(solo_rounds), (lm.rounds, solo_rounds)
     assert lm.rounds < sum(solo_rounds)
+
+
+def test_grouped_lockstep_null_group_keys(spark):
+    """Null LONG group keys survive the r10 repartition+mapInPandas
+    lockstep paths (pandas groupby(dropna=False) + Arrow nullable
+    round-trip): both operators keep the null group as a real group with
+    correct results — the old Spark-side applyInPandas behavior."""
+    rows = [(None, "a"), (None, "b"), (1, "c"), (1, "d"), (2, "e")]
+    df = spark.createDataFrame(rows, "grp long, journal string")
+    got = {(r["grp"], r["_output"]) for r in ls.sem_agg(
+        df, "Summarize {journal}", lm=CountingAggLM(),
+        group_by=["grp"]).collect()}
+    assert got == {(None, "2"), (1, "2"), (2, "1")}
+
+    df2 = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), (0, 3, 30), (0, 4, 40)],
+        "grp long, doc_id long, score long")
+    got2 = {(r["grp"], r["score"]) for r in ls.sem_topk(
+        df2, "rank by {score} tie {doc_id}", K=1,
+        lm=FieldCompareLM("score", "doc_id"), group_by=["grp"]).collect()}
+    assert got2 == {(None, 20), (0, 40)}
