@@ -136,6 +136,42 @@ def bench_streaming(spark, sf_dir: str) -> int:
     return spark.table(qname).count()
 
 
+_PROBE_INDEX: dict = {}
+
+
+def bench_index_probe(spark, sf_dir: str) -> int:
+    """Time ONE corpus-index probe (the recurring daily-pipeline path):
+    the MinHash index over the even documents is built once per bench
+    session (setup, untimed — the one-time cost BENCH_mhindex.json
+    measures separately) and each call times signature + band equi-join
+    + estimator verify of the odd docs against it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    if sf_dir not in _PROBE_INDEX:
+        d = tempfile.mkdtemp(prefix="bench_mhidx_")
+        write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0),
+                            f"{d}/idx", "text", "doc_id",
+                            n_hashes=16, bands=4)
+        _PROBE_INDEX[sf_dir] = d
+        import atexit
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = f"{_PROBE_INDEX[sf_dir]}/idx"
+    return neardup_join_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1),
+        "text", "doc_id", threshold=0.5,
+    ).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -231,6 +267,23 @@ def main() -> None:
               f"{timings['streaming_doc_stats']:.2f}s", file=sys.stderr)
     except Exception as exc:  # streaming must never fail the batch bench
         print(f"# streaming_doc_stats failed: {exc}", file=sys.stderr)
+
+    # corpus-index probe micro-bench (r10): the flagship daily shape is
+    # "index once, probe each increment" — the one-time write is setup
+    # (untimed, like the streaming source staging), the PROBE is the
+    # recurring path being measured. Not in queries() under this name;
+    # the oracle rows (neardup_index etc.) cover correctness.
+    try:
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = bench_index_probe(spark, sf_dir)
+            best = min(best, time.time() - t0)
+        timings["mhindex_probe"] = round(best, 3)
+        print(f"# mhindex_probe: {n} match rows in "
+              f"{timings['mhindex_probe']:.2f}s", file=sys.stderr)
+    except Exception as exc:
+        print(f"# mhindex_probe failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
