@@ -144,7 +144,8 @@ def bench_index_probe(spark, sf_dir: str) -> int:
     the MinHash index over the even documents is built once per bench
     session (setup, untimed — the one-time cost BENCH_mhindex.json
     measures separately) and each call times signature + band equi-join
-    + estimator verify of the odd docs against it."""
+    + estimator verify of a 10% "daily increment" slice
+    (doc_id % 10 == 1) against it."""
     import shutil
     import tempfile
 
@@ -167,7 +168,7 @@ def bench_index_probe(spark, sf_dir: str) -> int:
         atexit.register(shutil.rmtree, d, ignore_errors=True)
     path = f"{_PROBE_INDEX[sf_dir]}/idx"
     return neardup_join_index(
-        spark, path, docs.filter(F.col("doc_id") % 2 == 1),
+        spark, path, docs.filter(F.col("doc_id") % 10 == 1),
         "text", "doc_id", threshold=0.5,
     ).count()
 
