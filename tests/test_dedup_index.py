@@ -568,3 +568,65 @@ def test_neardup_index_compacted_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_stream_gate_foreachbatch_embedding_index(spark, tmp_path):
+    """Embedding-modality streaming gate (the same foreachBatch + batch-
+    operator shape as the text gate): micro-batches of vectors probe the
+    persisted IVF-PQ index via embedding_neardup_index and only novel
+    vectors land in the sink."""
+    import os
+
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.functions.dedup_index import embedding_neardup_index
+
+    rng = np.random.RandomState(77)
+    vecs = rng.randn(80, 8).astype("float64")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(corpus, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "egate_idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    novel = rng.randn(2, 8) * 7
+    inc_rows = [
+        (500, [float(x) for x in vecs[13]]),        # dup of corpus 13
+        (501, [float(x) for x in novel[0]]),        # novel
+        (502, [float(x) for x in vecs[44]]),        # dup of corpus 44
+        (503, [float(x) for x in novel[1]]),        # novel
+    ]
+    src = str(tmp_path / "egate_src")
+    os.makedirs(src)
+    stage = str(tmp_path / "egate_stage")
+    (spark.createDataFrame(inc_rows, "qid long, emb array<double>")
+     .coalesce(1).write.parquet(stage))
+    part = next(g for g in os.listdir(stage) if g.endswith(".parquet"))
+    os.rename(os.path.join(stage, part), os.path.join(src, "inc.parquet"))
+
+    sink = str(tmp_path / "egate_out")
+    ckpt = str(tmp_path / "egate_ckpt")
+    stream = spark.readStream.schema("qid long, emb array<double>") \
+        .parquet(src)
+
+    def gate(batch_df, batch_id):
+        matched = embedding_neardup_index(
+            batch_df.sparkSession, path, batch_df, "qid", "emb",
+            "vec_id", "embedding", threshold=0.999, n_probe=4,
+        ).select("qid").distinct()
+        kept = batch_df.join(matched, "qid", "left_anti")
+        kept.write.mode("append").parquet(sink)
+
+    q = (stream.writeStream.foreachBatch(gate)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["qid"] for r in spark.read.parquet(sink).collect()}
+    assert got == {501, 503}
