@@ -1,8 +1,10 @@
 """Runnable walkthrough: a training-data curation pipeline end to end.
 
 Documents in, training shards out — the 100 TB corpus-preparation shape:
-near-dup removal (MinHash-LSH banding, never O(n²)), quality gating
-(Gopher heuristics), per-language quality-quantile trim, deterministic
+near-dup removal (MinHash-LSH banding, never O(n²)), eval-set
+decontamination (persisted n-gram index, the GPT-3 any-collision rule),
+quality gating (Gopher heuristics), per-language quality-quantile trim,
+deterministic
 train/val/test split, and finally a reproducible global shuffle
 materialized as one sorted file per shard. Runs locally:
 
@@ -27,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     from pyspark.sql import functions as F
 
+    from lotus_spark.functions.decontam_index import (
+        decontaminate_against_index, write_ngram_index,
+    )
     from lotus_spark.functions.dedup import minhash_lsh_dedup
     from lotus_spark.functions.sampling import hash_split, quantile_filter
     from lotus_spark.functions.sharding import write_shards
@@ -48,19 +53,34 @@ def main() -> None:
                                 n_hashes=16, bands=4)
     n1 = deduped.count()
 
-    # 2. QUALITY gate: Gopher-style heuristics (length, symbol ratios,
+    # 2. DECONTAMINATION: the eval suite (stand-in: doc_id < 10) is
+    # indexed ONCE as hashed n-gram postings (functions/decontam_index;
+    # in production this index persists next to the benchmark suite and
+    # every increment probes it), and training docs sharing any 8-gram
+    # with it are dropped — the GPT-3 rule.
+    import tempfile
+
+    eval_idx = tempfile.mkdtemp(prefix="curation_evalidx_") + "/idx"
+    write_ngram_index(docs.filter("doc_id < 10"), eval_idx,
+                      "text", "doc_id", ngram_n=8)
+    clean = decontaminate_against_index(
+        spark, eval_idx, deduped.filter("doc_id >= 10"),
+        "text", "doc_id", min_hits=1)
+    n1b = clean.count()
+
+    # 3. QUALITY gate: Gopher-style heuristics (length, symbol ratios,
     # stopword presence) as pure Column expressions — codegen, no UDF.
-    gated = deduped.filter(gopher_keep(F.col("text")))
+    gated = clean.filter(gopher_keep(F.col("text")))
     n2 = gated.count()
 
-    # 3. QUANTILE trim: keep each language's top 80% by token count
+    # 4. QUANTILE trim: keep each language's top 80% by token count
     # (exact per-group percent_rank, one shuffle).
     trimmed = quantile_filter(
         gated.withColumn("n_tokens", token_count(F.col("text"))),
         "n_tokens", keep_frac=0.8, by="lang", tiebreak="doc_id")
     n3 = trimmed.count()
 
-    # 4. SPLIT: deterministic content-hash train/val/test — zero
+    # 5. SPLIT: deterministic content-hash train/val/test — zero
     # shuffle, stable across reruns and derived tables.
     split = hash_split(trimmed, "doc_id",
                        {"train": 0.9, "val": 0.05, "test": 0.05})
@@ -73,7 +93,7 @@ def main() -> None:
 
     shards = sorted(d for d in os.listdir(out_dir)
                     if d.startswith("shard="))
-    print(f"docs {n0} -> dedup {n1} -> quality {n2} -> trim {n3}")
+    print(f"docs {n0} -> dedup {n1} -> decontam {n1b} -> quality {n2} -> trim {n3}")
     print(f"train shards at {out_dir}: {shards}")
 
     # 6. THE NEXT DAY: persist the curated corpus's LSH state once,
