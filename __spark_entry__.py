@@ -3671,6 +3671,67 @@ FROM hh
 """
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source driver row (sources/warc.py, STAGED r10): synthesize
+    a per-record-gzip WARC shard from the documents table (one HTTP-200
+    response record per doc_id < 100, payload = the text bytes), read it
+    back through load_warc(parse_http=True) — binaryFile scan, gzip
+    multi-member decode, strict record framing, HTTP split — and pin
+    CONTENT INTEGRITY: per doc, the HTTP status, the body's byte length,
+    and its sha256. The oracle recomputes all three from the text column
+    directly, so a hash match proves the writer->parser->HTTP-split
+    chain is byte-lossless. NOT yet registered (r10 window at capacity);
+    staged for r11 — CI-cross-checked in tests/test_warc.py."""
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from lotus_spark.sources.warc import load_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = (docs.filter("doc_id < 100").select("doc_id", "text")
+            .orderBy("doc_id").collect())  # bounded: 100 rows
+    d = tempfile.mkdtemp(prefix="warc_rt_")
+    try:
+        members = []
+        for r in rows:
+            payload = b"HTTP/1.1 200 OK\r\n\r\n" + r["text"].encode()
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:doc:{r['doc_id']}>\r\n"
+                f"WARC-Target-URI: doc://{r['doc_id']}\r\n"
+                f"Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + b"\r\n\r\n"
+            members.append(_gzip.compress(rec))
+        with open(f"{d}/shard.warc.gz", "wb") as f:
+            f.write(b"".join(members))
+        out = load_warc(spark, f"{d}/shard.warc.gz", parse_http=True)
+        got = out.select(
+            F.regexp_extract("target_uri", r"doc://(\d+)", 1)
+             .cast("long").alias("doc_id"),
+            F.col("http_status").cast("long").alias("http_status"),
+            F.length("body").cast("long").alias("n_bytes"),
+            F.sha2(F.col("body"), 256).alias("body_sha"),
+        )
+        return spark.createDataFrame(
+            [(r["doc_id"], r["http_status"], r["n_bytes"], r["body_sha"])
+             for r in got.collect()],
+            "doc_id long, http_status long, n_bytes long, body_sha string",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_SQL_WARC_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(200 AS BIGINT) AS http_status,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS body_sha
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q_neardup_index_compacted(spark, sf_dir):
     """MinHash-index maintenance lifecycle (functions/dedup_index.py::
     compact_minhash_index, NEW r10): write the %4==0 docs, APPEND the
