@@ -184,3 +184,23 @@ def load_warc(
 
     schema = HTTP_SCHEMA if parse_http else WARC_SCHEMA
     return files.mapInPandas(parse, schema=schema)
+
+
+def html_to_text(col):
+    """Crude-but-codegen HTML → text as a pure Column expression (the
+    C4-style heuristic tier: drop script/style subtrees, strip tags,
+    decode the common entities, collapse whitespace). Real pipelines
+    swap in a proper extractor at this seam (trafilatura et al. — not
+    in this container); the expression tier keeps the WARC → documents
+    path runnable and JVM-side everywhere. Operates on STRING — decode
+    the body first (``F.decode(body, "UTF-8")``)."""
+    from pyspark.sql import functions as F
+
+    txt = F.regexp_replace(
+        col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    txt = F.regexp_replace(txt, r"(?s)<!--.*?-->", " ")
+    txt = F.regexp_replace(txt, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(txt, r"\s+", " "))

@@ -140,3 +140,20 @@ def test_warc_roundtrip_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_html_to_text_expression(spark):
+    """The WARC -> documents seam: script/style subtrees dropped, tags
+    stripped, common entities decoded, whitespace collapsed — one pure
+    Column expression (no UDF)."""
+    from pyspark.sql import functions as F
+
+    from lotus_spark.sources.warc import html_to_text
+
+    html = ("<html><head><style>p {color: red}</style>"
+            "<script>var x = '<p>no</p>';</script></head>"
+            "<body><h1>Title</h1>\n<p>Hello &amp; welcome to "
+            "<b>the</b>&nbsp;crawl &lt;3</p><!-- note --></body></html>")
+    df = spark.createDataFrame([(html,)], ["raw"])
+    got = df.select(html_to_text(F.col("raw")).alias("t")).first()["t"]
+    assert got == 'Title Hello & welcome to the crawl <3'
