@@ -4055,88 +4055,50 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-10 rotation. The driver checks at most the FIRST 50
-        # entries in dict order, so: (a) the 5 NEW r10 rows lead — the
-        # three r9-staged pairs (persisted-MinHash-index probe, its
-        # streaming twin, the ann_join_ivfpq ladder top) plus the two
-        # r9-verdict lifecycle rows (daily-increment end-to-end with
-        # the new exact-verify tier; embedding-modality corpus dedup
-        # over the persisted IVF-PQ index); (b) every query whose
-        # MODULE was edited this round sits inside the window —
-        # functions/ann.py (probed-cell rerank, compact crash guard,
-        # shared auto_rerank_k + join-budget raise) and
-        # operators/sem_topk.py (cross-group lockstep waves); (c) 31 of
-        # the 37 r8-row holders at the 2-round staleness limit rotate
-        # back in; the remaining 6 (pure-SQL relational rows on
-        # byte-untouched modules) carry builder-recorded CHECKS_r10
-        # rows instead (tools/check_oracle.py --record — the same
-        # re-verification channel the r9 verdict used for its tail
-        # audit); (d) the tail (>50) holds ONLY queries green in r9 or
-        # CHECKS_r10 whose modules are byte-untouched since
-        # .round_base.
-        # -- NEW this round --------------------------------------------
+        # Round-11 rotation. The driver checks at most the FIRST 50
+        # entries in dict order, so: (a) the 6 rows STAGED in r10 lead
+        # — the persisted decontamination index, the minhash-index
+        # compaction lifecycle, the WARC source roundtrip, and the
+        # three multimodal feature rows (first driver-checkable
+        # verification for that family); (b) every query whose MODULE
+        # was edited this round sits inside the window —
+        # functions/dedup_index.py (exact-verify stale-corpus guard,
+        # compaction cache release), functions/decontam_index.py
+        # (append overlap guard, compact_ngram_index, Arrow posting
+        # builder), sources/warc.py (streaming gzip-member decode),
+        # operators/sem_sim_join.py (ivfpq tier); (c) the 9 keys whose
+        # last DRIVER row is r8 (CHECKS_r10-covered relational overflow
+        # + llm_judge/asof_join/range_join) refresh, per the r10
+        # verdict; (d) 30 of the 33 r10-tail keys holding r9 driver
+        # rows rotate back in; the 3 relational leftovers and the
+        # entire r10 window (fresh CORRECTNESS_r10 rows, modules
+        # byte-untouched since .round_base) hold the tail, re-recorded
+        # in CHECKS_r11 at round close.
+        # -- NEW this round (staged in r10) ----------------------------
+        "contamination_index": q_contamination_index,
+        "neardup_index_compacted": q_neardup_index_compacted,
+        "warc_roundtrip": q_warc_roundtrip,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frame_features": q_video_frame_features,
+        # -- functions/dedup_index.py edited this round ----------------
         "neardup_index": q_neardup_index,
         "neardup_index_stream": q_neardup_index_stream,
         "neardup_index_lifecycle": q_neardup_index_lifecycle,
         "embedding_neardup_index": q_embedding_neardup_index,
-        "ann_join_ivfpq": q_ann_join_ivfpq,
-        # -- functions/ann.py edited this round ------------------------
-        "ivfpq_compacted": q_ivfpq_compacted,
-        "ivfpq_incremental": q_ivfpq_incremental,
-        "ivfpq_roundtrip": q_ivfpq_roundtrip,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
-        "knn_pq": q_knn_pq,
-        "knn_ivf": q_knn_ivf,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "ann_join_pq": q_ann_join_pq,
-        "ann_join_ivf": q_ann_join_ivf,
-        "hybrid_search": q_hybrid_search,
-        # -- operators/sem_topk.py edited this round -------------------
-        "sem_topk": q_sem_topk,
-        "sem_topk_quicksem": q_sem_topk_quicksem,
-        # -- r8-row holders at the 2-round staleness limit -------------
-        "sem_join_cascade_routed": q_sem_join_cascade_routed,
-        "agentic_mapreduce": q_agentic_mapreduce,
-        "streaming_neardup": q_streaming_neardup,
-        "streaming_neardup_minhash": q_streaming_neardup_minhash,
-        "bucketed_join": q_bucketed_join,
-        "shard_for_training": q_shard_for_training,
-        "filter_reorder": q_filter_reorder,
-        "sem_index_roundtrip": q_sem_index_roundtrip,
-        "sem_partition_agg": q_sem_partition_agg,
-        "span_dedup": q_span_dedup,
-        "strip_boilerplate": q_strip_boilerplate,
-        "paragraph_dedup": q_paragraph_dedup,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash": q_simhash,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ngram_stats": q_ngram_stats,
-        "contamination": q_contamination,
-        "embedding_neardup": q_embedding_neardup,
-        "dedupe_doc_units": q_dedupe_doc_units,
-        "bm25_search": q_bm25_search,
-        # functions/dedup.py edited this round (exact-collapse prefix +
-        # aggregate-shape exact_dedup) — its two former tail importers
-        # swap in; asof_join/range_join (untouched joins.py) swap out
-        # on builder-recorded CHECKS_r10 rows
-        "exact_dedup": q_exact_dedup,
-        "pipeline_clean": q_pipeline_clean,
-        # operators/sem_dedup.py edited this round (exact-collapse
-        # prefix) — its tail importer swaps in; llm_judge (untouched
-        # judge.py) tails out on a recorded CHECKS_r10 row
-        "sem_dedup": q_sem_dedup,
-        "pairwise_judge": q_pairwise_judge,
+        # -- operators/sem_sim_join.py edited this round ---------------
         "sem_sim_join": q_sem_sim_join,
-        "sem_join_cascade": q_sem_join_cascade,
-        "sem_extract": q_sem_extract,
-        "sem_join": q_sem_join,
-        "sem_agg": q_sem_agg,
-        "sem_pipeline": q_sem_pipeline,
-        # -- tail (>50): r9-green (or CHECKS_r10-green for the 6
-        # -- relational rows), modules byte-untouched in round 10 ------
+        # -- last driver row r8 (refresh per r10 verdict item 1) -------
+        "time_rollup": q_time_rollup,
+        "llm_judge": q_llm_judge,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "customers_no_orders": q_customers_no_orders,
+        "orders_rollup": q_orders_rollup,
+        "top_revenue": q_top_revenue,
+        "region_revenue": q_region_revenue,
+        "events_hourly": q_events_hourly,
+        # -- last driver row r9 (r10 tail rotates back in) -------------
         "write_shards": q_write_shards,
         "bucketed_join_coalesced": q_bucketed_join_coalesced,
         "sem_filter": q_sem_filter,
@@ -4160,9 +4122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "pricing_summary": q_pricing_summary,
         "top3_orders_per_customer": q_top3_orders_per_customer,
-        "part_brand_stats": q_part_brand_stats,
-        "orders_union_extremes": q_orders_union_extremes,
-        "distinct_priorities": q_distinct_priorities,
         "supplier_intersect": q_supplier_intersect,
         "sem_cluster_by": q_sem_cluster,
         "sem_search": q_sem_search,
@@ -4170,18 +4129,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_signals": q_quality_signals,
         "sessionize": q_sessionize,
-        # CHECKS_r10-covered relational overflow (window arithmetic:
-        # 5 new + 12 ann + 2 sem_topk + 31 = 50; these 6 pure-SQL rows
-        # on untouched modules took the builder-recorded channel)
-        "time_rollup": q_time_rollup,
-        "llm_judge": q_llm_judge,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "customers_no_orders": q_customers_no_orders,
-        "orders_rollup": q_orders_rollup,
-        "top_revenue": q_top_revenue,
-        "region_revenue": q_region_revenue,
-        "events_hourly": q_events_hourly,
+        # -- tail (>50): r10-green (CORRECTNESS_r10, or r9 driver +
+        # -- CHECKS_r10 for the 3 relational leftovers), modules
+        # -- byte-untouched in round 11 --------------------------------
+        "part_brand_stats": q_part_brand_stats,
+        "orders_union_extremes": q_orders_union_extremes,
+        "distinct_priorities": q_distinct_priorities,
+        "ann_join_ivfpq": q_ann_join_ivfpq,
+        "ivfpq_compacted": q_ivfpq_compacted,
+        "ivfpq_incremental": q_ivfpq_incremental,
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "knn_pq": q_knn_pq,
+        "knn_ivf": q_knn_ivf,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "ann_join_pq": q_ann_join_pq,
+        "ann_join_ivf": q_ann_join_ivf,
+        "hybrid_search": q_hybrid_search,
+        "sem_topk": q_sem_topk,
+        "sem_topk_quicksem": q_sem_topk_quicksem,
+        "sem_join_cascade_routed": q_sem_join_cascade_routed,
+        "agentic_mapreduce": q_agentic_mapreduce,
+        "streaming_neardup": q_streaming_neardup,
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,
+        "bucketed_join": q_bucketed_join,
+        "shard_for_training": q_shard_for_training,
+        "filter_reorder": q_filter_reorder,
+        "sem_index_roundtrip": q_sem_index_roundtrip,
+        "sem_partition_agg": q_sem_partition_agg,
+        "span_dedup": q_span_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "paragraph_dedup": q_paragraph_dedup,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ngram_stats": q_ngram_stats,
+        "contamination": q_contamination,
+        "embedding_neardup": q_embedding_neardup,
+        "dedupe_doc_units": q_dedupe_doc_units,
+        "bm25_search": q_bm25_search,
+        "exact_dedup": q_exact_dedup,
+        "pipeline_clean": q_pipeline_clean,
+        "sem_dedup": q_sem_dedup,
+        "pairwise_judge": q_pairwise_judge,
+        "sem_join_cascade": q_sem_join_cascade,
+        "sem_extract": q_sem_extract,
+        "sem_join": q_sem_join,
+        "sem_agg": q_sem_agg,
+        "sem_pipeline": q_sem_pipeline,
     }
 
 
@@ -4730,6 +4728,15 @@ def oracle_sql() -> dict[str, str]:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     sqls = {
+        "contamination_index": _sql_contamination_index(),
+        # compaction is layout-only maintenance (row sets verified by
+        # the op itself), so the compacted-lifecycle oracle IS the
+        # plain band-algebra replay over the same corpus (evens)
+        "neardup_index_compacted": _sql_neardup_index(),
+        "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "image_features": _SQL_IMAGE_FEATURES,
+        "audio_features": _SQL_AUDIO_FEATURES,
+        "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,
         "neardup_index": _sql_neardup_index(),
         "neardup_index_stream": _sql_neardup_index(),  # stream == batch replay
         "neardup_index_lifecycle": _sql_neardup_index_lifecycle(),

@@ -30,9 +30,10 @@ increments from the index alone:
   collision" rule is ``min_hits=1`` at ``ngram_n=13``).
 
 Same single-writer and maintenance contracts as the MinHash and IVF-PQ
-indexes (``functions/dedup_index.py``, ``functions/ann.py``); small-file
-compaction for daily-append indexes follows ``compact_minhash_index``'s
-recipe verbatim (two narrow tables + a sidecar).
+indexes (``functions/dedup_index.py``, ``functions/ann.py``);
+``compact_ngram_index`` is the small-files maintenance op for
+daily-append indexes (``compact_minhash_index``'s recipe over the two
+narrow tables + sidecar).
 
 Hash collisions: n-grams compare by the seeded polynomial hash
 (``text.shingle_hash``, mod 1e9+7) — a collision can only ADD a
@@ -57,21 +58,27 @@ def _check_cols(df: DataFrame, text_col: str, id_col: str, who: str) -> None:
 def _postings(df: DataFrame, text_col: str, id_col: str,
               ngram_n: int) -> DataFrame:
     """(id, sh) — one row per DISTINCT hashed n-gram per doc; the single
-    encode definition shared by write/append/probe."""
-    from lotus_spark.functions.dedup import ensure_parallelism
-    from lotus_spark.functions.text import shingle_hash, word_shingles
+    encode definition shared by write/append/probe.
+
+    Built with the Arrow-batched posting generator
+    (``dedup._shingle_postings_pandas`` — vectorized numpy hashing, same
+    values as ``explode(array_distinct(transform(word_shingles(..),
+    shingle_hash)))``), NOT the Catalyst higher-order-function
+    expression: the probe side of this runs over every 100 TB increment
+    forever, and interpreted HOF evaluators degrade badly in long
+    sessions (megamorphic call sites — the measured pathology that moved
+    ``ngram_stats`` and the LSH posting builder to this exact shape).
+    The DuckDB oracle replays the identical polynomial hash, so
+    cross-engine parity is unchanged (pinned in
+    ``tests/test_decontam_index.py``)."""
+    from lotus_spark.functions.dedup import (
+        _shingle_postings_pandas, ensure_parallelism,
+    )
 
     if not df.isStreaming:
         df = ensure_parallelism(df)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.transform(word_shingles(F.col(text_col), ngram_n),
-                            shingle_hash)
-            )
-        ).alias("sh"),
-    )
+    return _shingle_postings_pandas(
+        df.select(id_col, text_col), text_col, id_col, ngram_n, None)
 
 
 def write_ngram_index(
@@ -117,17 +124,99 @@ def append_ngram_index(
     """Grow the eval index with new docs under the PINNED ``ngram_n``
     (a benchmark suite gains tasks; the training pipeline keeps
     probing). Grown index == from-scratch write of the union, row for
-    row (parity-pinned in tests). NULL ids rejected loudly."""
+    row (parity-pinned in tests). NULL ids rejected loudly, and so are
+    ids ALREADY IN THE INDEX: re-appending a doc would duplicate its
+    postings and its ``sizes`` row, fanning out every later probe's
+    (doc, match) pairs with inconsistent ``eval_frac`` — the
+    append==fresh-write parity this docstring promises would silently
+    break. The overlap check is one broadcast semi-join against the
+    tiny ``sizes`` table (eval suites are small by nature)."""
     meta = read_ngram_meta(spark, path)
     _check_cols(new_df, text_col, id_col, "append_ngram_index")
     n_null = new_df.filter(F.col(id_col).isNull()).count()
     if n_null:
         raise ValueError(
             f"append_ngram_index: {n_null} rows have NULL {id_col!r}")
+    existing = spark.read.parquet(f"{path}/sizes").select("id")
+    dup = [r["id"] for r in (
+        new_df.select(F.col(id_col).alias("id")).distinct()
+        .join(existing, "id").limit(5).collect()
+    )]
+    if dup:
+        raise ValueError(
+            f"append_ngram_index: ids already present in the index "
+            f"(e.g. {dup}) — re-appending duplicates postings and sizes "
+            "rows (probe fan-out); write new ids only, or rebuild the "
+            "index from scratch")
     posts = _postings(new_df, text_col, id_col, meta["ngram_n"])
     posts.write.mode("append").parquet(f"{path}/ngrams")
     (posts.groupBy("id").agg(F.count("*").alias("n_ngrams"))
      .write.mode("append").parquet(f"{path}/sizes"))
+
+
+def compact_ngram_index(
+    spark, path: str, target_file_bytes: int = 128 << 20,
+) -> None:
+    """Small-files maintenance twin of
+    :func:`~lotus_spark.functions.dedup_index.compact_minhash_index`:
+    every ``append_ngram_index`` adds parquet files to ``ngrams/`` and
+    ``sizes/``, and a long-lived index fragments until scans are
+    file-open bound. Rewrites each table to ``ceil(bytes /
+    target_file_bytes)`` files (repartition — row set unchanged), copies
+    the parameter sidecar, VERIFIES both row counts, then swaps via two
+    FS renames. Same recoverable non-atomic-swap contract: a crash
+    between the renames leaves the old index at ``<path>.old-*`` and
+    data is never deleted before the new copy is verified.
+    Single-writer — do not run concurrently with an appender."""
+    import math
+    import uuid
+
+    from lotus_spark.functions.ann import _fs_write_json
+
+    meta = read_ngram_meta(spark, path)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = _p(path).getFileSystem(conf)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+
+    counts = {}
+    for table in ("ngrams", "sizes"):
+        src = f"{path}/{table}"
+        df = spark.read.parquet(src)
+        counts[table] = df.count()
+        n_bytes = fs.getContentSummary(_p(src)).getLength()
+        n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+        df.repartition(n_files).write.parquet(f"{tmp}/{table}")
+    _fs_write_json(spark, f"{tmp}/{_META}", meta)
+
+    for table in ("ngrams", "sizes"):
+        n_after = spark.read.parquet(f"{tmp}/{table}").count()
+        if n_after != counts[table]:
+            fs.delete(_p(tmp), True)
+            raise RuntimeError(
+                f"compact_ngram_index: compacted {table} has {n_after} "
+                f"rows, expected {counts[table]}; original untouched")
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(_p(path), _p(old)):
+        fs.delete(_p(tmp), True)
+        raise RuntimeError(f"compact_ngram_index: could not move {path}")
+    if not fs.rename(_p(tmp), _p(path)):
+        if not fs.rename(_p(old), _p(path)):  # roll back
+            raise RuntimeError(
+                f"compact_ngram_index: could not install compacted index "
+                f"AND the rollback rename failed — data intact at {old} "
+                f"(original) and {tmp} (compacted); rename one back to "
+                f"{path} by hand")
+        fs.delete(_p(tmp), True)
+        raise RuntimeError(
+            "compact_ngram_index: could not install compacted index; "
+            "original restored")
+    fs.delete(_p(old), True)
 
 
 def contamination_against_index(

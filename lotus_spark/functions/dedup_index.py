@@ -239,6 +239,11 @@ def compact_minhash_index(
             "compact_minhash_index: could not install compacted index; "
             "original restored")
     fs.delete(_p(old), True)
+    # a neardup_matches_stream cache for this path snapshots the OLD
+    # files (now deleted) — drop it so a probe set up after compaction
+    # in the same process reads the swapped-in index instead of dead
+    # persisted frames
+    release_stream_index_cache(path)
 
 
 def neardup_join_index(
@@ -283,6 +288,10 @@ def neardup_join_index(
       otherwise it is one full scan with only (id, text) read), so
       "exact" trades the estimate tier's never-read-the-corpus property
       for exact scores. ``score_col`` then holds true Jaccard.
+      Integrity: exact-duplicate corpus rows are collapsed before the
+      join, and a candidate id with NO corpus row (stale/partial
+      ``corpus_df``) RAISES instead of silently dropping the pair — a
+      dedup gate that quietly skips its verify passes duplicates.
     """
     meta = read_minhash_meta(spark, path)
     _check_cols(query_df, text_col, id_col, "neardup_join_index")
@@ -313,21 +322,40 @@ def neardup_join_index(
         _check_cols(corpus_df, ctext, cid,
                     "neardup_join_index(verify='exact') corpus_df")
         sh_n = meta["shingle_n"]
+        # exact-duplicate corpus rows collapse before the join (a
+        # re-ingested row must not fan out one result per copy); an id
+        # that appears with CONFLICTING text is genuinely ambiguous and
+        # still fans out — that is a corrupt corpus table, not a dedup
         cshingles = corpus_df.select(
             F.col(cid).alias(match_col),
             word_shingles(F.col(ctext), sh_n).alias("__csh"),
-        )
+        ).dropDuplicates([match_col, "__csh"])
         qshingles = query_df.select(
             F.col(id_col).alias("__qid"),
             word_shingles(F.col(text_col), sh_n).alias("__qsh"),
         )
         inter = F.size(F.array_intersect("__qsh", "__csh"))
         union = F.size(F.array_union("__qsh", "__csh"))
+        # LEFT join + loud failure on a dangling candidate: an inner
+        # join would silently DROP the pair when corpus_df is stale or
+        # partial (the index says "duplicate", the verify never runs,
+        # the near-duplicate passes the gate) — the one failure mode a
+        # dedup gate must not have quietly
+        score = F.when(
+            F.col("__csh").isNull(),
+            F.raise_error(F.concat(
+                F.lit("neardup_join_index(verify='exact'): candidate "),
+                F.col(match_col).cast("string"),
+                F.lit(" has no row (or a NULL text) in corpus_df — a "
+                      "stale/partial corpus table would silently pass "
+                      "near-duplicates; pass the table the index was "
+                      "built over"),
+            )).cast("double"),
+        ).otherwise(inter.cast("double") / union.cast("double"))
         return (
-            cand.join(cshingles, match_col)      # candidate-bounded
+            cand.join(cshingles, match_col, "left")  # candidate-bounded
             .join(qshingles, "__qid")
-            .withColumn(score_col,
-                        inter.cast("double") / union.cast("double"))
+            .withColumn(score_col, score)
             .filter(F.col(score_col) >= threshold)
             .select(F.col("__qid").alias(id_col), match_col, score_col)
         )

@@ -175,6 +175,7 @@ def sem_sim_join(
     pq_nbits: int = 4,
     ivf_n_cells: int | str = "auto",
     ivf_n_probe: int = 8,
+    auto_approx: bool = False,
 ) -> DataFrame:
     """``strategy``:
 
@@ -218,16 +219,34 @@ def sem_sim_join(
       left row probes its ``ivf_n_probe`` nearest cells against the
       tiny centroid matrix, and ONE cell equi-join scores exact cosine
       within the probed cells (``functions.ann.ann_join_ivf``). The
-      only tier whose right side can be arbitrarily large; APPROXIMATE
-      (recall rises with ``ivf_n_probe``), so auto never silently picks
-      it — opt in explicitly when the PQ tier's code broadcast no
-      longer fits."""
+      right side can be arbitrarily large, but full d-dim vectors ride
+      the cell join as payload. APPROXIMATE (recall rises with
+      ``ivf_n_probe``), so auto never silently picks it.
+    - ``"ivfpq"`` (ladder top, both index halves —
+      ``functions.ann.ann_join_ivfpq``): the cell equi-join of
+      ``ivf_cells`` but carrying m-byte PQ codes instead of raw
+      vectors (~64x less right payload at d=64/m=8), ADC scoring
+      inside the probed cells, then an exact-cosine rerank of the ADC
+      top ``auto_rerank_k`` by id — FAISS's billion-to-billion join
+      shape as two bounded shuffles. Exact at full knobs
+      (``ivf_n_probe >= n_cells``); APPROXIMATE otherwise (recall
+      curves: ``BENCH_joinrecall.json``). Ties beyond the score break
+      on the internal right id (generation order), so ``tie_break``
+      must be None for this tier.
+
+    ``auto_approx=True`` lets ``"auto"`` escalate PAST the PQ broadcast
+    budget to ``"ivfpq"`` instead of the exact-but-pair-exploding
+    ``"crossjoin"`` — the scale default for corpus-vs-corpus joins
+    where approximate recall is the documented trade. The default
+    (False) preserves the exact-answers invariant: auto never silently
+    picks an approximate tier."""
     if strategy not in ("auto", "crossjoin", "broadcast_ann",
-                        "broadcast_exact", "broadcast_pq", "ivf_cells"):
+                        "broadcast_exact", "broadcast_pq", "ivf_cells",
+                        "ivfpq"):
         raise ValueError(
             f"unknown strategy {strategy!r}; pick 'auto', 'crossjoin', "
-            "'broadcast_exact', 'broadcast_ann', 'broadcast_pq' or "
-            "'ivf_cells'"
+            "'broadcast_exact', 'broadcast_ann', 'broadcast_pq', "
+            "'ivf_cells' or 'ivfpq'"
         )
     if strategy == "auto":
         # Size the PQ tier from ACTUAL bytes/row, not a fixed multiple:
@@ -267,9 +286,13 @@ def sem_sim_join(
                 d_probe = 64
             pq_bytes = 8 + 8  # m<=8 uint8 codes + int64 id
             ratio = max(1, min(64, (d_probe * 4 + 8) // pq_bytes))
-            strategy = ("broadcast_pq"
-                        if n_bounded <= ratio * broadcast_max_rows
-                        else "crossjoin")
+            if n_bounded <= ratio * broadcast_max_rows:
+                strategy = "broadcast_pq"
+            else:
+                # beyond even the code broadcast: the exact answer is
+                # the pair-exploding crossjoin; with auto_approx the
+                # caller accepts IVFPQ recall for a bounded-shuffle plan
+                strategy = "ivfpq" if auto_approx else "crossjoin"
     model = None
     if left_emb_col is None or right_emb_col is None:
         model = _resolve_rm(rm)

@@ -12,11 +12,28 @@ Scale design: WARC is not block-splittable without an external index
 (records are variable-length and gzip members aren't aligned to
 offsets), so the PARALLELISM UNIT IS THE FILE — exactly how production
 crawl jobs shard (thousands of ~1 GB files; Spark schedules one task
-per file via the ``binaryFile`` source). Within a task the parse is one
-sequential pass. A whole (decompressed) shard must fit a task's memory
-— the same bound the format's own sharding convention guarantees.
-Compressed shards (per-record gzip members, the Common Crawl layout)
-decompress transparently: multi-member gzip streams concatenate.
+per file). Within a task the parse is one sequential pass, and it
+STREAMS: the gzip members decode incrementally (``GzipFile`` reads
+across the per-record members Common Crawl writes), the record framing
+is consumed by an incremental parser that never holds more than the
+current record, ``max_content_bytes`` truncates WHILE the payload
+streams past (the tail of an oversized record is skipped, not
+buffered), and complete records leave the task as chunked Arrow
+batches (``batch_records``/``batch_bytes``). Peak task memory is
+therefore O(one kept record + one output batch) on the decompressed
+side — NOT the 4-5x full-shard inflation a ``gzip.decompress``-then-
+parse design pays.
+
+The compressed side has two tiers, picked from the path scheme:
+
+- local paths (``file:`` or bare) stream straight from disk — nothing
+  is materialized, shards of any size parse in bounded memory;
+- remote Hadoop FS schemes (``s3a://`` etc.) ride the ``binaryFile``
+  source, which materializes the COMPRESSED shard as one row (Python
+  workers cannot open arbitrary Hadoop schemes). Peak = compressed
+  bytes + the streaming-decode bound above, and Spark's 2 GB
+  ``binaryFile`` row ceiling caps the compressed shard size — Common
+  Crawl's ~1 GB sharding convention fits with headroom.
 
 The reference has no WARC reader (its connectors stop at
 files/S3/DBs); this extends the source surface the way a 100 TB
@@ -26,7 +43,9 @@ curation pipeline actually ingests.
 from __future__ import annotations
 
 import gzip
+import io
 from typing import Iterator, Optional, Sequence
+from urllib.parse import unquote, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -42,72 +61,175 @@ HTTP_SCHEMA = WARC_SCHEMA + (
 )
 
 
+class _RecordParser:
+    """Incremental WARC record framer: ``feed()`` it byte chunks in any
+    sizes, collect complete record tuples as they close. Holds at most
+    the current record's headers + its KEPT content — when
+    ``max_content_bytes`` truncates (or a WARC-Type filter drops the
+    record entirely), the remaining payload bytes are counted off and
+    discarded as they arrive, never buffered. Strict: malformed framing
+    raises with file+offset context (a silently half-read crawl shard
+    is worse than a loud one)."""
+
+    _MAX_HEADER_BLOCK = 1 << 20  # no sane WARC header block nears 1 MB
+
+    def __init__(self, origin: str, types: Optional[set],
+                 max_content_bytes: Optional[int]):
+        self.origin = origin
+        self.types = types
+        self.max = max_content_bytes
+        self.buf = bytearray()
+        self.abs = 0  # file offset of buf[0] (error context)
+        self.rec_idx = 0
+        self._hdrs: Optional[dict] = None   # None = between records
+        self._remaining = 0                 # content bytes still owed
+        self._content: Optional[bytearray] = None
+        self._kept_cap = 0
+
+    def feed(self, data: bytes) -> list[tuple]:
+        self.buf += data
+        return self._drain(final=False)
+
+    def finish(self) -> list[tuple]:
+        rows = self._drain(final=True)
+        if self._hdrs is not None:
+            raise ValueError(
+                f"{self.origin}: record {self.rec_idx} declares "
+                f"Content-Length but the stream ended with "
+                f"{self._remaining} content bytes missing")
+        if bytes(self.buf).strip(b"\r\n"):
+            raise ValueError(
+                f"{self.origin}: truncated WARC header block at byte "
+                f"{self.abs}")
+        return rows
+
+    def _drain(self, final: bool) -> list[tuple]:
+        rows: list[tuple] = []
+        while True:
+            if self._hdrs is not None:
+                take = min(len(self.buf), self._remaining)
+                if self._content is not None:
+                    want = self._kept_cap - len(self._content)
+                    if want > 0:
+                        self._content += self.buf[:min(take, want)]
+                del self.buf[:take]
+                self.abs += take
+                self._remaining -= take
+                if self._remaining:
+                    return rows  # mid-content, need more bytes
+                hdrs = self._hdrs
+                if self._content is not None:
+                    rows.append((
+                        self.origin,
+                        self.rec_idx,
+                        hdrs.get("warc-type", ""),
+                        hdrs.get("warc-record-id", ""),
+                        hdrs.get("warc-target-uri"),
+                        hdrs.get("warc-date"),
+                        hdrs.get("content-type"),
+                        bytes(self._content),
+                    ))
+                self.rec_idx += 1
+                self._hdrs = None
+                self._content = None
+                continue
+            # between records: skip separator CR/LF, then frame headers
+            i = 0
+            while i < len(self.buf) and self.buf[i:i + 1] in (b"\r", b"\n"):
+                i += 1
+            if i:
+                del self.buf[:i]
+                self.abs += i
+            if not self.buf:
+                return rows
+            c1 = self.buf.find(b"\r\n\r\n")
+            c2 = self.buf.find(b"\n\n")
+            if c1 < 0 and c2 < 0:
+                if len(self.buf) > self._MAX_HEADER_BLOCK:
+                    raise ValueError(
+                        f"{self.origin}: WARC header block at byte "
+                        f"{self.abs} exceeds {self._MAX_HEADER_BLOCK} "
+                        "bytes — not a WARC stream?")
+                if final:
+                    raise ValueError(
+                        f"{self.origin}: truncated WARC header block at "
+                        f"byte {self.abs}")
+                return rows  # blank line not seen yet
+            if c1 >= 0 and (c2 < 0 or c1 < c2):
+                head_end, body_at = c1, c1 + 4
+            else:
+                head_end, body_at = c2, c2 + 2
+            lines = bytes(self.buf[:head_end]).split(b"\n")
+            version = lines[0].strip()
+            if not version.startswith(b"WARC/"):
+                raise ValueError(
+                    f"{self.origin}: expected a WARC/ version line at "
+                    f"byte {self.abs}, found {version[:32]!r}")
+            headers: dict[str, str] = {}
+            for line in lines[1:]:
+                line = line.rstrip(b"\r")
+                if not line:
+                    continue
+                key, _, val = line.partition(b":")
+                headers[key.strip().lower().decode("ascii", "replace")] = (
+                    val.strip().decode("utf-8", "replace"))
+            try:
+                clen = int(headers["content-length"])
+                if clen < 0:
+                    raise ValueError
+            except (KeyError, ValueError):
+                raise ValueError(
+                    f"{self.origin}: record {self.rec_idx} lacks a valid "
+                    "Content-Length header") from None
+            del self.buf[:body_at]
+            self.abs += body_at
+            self._hdrs = headers
+            self._remaining = clen
+            wtype = headers.get("warc-type", "")
+            if self.types is None or wtype in self.types:
+                self._kept_cap = (clen if self.max is None
+                                  else min(clen, self.max))
+                self._content = bytearray()
+            else:
+                # filtered type: count its payload off without keeping it
+                self._kept_cap = 0
+                self._content = None
+
+
+def _iter_warc_records(
+    raw,
+    origin: str,
+    types: Optional[set],
+    max_content_bytes: Optional[int],
+    chunk_bytes: int = 1 << 20,
+) -> Iterator[tuple]:
+    """Record tuples from a seekable byte stream (plain or gzip —
+    ``GzipFile`` reads across the per-record members transparently),
+    decoding ``chunk_bytes`` at a time through the incremental parser so
+    the decompressed shard is never materialized."""
+    head = raw.read(2)
+    raw.seek(0)
+    src = gzip.GzipFile(fileobj=raw) if head == b"\x1f\x8b" else raw
+    parser = _RecordParser(origin, types, max_content_bytes)
+    while True:
+        chunk = src.read(chunk_bytes)
+        if not chunk:
+            break
+        yield from parser.feed(chunk)
+    yield from parser.finish()
+
+
 def _parse_warc_bytes(
     buf: bytes,
     origin: str,
     types: Optional[set],
     max_content_bytes: Optional[int],
 ) -> list[tuple]:
-    """One sequential pass over a decompressed WARC stream → record
-    tuples. Strict: malformed framing raises with file+offset context
-    (a silently half-read crawl shard is worse than a loud one)."""
-    rows: list[tuple] = []
-    i, n, rec_idx = 0, len(buf), 0
-    while i < n:
-        while i < n and buf[i : i + 1] in (b"\r", b"\n"):
-            i += 1  # inter-record CRLF CRLF separators
-        if i >= n:
-            break
-        eol = buf.find(b"\n", i)
-        if eol < 0:
-            raise ValueError(
-                f"{origin}: truncated WARC version line at byte {i}")
-        version = buf[i:eol].strip()
-        if not version.startswith(b"WARC/"):
-            raise ValueError(
-                f"{origin}: expected a WARC/ version line at byte {i}, "
-                f"found {version[:32]!r}")
-        i = eol + 1
-        headers: dict[str, str] = {}
-        while True:
-            eol = buf.find(b"\n", i)
-            if eol < 0:
-                raise ValueError(
-                    f"{origin}: truncated WARC header block at byte {i}")
-            line = buf[i:eol].rstrip(b"\r")
-            i = eol + 1
-            if not line:
-                break
-            key, _, val = line.partition(b":")
-            headers[key.strip().lower().decode("ascii", "replace")] = (
-                val.strip().decode("utf-8", "replace"))
-        try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError(
-                f"{origin}: record {rec_idx} lacks a valid "
-                "Content-Length header") from None
-        if i + clen > n:
-            raise ValueError(
-                f"{origin}: record {rec_idx} declares Content-Length "
-                f"{clen} but only {n - i} bytes remain")
-        content = buf[i : i + clen]
-        i += clen
-        wtype = headers.get("warc-type", "")
-        if types is None or wtype in types:
-            if max_content_bytes is not None:
-                content = content[:max_content_bytes]
-            rows.append((
-                origin,
-                rec_idx,
-                wtype,
-                headers.get("warc-record-id", ""),
-                headers.get("warc-target-uri"),
-                headers.get("warc-date"),
-                headers.get("content-type"),
-                content,
-            ))
-        rec_idx += 1
+    """One in-memory (already decompressed) WARC buffer → record tuples;
+    thin wrapper over the incremental parser."""
+    p = _RecordParser(origin, types, max_content_bytes)
+    rows = p.feed(buf)
+    rows += p.finish()
     return rows
 
 
@@ -140,47 +262,70 @@ def load_warc(
     parse_http: bool = False,
     max_content_bytes: Optional[int] = None,
     recursive: bool = False,
+    batch_records: int = 1024,
+    batch_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Read WARC / WARC-gz shard(s) at ``path`` (file, dir, or glob —
     any Hadoop FS scheme) into one row per record.
 
     ``types`` filters by WARC-Type at the parser ("response" by default
     — the crawl-payload records; pass ``None`` for every record incl.
-    warcinfo/request/metadata). ``parse_http=True`` additionally splits
+    warcinfo/request/metadata; filtered records' payloads are skipped,
+    not buffered). ``parse_http=True`` additionally splits
     ``application/http`` payloads into (http_status, http_headers,
     body) — the body is what the text-extraction stage consumes.
-    ``max_content_bytes`` truncates payloads at the parser (bound the
-    row size before anything shuffles). Columns: warc_file, record_idx,
-    warc_type, record_id, target_uri, warc_date, content_type, content
-    [+ the http trio].
+    ``max_content_bytes`` truncates payloads AS THEY STREAM past the
+    parser (bound the row size before anything buffers or shuffles).
+    Records leave each task in Arrow batches of at most
+    ``batch_records`` rows / ~``batch_bytes`` kept payload, so task
+    memory stays flat however large the shard inflates. Columns:
+    warc_file, record_idx, warc_type, record_id, target_uri, warc_date,
+    content_type, content [+ the http trio].
     """
     type_set = set(types) if types is not None else None
     reader = spark.read.format("binaryFile")
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
-    files = reader.load(path).select("path", "content")
+    # local paths stream straight from disk in the task (binaryFile is
+    # listing-only: column pruning drops `content` from the scan);
+    # remote schemes must ride the binaryFile content column — Python
+    # workers can't open arbitrary Hadoop filesystems
+    local = urlparse(path).scheme in ("", "file")
+    if local:
+        files = reader.load(path).select("path")
+    else:
+        files = reader.load(path).select("path", "content")
+
+    cols = ["warc_file", "record_idx", "warc_type", "record_id",
+            "target_uri", "warc_date", "content_type", "content"]
+    if parse_http:
+        cols += ["http_status", "http_headers", "body"]
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["warc_file", "record_idx", "warc_type", "record_id",
-                "target_uri", "warc_date", "content_type", "content"]
-        if parse_http:
-            cols += ["http_status", "http_headers", "body"]
         for pdf in it:
-            rows = []
-            for p, c in zip(pdf["path"], pdf["content"]):
-                data = bytes(c)
-                if data[:2] == b"\x1f\x8b":
-                    # multi-member gzip (per-record members, the Common
-                    # Crawl layout) concatenates transparently
-                    data = gzip.decompress(data)
-                recs = _parse_warc_bytes(
-                    data, str(p), type_set, max_content_bytes)
-                if parse_http:
-                    recs = [
-                        r + _split_http(r[-1]) for r in recs
-                    ]
-                rows.extend(recs)
-            yield pd.DataFrame(rows, columns=cols)
+            for i in range(len(pdf)):
+                p = str(pdf["path"].iloc[i])
+                if "content" in pdf.columns:
+                    raw = io.BytesIO(bytes(pdf["content"].iloc[i]))
+                else:
+                    raw = open(unquote(urlparse(p).path), "rb")
+                try:
+                    batch: list[tuple] = []
+                    kept = 0
+                    for rec in _iter_warc_records(
+                            raw, p, type_set, max_content_bytes):
+                        if parse_http:
+                            rec = rec + _split_http(rec[-1])
+                        batch.append(rec)
+                        kept += len(rec[7])
+                        if (len(batch) >= batch_records
+                                or kept >= batch_bytes):
+                            yield pd.DataFrame(batch, columns=cols)
+                            batch, kept = [], 0
+                    if batch:
+                        yield pd.DataFrame(batch, columns=cols)
+                finally:
+                    raw.close()
 
     schema = HTTP_SCHEMA if parse_http else WARC_SCHEMA
     return files.mapInPandas(parse, schema=schema)

@@ -167,3 +167,68 @@ def test_contamination_index_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_ngram_index_append_rejects_existing_ids(spark, tmp_path):
+    """ADVICE r10: re-appending an indexed id would duplicate its
+    postings + sizes rows and fan out every later probe — the appender
+    must refuse, preserving the append==fresh-write parity."""
+    from lotus_spark.functions.decontam_index import (
+        append_ngram_index, contamination_against_index, write_ngram_index,
+    )
+
+    path = str(tmp_path / "ng")
+    write_ngram_index(_docs(spark, EVAL), path, "text", "doc_id",
+                      ngram_n=3)
+    with pytest.raises(ValueError, match="already present"):
+        append_ngram_index(spark, path, _docs(spark, [EVAL[0]]),
+                           "text", "doc_id")
+    # fresh ids still append, and the probe stays single-row-per-pair
+    append_ngram_index(spark, path, _docs(spark, [
+        (3, "novel eval task about photosynthesis in shallow water")]),
+        "text", "doc_id")
+    got = contamination_against_index(
+        spark, path, _docs(spark, [(101, EVAL[0][1])]), "text", "doc_id")
+    pairs = [(r["doc_id"], r["match_id"]) for r in got.collect()]
+    assert pairs == [(101, 1)]
+
+
+def test_compact_ngram_index_preserves_rows_and_answers(spark, tmp_path):
+    """r10-verdict item 5: daily append_ngram_index calls fragment the
+    postings table; compact_ngram_index rewrites both tables to few
+    files (row set verified, rename swap) and probe answers are
+    untouched."""
+    from pathlib import Path
+
+    from lotus_spark.functions.decontam_index import (
+        append_ngram_index, compact_ngram_index,
+        contamination_against_index, read_ngram_meta, write_ngram_index,
+    )
+
+    path = str(tmp_path / "ng")
+    write_ngram_index(_docs(spark, [EVAL[0]]), path, "text", "doc_id",
+                      ngram_n=3)
+    for i, txt in [(2, EVAL[1][1]),
+                   (3, "third eval task text with several words here"),
+                   (4, "fourth eval task text with other words again")]:
+        append_ngram_index(spark, path, _docs(spark, [(i, txt)]),
+                           "text", "doc_id")
+    train = _docs(spark, [(101, EVAL[0][1]), (102, EVAL[1][1]),
+                          (103, "untainted text about glacier formation")])
+    before = sorted(
+        (r["doc_id"], r["match_id"], r["n_hits"], r["eval_frac"])
+        for r in contamination_against_index(
+            spark, path, train, "text", "doc_id").collect())
+    n_files_before = len(list(Path(path, "ngrams").glob("*.parquet")))
+    assert n_files_before >= 4  # fragmented by the appends
+
+    compact_ngram_index(spark, path)
+
+    n_files_after = len(list(Path(path, "ngrams").glob("*.parquet")))
+    assert n_files_after < n_files_before
+    assert read_ngram_meta(spark, path)["ngram_n"] == 3  # sidecar copied
+    after = sorted(
+        (r["doc_id"], r["match_id"], r["n_hits"], r["eval_frac"])
+        for r in contamination_against_index(
+            spark, path, train, "text", "doc_id").collect())
+    assert after == before and len(after) >= 2

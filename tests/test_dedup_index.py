@@ -630,3 +630,58 @@ def test_stream_gate_foreachbatch_embedding_index(spark, tmp_path):
     q.awaitTermination()
     got = {r["qid"] for r in spark.read.parquet(sink).collect()}
     assert got == {501, 503}
+
+
+def test_exact_verify_stale_corpus_raises_and_dups_collapse(spark, tmp_path):
+    """ADVICE r10: verify='exact' must not SILENTLY pass a near-dup
+    when the caller-supplied corpus_df is stale (a matched id with no
+    corpus row used to be dropped by the inner join — the one failure
+    mode a dedup gate cannot have quietly); and exact-duplicate corpus
+    rows must not fan out one result per copy."""
+    import pytest
+
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+
+    corpus = _docs(spark, BASE)
+    path = str(tmp_path / "mh_stale")
+    write_minhash_index(corpus, path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    inc = _docs(spark, [(102, BASE[1][1])])  # exact dup of doc 2
+
+    # stale corpus: the indexed doc 2 is missing from the table -> raise
+    stale = corpus.filter("doc_id <> 2")
+    with pytest.raises(Exception, match="no row"):
+        neardup_join_index(
+            spark, path, inc, "text", "doc_id", threshold=0.3,
+            verify="exact", corpus_df=stale).collect()
+
+    # duplicated corpus rows (same id + text twice) -> single result row
+    doubled = corpus.union(corpus.filter("doc_id = 2"))
+    got = neardup_join_index(
+        spark, path, inc, "text", "doc_id", threshold=0.99,
+        verify="exact", corpus_df=doubled).collect()
+    assert [(r["doc_id"], r["match_id"]) for r in got] == [(102, 2)]
+
+
+def test_compact_minhash_index_releases_stream_cache(spark, tmp_path):
+    """ADVICE r10: compact_minhash_index swaps the underlying files, so
+    it must drop the neardup_matches_stream static cache for that path —
+    a probe set up after compaction would otherwise read persisted
+    frames over deleted files."""
+    from lotus_spark.functions.dedup_index import (
+        _STREAM_STATIC_CACHE, compact_minhash_index, write_minhash_index,
+    )
+
+    corpus = _docs(spark, BASE)
+    path = str(tmp_path / "mh_cc")
+    write_minhash_index(corpus, path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    # simulate a prior stream setup having cached the static sides
+    _STREAM_STATIC_CACHE[path] = (
+        spark.read.parquet(f"{path}/buckets").persist(),
+        spark.read.parquet(f"{path}/sigs").persist(),
+    )
+    compact_minhash_index(spark, path)
+    assert path not in _STREAM_STATIC_CACHE

@@ -142,6 +142,97 @@ def test_warc_roundtrip_matches_duckdb_oracle(spark):
     assert a.equals(b)
 
 
+def test_record_parser_streams_bounded(tmp_path):
+    """r10-verdict item 2 (the load_warc memory bound): the incremental
+    parser holds at most the current record's KEPT bytes — an oversized
+    payload is truncated at max_content_bytes WHILE it streams past
+    (the tail is counted off, never buffered), and a type-filtered
+    record's payload is never buffered at all."""
+    from lotus_spark.sources.warc import _RecordParser
+
+    big = 10 << 20  # 10 MB declared payload
+    head = (f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"Content-Length: {big}\r\n\r\n").encode()
+    parser = _RecordParser("t", {"response"}, max_content_bytes=16)
+    rows = list(parser.feed(head))
+    chunk = b"x" * (64 << 10)
+    sent = 0
+    while sent < big:
+        n = min(len(chunk), big - sent)
+        rows += parser.feed(chunk[:n])
+        sent += n
+        # buffer bound: never holds more than one in-flight chunk
+        assert len(parser.buf) <= len(chunk)
+        assert parser._content is None or len(parser._content) <= 16
+    rows += parser.finish()
+    assert len(rows) == 1 and rows[0][7] == b"x" * 16
+
+    # filtered type: 10 MB request payload, nothing kept
+    parser = _RecordParser("t", {"response"}, None)
+    head = head.replace(b"WARC-Type: response", b"WARC-Type: request")
+    rows = list(parser.feed(head))
+    sent = 0
+    while sent < big:
+        n = min(len(chunk), big - sent)
+        rows += parser.feed(chunk[:n])
+        sent += n
+        assert parser._content is None and len(parser.buf) <= len(chunk)
+    assert parser.finish() == [] and rows == []
+
+
+def test_iter_warc_records_no_full_inflation():
+    """A multi-member gzip shard that inflates ~1000x parses without
+    ever materializing the decompressed stream: tracemalloc peak while
+    iterating stays bounded by O(chunk + one record), far under the
+    ~50 MB inflation a decompress-then-parse design would hold."""
+    import gzip as _gzip
+    import io
+    import tracemalloc
+
+    from lotus_spark.sources.warc import _iter_warc_records
+
+    rec_body = b"\x00" * (256 << 10)  # compresses ~1000x
+    shard = b"".join(
+        _gzip.compress(_record("response", f"http://e/{i}", rec_body,
+                               f"m{i}"))
+        for i in range(200)
+    )  # ~50 MB decompressed
+    tracemalloc.start()
+    n = 0
+    for rec in _iter_warc_records(io.BytesIO(shard), "t", None, None):
+        assert len(rec[7]) == len(rec_body)
+        n += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 200
+    # chunk (1 MB) + one record (256 KB) + pandas/overhead slack
+    assert peak < 8 << 20, f"peak {peak} bytes — shard was materialized?"
+
+
+def test_load_warc_batched_output_parity(spark, tmp_path):
+    """Chunked Arrow batches (batch_records/batch_bytes) change task
+    memory, never the row set: a multi-record shard read with 2-row
+    batches equals the default read."""
+    from lotus_spark.sources.warc import load_warc
+
+    p = tmp_path / "many.warc"
+    p.write_bytes(b"".join(
+        _record("response", f"http://e/{i}",
+                b"HTTP/1.1 200 OK\r\n\r\nbody" + str(i).encode(), f"r{i}")
+        for i in range(7)
+    ))
+    base = sorted(
+        (r["target_uri"], bytes(r["content"]))
+        for r in load_warc(spark, str(p)).collect())
+    small = sorted(
+        (r["target_uri"], bytes(r["content"]))
+        for r in load_warc(spark, str(p), batch_records=2).collect())
+    tiny = sorted(
+        (r["target_uri"], bytes(r["content"]))
+        for r in load_warc(spark, str(p), batch_bytes=8).collect())
+    assert base == small == tiny and len(base) == 7
+
+
 def test_html_to_text_expression(spark):
     """The WARC -> documents seam: script/style subtrees dropped, tags
     stripped, common entities decoded, whitespace collapsed — one pure
