@@ -413,6 +413,47 @@ def sem_sim_join(
             out = out.drop(SCORE_COL)
         return out
 
+    if strategy == "ivfpq":
+        from lotus_spark.functions.ann import ann_join_ivfpq
+
+        if tie_break is not None:
+            raise ValueError(
+                "strategy='ivfpq' breaks score ties on the internal "
+                "right id (ann_join_ivfpq has no tie column); use "
+                "'ivf_cells' if a caller-visible tie_break is required")
+        # pin the generated right ids (partition-layout-dependent), same
+        # contract as the pq/ivf tiers: the encode and the payload
+        # re-attachment must see ONE materialization
+        ridx = r.withColumn(
+            "__r_id", F.monotonically_increasing_id()
+        ).localCheckpoint()
+        # pick the PQ subspace count from the embedding dim, skipping
+        # NULLs (same probe as broadcast_pq)
+        first = (ridx.select(F.size(right_emb_col).alias("d"))
+                 .filter(F.col("d").isNotNull()).first())
+        if first is None:
+            raise ValueError(
+                "ivfpq: right side has no non-NULL embeddings — "
+                "nothing is indexable")
+        d = first["d"]
+        m = next(mm for mm in (8, 4, 2, 1) if d % mm == 0)
+        l2 = l.withColumn("__l_id", F.monotonically_increasing_id())
+        matched = ann_join_ivfpq(
+            l2, ridx.select("__r_id", right_emb_col), "__l_id",
+            left_emb_col, "__r_id", right_emb_col, K,
+            n_cells=ivf_n_cells, n_probe=ivf_n_probe, m=m,
+            nbits=pq_nbits, id_out="__r_id", score_out=SCORE_COL,
+        )
+        out = matched.join(ridx.drop(right_emb_col), "__r_id") \
+                     .drop("__r_id", "__l_id", "_rank")
+        for c in ("__l_emb", "__r_emb", f"__l_emb{rsuffix}",
+                  f"__r_emb{rsuffix}"):
+            if c in out.columns:
+                out = out.drop(c)
+        if not return_scores:
+            out = out.drop(SCORE_COL)
+        return out
+
     if strategy == "broadcast_ann":
         # speed tier (SURVEY §2.4 VS): index the right side once, probe each
         # left Arrow batch with a vectorized matmul — zero shuffle, no

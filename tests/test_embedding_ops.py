@@ -779,3 +779,84 @@ def test_sem_dedup_exact_collapse_and_corners(spark):
         df, "emb", threshold=1.0, id_col="doc_id", emb_col="emb",
         strategy="exact").collect()}
     assert kept_strict == {1, 2, 3, 40, 41, 50, 51}
+
+
+def test_sem_sim_join_ivfpq_strategy(spark):
+    """r10-verdict item 7: ann_join_ivfpq wired into sem_sim_join as
+    the ladder-top 'ivfpq' tier. At full knobs (probe == cells, auto
+    rerank budget >= candidates) it matches broadcast_exact and
+    ivf_cells exactly; a partial probe returns <= K ranked rows; a
+    tie_break raises loudly (the tier breaks ties on the internal right
+    id)."""
+    import numpy as np
+    import pytest
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(60, 8).astype("float64")
+    right = spark.createDataFrame(
+        [(i, f"doc{i}", [float(x) for x in vecs[i]]) for i in range(60)],
+        ["rid", "payload", "remb"])
+    left = spark.createDataFrame(
+        [(100 + j, [float(x) for x in vecs[j * 9]]) for j in range(3)],
+        ["qid", "lemb"])
+
+    def run(**kw):
+        out = sem_sim_join(left, right, "lemb", "remb", K=3,
+                           left_emb_col="lemb", right_emb_col="remb",
+                           **kw)
+        return sorted((r["qid"], r["rid"], r["payload"],
+                       round(r["_scores"], 6)) for r in out.collect())
+
+    exact = run(strategy="broadcast_exact")
+    ivf = run(strategy="ivf_cells", ivf_n_cells=4, ivf_n_probe=4)
+    ivfpq = run(strategy="ivfpq", ivf_n_cells=4, ivf_n_probe=4)
+    assert ivfpq == ivf == exact
+
+    part = run(strategy="ivfpq", ivf_n_cells=4, ivf_n_probe=1)
+    per = {}
+    for qid, rid, _, score in part:
+        per.setdefault(qid, []).append(score)
+    assert per and all(len(s) <= 3 for s in per.values())
+    # the self-match cell is always probed first: score-1 pairs are the
+    # query rows themselves
+    top = {(q, r) for q, r, _, s in part if s == 1.0}
+    assert top == {(100 + j, j * 9) for j in range(3)}
+
+    with pytest.raises(ValueError, match="tie_break"):
+        run(strategy="ivfpq", tie_break="rid")
+
+
+def test_sem_sim_join_auto_approx_escalates_to_ivfpq(spark):
+    """auto_approx=True lets the auto ladder escalate past the PQ code
+    budget to the bounded-shuffle ivfpq tier instead of the
+    pair-exploding crossjoin; the default (False) keeps auto exact.
+    Here the default knobs fully probe the tiny right side, so the
+    approximate tier's answers are value-equal to exact."""
+    import numpy as np
+
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    rng = np.random.RandomState(53)
+    vecs = rng.randn(40, 8).astype("float32")
+    right = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        ["rid", "remb"])
+    left = spark.createDataFrame(
+        [(100, [float(x) for x in vecs[3]])], ["qid", "lemb"])
+
+    def run(**kw):
+        out = sem_sim_join(left, right, "lemb", "remb", K=3,
+                           left_emb_col="lemb", right_emb_col="remb",
+                           **kw)
+        return sorted((r["rid"], round(r["_scores"], 6))
+                      for r in out.collect())
+
+    exact = run(strategy="broadcast_exact")
+    # beyond the code budget (40 > 2*19): default auto stays exact via
+    # crossjoin; auto_approx opts into the ivfpq plan (n_cells auto ~
+    # sqrt(40), n_probe 8 >= cells -> full probe -> same values)
+    assert run(strategy="auto", broadcast_max_rows=19) == exact
+    assert run(strategy="auto", broadcast_max_rows=19,
+               auto_approx=True) == exact
