@@ -173,6 +173,44 @@ def bench_index_probe(spark, sf_dir: str) -> int:
     ).count()
 
 
+_DECONTAM_INDEX: dict = {}
+
+
+def bench_decontam_probe(spark, sf_dir: str) -> int:
+    """Time ONE decontamination probe (the other recurring daily path,
+    r11): the eval-set n-gram index over the ``doc_id % 50 == 0`` docs
+    (2% — eval suites are small by nature) is built once per bench
+    session (setup, untimed; BENCH_decontam.json measures write cost
+    and scale laws separately) and each call times the increment-side
+    n-gram hashing (Arrow mapInPandas) + the broadcast hash equi-join +
+    per-pair hit aggregation of the 10% "daily increment" slice
+    (doc_id % 10 == 1), at the GPT-3 13-gram rule."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.decontam_index import (
+        contamination_against_index, write_ngram_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    if sf_dir not in _DECONTAM_INDEX:
+        d = tempfile.mkdtemp(prefix="bench_ngidx_")
+        write_ngram_index(docs.filter(F.col("doc_id") % 50 == 0),
+                          f"{d}/idx", "text", "doc_id", ngram_n=13)
+        _DECONTAM_INDEX[sf_dir] = d
+        import atexit
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    path = f"{_DECONTAM_INDEX[sf_dir]}/idx"
+    return contamination_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 10 == 1),
+        "text", "doc_id", min_hits=1,
+    ).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -285,6 +323,22 @@ def main() -> None:
               f"{timings['mhindex_probe']:.2f}s", file=sys.stderr)
     except Exception as exc:
         print(f"# mhindex_probe failed: {exc}", file=sys.stderr)
+
+    # decontamination probe micro-bench (r11): same index-once/probe-
+    # each-increment shape as mhindex_probe, for the eval-set n-gram
+    # index. Correctness is the contamination_index oracle row; this
+    # times the recurring 100 TB-side path.
+    try:
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = bench_decontam_probe(spark, sf_dir)
+            best = min(best, time.time() - t0)
+        timings["decontam_probe"] = round(best, 3)
+        print(f"# decontam_probe: {n} contaminated pairs in "
+              f"{timings['decontam_probe']:.2f}s", file=sys.stderr)
+    except Exception as exc:
+        print(f"# decontam_probe failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
