@@ -3732,6 +3732,177 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q_pipeline_ingest(spark, sf_dir):
+    """The crawl-day FRONT half composed end-to-end (r10 verdict item
+    4; examples/crawl_ingest.py proves it runs, this row proves it's
+    RIGHT): synthesize a per-record-gzip WARC shard whose HTTP bodies
+    wrap the doc_id >= 50 documents in a fixed HTML template, then
+
+    1. ``load_warc(parse_http=True)`` — streaming gzip-member decode,
+       strict framing, HTTP split (sources/warc.py);
+    2. ``html_to_text`` — the C4-style pure-Column extraction seam;
+    3. Gopher quality gate (``text.gopher_keep``, min_words=20) over
+       the EXTRACTED text;
+    4. ``dedup_against_index`` — survivors probe the persisted
+       MinHash-LSH index of the already-ingested corpus (doc_id < 50)
+       and only verified-novel rows pass (estimator verify, τ=0.5).
+
+    Returns (doc_id, n_chars, clean_sha) of the ingested rows. The
+    oracle replays the WHOLE chain in DuckDB — HTML build + tag/entity
+    strip + whitespace collapse, the pipeline_clean gate block, and the
+    neardup_index band algebra with an anti-join — so one hash match
+    checks parse, extraction, gate, and index-dedup algebra together."""
+    import gzip as _gzip
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.dedup_index import (
+        dedup_against_index, write_minhash_index,
+    )
+    from lotus_spark.functions.text import gopher_keep
+    from lotus_spark.sources.warc import html_to_text, load_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id < 50").select("doc_id", "text")
+    crawl = (docs.filter("doc_id >= 50").select("doc_id", "text")
+             .orderBy("doc_id").collect())  # bounded: sf0.01 = 450 rows
+    d = tempfile.mkdtemp(prefix="ingest_")
+    try:
+        members = []
+        for r in crawl:
+            html = (
+                f"<html><head><title>Doc {r['doc_id']}</title>"
+                "<script>var x=1;</script></head><body><p>"
+                f"{r['text']}</p></body></html>"
+            )
+            payload = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                       b"\r\n\r\n" + html.encode())
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:doc:{r['doc_id']}>\r\n"
+                f"WARC-Target-URI: doc://{r['doc_id']}\r\n"
+                f"Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + b"\r\n\r\n"
+            members.append(_gzip.compress(rec))
+        with open(f"{d}/crawl.warc.gz", "wb") as f:
+            f.write(b"".join(members))
+        idx = f"{d}/idx"
+        write_minhash_index(corpus, idx, "text", "doc_id",
+                            n_hashes=16, bands=4)
+        recs = load_warc(spark, f"{d}/crawl.warc.gz", parse_http=True)
+        extracted = recs.select(
+            F.regexp_extract("target_uri", r"doc://(\d+)", 1)
+             .cast("long").alias("doc_id"),
+            html_to_text(F.decode(F.col("body"), "UTF-8")).alias("text"),
+        )
+        gated = extracted.filter(gopher_keep(F.col("text"), min_words=20))
+        novel = dedup_against_index(spark, idx, gated, "text", "doc_id",
+                                    threshold=0.5)
+        out = novel.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.sha2(F.col("text"), 256).alias("clean_sha"),
+        )
+        return spark.createDataFrame(
+            [(r["doc_id"], r["n_chars"], r["clean_sha"])
+             for r in out.collect()],
+            "doc_id long, n_chars long, clean_sha string",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_pipeline_ingest() -> str:
+    sig_exprs = []
+    for j in range(16):
+        a, b = _hash_params(j)
+        sig_exprs.append(
+            f"list_min(list_transform(shingles, sh -> ({a} * {_sql_strhash('sh')} + {b}) % {MOD})) AS sig{j}"
+        )
+    band_keys = []
+    for i in range(4):
+        parts = " || '_' || ".join(
+            f"CAST(sig{i * 4 + j} AS VARCHAR)" for j in range(4))
+        band_keys.append(f"CAST({i} AS VARCHAR) || '_' || {parts}")
+    agree = " + ".join(
+        f"CASE WHEN gq.sig{j} = gc.sig{j} THEN 1 ELSE 0 END"
+        for j in range(16))
+    shingle = """list_distinct(list_transform(range(1, greatest(len(words)-3, 0)+2),
+        i -> array_to_string(words[i:i+2], ' ')))"""
+    return f"""
+WITH html AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><script>var x=1;</script></head><body><p>' || text ||
+         '</p></body></html>' AS h
+  FROM documents WHERE doc_id >= 50
+),
+c0 AS (SELECT doc_id,
+         regexp_replace(regexp_replace(h,
+           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM html),
+c1 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+       FROM c0),
+c2 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t
+       FROM c1),
+c3 AS (SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)) AS t FROM c2),
+cleaned AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text
+            FROM c3),
+d AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') toks
+  FROM cleaned
+),
+g AS (
+  SELECT doc_id, text, toks,
+    list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS grams,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+  FROM d
+),
+m AS (
+  SELECT doc_id, text, n_tokens,
+    CASE WHEN len(grams) <= 0 THEN 0.0
+         ELSE ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) END AS dup2,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks) END AS atl,
+    len(list_filter(toks, t -> list_contains({_STOP}, t))) AS stop_hits,
+    CASE WHEN n_tokens = 0 THEN 0.0
+         ELSE ROUND(CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / n_tokens, 6) END AS symr
+  FROM g
+),
+kept AS (
+  SELECT doc_id, text FROM m
+  WHERE n_tokens >= 20 AND n_tokens <= 100000 AND atl >= 3.0 AND atl <= 10.0
+    AND stop_hits >= 2 AND symr <= 0.1 AND dup2 <= 0.2
+),
+cw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words
+       FROM documents WHERE doc_id < 50),
+pw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words
+       FROM kept),
+cs AS (SELECT doc_id, {shingle} shingles FROM cw),
+ps AS (SELECT doc_id, {shingle} shingles FROM pw),
+cg AS (SELECT doc_id, {', '.join(sig_exprs)} FROM cs),
+pg AS (SELECT doc_id, {', '.join(sig_exprs)} FROM ps),
+cbanded AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band FROM cg),
+pbanded AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band FROM pg),
+cand AS (SELECT DISTINCT p.doc_id AS doc_id, c.doc_id AS match_id
+         FROM pbanded p JOIN cbanded c ON p.band = c.band),
+matched AS (
+  SELECT DISTINCT cand.doc_id FROM cand
+  JOIN pg gq ON gq.doc_id = cand.doc_id
+  JOIN cg gc ON gc.doc_id = cand.match_id
+  WHERE CAST({agree} AS DOUBLE) / 16.0 >= 0.5
+)
+SELECT k.doc_id, CAST(length(k.text) AS BIGINT) AS n_chars,
+       sha256(k.text) AS clean_sha
+FROM kept k ANTI JOIN matched m ON k.doc_id = m.doc_id
+"""
+
+
 def q_neardup_index_compacted(spark, sf_dir):
     """MinHash-index maintenance lifecycle (functions/dedup_index.py::
     compact_minhash_index, NEW r10): write the %4==0 docs, APPEND the
@@ -4060,7 +4231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — the persisted decontamination index, the minhash-index
         # compaction lifecycle, the WARC source roundtrip, and the
         # three multimodal feature rows (first driver-checkable
-        # verification for that family); (b) every query whose MODULE
+        # verification for that family) — plus the NEW r11
+        # pipeline_ingest composition (WARC → html_to_text → Gopher
+        # gate → index dedup, the crawl front half); (b) every query
+        # whose MODULE
         # was edited this round sits inside the window —
         # functions/dedup_index.py (exact-verify stale-corpus guard,
         # compaction cache release), functions/decontam_index.py
@@ -4078,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_index": q_contamination_index,
         "neardup_index_compacted": q_neardup_index_compacted,
         "warc_roundtrip": q_warc_roundtrip,
+        "pipeline_ingest": q_pipeline_ingest,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_features": q_video_frame_features,
@@ -4122,7 +4297,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "pricing_summary": q_pricing_summary,
         "top3_orders_per_customer": q_top3_orders_per_customer,
-        "supplier_intersect": q_supplier_intersect,
         "sem_cluster_by": q_sem_cluster,
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
@@ -4135,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "distinct_priorities": q_distinct_priorities,
+        "supplier_intersect": q_supplier_intersect,
         "ann_join_ivfpq": q_ann_join_ivfpq,
         "ivfpq_compacted": q_ivfpq_compacted,
         "ivfpq_incremental": q_ivfpq_incremental,
@@ -4734,6 +4909,7 @@ def oracle_sql() -> dict[str, str]:
         # plain band-algebra replay over the same corpus (evens)
         "neardup_index_compacted": _sql_neardup_index(),
         "warc_roundtrip": _SQL_WARC_ROUNDTRIP,
+        "pipeline_ingest": _sql_pipeline_ingest(),
         "image_features": _SQL_IMAGE_FEATURES,
         "audio_features": _SQL_AUDIO_FEATURES,
         "video_frame_features": _SQL_VIDEO_FRAME_FEATURES,

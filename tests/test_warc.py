@@ -248,3 +248,34 @@ def test_html_to_text_expression(spark):
     df = spark.createDataFrame([(html,)], ["raw"])
     got = df.select(html_to_text(F.col("raw")).alias("t")).first()["t"]
     assert got == 'Title Hello & welcome to the crawl <3'
+
+
+def test_pipeline_ingest_matches_duckdb_oracle(spark):
+    """The r11 crawl-front-half composition row (__spark_entry__.
+    q_pipeline_ingest / _sql_pipeline_ingest): WARC parse + HTML
+    extraction + Gopher gate + persisted-index dedup must hash-match
+    DuckDB replaying the whole chain — driver-canonical compare."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    odf = con.execute(entry._sql_pipeline_ingest()).df()
+    sdf = entry.q_pipeline_ingest(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
