@@ -264,6 +264,7 @@ def load_warc(
     recursive: bool = False,
     batch_records: int = 1024,
     batch_bytes: int = 64 << 20,
+    stream_local: bool = True,
 ) -> DataFrame:
     """Read WARC / WARC-gz shard(s) at ``path`` (file, dir, or glob —
     any Hadoop FS scheme) into one row per record.
@@ -281,6 +282,11 @@ def load_warc(
     memory stays flat however large the shard inflates. Columns:
     warc_file, record_idx, warc_type, record_id, target_uri, warc_date,
     content_type, content [+ the http trio].
+
+    ``stream_local=False`` forces the remote-scheme byte source
+    (binaryFile content column, decoded from memory) even for local
+    paths — the escape hatch when the driver-local FS is not mounted on
+    the executors, and the way tests exercise the remote branch.
     """
     type_set = set(types) if types is not None else None
     reader = spark.read.format("binaryFile")
@@ -290,7 +296,7 @@ def load_warc(
     # listing-only: column pruning drops `content` from the scan);
     # remote schemes must ride the binaryFile content column — Python
     # workers can't open arbitrary Hadoop filesystems
-    local = urlparse(path).scheme in ("", "file")
+    local = stream_local and urlparse(path).scheme in ("", "file")
     if local:
         files = reader.load(path).select("path")
     else:

@@ -279,3 +279,29 @@ def test_pipeline_ingest_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_load_warc_content_mode_parity(spark, tmp_path):
+    """The remote-scheme byte source (binaryFile content column +
+    in-memory streaming decode) must read identically to the
+    local-stream mode — exercised via stream_local=False, since tests
+    have no remote filesystem."""
+    import gzip as _gzip
+
+    from lotus_spark.sources.warc import load_warc
+
+    gz = tmp_path / "shard.warc.gz"
+    gz.write_bytes(b"".join(
+        _gzip.compress(_record("response", f"http://e/{i}",
+                               b"HTTP/1.1 200 OK\r\n\r\npayload%d" % i,
+                               f"c{i}"))
+        for i in range(5)
+    ))
+    local = sorted(
+        (r["target_uri"], bytes(r["content"]))
+        for r in load_warc(spark, str(gz), parse_http=False).collect())
+    content = sorted(
+        (r["target_uri"], bytes(r["content"]))
+        for r in load_warc(spark, str(gz), parse_http=False,
+                           stream_local=False).collect())
+    assert local == content and len(local) == 5
