@@ -633,6 +633,45 @@ def q_sem_sim_join(spark, sf_dir):
     )
 
 
+def q_sem_sim_join_ivfpq(spark, sf_dir):
+    """Operator-level row for the r11 'ivfpq' sem_sim_join tier
+    (operators/sem_sim_join.py strategy="ivfpq" → ann_join_ivfpq): at
+    full knobs — every cell probed, rerank budget covering every
+    scanned row — the approximate ladder top must reproduce the exact
+    top-K join bit-for-bit, so the oracle is the SAME exact-KNN SQL as
+    the broadcast_exact row (_SQL_SIM_JOIN). A hash match checks the
+    whole tier end-to-end across engines: id pinning, quantizer
+    training, cell probe, per-pair ADC, shortlist window, by-id exact
+    rerank, payload re-attachment. (Internal-right-id tie order cannot
+    bite: the embeddings table has no duplicate vectors, so exact-score
+    ties do not exist.) STAGED for r12 (the r11 window is at capacity);
+    CI-cross-checked in tests/test_embedding_ops.py meanwhile."""
+    from lotus_spark.operators.sem_sim_join import sem_sim_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") >= 20)
+    n_right = right.count()
+    out = sem_sim_join(
+        left,
+        right,
+        left_on="vec_id",
+        right_on="vec_id",
+        K=3,
+        left_emb_col="embedding",
+        right_emb_col="embedding",
+        strategy="ivfpq",
+        ivf_n_cells=16,
+        ivf_n_probe=16,
+        ivfpq_rerank=n_right,
+    )
+    return out.select(
+        "vec_id",
+        F.col("vec_id_right"),
+        F.round("_scores", 6).alias("score"),
+    )
+
+
 _SQL_SIM_JOIN = f"""
 WITH l0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 20),
 r0 AS (SELECT vec_id AS vec_id_right, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id >= 20),

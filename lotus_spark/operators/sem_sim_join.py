@@ -175,6 +175,7 @@ def sem_sim_join(
     pq_nbits: int = 4,
     ivf_n_cells: int | str = "auto",
     ivf_n_probe: int = 8,
+    ivfpq_rerank: int | None | str = "auto",
     auto_approx: bool = False,
 ) -> DataFrame:
     """``strategy``:
@@ -227,9 +228,11 @@ def sem_sim_join(
       ``ivf_cells`` but carrying m-byte PQ codes instead of raw
       vectors (~64x less right payload at d=64/m=8), ADC scoring
       inside the probed cells, then an exact-cosine rerank of the ADC
-      top ``auto_rerank_k`` by id — FAISS's billion-to-billion join
+      top ``ivfpq_rerank`` by id (``"auto"`` = ``auto_rerank_k(K,
+      join=True)`` = max(32K, 320)) — FAISS's billion-to-billion join
       shape as two bounded shuffles. Exact at full knobs
-      (``ivf_n_probe >= n_cells``); APPROXIMATE otherwise (recall
+      (``ivf_n_probe >= n_cells`` and ``ivfpq_rerank`` covering the
+      scanned rows); APPROXIMATE otherwise (recall
       curves: ``BENCH_joinrecall.json``). Ties beyond the score break
       on the internal right id (generation order), so ``tie_break``
       must be None for this tier.
@@ -442,7 +445,8 @@ def sem_sim_join(
             l2, ridx.select("__r_id", right_emb_col), "__l_id",
             left_emb_col, "__r_id", right_emb_col, K,
             n_cells=ivf_n_cells, n_probe=ivf_n_probe, m=m,
-            nbits=pq_nbits, id_out="__r_id", score_out=SCORE_COL,
+            nbits=pq_nbits, rerank_k=ivfpq_rerank,
+            id_out="__r_id", score_out=SCORE_COL,
         )
         out = matched.join(ridx.drop(right_emb_col), "__r_id") \
                      .drop("__r_id", "__l_id", "_rank")

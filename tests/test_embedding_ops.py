@@ -860,3 +860,35 @@ def test_sem_sim_join_auto_approx_escalates_to_ivfpq(spark):
     assert run(strategy="auto", broadcast_max_rows=19) == exact
     assert run(strategy="auto", broadcast_max_rows=19,
                auto_approx=True) == exact
+
+
+def test_sem_sim_join_ivfpq_matches_duckdb_oracle(spark):
+    """The r12-staged operator-level ivfpq row (__spark_entry__.
+    q_sem_sim_join_ivfpq): full-knob ivfpq tier == the exact-KNN SQL
+    oracle (_SQL_SIM_JOIN), driver-canonical compare."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    odf = con.execute(entry._SQL_SIM_JOIN).df()
+    sdf = entry.q_sem_sim_join_ivfpq(spark, sf).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            if str(pdf[c].dtype).startswith("float"):
+                pdf[c] = pdf[c].astype(float).round(6)
+            pdf[c] = pdf[c].astype(str)
+        return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+    a, b = canon(sdf), canon(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b) and len(a) > 0
+    assert a.equals(b)
