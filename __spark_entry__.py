@@ -3771,6 +3771,56 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q_warc_export_roundtrip(spark, sf_dir):
+    """WARC SINK row (sources/warc.py::write_warc, NEW r11): export the
+    doc_id < 100 documents as DISTRIBUTED per-record-gzip WARC shards
+    (4 partitions → 4 shard files, resource records, deterministic
+    sha256 record ids) and read them back through load_warc — per doc,
+    the byte length and sha256 of the payload must equal DuckDB
+    recomputing them from the text column, proving the writer → parser
+    chain byte-lossless in BOTH directions (q_warc_roundtrip pins the
+    parser against independently hand-built records; this row pins the
+    sink). STAGED for r12 (the r11 window is at capacity);
+    CI-cross-checked in tests/test_warc.py meanwhile."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.sources.warc import load_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="warc_exp_")
+    try:
+        write_warc(
+            docs.filter("doc_id < 100")
+                .select("doc_id", "text")
+                .withColumn("uri", F.concat(F.lit("doc://"), "doc_id"))
+                .repartition(4, "doc_id"),
+            f"{d}/shards", "text", uri_col="uri",
+        )
+        out = load_warc(spark, f"{d}/shards", types=("resource",))
+        got = out.select(
+            F.regexp_extract("target_uri", r"doc://(\d+)", 1)
+             .cast("long").alias("doc_id"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("body_sha"),
+        )
+        return spark.createDataFrame(
+            [(r["doc_id"], r["n_bytes"], r["body_sha"])
+             for r in got.collect()],
+            "doc_id long, n_bytes long, body_sha string",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_SQL_WARC_EXPORT_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS body_sha
+FROM documents WHERE doc_id < 100
+"""
+
+
 def q_pipeline_ingest(spark, sf_dir):
     """The crawl-day FRONT half composed end-to-end (r10 verdict item
     4; examples/crawl_ingest.py proves it runs, this row proves it's

@@ -337,6 +337,102 @@ def load_warc(
     return files.mapInPandas(parse, schema=schema)
 
 
+def write_warc(
+    df: DataFrame,
+    path: str,
+    content_col: str,
+    uri_col: Optional[str] = None,
+    warc_type: str = "resource",
+    content_type: str = "text/plain",
+    warc_date: str = "2024-01-01T00:00:00Z",
+    record_id_col: Optional[str] = None,
+    gzip_members: bool = True,
+) -> list[tuple[str, int]]:
+    """Export a corpus AS WARC shards — the sink half of the crawl
+    interchange story (curated corpora get re-published in the same
+    format they arrived in; WET-style extracts use
+    ``warc_type="conversion"``, standalone content the default
+    ``"resource"``). One row becomes one spec-framed record; one TASK
+    becomes one ``part-<partition>.warc[.gz]`` shard with PER-RECORD
+    gzip members (the Common Crawl layout ``load_warc`` streams), so
+    the write is embarrassingly parallel and the shard count follows
+    the input partitioning — ``repartition(n)`` upstream to size
+    shards, exactly like parquet writes.
+
+    ``content_col`` may be string (UTF-8-encoded) or binary.
+    ``record_id_col`` overrides the default deterministic record id
+    (``<urn:sha256:...>`` of the content — re-exports are
+    byte-reproducible; pass a column to keep provenance ids instead).
+    Writes through Python file IO on the executors: the destination
+    must be a task-writable local/NFS path, the same constraint as any
+    non-Hadoop byte sink. Eager; returns [(shard file, record count)]
+    and skips NULL-content rows (a WARC record cannot frame nothing).
+
+    Reference scope note: the reference's connectors write none of
+    this (DBs/files only); WARC export is part of the crawl-pipeline
+    extension surface, like ``load_warc``.
+    """
+    import hashlib
+    import os
+
+    cols = [content_col]
+    for c in (uri_col, record_id_col):
+        if c is not None and c not in cols:
+            cols.append(c)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"write_warc: input lacks columns {missing}")
+    os.makedirs(path, exist_ok=True)
+    suffix = ".warc.gz" if gzip_members else ".warc"
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}{suffix}")
+        n = 0
+        out = None
+        try:
+            for pdf in it:
+                for i in range(len(pdf)):
+                    content = pdf[content_col].iloc[i]
+                    if content is None:
+                        continue
+                    body = (content.encode("utf-8")
+                            if isinstance(content, str)
+                            else bytes(content))
+                    if record_id_col is not None:
+                        rid = str(pdf[record_id_col].iloc[i])
+                    else:
+                        rid = ("<urn:sha256:"
+                               + hashlib.sha256(body).hexdigest() + ">")
+                    uri = (str(pdf[uri_col].iloc[i])
+                           if uri_col is not None
+                           and pdf[uri_col].iloc[i] is not None else None)
+                    head = (
+                        f"WARC/1.0\r\nWARC-Type: {warc_type}\r\n"
+                        f"WARC-Record-ID: {rid}\r\n"
+                        f"WARC-Date: {warc_date}\r\n"
+                        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+                        + f"Content-Type: {content_type}\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n"
+                    ).encode()
+                    rec = head + body + b"\r\n\r\n"
+                    if out is None:
+                        out = open(fname, "wb")
+                    out.write(gzip.compress(rec, mtime=0)
+                              if gzip_members else rec)
+                    n += 1
+        finally:
+            if out is not None:
+                out.close()
+        yield pd.DataFrame({"shard": [fname] if n else [],
+                            "n_records": [n] if n else []})
+
+    summary = df.mapInPandas(emit, "shard string, n_records long")
+    return [(r["shard"], r["n_records"]) for r in summary.collect()]
+
+
 def html_to_text(col):
     """Crude-but-codegen HTML → text as a pure Column expression (the
     C4-style heuristic tier: drop script/style subtrees, strip tags,
