@@ -94,8 +94,22 @@ def main() -> None:
                                 threshold=0.5)
     n_novel = novel.count()
 
+    # 5. EXPORT: re-publish the curated survivors as WARC shards
+    # (WET-style "conversion" records — the interchange format the
+    # day's data arrived in; shard count follows the partitioning)
+    from lotus_spark.sources.warc import write_warc
+
+    shards = write_warc(
+        novel.withColumn("uri", F.concat(F.lit("doc://"), "doc_id"))
+             .repartition(2, "doc_id"),
+        f"{workdir}/curated", "text", uri_col="uri",
+        warc_type="conversion",
+    )
+
     print(f"crawl day: {n_pages} pages -> {n_gated} past quality -> "
-          f"{n_novel} novel vs the corpus index")
+          f"{n_novel} novel vs the corpus index -> re-exported as "
+          f"{len(shards)} WARC shard(s), "
+          f"{sum(n for _, n in shards)} records")
     print(f"(the ~{n_gated - n_novel} drops near-duplicate indexed docs; "
           "survivors flow into examples/curation_pipeline.py)")
 
