@@ -1563,6 +1563,84 @@ def q_minhash_lsh_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_minhash_dedup_keepbest(spark, sf_dir):
+    """Near-dup removal with the keep-BEST survivor policy (r11,
+    functions/dedup.py::minhash_lsh_dedup ``keep_by``): cluster
+    membership is identical to ``minhash_lsh_dedup`` (same signature /
+    band / verify / CC algebra), but each cluster's survivor is the
+    member maximizing ``n_chars`` (ties → min doc_id) — the
+    canonical-document selection real curation pipelines use ("keep the
+    longest copy"), instead of an arbitrary id. Oracle: the shared CC
+    CTE stack + per-component argmax via QUALIFY row_number."""
+    from lotus_spark.functions.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_dedup(
+        docs, "text", "doc_id", n_hashes=16, bands=4, shingle_n=2,
+        jaccard_threshold=0.5, keep_by="n_chars",
+    )
+    return out.select("doc_id")
+
+
+def _sql_minhash_dedup_keepbest() -> str:
+    """Keep-best dedup oracle: CC CTEs → per-doc cluster id (component
+    min, or own id for singletons) → argmax(n_chars, tie min doc_id)."""
+    return _sql_minhash_cc_ctes() + """
+, clus AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(r.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.id)
+SELECT doc_id FROM clus
+QUALIFY row_number() OVER (
+  PARTITION BY comp ORDER BY n_chars DESC NULLS LAST, doc_id ASC) = 1
+"""
+
+
+_LSS_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_LSS_SEED = 7
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (r11, functions/dedup.py::
+    leakage_safe_split): MinHash-LSH clusters (same algebra as
+    minhash_lsh_dedup) then ONE hash-split label per CLUSTER, so a
+    near-copy of a training document can never land in the eval split
+    and inflate scores. Oracle: the shared CC CTE stack + the
+    hash_split bucket expression applied to the cluster id."""
+    from lotus_spark.functions.dedup import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = leakage_safe_split(
+        docs, "text", "doc_id", _LSS_WEIGHTS, seed=_LSS_SEED,
+        shingle_n=2, jaccard_threshold=0.5,
+    )
+    return out.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+    )
+
+
+def _sql_leakage_safe_split() -> str:
+    labels = list(_LSS_WEIGHTS)
+    norm = sum(_LSS_WEIGHTS.values())
+    cum, bounds = 0.0, []
+    for name in labels:
+        cum += _LSS_WEIGHTS[name] / norm
+        bounds.append(int(round(cum * _MIX_BUCKETS)))
+    h = _sql_strhash(f"(CAST(comp AS VARCHAR) || ':{_LSS_SEED}')")
+    bucket = f"({h} * {_MIX_CONST}) % {_MIX_BUCKETS}"
+    expr = f"'{labels[-1]}'"
+    for name, hi in zip(reversed(labels[:-1]), reversed(bounds[:-1])):
+        expr = f"CASE WHEN {bucket} < {hi} THEN '{name}' ELSE {expr} END"
+    return _sql_minhash_cc_ctes() + f"""
+, clus AS (
+  SELECT d.doc_id, COALESCE(r.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN rep r ON d.doc_id = r.id)
+SELECT doc_id, CAST(comp AS BIGINT) AS cluster_id, {expr} AS split
+FROM clus
+"""
+
+
 def q_text_stats(spark, sf_dir):
     from lotus_spark.functions.text import (
         fingerprint,
@@ -4332,11 +4410,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators/sem_sim_join.py (ivfpq tier); (c) the 9 keys whose
         # last DRIVER row is r8 (CHECKS_r10-covered relational overflow
         # + llm_judge/asof_join/range_join) refresh, per the r10
-        # verdict; (d) 30 of the 33 r10-tail keys holding r9 driver
-        # rows rotate back in; the 3 relational leftovers and the
-        # entire r10 window (fresh CORRECTNESS_r10 rows, modules
-        # byte-untouched since .round_base) hold the tail, re-recorded
-        # in CHECKS_r11 at round close.
+        # verdict; (d) r10-tail keys holding r9 driver rows rotate back
+        # in where slots allow. MID-ROUND REVISION: the keep-policy
+        # work edited functions/dedup.py, forcing its 14 importer keys
+        # plus the 2 new rows (minhash_dedup_keepbest,
+        # leakage_safe_split) into the window; 16 module-untouched keys
+        # were displaced to the tail head (each holds a CHECKS_r10
+        # green row and is re-recorded in CHECKS_r11 at round close —
+        # the >50-mandatory-entries case the CHECKS channel exists
+        # for).
         # -- NEW this round (staged in r10) ----------------------------
         "contamination_index": q_contamination_index,
         "neardup_index_compacted": q_neardup_index_compacted,
@@ -4345,6 +4427,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_frame_features": q_video_frame_features,
+        # -- NEW in round 11 itself (functions/dedup.py keep-policy +
+        # -- cluster-aware split family) -------------------------------
+        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
+        "leakage_safe_split": q_leakage_safe_split,
+        # -- functions/dedup.py edited this round (keep_by survivor
+        # -- policy + minhash_clusters extraction): every registry key
+        # -- importing it moves inside the window per the tail rule ----
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ngram_stats": q_ngram_stats,
+        "contamination": q_contamination,
+        "embedding_neardup": q_embedding_neardup,
+        "exact_dedup": q_exact_dedup,
+        "span_dedup": q_span_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pipeline_clean": q_pipeline_clean,
+        "streaming_neardup": q_streaming_neardup,
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,
         # -- functions/dedup_index.py edited this round ----------------
         "neardup_index": q_neardup_index,
         "neardup_index_stream": q_neardup_index_stream,
@@ -4364,15 +4467,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         # -- last driver row r9 (r10 tail rotates back in) -------------
         "write_shards": q_write_shards,
-        "bucketed_join_coalesced": q_bucketed_join_coalesced,
         "sem_filter": q_sem_filter,
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
-        "weighted_sample": q_weighted_sample,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
         "streaming_sessions": q_streaming_sessions,
+        "pipeline_curate": q_pipeline_curate,
+        "pipeline_pack": q_pipeline_pack,
+        "sem_cluster_by": q_sem_cluster,
+        "sem_search": q_sem_search,
+        "sem_search_rerank": q_sem_search_rerank,
+        # -- tail (>50): modules byte-untouched in round 11; every key
+        # -- holds a CHECKS_r10 green row (all 92) and is re-recorded in
+        # -- CHECKS_r11 at round close. The first 16 were displaced
+        # -- mid-round when the functions/dedup.py keep-policy edit
+        # -- forced its 14 importers plus 2 new rows into the window
+        # -- (the >50-mandatory-entries case the CHECKS channel covers).
+        "weighted_sample": q_weighted_sample,
         "hash_split": q_hash_split,
         "mix_to_weights": q_mix_to_weights,
         "stratified_sample": q_stratified_sample,
@@ -4380,21 +4493,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_bucket": q_perplexity_bucket,
         "pack_sequences": q_pack_sequences,
         "cap_per_key": q_cap_per_key,
-        "pipeline_curate": q_pipeline_curate,
-        "pipeline_pack": q_pipeline_pack,
         "lazy_multi_join": q_lazy_multi_join,
         "profile": q_profile,
         "pricing_summary": q_pricing_summary,
         "top3_orders_per_customer": q_top3_orders_per_customer,
-        "sem_cluster_by": q_sem_cluster,
-        "sem_search": q_sem_search,
-        "sem_search_rerank": q_sem_search_rerank,
         "text_stats": q_text_stats,
         "quality_signals": q_quality_signals,
         "sessionize": q_sessionize,
-        # -- tail (>50): r10-green (CORRECTNESS_r10, or r9 driver +
-        # -- CHECKS_r10 for the 3 relational leftovers), modules
-        # -- byte-untouched in round 11 --------------------------------
+        "bucketed_join_coalesced": q_bucketed_join_coalesced,
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "distinct_priorities": q_distinct_priorities,
@@ -4416,27 +4522,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_topk_quicksem": q_sem_topk_quicksem,
         "sem_join_cascade_routed": q_sem_join_cascade_routed,
         "agentic_mapreduce": q_agentic_mapreduce,
-        "streaming_neardup": q_streaming_neardup,
-        "streaming_neardup_minhash": q_streaming_neardup_minhash,
         "bucketed_join": q_bucketed_join,
         "shard_for_training": q_shard_for_training,
         "filter_reorder": q_filter_reorder,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_partition_agg": q_sem_partition_agg,
-        "span_dedup": q_span_dedup,
-        "strip_boilerplate": q_strip_boilerplate,
-        "paragraph_dedup": q_paragraph_dedup,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash": q_simhash,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ngram_stats": q_ngram_stats,
-        "contamination": q_contamination,
-        "embedding_neardup": q_embedding_neardup,
         "dedupe_doc_units": q_dedupe_doc_units,
         "bm25_search": q_bm25_search,
-        "exact_dedup": q_exact_dedup,
-        "pipeline_clean": q_pipeline_clean,
         "sem_dedup": q_sem_dedup,
         "pairwise_judge": q_pairwise_judge,
         "sem_join_cascade": q_sem_join_cascade,
@@ -5060,6 +5152,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _SQL_EMB_NEARDUP,
         "sem_dedup": _SQL_SEM_DEDUP,
         "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
+        "minhash_dedup_keepbest": _sql_minhash_dedup_keepbest(),
+        "leakage_safe_split": _sql_leakage_safe_split(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "quality_signals": _SQL_QUALITY_SIGNALS,

@@ -99,55 +99,24 @@ def minhash_signature(df: DataFrame, col: str, n_hashes: int = 16,
     return df.withColumn(out_col, minhash_expr(F.col(col), n_hashes, shingle_n))
 
 
-def minhash_lsh_dedup(
-    df: DataFrame,
+def _rep_components(
+    reps: DataFrame,
     col: str,
     id_col: str,
-    n_hashes: int = 16,
-    bands: int = 4,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.7,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
 ) -> DataFrame:
-    """MinHash + LSH near-duplicate removal; keeps min-id per duplicate group.
+    """Banded LSH candidate generation + exact-Jaccard verify + connected
+    components over exact-group REPRESENTATIVES → ``(id, component)``
+    where ``component`` is the min member id of each multi-member
+    component (singletons are absent — callers coalesce to the rep id).
 
-    exact-collapse → signature → ``bands`` band-keys → explode → groupBy
-    band bucket → candidate pairs inside buckets → exact Jaccard verify
-    on shingle sets → connected components → anti-join removals.
-
-    HOT-BUCKET GUARD (r10, the exact-collapse prefix): a group of m
-    IDENTICAL texts shares every band bucket, so the banded self-join
-    alone would emit m²/2 candidate pairs — the classic LSH pathology on
-    real crawls, where one boilerplate page repeats millions of times
-    and would turn the candidate stage quadratic. Identical texts are
-    J=1 duplicates of their group minimum by definition, so each exact
-    group first collapses to its min-id representative (one linear
-    aggregate + skew-splittable join — no text-partitioned window), the
-    banded pipeline runs over representatives only, and non-
-    representatives join the removal set directly. The result is
-    IDENTICAL to running the full pipeline: a component's keep id =
-    min over members = min over its representatives, and even the
-    degenerate groups (identical NULL or sub-shingle texts, which the
-    banded stage dedups through their identical constant signatures)
-    collapse to the same min-id survivor. Pinned by
-    ``test_minhash_lsh_dedup_exact_collapse_semantics`` and the
-    unchanged oracle row.
-    """
+    This is the shared core of :func:`minhash_lsh_dedup` and
+    :func:`minhash_clusters`; it assumes the hot-bucket exact-collapse
+    already happened (``reps`` holds one row per distinct text)."""
     from lotus_spark.operators.sem_dedup import connected_components_edges
-
-    grp = df.groupBy(col).agg(F.min(id_col).alias("__keep"))
-    # null-safe equality so NULL texts collapse as one exact group too —
-    # the same outcome the banded stage always gave them (identical
-    # constant signatures verify as duplicates); hot exact-groups are an
-    # AQE-splittable join here, never a text-partitioned window
-    tagged = df.join(
-        grp.withColumnRenamed(col, "__gcol"),
-        F.col(col).eqNullSafe(F.col("__gcol")),
-    ).drop("__gcol")
-    reps = tagged.filter(F.col(id_col) == F.col("__keep")).drop("__keep")
-    exact_rm = (
-        tagged.filter(F.col(id_col) != F.col("__keep"))
-        .select(F.col(id_col))
-    )
 
     sigd = minhash_signature(reps, col, n_hashes, shingle_n)
     sigd = sigd.withColumn("__shingles", word_shingles(F.col(col), shingle_n))
@@ -183,7 +152,92 @@ def minhash_lsh_dedup(
         .filter(F.col("__j") >= jaccard_threshold)
         .select("src", "dst")
     )
-    comps = connected_components_edges(edges)
+    return connected_components_edges(edges)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    keep_by: str | None = None,
+    keep_ascending: bool = False,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate removal; keeps min-id per duplicate group.
+
+    exact-collapse → signature → ``bands`` band-keys → explode → groupBy
+    band bucket → candidate pairs inside buckets → exact Jaccard verify
+    on shingle sets → connected components → anti-join removals.
+
+    HOT-BUCKET GUARD (r10, the exact-collapse prefix): a group of m
+    IDENTICAL texts shares every band bucket, so the banded self-join
+    alone would emit m²/2 candidate pairs — the classic LSH pathology on
+    real crawls, where one boilerplate page repeats millions of times
+    and would turn the candidate stage quadratic. Identical texts are
+    J=1 duplicates of their group minimum by definition, so each exact
+    group first collapses to its min-id representative (one linear
+    aggregate + skew-splittable join — no text-partitioned window), the
+    banded pipeline runs over representatives only, and non-
+    representatives join the removal set directly. The result is
+    IDENTICAL to running the full pipeline: a component's keep id =
+    min over members = min over its representatives, and even the
+    degenerate groups (identical NULL or sub-shingle texts, which the
+    banded stage dedups through their identical constant signatures)
+    collapse to the same min-id survivor. Pinned by
+    ``test_minhash_lsh_dedup_exact_collapse_semantics`` and the
+    unchanged oracle row.
+
+    KEEP POLICY (r11): ``keep_by`` names a score column — the survivor
+    of each near-dup cluster is then the member maximizing that column
+    (minimizing with ``keep_ascending=True``), ties broken by min id —
+    the canonical-document selection real curation pipelines use ("keep
+    the longest / highest-quality copy"), instead of an arbitrary id.
+    NULL scores lose to any non-NULL score; an all-NULL cluster falls
+    back to min id. Cluster membership is IDENTICAL to the default
+    path (same signature/band/verify algebra); only survivor choice
+    differs, so row counts match the min-id policy exactly.
+    """
+    if keep_by is not None:
+        clustered = minhash_clusters(
+            df, col, id_col, n_hashes, bands, shingle_n,
+            jaccard_threshold, cluster_col="__cluster",
+        )
+        agg = F.min if keep_ascending else F.max
+        best = clustered.groupBy("__cluster").agg(
+            agg(F.col(keep_by)).alias("__best")
+        )
+        # eqNullSafe: an all-NULL-score cluster still elects its min-id
+        # member (NULL == NULL), never silently vanishing
+        keep = (
+            clustered.join(best, "__cluster")
+            .filter(F.col(keep_by).eqNullSafe(F.col("__best")))
+            .groupBy("__cluster")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "semi")
+
+    grp = df.groupBy(col).agg(F.min(id_col).alias("__keep"))
+    # null-safe equality so NULL texts collapse as one exact group too —
+    # the same outcome the banded stage always gave them (identical
+    # constant signatures verify as duplicates); hot exact-groups are an
+    # AQE-splittable join here, never a text-partitioned window
+    tagged = df.join(
+        grp.withColumnRenamed(col, "__gcol"),
+        F.col(col).eqNullSafe(F.col("__gcol")),
+    ).drop("__gcol")
+    reps = tagged.filter(F.col(id_col) == F.col("__keep")).drop("__keep")
+    exact_rm = (
+        tagged.filter(F.col(id_col) != F.col("__keep"))
+        .select(F.col(id_col))
+    )
+
+    comps = _rep_components(
+        reps, col, id_col, n_hashes, bands, shingle_n, jaccard_threshold
+    )
     removal = (
         comps.groupBy("component")
         .agg(F.min("id").alias("keep"))
@@ -193,6 +247,87 @@ def minhash_lsh_dedup(
         .unionByName(exact_rm)  # collapsed exact duplicates
     )
     return df.join(removal, id_col, "left_anti")
+
+
+def minhash_clusters(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Assign every row its near-duplicate CLUSTER id (the min member id
+    of its MinHash-LSH connected component; a row with no near-dups is
+    its own singleton cluster) instead of dropping duplicates.
+
+    Same algebra as :func:`minhash_lsh_dedup` — exact-collapse prefix
+    (hot-bucket guard), banded signature over representatives, exact
+    Jaccard verify, connected components — so ``df.filter(id ==
+    cluster_id)`` is NOT quite the dedup (survivor choice there is min
+    id per component over ALL members, which this equals: each rep is
+    already the min of its exact group, and the component id is the min
+    over reps). Exposing the mapping enables cluster-aware policies:
+    keep-best survivor selection (``minhash_lsh_dedup(keep_by=...)``),
+    leakage-safe splits (:func:`leakage_safe_split`), per-cluster
+    diagnostics.
+
+    Scale: identical to the dedup plan plus ONE extra join expanding
+    rep components back to members — keyed on the rep id (unique per
+    exact group), so hot boilerplate groups stay AQE-splittable.
+    """
+    grp = df.groupBy(col).agg(F.min(id_col).alias("__rep"))
+    tagged = df.join(
+        grp.withColumnRenamed(col, "__gcol"),
+        F.col(col).eqNullSafe(F.col("__gcol")),
+    ).drop("__gcol")
+    reps = tagged.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+    comps = _rep_components(
+        reps, col, id_col, n_hashes, bands, shingle_n, jaccard_threshold
+    )
+    repmap = comps.select(F.col("id").alias("__rep"), F.col("component"))
+    return (
+        tagged.join(repmap, "__rep", "left")
+        .withColumn(cluster_col, F.coalesce(F.col("component"), F.col("__rep")))
+        .drop("__rep", "component")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+    cluster_col: str = "cluster_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicate documents NEVER
+    straddle a split boundary: rows are clustered by MinHash-LSH
+    (:func:`minhash_clusters`), then the whole CLUSTER is hash-assigned
+    to one split (``hash_split`` on the cluster id). A plain per-row
+    hash split leaks — a near-copy of a training document lands in the
+    eval split ~(1-w_train) of the time and inflates eval scores; here
+    the copy shares its twin's cluster id and therefore its split.
+
+    Returns ``df`` + ``cluster_col`` + ``split_col``. Split proportions
+    hold over CLUSTERS (and approximately over rows when duplication is
+    not pathologically concentrated — exactly the regime after dedup).
+    """
+    from lotus_spark.functions.sampling import hash_split
+
+    clustered = minhash_clusters(
+        df, col, id_col, n_hashes, bands, shingle_n,
+        jaccard_threshold, cluster_col=cluster_col,
+    )
+    return hash_split(clustered, cluster_col, weights, seed=seed,
+                      split_col=split_col)
 
 
 def simhash_expr(col: Column, n_bits: int = 32) -> Column:

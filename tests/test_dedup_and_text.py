@@ -624,3 +624,81 @@ def test_minhash_lsh_dedup_collapse_equals_uncollapsed_randomized(spark):
             b = {r["doc_id"] for r in uncollapsed(
                 df, "text", "doc_id", 16, 4, 3, tau).collect()}
             assert a == b, (seed, tau, a ^ b)
+
+
+def test_minhash_lsh_dedup_keep_by_picks_best(spark):
+    # a~b near-dups (b longer → survives under keep_by), c unrelated
+    a = "the quick brown fox jumps over the lazy dog every single day"
+    b = "the quick brown fox jumps over the lazy dog every single day indeed"
+    c = "completely unrelated text about cooking pasta dishes at home"
+    df = spark.createDataFrame(
+        [(0, a, len(a)), (1, b, len(b)), (2, c, len(c))], ["id", "t", "n"]
+    )
+    out = minhash_lsh_dedup(df, "t", "id", n_hashes=16, bands=8, shingle_n=2,
+                            jaccard_threshold=0.5, keep_by="n")
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+    # keep_ascending flips the policy (shortest survives)
+    out2 = minhash_lsh_dedup(df, "t", "id", n_hashes=16, bands=8, shingle_n=2,
+                             jaccard_threshold=0.5, keep_by="n",
+                             keep_ascending=True)
+    assert sorted(r["id"] for r in out2.collect()) == [0, 2]
+
+
+def test_minhash_lsh_dedup_keep_by_ties_and_nulls(spark):
+    # exact copies tie on score → min id; NULL score loses to non-NULL;
+    # an all-NULL cluster still elects its min-id member
+    t = "the quick brown fox jumps over the lazy dog every single day"
+    u = "completely unrelated text about cooking pasta dishes at home"
+    df = spark.createDataFrame(
+        [(0, t, 5), (1, t, 5), (2, t, None), (3, u, None), (4, u, None)],
+        "id long, t string, n int",
+    )
+    out = minhash_lsh_dedup(df, "t", "id", n_hashes=16, bands=8, shingle_n=2,
+                            jaccard_threshold=0.5, keep_by="n")
+    assert sorted(r["id"] for r in out.collect()) == [0, 3]
+
+
+def test_minhash_keep_by_same_cardinality_as_default(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(n_hashes=16, bands=4, shingle_n=2, jaccard_threshold=0.5)
+    base = minhash_lsh_dedup(docs, "text", "doc_id", **kw).count()
+    best = minhash_lsh_dedup(docs, "text", "doc_id", keep_by="n_chars",
+                             **kw).count()
+    assert base == best  # same clusters, different survivor choice
+
+
+def test_minhash_clusters_min_member_id_and_singletons(spark):
+    from lotus_spark.functions.dedup import minhash_clusters
+
+    a = "the quick brown fox jumps over the lazy dog every single day"
+    b = "the quick brown fox jumps over the lazy dog every single night"
+    c = "completely unrelated text about cooking pasta dishes at home"
+    # 3=exact copy of a (exact-collapse path), 2=singleton
+    df = spark.createDataFrame([(0, a), (1, b), (2, c), (3, a)], ["id", "t"])
+    out = minhash_clusters(df, "t", "id", n_hashes=16, bands=8, shingle_n=2,
+                           jaccard_threshold=0.5, cluster_col="cid")
+    got = {r["id"]: r["cid"] for r in out.collect()}
+    assert got == {0: 0, 1: 0, 3: 0, 2: 2}
+    # schema: input columns preserved + cluster col appended
+    assert out.columns == ["id", "t", "cid"]
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from lotus_spark.functions.dedup import leakage_safe_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = leakage_safe_split(
+        docs, "text", "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7, shingle_n=2, jaccard_threshold=0.5,
+    )
+    straddle = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # all rows labeled, all three labels present at this size
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels == {"train", "val", "test"}
+    assert out.filter(F.col("split").isNull()).count() == 0
