@@ -1620,6 +1620,100 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization toolkit (r11, functions/urls.py — pure
+    Column expressions, zero UDFs): synthesize a deterministic messy URL
+    per document (mixed-case scheme/host, userinfo, default vs explicit
+    port, tracking params, unsorted query, fragment — even rows exercise
+    the https/:443/two-level-suffix branches, odd rows http/:8080/.com),
+    then normalize + host + registered domain. Oracle: DuckDB replays
+    the ENTIRE normalization algebra (same regex/split/filter/sort
+    pipeline), not a lookup table."""
+    from lotus_spark.functions.urls import (
+        url_host,
+        url_normalize,
+        url_registered_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://User@WWW."), F.col("source"),
+            F.lit(".Example.CO.UK:443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&z=26&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com:8080/a b/"),
+            F.col("doc_id").cast("string"), F.lit("/?gclid=1&b=2&a=1"),
+        )
+    )
+    d = docs.withColumn("__u", raw)
+    return d.select(
+        "doc_id",
+        url_normalize(F.col("__u")).alias("url_norm"),
+        url_host(F.col("__u")).alias("host"),
+        url_registered_domain(F.col("__u")).alias("domain"),
+    )
+
+
+def _sql_url_canonicalize() -> str:
+    from lotus_spark.functions.urls import _TRACKING_PARAMS, _TWO_LEVEL_SUFFIXES
+
+    tracking = ", ".join(f"'{p}'" for p in _TRACKING_PARAMS)
+    suffixes = ", ".join(f"'{s}'" for s in _TWO_LEVEL_SUFFIXES)
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN 'HTTPS://User@WWW.' || source || '.Example.CO.UK:443/Docs/'
+           || CAST(doc_id AS VARCHAR) || '?utm_source=feed&z=26&a=1#frag'
+      ELSE 'http://' || source || '.example.com:8080/a b/'
+           || CAST(doc_id AS VARCHAR) || '/?gclid=1&b=2&a=1'
+    END AS u
+  FROM documents),
+s1 AS (SELECT doc_id, string_split(trim(u), '#')[1] AS u0 FROM raw),
+sch AS (SELECT doc_id, u0,
+  lower(regexp_extract(u0, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(u0, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+au AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth,
+  regexp_replace(rest, '^[^/?]*', '') AS after_auth FROM sch),
+hp AS (SELECT *, string_split(auth, '@')[-1] AS hostport FROM au),
+hp2 AS (SELECT *, lower(string_split(hostport, ':')[1]) AS host,
+  CASE WHEN len(string_split(hostport, ':')) = 2
+       THEN string_split(hostport, ':')[2] ELSE '' END AS port FROM hp),
+nl AS (SELECT *,
+  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+            OR (scheme = 'https' AND port = '443')
+       THEN host ELSE host || ':' || port END AS netloc,
+  CASE WHEN regexp_extract(after_auth, '^([^?]*)', 1) = '' THEN '/'
+       ELSE regexp_extract(after_auth, '^([^?]*)', 1) END AS path,
+  CASE WHEN contains(after_auth, '?')
+       THEN regexp_replace(after_auth, '^[^?]*\\?', '') ELSE '' END AS query
+  FROM hp2),
+qn AS (SELECT *, array_to_string(list_sort(list_filter(
+         string_split(query, '&'),
+         p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_')
+              AND string_split(p, '=')[1] NOT IN ({tracking}))), '&') AS q
+  FROM nl),
+dom AS (SELECT *, string_split(host, '.') AS parts FROM qn)
+SELECT doc_id,
+  CASE WHEN scheme <> '' THEN scheme || '://' || netloc || path ||
+       CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS url_norm,
+  CASE WHEN scheme <> '' THEN host END AS host,
+  CASE WHEN scheme = '' THEN NULL
+       WHEN len(parts) >= 3 AND array_to_string(
+              parts[greatest(len(parts)-1, 1):], '.') IN ({suffixes})
+       THEN array_to_string(parts[greatest(len(parts)-2, 1):], '.')
+       WHEN len(parts) >= 2
+       THEN array_to_string(parts[greatest(len(parts)-1, 1):], '.')
+       ELSE host END AS domain
+FROM dom
+"""
+
+
 def _sql_leakage_safe_split() -> str:
     labels = list(_LSS_WEIGHTS)
     norm = sum(_LSS_WEIGHTS.values())
@@ -4431,6 +4525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- cluster-aware split family) -------------------------------
         "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
         "leakage_safe_split": q_leakage_safe_split,
+        "url_canonicalize": q_url_canonicalize,
         # -- functions/dedup.py edited this round (keep_by survivor
         # -- policy + minhash_clusters extraction): every registry key
         # -- importing it moves inside the window per the tail rule ----
@@ -4471,7 +4566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
         "streaming_sessions": q_streaming_sessions,
         "pipeline_curate": q_pipeline_curate,
@@ -4486,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- forced its 14 importers plus 2 new rows into the window
         # -- (the >50-mandatory-entries case the CHECKS channel covers).
         "weighted_sample": q_weighted_sample,
+        "answer_cache_map": q_answer_cache_map,
         "hash_split": q_hash_split,
         "mix_to_weights": q_mix_to_weights,
         "stratified_sample": q_stratified_sample,
@@ -5154,6 +5249,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _sql_minhash_lsh_dedup(),
         "minhash_dedup_keepbest": _sql_minhash_dedup_keepbest(),
         "leakage_safe_split": _sql_leakage_safe_split(),
+        "url_canonicalize": _sql_url_canonicalize(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "quality_signals": _SQL_QUALITY_SIGNALS,
