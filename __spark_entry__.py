@@ -1659,6 +1659,54 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC (r11, functions/snapshot.py::snapshot_diff — the
+    daily-crawl "what changed since yesterday?" primitive): synthesize
+    snapshot T+1 from documents deterministically (doc_id%10==3 removed,
+    %10==4 text-mutated, %10==7 re-added under shifted ids) and diff.
+    Plan: both sides pruned to (id, text) pre-join, ONE sort-merge
+    full-outer on the unique id, null-safe compare, narrow output.
+    Oracle: DuckDB full-outer replica of the same algebra."""
+    from lotus_spark.functions.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 4, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 10 == 7).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    new = new.unionByName(added)
+    return snapshot_diff(docs, new, "doc_id", ["text"])
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH newt AS (
+  SELECT CASE WHEN doc_id % 10 = 7 THEN doc_id + 10000000 ELSE doc_id END
+           AS doc_id,
+         CASE WHEN doc_id % 10 = 4 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+j AS (
+  SELECT o.doc_id AS oid, o.text AS ot, n.doc_id AS nid, n.text AS nt
+  FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id)
+SELECT COALESCE(nid, oid) AS doc_id,
+  CASE WHEN oid IS NULL THEN 'added'
+       WHEN nid IS NULL THEN 'removed'
+       WHEN ot IS DISTINCT FROM nt THEN 'changed'
+       ELSE 'unchanged' END AS change
+FROM j
+WHERE CASE WHEN oid IS NULL THEN 'added'
+           WHEN nid IS NULL THEN 'removed'
+           WHEN ot IS DISTINCT FROM nt THEN 'changed'
+           ELSE 'unchanged' END <> 'unchanged'
+"""
+
+
 def _sql_url_canonicalize() -> str:
     from lotus_spark.functions.urls import _TRACKING_PARAMS, _TWO_LEVEL_SUFFIXES
 
@@ -4526,6 +4574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
         "leakage_safe_split": q_leakage_safe_split,
         "url_canonicalize": q_url_canonicalize,
+        "snapshot_diff": q_snapshot_diff,
         # -- functions/dedup.py edited this round (keep_by survivor
         # -- policy + minhash_clusters extraction): every registry key
         # -- importing it moves inside the window per the tail rule ----
@@ -4566,7 +4615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
         "streaming_heavy_hitters": q_streaming_heavy_hitters,
-        "streaming_doc_stats": q_streaming_doc_stats,
         "streaming_sessions": q_streaming_sessions,
         "pipeline_curate": q_pipeline_curate,
         "pipeline_pack": q_pipeline_pack,
@@ -4581,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (the >50-mandatory-entries case the CHECKS channel covers).
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
+        "streaming_doc_stats": q_streaming_doc_stats,
         "hash_split": q_hash_split,
         "mix_to_weights": q_mix_to_weights,
         "stratified_sample": q_stratified_sample,
@@ -5250,6 +5299,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_keepbest": _sql_minhash_dedup_keepbest(),
         "leakage_safe_split": _sql_leakage_safe_split(),
         "url_canonicalize": _sql_url_canonicalize(),
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "quality_signals": _SQL_QUALITY_SIGNALS,

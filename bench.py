@@ -105,6 +105,17 @@ BENCH_QUERIES = [
     # streaming/CC machinery already timed by streaming_neardup and the
     # pair queries
     "ann_join_ivfpq",
+    # round 11: url_canonicalize is the recurring map-only crawl path
+    # (pure codegen expressions — belongs in the sweep);
+    # minhash_dedup_keepbest / leakage_safe_split stay out for the
+    # minhash_lsh_dedup reason (their wall is the same CC convergence
+    # loop; the survivor/split policies add two hash aggregates and a
+    # map-side label — nothing the banded pair queries don't time);
+    # contamination_index / neardup_index_compacted / warc_roundtrip /
+    # pipeline_ingest and the multimodal rows are build/synthesis
+    # compositions whose recurring probes are timed by mhindex_probe /
+    # decontam_probe and the standalone feature stages
+    "url_canonicalize",
 ]
 
 
