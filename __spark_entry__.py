@@ -1663,7 +1663,8 @@ def q_snapshot_diff(spark, sf_dir):
     """Snapshot CDC (r11, functions/snapshot.py::snapshot_diff — the
     daily-crawl "what changed since yesterday?" primitive): synthesize
     snapshot T+1 from documents deterministically (doc_id%10==3 removed,
-    %10==4 text-mutated, %10==7 re-added under shifted ids) and diff.
+    %10==4 text-mutated, %10==7 re-added under ids shifted by 1e8 — clear of the scale probe's
+    replica key span) and diff.
     Plan: both sides pruned to (id, text) pre-join, ONE sort-merge
     full-outer on the unique id, null-safe compare, narrow output.
     Oracle: DuckDB full-outer replica of the same algebra."""
@@ -1677,7 +1678,7 @@ def q_snapshot_diff(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     added = docs.filter(F.col("doc_id") % 10 == 7).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        "doc_id", F.col("doc_id") + F.lit(100_000_000)
     )
     new = new.unionByName(added)
     return snapshot_diff(docs, new, "doc_id", ["text"])
@@ -1685,7 +1686,7 @@ def q_snapshot_diff(spark, sf_dir):
 
 _SQL_SNAPSHOT_DIFF = """
 WITH newt AS (
-  SELECT CASE WHEN doc_id % 10 = 7 THEN doc_id + 10000000 ELSE doc_id END
+  SELECT CASE WHEN doc_id % 10 = 7 THEN doc_id + 100000000 ELSE doc_id END
            AS doc_id,
          CASE WHEN doc_id % 10 = 4 THEN text || ' v2' ELSE text END AS text
   FROM documents WHERE doc_id % 10 <> 3

@@ -90,3 +90,36 @@ def test_clone_captures_effective_values(s):
         c = s.clone()
     assert c.serialization_format == "xml"   # effective at clone time
     assert s.serialization_format == "default"
+
+
+def test_cluster_conf_sizing_arithmetic():
+    from lotus_spark.deploy import cluster_conf
+
+    # 1000 executors x 4 cores, 100 TB input
+    c = cluster_conf(4000, input_bytes=100 * (1 << 40))
+    parts = int(c["spark.sql.shuffle.partitions"])
+    assert parts == (100 * (1 << 40)) // (128 << 20)  # data-driven: ~800k
+    assert c["spark.sql.adaptive.coalescePartitions.initialPartitionNum"] == str(parts)
+    # small job: core-driven floor wins
+    c2 = cluster_conf(4000)
+    assert int(c2["spark.sql.shuffle.partitions"]) == 8000
+    # tiny cluster: absolute floor
+    assert int(cluster_conf(1)["spark.sql.shuffle.partitions"]) == 32
+    # knobs present and AQE on
+    for k in ("spark.sql.adaptive.enabled",
+              "spark.sql.adaptive.skewJoin.enabled"):
+        assert c[k] == "true"
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_conf(0)
+
+
+def test_apply_cluster_conf_folds_into_builder():
+    from pyspark.sql import SparkSession
+
+    from lotus_spark.deploy import apply_cluster_conf, cluster_conf
+
+    b = SparkSession.builder
+    b2 = apply_cluster_conf(b, cluster_conf(8))
+    assert b2 is not None  # builder accepts every key (no typos/raises)

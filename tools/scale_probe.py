@@ -89,6 +89,10 @@ PROBE_QUERIES = [
     "answer_cache_map",
     # round 8
     "shard_for_training",
+    # round 11: the CDC full-outer join (volume-sensitive on both
+    # sides) and the map-only URL canonicalization
+    "snapshot_diff",
+    "url_canonicalize",
 ]
 
 
