@@ -1659,6 +1659,65 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+_QM_MODEL = {
+    "weights": [3.0, 2.0, -0.05, 0.1],
+    "bias": -2.0,
+    "features": ["stopword_ratio", "alpha_ratio", "avg_token_len",
+                 "log_tokens"],
+}
+
+
+def q_quality_model_score(spark, sf_dir):
+    """Trained-quality-classifier INFERENCE path (r11,
+    functions/quality_model.py): sigmoid(b + w · engineered signals)
+    with the weights baked as literals — the map-only codegen stage a
+    100 TB scoring pass runs after `train_quality_model` (MLlib LBFGS,
+    tested separately; the expression reproduces MLlib transform
+    probabilities to <1e-9). Fixed demo weights here so the oracle is
+    training-free; DuckDB replays the full feature + sigmoid algebra."""
+    from lotus_spark.functions.quality_model import score_quality_model
+
+    docs = _t(spark, sf_dir, "documents")
+    s = score_quality_model(F.col("text"), _QM_MODEL)
+    return docs.select(
+        "doc_id",
+        s.alias("q_score"),
+        (s >= 0.5).cast("int").alias("keep"),
+    )
+
+
+def _sql_quality_model_score() -> str:
+    w = _QM_MODEL["weights"]
+    b = _QM_MODEL["bias"]
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, t -> list_contains({{STOP}}, t)))
+              AS DOUBLE) / len(toks) END AS sw,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) / length(text) END AS al,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_reduce(list_prepend(0, list_transform(toks,
+              t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks)
+         END AS atl,
+    ln(1 + CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS lt
+  FROM d),
+z AS (SELECT doc_id,
+        {b} + ({w[0]}) * sw + ({w[1]}) * al + ({w[2]}) * atl + ({w[3]}) * lt
+        AS z FROM m)
+SELECT doc_id,
+  1.0 / (1.0 + exp(-z)) AS q_score,
+  CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 1 ELSE 0 END AS INT)
+    AS keep
+FROM z
+""".replace("{STOP}", _STOP)
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Snapshot CDC (r11, functions/snapshot.py::snapshot_diff — the
     daily-crawl "what changed since yesterday?" primitive): synthesize
@@ -4576,6 +4635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "url_canonicalize": q_url_canonicalize,
         "snapshot_diff": q_snapshot_diff,
+        "quality_model_score": q_quality_model_score,
         # -- functions/dedup.py edited this round (keep_by survivor
         # -- policy + minhash_clusters extraction): every registry key
         # -- importing it moves inside the window per the tail rule ----
@@ -4611,7 +4671,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "events_hourly": q_events_hourly,
         # -- last driver row r9 (r10 tail rotates back in) -------------
-        "write_shards": q_write_shards,
         "sem_filter": q_sem_filter,
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
@@ -4631,6 +4690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
+        "write_shards": q_write_shards,
         "hash_split": q_hash_split,
         "mix_to_weights": q_mix_to_weights,
         "stratified_sample": q_stratified_sample,
@@ -5301,6 +5361,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _sql_leakage_safe_split(),
         "url_canonicalize": _sql_url_canonicalize(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "quality_model_score": _sql_quality_model_score(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "quality_signals": _SQL_QUALITY_SIGNALS,
