@@ -1502,12 +1502,14 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.3
 """
 
 
-def _sql_minhash_cc_ctes() -> str:
+def _sql_minhash_cc_ctes(src: str = "documents", header: bool = True) -> str:
     """Shared CTE stack for the MinHash-LSH dedup oracles: 16-hash
     signature → 4 band keys → bucket candidates → exact shingle-set
     Jaccard verify ≥ 0.5 → recursive-CTE connected components → ``rep``
     (id → component representative). Consumers append their own final
-    CTEs/SELECT."""
+    CTEs/SELECT. ``src`` lets composed pipelines run the stack over an
+    upstream CTE; ``header=False`` drops the ``WITH RECURSIVE`` prefix
+    so the stack can sit mid-statement."""
     sig_exprs = []
     for j in range(16):
         a, b = _hash_params(j)
@@ -1518,9 +1520,9 @@ def _sql_minhash_cc_ctes() -> str:
     for i in range(4):
         parts = " || '_' || ".join(f"CAST(sig{i*4+j} AS VARCHAR)" for j in range(4))
         band_keys.append(f"CAST({i} AS VARCHAR) || '_' || {parts}")
+    prefix = "WITH RECURSIVE\n" if header else ""
     return f"""
-WITH RECURSIVE
-d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM documents),
+{prefix}d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') words FROM {src}),
 s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-2, 0)+2),
         i -> array_to_string(words[i:i+1], ' '))) shingles FROM d),
 g AS (SELECT doc_id, shingles, {', '.join(sig_exprs)} FROM s),
@@ -1620,6 +1622,27 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
+def _messy_url_expr():
+    """Deterministic messy URL per document row (even rows:
+    https/userinfo/:443/two-level-suffix/utm+fragment; odd rows:
+    http/:8080/.com/gclid) — shared by url_canonicalize and
+    pipeline_quality."""
+    return F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTPS://User@WWW."), F.col("source"),
+            F.lit(".Example.CO.UK:443/Docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&z=26&a=1#frag"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com:8080/a b/"),
+            F.col("doc_id").cast("string"), F.lit("/?gclid=1&b=2&a=1"),
+        )
+    )
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization toolkit (r11, functions/urls.py — pure
     Column expressions, zero UDFs): synthesize a deterministic messy URL
@@ -1636,21 +1659,7 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    raw = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(
-            F.lit("HTTPS://User@WWW."), F.col("source"),
-            F.lit(".Example.CO.UK:443/Docs/"),
-            F.col("doc_id").cast("string"),
-            F.lit("?utm_source=feed&z=26&a=1#frag"),
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit("http://"), F.col("source"), F.lit(".example.com:8080/a b/"),
-            F.col("doc_id").cast("string"), F.lit("/?gclid=1&b=2&a=1"),
-        )
-    )
-    d = docs.withColumn("__u", raw)
+    d = docs.withColumn("__u", _messy_url_expr())
     return d.select(
         "doc_id",
         url_normalize(F.col("__u")).alias("url_norm"),
@@ -1767,13 +1776,14 @@ WHERE CASE WHEN oid IS NULL THEN 'added'
 """
 
 
-def _sql_url_canonicalize() -> str:
-    from lotus_spark.functions.urls import _TRACKING_PARAMS, _TWO_LEVEL_SUFFIXES
+def _sql_url_norm_ctes() -> str:
+    """CTE chain (no WITH): messy URL synthesis → scheme/netloc/path/
+    cleaned-sorted-query fields per doc, relation ``qn``. Shared by
+    url_canonicalize and pipeline_quality."""
+    from lotus_spark.functions.urls import _TRACKING_PARAMS
 
     tracking = ", ".join(f"'{p}'" for p in _TRACKING_PARAMS)
-    suffixes = ", ".join(f"'{s}'" for s in _TWO_LEVEL_SUFFIXES)
-    return f"""
-WITH raw AS (
+    return f"""raw AS (
   SELECT doc_id,
     CASE WHEN doc_id % 2 = 0
       THEN 'HTTPS://User@WWW.' || source || '.Example.CO.UK:443/Docs/'
@@ -1805,7 +1815,23 @@ qn AS (SELECT *, array_to_string(list_sort(list_filter(
          string_split(query, '&'),
          p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_')
               AND string_split(p, '=')[1] NOT IN ({tracking}))), '&') AS q
-  FROM nl),
+  FROM nl)"""
+
+
+#: the canonical-URL expression over the ``qn`` relation (SQL twin of
+#: urls.url_normalize's final concat)
+_SQL_URL_NORM_EXPR = (
+    "CASE WHEN scheme <> '' THEN scheme || '://' || netloc || path || "
+    "CASE WHEN q <> '' THEN '?' || q ELSE '' END END"
+)
+
+
+def _sql_url_canonicalize() -> str:
+    from lotus_spark.functions.urls import _TWO_LEVEL_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in _TWO_LEVEL_SUFFIXES)
+    return f"""
+WITH {_sql_url_norm_ctes()},
 dom AS (SELECT *, string_split(host, '.') AS parts FROM qn)
 SELECT doc_id,
   CASE WHEN scheme <> '' THEN scheme || '://' || netloc || path ||
@@ -1820,6 +1846,82 @@ SELECT doc_id,
        ELSE host END AS domain
 FROM dom
 """
+
+
+_PQ_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_PQ_SEED = 3
+
+
+def q_pipeline_quality(spark, sf_dir):
+    """The r11 curation front-half COMPOSED (the new family end-to-end,
+    one statement in DuckDB): canonical-URL exact dedup (url_normalize →
+    min-id per canonical URL) → trained-quality-model gate (literal
+    sigmoid ≥ 0.5) → fused `dedup_and_split` (ONE MinHash clustering
+    pass elects the keep-best survivor AND assigns the leakage-safe
+    split by cluster hash). Output: surviving doc_id + split."""
+    from lotus_spark.functions.dedup import dedup_and_split, exact_dedup
+    from lotus_spark.functions.quality_model import gate_by_quality_model
+    from lotus_spark.functions.urls import url_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("__url", url_normalize(_messy_url_expr()))
+    d = exact_dedup(d, "__url", "doc_id").drop("__url")
+    d = gate_by_quality_model(d, "text", _QM_MODEL, threshold=0.5)
+    d = dedup_and_split(
+        d, "text", "doc_id", _PQ_WEIGHTS, keep_by="n_chars",
+        seed=_PQ_SEED, n_hashes=16, bands=4, shingle_n=2,
+        jaccard_threshold=0.5,
+    )
+    return d.select("doc_id", "split")
+
+
+def _sql_pipeline_quality() -> str:
+    w = _QM_MODEL["weights"]
+    b = _QM_MODEL["bias"]
+    labels = list(_PQ_WEIGHTS)
+    norm = sum(_PQ_WEIGHTS.values())
+    cum, bounds = 0.0, []
+    for name in labels:
+        cum += _PQ_WEIGHTS[name] / norm
+        bounds.append(int(round(cum * _MIX_BUCKETS)))
+    h = _sql_strhash(f"(CAST(comp AS VARCHAR) || ':{_PQ_SEED}')")
+    bucket = f"({h} * {_MIX_CONST}) % {_MIX_BUCKETS}"
+    split_case = f"'{labels[-1]}'"
+    for name, hi in zip(reversed(labels[:-1]), reversed(bounds[:-1])):
+        split_case = f"CASE WHEN {bucket} < {hi} THEN '{name}' ELSE {split_case} END"
+    return f"""
+WITH RECURSIVE
+{_sql_url_norm_ctes()},
+urln AS (SELECT doc_id, {_SQL_URL_NORM_EXPR} AS url_norm FROM qn),
+uds AS (SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY url_norm ORDER BY doc_id) AS rn FROM urln)
+        WHERE rn = 1),
+qm AS (SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(toks, t -> list_contains({{STOP}}, t)))
+              AS DOUBLE) / len(toks) END AS sw,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS DOUBLE) / length(text) END AS al,
+    CASE WHEN len(toks) = 0 THEN 0.0
+         ELSE CAST(list_reduce(list_prepend(0, list_transform(toks,
+              t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks)
+         END AS atl,
+    ln(1 + CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS lt
+  FROM (SELECT d0.doc_id, d0.text,
+          string_split_regex(lower(trim(d0.text)), '\\s+') AS toks
+        FROM documents d0 JOIN uds USING (doc_id))),
+gated AS (SELECT d0.* FROM documents d0 JOIN qm USING (doc_id)
+          WHERE 1.0 / (1.0 + exp(-({b} + ({w[0]}) * sw + ({w[1]}) * al
+                + ({w[2]}) * atl + ({w[3]}) * lt))) >= 0.5),
+{_sql_minhash_cc_ctes(src="gated", header=False)},
+clus AS (SELECT g0.doc_id, g0.n_chars, COALESCE(r.comp, g0.doc_id) AS comp
+         FROM gated g0 LEFT JOIN rep r ON g0.doc_id = r.id)
+SELECT doc_id, {split_case} AS split FROM clus
+QUALIFY row_number() OVER (
+  PARTITION BY comp ORDER BY n_chars DESC NULLS LAST, doc_id ASC) = 1
+""".replace("{STOP}", _STOP)
 
 
 def _sql_leakage_safe_split() -> str:
@@ -4636,6 +4738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "snapshot_diff": q_snapshot_diff,
         "quality_model_score": q_quality_model_score,
+        "pipeline_quality": q_pipeline_quality,
         # -- functions/dedup.py edited this round (keep_by survivor
         # -- policy + minhash_clusters extraction): every registry key
         # -- importing it moves inside the window per the tail rule ----
@@ -4674,7 +4777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_filter": q_sem_filter,
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "streaming_sessions": q_streaming_sessions,
         "pipeline_curate": q_pipeline_curate,
         "pipeline_pack": q_pipeline_pack,
@@ -4690,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "write_shards": q_write_shards,
         "hash_split": q_hash_split,
         "mix_to_weights": q_mix_to_weights,
@@ -5362,6 +5465,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _sql_url_canonicalize(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "quality_model_score": _sql_quality_model_score(),
+        "pipeline_quality": _sql_pipeline_quality(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
         "sem_search_rerank": _SQL_SEM_SEARCH_RERANK,
         "quality_signals": _SQL_QUALITY_SIGNALS,

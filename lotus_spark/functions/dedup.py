@@ -330,6 +330,63 @@ def leakage_safe_split(
                       split_col=split_col)
 
 
+def dedup_and_split(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    weights: dict[str, float],
+    keep_by: str | None = None,
+    keep_ascending: bool = False,
+    seed: int = 0,
+    split_col: str = "split",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup dedup AND leakage-safe split from ONE clustering pass.
+
+    Calling ``minhash_lsh_dedup`` then ``leakage_safe_split`` separately
+    runs the banded LSH pipeline twice — and the second run is useless,
+    because post-dedup survivors are all singletons and the "leakage-
+    safe" split degenerates to a plain per-row hash split. This fuses
+    them on the single :func:`minhash_clusters` pass: the cluster id
+    drives BOTH the survivor election (min id, or ``keep_by`` argmax)
+    and the split label (``hash_split`` on the cluster id) — so the
+    surviving canonical document carries the split its whole duplicate
+    cluster was assigned, and any near-dup that later leaks past the
+    dedup (or arrives in a future increment and dedups against this
+    corpus) hashes to the SAME split. Returns the survivors of ``df``
+    plus ``split_col``.
+    """
+    from lotus_spark.functions.sampling import hash_split
+
+    clustered = minhash_clusters(
+        df, col, id_col, n_hashes, bands, shingle_n,
+        jaccard_threshold, cluster_col="__cluster",
+    )
+    if keep_by is None:
+        keep = clustered.groupBy("__cluster").agg(
+            F.min(id_col).alias(id_col)
+        )
+    else:
+        agg = F.min if keep_ascending else F.max
+        best = clustered.groupBy("__cluster").agg(
+            agg(F.col(keep_by)).alias("__best")
+        )
+        keep = (
+            clustered.join(best, "__cluster")
+            .filter(F.col(keep_by).eqNullSafe(F.col("__best")))
+            .groupBy("__cluster")
+            .agg(F.min(id_col).alias(id_col))
+        )
+    labeled = hash_split(keep, "__cluster", weights, seed=seed,
+                         split_col=split_col)
+    return df.join(
+        labeled.select(id_col, split_col), id_col, "inner"
+    )
+
+
 def simhash_expr(col: Column, n_bits: int = 32) -> Column:
     """The SimHash fingerprint as a pure Column expression — usable on
     batch AND streaming DataFrames (no ensure_parallelism, which needs

@@ -702,3 +702,31 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     labels = {r["split"] for r in out.select("split").distinct().collect()}
     assert labels == {"train", "val", "test"}
     assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_dedup_and_split_fuses_one_clustering_pass(spark):
+    from lotus_spark.functions.dedup import (
+        dedup_and_split,
+        leakage_safe_split,
+        minhash_lsh_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(n_hashes=16, bands=4, shingle_n=2, jaccard_threshold=0.5)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = dedup_and_split(docs, "text", "doc_id", w, keep_by="n_chars",
+                          seed=7, **kw)
+    # survivors == the keep_by dedup
+    surv = minhash_lsh_dedup(docs, "text", "doc_id", keep_by="n_chars", **kw)
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in surv.collect())
+    # split of each survivor == the label its whole cluster got from
+    # leakage_safe_split (same seed → same hash of the same cluster id)
+    lss = leakage_safe_split(docs, "text", "doc_id", w, seed=7, **kw)
+    j = (
+        out.select("doc_id", "split")
+        .join(lss.select("doc_id", F.col("split").alias("s2")), "doc_id")
+        .filter(F.col("split") != F.col("s2"))
+    )
+    assert j.count() == 0
+    assert "split" in out.columns and "text" in out.columns
