@@ -278,11 +278,15 @@ def minhash_clusters(
     rep components back to members — keyed on the rep id (unique per
     exact group), so hot boilerplate groups stay AQE-splittable.
     """
+    from pyspark import StorageLevel
+
     grp = df.groupBy(col).agg(F.min(id_col).alias("__rep"))
+    # consumed twice (rep extraction + final expansion join): persist so
+    # the text-keyed tag join — the widest shuffle here — runs once
     tagged = df.join(
         grp.withColumnRenamed(col, "__gcol"),
         F.col(col).eqNullSafe(F.col("__gcol")),
-    ).drop("__gcol")
+    ).drop("__gcol").persist(StorageLevel.MEMORY_AND_DISK)
     reps = tagged.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
     comps = _rep_components(
         reps, col, id_col, n_hashes, bands, shingle_n, jaccard_threshold
