@@ -1,0 +1,355 @@
+"""CDC-driven maintenance for the persisted corpus indexes: DELETE and
+snapshot-upsert for the IVF-PQ vector index (``functions/ann.py``) and
+the MinHash-LSH text index (``functions/dedup_index.py``).
+
+The missing lifecycle verb. ``write → append → compact`` (r8-r10)
+covers a corpus that only GROWS, but a real crawl snapshot also
+shrinks and mutates: pages disappear, pages change. ``snapshot_diff``
+(``functions/snapshot.py``) produces exactly the (added, removed,
+changed) sets a daily pipeline needs; this module applies them to the
+indexes so downstream probes never see deleted rows and always see the
+CURRENT encoding of changed rows. Reference parity note: the reference
+(lotus-data/lotus) has no index mutation at all — its ``sem_index``
+persists FAISS state that must be rebuilt from scratch on any corpus
+change (lotus/vector_store/faiss_vs.py); delete/upsert is a capability
+a 100 TB daily pipeline cannot run without, so it is built here
+Spark-first rather than ported.
+
+Design, stated for the 100 TB reader:
+
+- **IVF-PQ delete is partition-pruned**: the index layout is
+  ``partitionBy(cell)`` parquet, so deleting ids rewrites ONLY the cell
+  directories that contain them — one bounded ``groupBy(cell)`` over
+  the narrow (id, cell) projection finds the hit cells (≤ n_cells rows
+  collected), the survivor scan partition-prunes to those directories,
+  and every untouched cell's files are never read or written. A day's
+  removals touching 50 of 4096 cells rewrite ~1% of the index.
+- **MinHash delete is a filtered compaction**: ``buckets``/``sigs`` are
+  narrow unpartitioned tables (by design — see dedup_index.py's layout
+  note), so a delete rewrites them wholesale with the ids anti-joined
+  out, exactly the write-verify-swap discipline ``compact_minhash_index``
+  already uses. Batch deletes daily (the CDC cadence) so the rewrite is
+  paid once per day, and it doubles as that day's compaction.
+- **Deletes are idempotent**: re-running the same delete converges (an
+  anti-join against absent ids is a no-op), which is the recovery story
+  for a crash mid-swap — re-run the job. Single-writer, like every
+  other maintainer of these layouts.
+- **Upsert = delete(removed ∪ changed) + append(added ∪ changed)**:
+  appends encode with the index's PINNED quantizers/parameters
+  (``append_ivfpq_index`` / ``append_minhash_index``), so the upserted
+  index is row-identical to a from-scratch encode of the new snapshot
+  with the same codebooks — the property the ``ivfpq_cdc`` /
+  ``neardup_index_cdc`` oracle rows hash-check end to end.
+"""
+from __future__ import annotations
+
+import math
+import re
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from lotus_spark.functions.ann import (
+    _fs_read_json,
+    append_ivfpq_index,
+    read_ivfpq_index,
+)
+from lotus_spark.functions.dedup_index import (
+    _META as _MH_META,
+    append_minhash_index,
+    read_minhash_meta,
+    release_stream_index_cache,
+)
+
+ADDED = "added"
+REMOVED = "removed"
+CHANGED = "changed"
+
+
+def _fs(spark, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    return jvm, p(path).getFileSystem(conf), p
+
+
+def _ids_frame(ids: DataFrame, id_col: str, who: str) -> DataFrame:
+    """Normalize the ids side: single (id_col) column, distinct, NULLs
+    rejected loudly — a NULL id can never match a stored row, so a
+    caller passing one is feeding the delete a diff it did not build
+    with the snapshot contract (snapshot_diff never emits NULL-id
+    removed/changed rows for non-NULL-keyed snapshots)."""
+    if id_col not in ids.columns:
+        raise ValueError(f"{who}: ids frame lacks column {id_col!r}")
+    out = ids.select(id_col).distinct()
+    if out.filter(F.col(id_col).isNull()).count():
+        raise ValueError(f"{who}: NULL ids are not deletable")
+    return out
+
+
+def _assert_no_unacked_stream_epochs(spark, path: str, who: str) -> None:
+    """Same crashed-stream guard as ``compact_ivfpq_index`` (see the
+    CRASHED-STREAM GUARD note there, ann.py:743): rewriting cells that
+    hold un-acknowledged ``batch<id>-`` files would erase the prefixes
+    an exactly-once replay uses for cleanup, so the epoch would
+    re-append as duplicates. Refuse and tell the operator to drain the
+    stream first."""
+    jvm, fs, p = _fs(spark, path)
+    sidecar = _fs_read_json(spark, f"{path}/_stream_batches.json")
+    high_water = -1 if sidecar is None else int(sidecar["last_batch_id"])
+    live = fs.globStatus(p(f"{path}/*/batch*-*")) or []
+    unacked = sorted({
+        int(m.group(1))
+        for st in live
+        for m in [re.match(r"batch(\d+)-", st.getPath().getName())]
+        if m and int(m.group(1)) > high_water
+    })
+    if unacked:
+        raise RuntimeError(
+            f"{who}: live files from stream epoch(s) {unacked} exceed the "
+            f"_stream_batches.json high-water mark ({high_water}) — a "
+            "stream crashed inside its commit window; restart and drain it "
+            "(available_now=True suffices), then retry")
+
+
+def delete_from_ivfpq_index(
+    spark, path: str, ids: DataFrame, id_col: str,
+) -> int:
+    """Delete rows by id from a persisted IVF-PQ index
+    (``ann.write_ivfpq_index`` layout), rewriting ONLY the cell
+    partitions that contain them. Returns the number of rows deleted.
+
+    Plan shape (pinned in tests/test_plan_shapes.py): the hit-cell
+    discovery is a column-pruned (id, cell) scan + broadcast semi-join +
+    a ≤n_cells collect; the survivor rewrite scans with
+    ``cell IN (hits)`` so parquet PartitionFilters prune every clean
+    cell's directory at the source. Nothing proportional to index size
+    crosses the driver or a shuffle.
+
+    Swap per hit cell: the old directory is renamed aside (dot-prefixed
+    name: Spark's file index hides it), the rewritten directory renamed
+    in, asides deleted last — data is never destroyed before its
+    replacement is installed. A cell whose every row is deleted is
+    removed outright. A crash mid-swap leaves some cells updated and
+    some not; re-running the same delete converges (idempotent).
+    Single-writer: do not run concurrently with an appender or stream
+    sink, and drain crashed streams first (same guard as
+    ``compact_ivfpq_index``)."""
+    # guard BEFORE any parquet read: an unacked epoch's files are the
+    # stream's to clean up, and (unlike the sidecar JSON) reading the
+    # data requires scanning them
+    _assert_no_unacked_stream_epochs(spark, path, "delete_from_ivfpq_index")
+    stored, _cents, _books, cell_col = read_ivfpq_index(spark, path)
+    if id_col not in stored.columns:
+        raise ValueError(
+            f"delete_from_ivfpq_index: stored index has no column "
+            f"{id_col!r} (columns: {stored.columns})")
+    dids = _ids_frame(ids, id_col, "delete_from_ivfpq_index")
+
+    # narrow (id, cell) projection; the ids side is a diff — tiny by
+    # construction — so broadcast it
+    matched = (
+        stored.select(id_col, cell_col)
+        .join(F.broadcast(dids), id_col)
+        .groupBy(cell_col).count()
+    )
+    per_cell_deleted = {r[cell_col]: r["count"] for r in matched.collect()}
+    if not per_cell_deleted:
+        return 0
+    hit_cells = sorted(per_cell_deleted)
+    n_deleted = sum(per_cell_deleted.values())
+
+    in_hits = F.col(cell_col).isin(hit_cells)
+    n_hit_rows = stored.filter(in_hits).count()
+    survivors = (
+        stored.filter(in_hits)
+        .join(F.broadcast(dids), on=id_col, how="left_anti")
+    )
+
+    jvm, fs, p = _fs(spark, path)
+    tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
+    survivors.write.partitionBy(cell_col).parquet(tmp)
+    expected = n_hit_rows - n_deleted
+    # every hit row deleted ⇒ the rewrite wrote no partition directories
+    # (an empty partitioned dataset is unreadable — nothing to verify)
+    n_after = spark.read.parquet(tmp).count() if expected else 0
+    if n_after != expected:
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            f"delete_from_ivfpq_index: rewrite has {n_after} rows, "
+            f"expected {expected}; index untouched")
+
+    asides = []
+    for cell in hit_cells:
+        live = p(f"{path}/{cell_col}={cell}")
+        aside = p(f"{path}/.cdcold-{uuid.uuid4().hex[:8]}-{cell}")
+        if not fs.rename(live, aside):
+            raise RuntimeError(
+                f"delete_from_ivfpq_index: could not move cell directory "
+                f"{live} aside — partially applied; re-run to converge "
+                f"(asides so far: {[str(a) for a in asides]})")
+        asides.append(aside)
+        new = p(f"{tmp}/{cell_col}={cell}")
+        if fs.exists(new):  # absent == the cell emptied out entirely
+            if not fs.rename(new, live):
+                fs.rename(aside, live)  # restore — keep the old rows
+                raise RuntimeError(
+                    f"delete_from_ivfpq_index: could not install rewritten "
+                    f"cell {cell}; original restored for that cell — "
+                    "re-run to converge")
+    for aside in asides:
+        fs.delete(aside, True)
+    fs.delete(p(tmp), True)
+    return int(n_deleted)
+
+
+def delete_from_minhash_index(spark, path: str, ids: DataFrame) -> int:
+    """Delete docs by id from a persisted MinHash-LSH index
+    (``dedup_index.write_minhash_index`` layout): anti-join the ids out
+    of BOTH narrow tables (``buckets``: one row per (band, id);
+    ``sigs``: one per id) and swap the rewrite in — the same
+    write-verify-swap discipline as ``compact_minhash_index``, with the
+    delete filter applied during the rewrite, so a daily CDC delete
+    doubles as that day's compaction. Returns the number of DOCS
+    deleted (sigs rows; bucket rows are bands × that).
+
+    The id column is read from the index sidecar (the tables store it
+    as ``id``). Idempotent; single-writer; releases the stream-probe
+    cache after the swap (the cached frames snapshot the old files)."""
+    read_minhash_meta(spark, path)  # asserts this IS a minhash index
+    dids = _ids_frame(ids, "id", "delete_from_minhash_index")
+
+    jvm, fs, p = _fs(spark, path)
+    tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
+
+    sigs = spark.read.parquet(f"{path}/sigs")
+    n_docs_deleted = sigs.join(F.broadcast(dids), "id").count()
+    if n_docs_deleted == 0:
+        return 0
+
+    expected = {}
+    for table in ("buckets", "sigs"):
+        src = f"{path}/{table}"
+        df = spark.read.parquet(src)
+        n_before = df.count()
+        n_match = df.join(F.broadcast(dids), "id").count()
+        expected[table] = n_before - n_match
+        n_bytes = fs.getContentSummary(p(src)).getLength()
+        n_files = max(1, math.ceil(n_bytes / (128 << 20)))
+        (
+            df.join(F.broadcast(dids), on="id", how="left_anti")
+            .select(*df.columns)  # keep the table's column order
+            .repartition(n_files).write.parquet(f"{tmp}/{table}")
+        )
+    from lotus_spark.functions.ann import _fs_write_json
+
+    _fs_write_json(spark, f"{tmp}/{_MH_META}",
+                   read_minhash_meta(spark, path))
+    for table in ("buckets", "sigs"):
+        n_after = spark.read.parquet(f"{tmp}/{table}").count()
+        if n_after != expected[table]:
+            fs.delete(p(tmp), True)
+            raise RuntimeError(
+                f"delete_from_minhash_index: rewritten {table} has "
+                f"{n_after} rows, expected {expected[table]}; original "
+                "untouched")
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(p(path), p(old)):
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            f"delete_from_minhash_index: could not move {path}")
+    if not fs.rename(p(tmp), p(path)):
+        if not fs.rename(p(old), p(path)):  # roll back
+            raise RuntimeError(
+                f"delete_from_minhash_index: could not install rewrite AND "
+                f"the rollback failed — data intact at {old} (original) "
+                f"and {tmp} (rewrite); rename one back to {path} by hand")
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            "delete_from_minhash_index: could not install rewrite; "
+            "original restored")
+    fs.delete(p(old), True)
+    release_stream_index_cache(path)
+    return int(n_docs_deleted)
+
+
+def _split_diff(diff: DataFrame, id_col: str, change_col: str):
+    vals = {
+        r[change_col]
+        for r in diff.select(change_col).distinct().collect()
+    }
+    unknown = vals - {ADDED, REMOVED, CHANGED, "unchanged"}
+    if unknown:
+        raise ValueError(
+            f"diff has unknown {change_col!r} labels {sorted(unknown)} — "
+            "expected snapshot_diff output")
+    dead = diff.filter(F.col(change_col).isin([REMOVED, CHANGED]))
+    fresh = diff.filter(F.col(change_col).isin([ADDED, CHANGED]))
+    return dead.select(id_col), fresh.select(id_col)
+
+
+def apply_snapshot_to_ivfpq_index(
+    spark,
+    path: str,
+    diff: DataFrame,
+    new_snapshot: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    change_col: str = "change",
+) -> dict:
+    """Apply a ``snapshot_diff`` to a persisted IVF-PQ index: delete the
+    removed and changed ids (partition-pruned cell rewrites), then
+    append the added and changed rows from ``new_snapshot`` encoded with
+    the index's EXISTING quantizers (``append_ivfpq_index`` — map-only,
+    no retraining). After this the index is row-identical to a
+    from-scratch encode of ``new_snapshot``'s corpus state with the
+    same codebooks — hash-checked end to end by the ``ivfpq_cdc``
+    oracle row. Returns ``{"deleted": n, "upserted": n}``.
+
+    Codebook drift is the operator's call, not this function's: if the
+    snapshot's embedding distribution has drifted far from the training
+    sample, rebuild (write_ivfpq_index on the new snapshot) instead of
+    upserting — the same train-once/add-many judgment FAISS users make.
+    """
+    dead, fresh = _split_diff(diff, id_col, change_col)
+    n_deleted = delete_from_ivfpq_index(spark, path, dead, id_col)
+    rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+    n_up = rows.count()
+    if n_up:
+        append_ivfpq_index(spark, path, rows, emb_col=emb_col)
+    return {"deleted": n_deleted, "upserted": int(n_up)}
+
+
+def apply_snapshot_to_minhash_index(
+    spark,
+    path: str,
+    diff: DataFrame,
+    new_snapshot: DataFrame,
+    text_col: str,
+    change_col: str = "change",
+) -> dict:
+    """Apply a ``snapshot_diff`` to a persisted MinHash-LSH index:
+    delete removed+changed ids (one filtered-compaction rewrite of the
+    narrow tables), then append added+changed rows encoded with the
+    sidecar-pinned parameters. The grown index is row-identical to a
+    fresh ``write_minhash_index`` of the new snapshot — hash-checked by
+    the ``neardup_index_cdc`` oracle row. The snapshot's id column is
+    the one recorded in the index sidecar. Returns
+    ``{"deleted": n, "upserted": n}``."""
+    meta = read_minhash_meta(spark, path)
+    id_col = meta["id_col"]
+    if id_col not in diff.columns:
+        raise ValueError(
+            f"apply_snapshot_to_minhash_index: diff lacks the index id "
+            f"column {id_col!r}")
+    dead, fresh = _split_diff(diff, id_col, change_col)
+    n_deleted = delete_from_minhash_index(
+        spark, path, dead.withColumnRenamed(id_col, "id"))
+    rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+    n_up = rows.count()
+    if n_up:
+        append_minhash_index(spark, path, rows, text_col, id_col)
+    return {"deleted": n_deleted, "upserted": int(n_up)}
