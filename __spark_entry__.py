@@ -736,6 +736,7 @@ def q_knn_pq(spark, sf_dir):
 def _sql_pq_chain_parts(
     qq: list[int], m: int, nbits: int, iters: int, seed: int, pre0: str,
     train_where: str | None = None,
+    src: str = "embeddings", train_src: str | None = None,
 ) -> tuple[list[str], str, str]:
     """Shared PQ-oracle construction: per-subspace kmeans chains + ADC
     contribution CTEs (ct0..ct{m-1}) for quantized query ``qq``; returns
@@ -751,7 +752,7 @@ def _sql_pq_chain_parts(
         ctes.append(_sql_kmeans_ctes(
             k=2 ** nbits, iters=iters, seed=seed + s, d=sub,
             emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]", p=pre,
-            train_where=train_where))
+            train_where=train_where, src=src, train_src=train_src))
     for s in range(m):
         pre = f"{pre0}{s}_"
         qsub = qq[s * sub:(s + 1) * sub]
@@ -1182,15 +1183,86 @@ def q_ivfpq_incremental(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_ivfpq_cdc(spark, sf_dir):
+    """CDC maintenance of the persisted IVF-PQ index
+    (functions/index_cdc.py, NEW r11 — the lifecycle verb append/compact
+    could not cover): T0 = the even-id corpus, indexed with
+    T0-sample-trained quantizers; T1 removes every %10==0 id, REVERSES
+    the %10==4 embeddings (a changed row must be re-encoded), and adds
+    all odd ids. ``snapshot_diff`` labels the three classes and
+    ``apply_snapshot_to_ivfpq_index`` applies them: partition-pruned
+    cell rewrites delete removed+changed ids, then added+changed rows
+    append encoded with the index's EXISTING codebooks. The rerank
+    probe over the maintained index must match the oracle's
+    from-scratch replay — quantizers trained on T0 (train_src =
+    original embeddings, restricted to evens ∩ the pinned hash sample),
+    encode + probe over the T1 corpus state — so a hash match proves
+    delete + re-encode + append together leave the index row-identical
+    to a rebuild of the new snapshot."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.ann import (
+        ivf_index, knn_topk_ivfpq, pq_index, read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from lotus_spark.functions.index_cdc import apply_snapshot_to_ivfpq_index
+    from lotus_spark.functions.snapshot import snapshot_diff
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    ts = (_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
+    t0 = emb.filter("vec_id % 2 = 0")
+    t1 = emb.filter("vec_id % 10 != 0").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == 4, F.reverse(F.col("embedding")))
+        .otherwise(F.col("embedding")))
+    indexed, cents = ivf_index(t0, "embedding", n_cells=16, seed=42,
+                               method="deterministic", id_col="vec_id",
+                               train_sample=ts)
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                              nbits=4, seed=101, train_sample=ts)
+    d = tempfile.mkdtemp(prefix="ivfpq_cdc_")
+    try:
+        path = f"{d}/index"
+        write_ivfpq_index(encoded, path, cents, books)
+        diff = snapshot_diff(t0, t1, "vec_id")
+        apply_snapshot_to_ivfpq_index(spark, path, diff, t1)
+        stored, cents2, books2, cell_col = read_ivfpq_index(spark, path)
+        out = knn_topk_ivfpq(stored, cents2, books2, q, k=10, n_probe=8,
+                             id_col="vec_id", cell_col=cell_col,
+                             rerank_k=40)
+        return spark.createDataFrame(
+            [(r["vec_id"], r["score"]) for r in out.collect()],
+            "vec_id long, score double",
+        ).select("vec_id", F.round(F.col("score"), 6).alias("score"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_knn_ivfpq_cdc(qv: list[float]) -> str:
+    t1 = (
+        "emb_t1 AS (SELECT vec_id, "
+        "CASE WHEN vec_id % 10 = 4 THEN list_reverse(embedding) "
+        "ELSE embedding END AS embedding "
+        "FROM embeddings WHERE vec_id % 10 <> 0)")
+    return _sql_knn_ivfpq_rerank(
+        qv, train_restrict="vec_id % 2 = 0", src="emb_t1",
+        train_src="embeddings", extra_ctes=[t1])
+
+
 def _sql_ivfpq_parts(
-    qv: list[float], train_restrict: str | None = None
+    qv: list[float], train_restrict: str | None = None,
+    src: str = "embeddings", train_src: str | None = None,
 ) -> tuple[list[str], str, str]:
     """Shared IVF-PQ oracle chain (cell kmeans + probe + sel + 8 PQ
     chains) for _sql_knn_ivfpq and _sql_knn_ivfpq_rerank — one
     definition so the replicas cannot drift. ``train_restrict`` ANDs an
     extra predicate into the quantizer-training sample (the incremental
     oracle trains on the INITIAL half only while encode/probe still
-    cover every row)."""
+    cover every row). ``src``/``train_src`` (CDC oracle): encode +
+    probe run over ``src`` while quantizer training reads ``train_src``
+    — defaults reproduce the pre-r11 SQL byte-identically."""
     from lotus_spark.functions.kmeans import quantize_vector, train_sample_where
 
     iters = 3
@@ -1204,9 +1276,11 @@ def _sql_ivfpq_parts(
     if train_restrict:
         tw = f"({tw}) AND ({train_restrict})"
     cell_chain = _sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d, p="iv_",
-                                  train_where=tw)
+                                  train_where=tw, src=src,
+                                  train_src=train_src)
     ctes, joins, total = _sql_pq_chain_parts(
-        qq, m=8, nbits=4, iters=iters, seed=101, pre0="pq", train_where=tw)
+        qq, m=8, nbits=4, iters=iters, seed=101, pre0="pq", train_where=tw,
+        src=src, train_src=train_src)
     all_ctes = (
         [cell_chain,
          f"probe AS (SELECT c FROM iv_c{iters} "
@@ -1232,11 +1306,23 @@ ORDER BY pq_dist, ct0.vec_id LIMIT 10
 
 
 def _sql_knn_ivfpq_rerank(
-    qv: list[float], train_restrict: str | None = None
+    qv: list[float], train_restrict: str | None = None,
+    src: str = "embeddings", train_src: str | None = None,
+    extra_ctes: list[str] | None = None,
 ) -> str:
-    ctes, joins, total = _sql_ivfpq_parts(qv, train_restrict=train_restrict)
+    ctes, joins, total = _sql_ivfpq_parts(
+        qv, train_restrict=train_restrict, src=src, train_src=train_src)
+    if src == "embeddings":
+        qv_ctes = "qv AS (SELECT v AS q FROM ev WHERE vec_id = 0)"
+    else:
+        # the corpus state excludes the query row — read it from the
+        # base table
+        qv_ctes = (
+            "evq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v "
+            "FROM embeddings),\n"
+            "qv AS (SELECT v AS q FROM evq WHERE vec_id = 0)")
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + ",\n".join((extra_ctes or []) + ctes)
         + f""",
 short AS (
   SELECT ct0.vec_id, ({total}) AS pq_dist
@@ -1244,8 +1330,8 @@ short AS (
   WHERE ct0.vec_id IN (SELECT vec_id FROM sel)
   ORDER BY pq_dist, ct0.vec_id LIMIT 40
 ),
-ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-qv AS (SELECT v AS q FROM ev WHERE vec_id = 0)
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM {src}),
+{qv_ctes}
 SELECT ev.vec_id, ROUND({_sql_cosine('ev.v', 'qv.q')}, 6) AS score
 FROM ev JOIN short ON ev.vec_id = short.vec_id, qv
 ORDER BY {_sql_cosine('ev.v', 'qv.q')} DESC, ev.vec_id
@@ -1269,7 +1355,9 @@ def q_sem_cluster(spark, sf_dir):
 
 def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int,
                      emb_expr: str = "embedding", p: str = "",
-                     train_where: str | None = None) -> str:
+                     train_where: str | None = None,
+                     src: str = "embeddings",
+                     train_src: str | None = None) -> str:
     """Unrolled deterministic-Lloyd's CTE chain (mirrors
     ``functions/kmeans.py`` exactly): quantize → seeded-hash init →
     (assign → integer-mean update) × iters → final assignment
@@ -1279,7 +1367,11 @@ def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int,
     one chain per subspace). ``train_where`` replays sample-bounded
     training (``kmeans.train_sample_where``): init + per-iteration
     updates see only the sampled rows, the final assignment all rows —
-    the exact split ``deterministic_kmeans(train_filter=...)`` makes."""
+    the exact split ``deterministic_kmeans(train_filter=...)`` makes.
+    ``src`` is the relation assignment/encode runs over; ``train_src``
+    (default: same as ``src``) lets the CDC oracle train the quantizers
+    on the T0 corpus state while assigning the T1 state — defaults
+    reproduce the pre-r11 SQL byte-identically."""
     from lotus_spark.functions.kmeans import QUANT, SHIFT, kmeans_init_params
 
     a, b = kmeans_init_params(seed)
@@ -1296,12 +1388,17 @@ def _sql_kmeans_ctes(k: int, iters: int, seed: int, d: int,
         )
 
     ctes = [
-        f"{p}p AS (SELECT vec_id, {quant} AS xq FROM embeddings)",
+        f"{p}p AS (SELECT vec_id, {quant} AS xq FROM {src})",
     ]
     tr = f"{p}p"
+    if train_src is not None and train_src != src:
+        tr = f"{p}pt"
+        ctes.append(
+            f"{p}pt AS (SELECT vec_id, {quant} AS xq FROM {train_src})")
     if train_where:
+        base = tr
         tr = f"{p}tr"
-        ctes.append(f"{p}tr AS (SELECT * FROM {p}p WHERE {train_where})")
+        ctes.append(f"{p}tr AS (SELECT * FROM {base} WHERE {train_where})")
     ctes.append(
         f"{p}c0 AS (SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS c, "
         f"xq AS v FROM {tr} ORDER BY {h}, vec_id LIMIT {k})"
@@ -3721,6 +3818,101 @@ WHERE CAST({agree} AS DOUBLE) / 16.0 >= 0.5
 """
 
 
+def q_neardup_index_cdc(spark, sf_dir):
+    """CDC maintenance of the persisted MinHash-LSH corpus index
+    (functions/index_cdc.py, NEW r11): T0 = the %4==0 docs, indexed; T1
+    removes every %20==0 id, REVISES the %20==8 texts (appending
+    ' revised' — a changed doc must be re-encoded), and adds the %4==2
+    docs. ``snapshot_diff`` labels the classes and
+    ``apply_snapshot_to_minhash_index`` applies them: one
+    filtered-compaction rewrite deletes removed+changed ids from the
+    narrow buckets/sigs tables, then added+changed rows append with the
+    sidecar-pinned parameters. Probing every odd doc against the
+    maintained index must match the oracle's band algebra over the T1
+    corpus state — a hash match proves the CDC'd index is row-identical
+    to a fresh write of the new snapshot."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, write_minhash_index,
+    )
+    from lotus_spark.functions.index_cdc import (
+        apply_snapshot_to_minhash_index,
+    )
+    from lotus_spark.functions.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    t0 = docs.filter("doc_id % 4 = 0")
+    t1 = docs.filter("doc_id % 4 IN (0, 2) AND doc_id % 20 != 0") \
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 20 == 8,
+                   F.concat(F.col("text"), F.lit(" revised")))
+            .otherwise(F.col("text")))
+    d = tempfile.mkdtemp(prefix="mh_cdc_")
+    try:
+        path = f"{d}/idx"
+        write_minhash_index(t0, path, "text", "doc_id",
+                            n_hashes=16, bands=4)
+        diff = snapshot_diff(t0.select("doc_id", "text"),
+                             t1.select("doc_id", "text"), "doc_id")
+        apply_snapshot_to_minhash_index(spark, path, diff, t1, "text")
+        out = neardup_join_index(spark, path, docs.filter("doc_id % 2 = 1"),
+                                 "text", "doc_id", threshold=0.5)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["match_id"], r["est_jaccard"])
+             for r in out.collect()],
+            "doc_id long, match_id long, est_jaccard double",
+        ).select("doc_id", "match_id",
+                 F.round(F.col("est_jaccard"), 6).alias("est_jaccard"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_neardup_index_cdc() -> str:
+    """Band-algebra replay of q_neardup_index_cdc over the T1 corpus
+    state: the ``d`` CTE holds the odd probe docs (original text) plus
+    the CDC'd corpus — %4==0 minus the %20==0 removals with the %20==8
+    texts revised, plus the %4==2 additions."""
+    sig_exprs = []
+    for j in range(16):
+        a, b = _hash_params(j)
+        sig_exprs.append(
+            f"list_min(list_transform(shingles, sh -> ({a} * {_sql_strhash('sh')} + {b}) % {MOD})) AS sig{j}"
+        )
+    band_keys = []
+    for i in range(4):
+        parts = " || '_' || ".join(
+            f"CAST(sig{i * 4 + j} AS VARCHAR)" for j in range(4))
+        band_keys.append(f"CAST({i} AS VARCHAR) || '_' || {parts}")
+    agree = " + ".join(
+        f"CASE WHEN gq.sig{j} = gc.sig{j} THEN 1 ELSE 0 END"
+        for j in range(16))
+    t1_text = ("CASE WHEN doc_id % 20 = 8 THEN text || ' revised' "
+               "ELSE text END")
+    in_t1 = ("(doc_id % 4 = 0 AND doc_id % 20 <> 0) OR doc_id % 4 = 2")
+    return f"""
+WITH d AS (SELECT doc_id,
+             string_split_regex(lower(trim(CASE WHEN doc_id % 2 = 1 THEN text ELSE {t1_text} END)), '\\s+') words
+           FROM documents
+           WHERE doc_id % 2 = 1 OR {in_t1}),
+s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-3, 0)+2),
+        i -> array_to_string(words[i:i+2], ' '))) shingles FROM d),
+g AS (SELECT doc_id, {', '.join(sig_exprs)} FROM s),
+banded AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band FROM g),
+cand AS (SELECT DISTINCT q.doc_id AS doc_id, c.doc_id AS match_id
+         FROM banded q JOIN banded c ON q.band = c.band
+         WHERE q.doc_id % 2 = 1 AND c.doc_id % 2 = 0)
+SELECT cand.doc_id, cand.match_id,
+       ROUND(CAST({agree} AS DOUBLE) / 16.0, 6) AS est_jaccard
+FROM cand
+JOIN g gq ON gq.doc_id = cand.doc_id
+JOIN g gc ON gc.doc_id = cand.match_id
+WHERE CAST({agree} AS DOUBLE) / 16.0 >= 0.5
+"""
+
+
 def q_neardup_index_lifecycle(spark, sf_dir):
     """End-to-end "daily increment" lifecycle over the persisted
     MinHash-LSH corpus index (functions/dedup_index.py, r10 — the
@@ -4737,6 +4929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "url_canonicalize": q_url_canonicalize,
         "snapshot_diff": q_snapshot_diff,
+        # -- NEW in round 11: CDC index maintenance
+        # -- (functions/index_cdc.py — snapshot_diff applied to the
+        # -- persisted IVF-PQ / MinHash indexes: delete + upsert) ------
+        "ivfpq_cdc": q_ivfpq_cdc,
+        "neardup_index_cdc": q_neardup_index_cdc,
         "quality_model_score": q_quality_model_score,
         "pipeline_quality": q_pipeline_quality,
         # -- functions/dedup.py edited this round (keep_by survivor
@@ -4781,14 +4978,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": q_pipeline_curate,
         "pipeline_pack": q_pipeline_pack,
         "sem_cluster_by": q_sem_cluster,
-        "sem_search": q_sem_search,
-        "sem_search_rerank": q_sem_search_rerank,
         # -- tail (>50): modules byte-untouched in round 11; every key
         # -- holds a CHECKS_r10 green row (all 92) and is re-recorded in
         # -- CHECKS_r11 at round close. The first 16 were displaced
         # -- mid-round when the functions/dedup.py keep-policy edit
         # -- forced its 14 importers plus 2 new rows into the window
-        # -- (the >50-mandatory-entries case the CHECKS channel covers).
+        # -- (the >50-mandatory-entries case the CHECKS channel covers);
+        # -- sem_search/sem_search_rerank displaced when the two CDC
+        # -- index rows joined (sem_search.py byte-untouched this round).
+        "sem_search": q_sem_search,
+        "sem_search_rerank": q_sem_search_rerank,
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
@@ -5464,6 +5663,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _sql_leakage_safe_split(),
         "url_canonicalize": _sql_url_canonicalize(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "neardup_index_cdc": _sql_neardup_index_cdc(),
         "quality_model_score": _sql_quality_model_score(),
         "pipeline_quality": _sql_pipeline_quality(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
@@ -5509,6 +5709,10 @@ def oracle_sql() -> dict[str, str]:
         # the compacted lifecycle oracle IS the incremental replay
         sqls["ivfpq_compacted"] = _sql_knn_ivfpq_rerank(
             qv, train_restrict="vec_id % 2 = 0")
+        # CDC upsert == rebuild of the T1 snapshot state with the
+        # T0-trained codebooks: train_src = original table (restricted
+        # to the even T0 half), encode/probe over the emb_t1 CTE
+        sqls["ivfpq_cdc"] = _sql_knn_ivfpq_cdc(qv)
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()
