@@ -222,6 +222,56 @@ def bench_decontam_probe(spark, sf_dir: str) -> int:
     ).count()
 
 
+def bench_cdc_apply(spark, sf_dir: str) -> tuple[int, float]:
+    """Time ONE snapshot-CDC apply against the persisted IVF-PQ index
+    (functions/index_cdc.py, r11): diff T0→T1 (~1% removed, ~1%
+    changed, ~1% added) and apply it — partition-pruned cell-rewrite
+    deletes + pinned-codebook append. The apply MUTATES the index, so
+    each call rebuilds a pristine T0 index first (setup, inside this
+    function, excluded from the returned timing — BENCH_cdc.json
+    measures build cost and the apply-vs-rebuild trade separately);
+    returns (rows touched, apply seconds)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.functions.index_cdc import apply_snapshot_to_ivfpq_index
+    from lotus_spark.functions.snapshot import snapshot_diff
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    t0 = emb
+    t1 = emb.filter("vec_id % 97 != 0").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 89 == 1, F.reverse(F.col("embedding")))
+        .otherwise(F.col("embedding"))
+    ).unionByName(
+        emb.filter("vec_id % 83 = 2").select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            F.reverse(F.col("embedding")).alias("embedding"))
+    )
+    d = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        path = f"{d}/idx"
+        indexed, cents = ivf_index(t0, "embedding", n_cells=16, seed=42,
+                                   method="deterministic", id_col="vec_id")
+        encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                                  nbits=4, seed=101)
+        write_ivfpq_index(encoded, path, cents, books)
+        t_start = _time.time()
+        diff = snapshot_diff(t0, t1, "vec_id")
+        stats = apply_snapshot_to_ivfpq_index(spark, path, diff, t1)
+        wall = _time.time() - t_start
+        return stats["deleted"] + stats["upserted"], wall
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -350,6 +400,22 @@ def main() -> None:
               f"{timings['decontam_probe']:.2f}s", file=sys.stderr)
     except Exception as exc:
         print(f"# decontam_probe failed: {exc}", file=sys.stderr)
+
+    # snapshot-CDC apply micro-bench (r11): the third recurring daily
+    # path — diff the corpus snapshot and upsert the IVF-PQ index
+    # (partition-pruned deletes + pinned-codebook append). Correctness
+    # is the ivfpq_cdc oracle row; the per-call index rebuild is setup
+    # inside bench_cdc_apply and excluded from its returned timing.
+    try:
+        best, n = float("inf"), 0
+        for _ in range(2):
+            n, wall = bench_cdc_apply(spark, sf_dir)
+            best = min(best, wall)
+        timings["cdc_apply"] = round(best, 3)
+        print(f"# cdc_apply: {n} rows touched in "
+              f"{timings['cdc_apply']:.2f}s", file=sys.stderr)
+    except Exception as exc:
+        print(f"# cdc_apply failed: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
