@@ -206,6 +206,70 @@ def delete_from_ivfpq_index(
     return int(n_deleted)
 
 
+def _filtered_rewrite_swap(
+    spark, path: str, tables: tuple[str, ...], meta_name: str, meta: dict,
+    dids: DataFrame, count_table: str, who: str,
+) -> int:
+    """Shared delete core for the two-narrow-table index layouts
+    (MinHash ``buckets``/``sigs``, n-gram ``ngrams``/``sizes``):
+    anti-join the ids out of every table, verify counts, swap the
+    rewrite in atomically-enough (two renames; data is never destroyed
+    before its replacement is verified — the ``compact_*_index``
+    discipline, with the delete filter applied during the rewrite, so a
+    daily CDC delete doubles as that day's compaction). Returns the
+    number of ``count_table`` rows deleted (one per doc in both
+    layouts)."""
+    from lotus_spark.functions.ann import _fs_write_json
+
+    jvm, fs, p = _fs(spark, path)
+    tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
+
+    n_docs_deleted = (
+        spark.read.parquet(f"{path}/{count_table}")
+        .join(F.broadcast(dids), "id").count()
+    )
+    if n_docs_deleted == 0:
+        return 0
+
+    expected = {}
+    for table in tables:
+        src = f"{path}/{table}"
+        df = spark.read.parquet(src)
+        n_before = df.count()
+        n_match = df.join(F.broadcast(dids), "id").count()
+        expected[table] = n_before - n_match
+        n_bytes = fs.getContentSummary(p(src)).getLength()
+        n_files = max(1, math.ceil(n_bytes / (128 << 20)))
+        (
+            df.join(F.broadcast(dids), on="id", how="left_anti")
+            .select(*df.columns)  # keep the table's column order
+            .repartition(n_files).write.parquet(f"{tmp}/{table}")
+        )
+    _fs_write_json(spark, f"{tmp}/{meta_name}", meta)
+    for table in tables:
+        n_after = spark.read.parquet(f"{tmp}/{table}").count()
+        if n_after != expected[table]:
+            fs.delete(p(tmp), True)
+            raise RuntimeError(
+                f"{who}: rewritten {table} has {n_after} rows, expected "
+                f"{expected[table]}; original untouched")
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(p(path), p(old)):
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"{who}: could not move {path}")
+    if not fs.rename(p(tmp), p(path)):
+        if not fs.rename(p(old), p(path)):  # roll back
+            raise RuntimeError(
+                f"{who}: could not install rewrite AND the rollback "
+                f"failed — data intact at {old} (original) and {tmp} "
+                f"(rewrite); rename one back to {path} by hand")
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"{who}: could not install rewrite; "
+                           "original restored")
+    fs.delete(p(old), True)
+    return int(n_docs_deleted)
+
+
 def delete_from_minhash_index(spark, path: str, ids: DataFrame) -> int:
     """Delete docs by id from a persisted MinHash-LSH index
     (``dedup_index.write_minhash_index`` layout): anti-join the ids out
@@ -219,61 +283,66 @@ def delete_from_minhash_index(spark, path: str, ids: DataFrame) -> int:
     The id column is read from the index sidecar (the tables store it
     as ``id``). Idempotent; single-writer; releases the stream-probe
     cache after the swap (the cached frames snapshot the old files)."""
-    read_minhash_meta(spark, path)  # asserts this IS a minhash index
+    meta = read_minhash_meta(spark, path)  # asserts this IS the layout
     dids = _ids_frame(ids, "id", "delete_from_minhash_index")
+    n = _filtered_rewrite_swap(
+        spark, path, ("buckets", "sigs"), _MH_META, meta, dids,
+        count_table="sigs", who="delete_from_minhash_index")
+    if n:
+        release_stream_index_cache(path)
+    return n
 
-    jvm, fs, p = _fs(spark, path)
-    tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
 
-    sigs = spark.read.parquet(f"{path}/sigs")
-    n_docs_deleted = sigs.join(F.broadcast(dids), "id").count()
-    if n_docs_deleted == 0:
-        return 0
+def delete_from_ngram_index(spark, path: str, ids: DataFrame) -> int:
+    """Delete eval docs by id from a persisted n-gram decontamination
+    index (``decontam_index.write_ngram_index`` layout: ``ngrams``
+    postings + ``sizes`` counts) — the maintenance verb a REVISED eval
+    suite needs (benchmarks version; stale questions must stop gating
+    training docs). Same filtered-compaction rewrite as the MinHash
+    delete; returns the number of eval DOCS deleted. Compose with
+    ``append_ngram_index`` for replace-style updates (the append's
+    already-indexed guard means a changed doc must be deleted first)."""
+    from lotus_spark.functions.decontam_index import read_ngram_meta
 
-    expected = {}
-    for table in ("buckets", "sigs"):
-        src = f"{path}/{table}"
-        df = spark.read.parquet(src)
-        n_before = df.count()
-        n_match = df.join(F.broadcast(dids), "id").count()
-        expected[table] = n_before - n_match
-        n_bytes = fs.getContentSummary(p(src)).getLength()
-        n_files = max(1, math.ceil(n_bytes / (128 << 20)))
-        (
-            df.join(F.broadcast(dids), on="id", how="left_anti")
-            .select(*df.columns)  # keep the table's column order
-            .repartition(n_files).write.parquet(f"{tmp}/{table}")
-        )
-    from lotus_spark.functions.ann import _fs_write_json
+    meta = read_ngram_meta(spark, path)
+    dids = _ids_frame(ids, "id", "delete_from_ngram_index")
+    return _filtered_rewrite_swap(
+        spark, path, ("ngrams", "sizes"), "_ngram_meta.json", meta, dids,
+        count_table="sizes", who="delete_from_ngram_index")
 
-    _fs_write_json(spark, f"{tmp}/{_MH_META}",
-                   read_minhash_meta(spark, path))
-    for table in ("buckets", "sigs"):
-        n_after = spark.read.parquet(f"{tmp}/{table}").count()
-        if n_after != expected[table]:
-            fs.delete(p(tmp), True)
-            raise RuntimeError(
-                f"delete_from_minhash_index: rewritten {table} has "
-                f"{n_after} rows, expected {expected[table]}; original "
-                "untouched")
-    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
-    if not fs.rename(p(path), p(old)):
-        fs.delete(p(tmp), True)
-        raise RuntimeError(
-            f"delete_from_minhash_index: could not move {path}")
-    if not fs.rename(p(tmp), p(path)):
-        if not fs.rename(p(old), p(path)):  # roll back
-            raise RuntimeError(
-                f"delete_from_minhash_index: could not install rewrite AND "
-                f"the rollback failed — data intact at {old} (original) "
-                f"and {tmp} (rewrite); rename one back to {path} by hand")
-        fs.delete(p(tmp), True)
-        raise RuntimeError(
-            "delete_from_minhash_index: could not install rewrite; "
-            "original restored")
-    fs.delete(p(old), True)
-    release_stream_index_cache(path)
-    return int(n_docs_deleted)
+
+def apply_snapshot_to_ngram_index(
+    spark,
+    path: str,
+    diff: DataFrame,
+    new_snapshot: DataFrame,
+    text_col: str,
+    change_col: str = "change",
+) -> dict:
+    """Apply a ``snapshot_diff`` of an eval suite to its persisted
+    n-gram decontamination index: delete removed+changed eval docs, then
+    append added+changed under the sidecar-pinned ``ngram_n``. The
+    delete-before-append order matters — ``append_ngram_index`` rejects
+    already-indexed ids by design, so a changed doc must leave first.
+    Returns ``{"deleted": n, "upserted": n}``."""
+    from lotus_spark.functions.decontam_index import (
+        append_ngram_index, read_ngram_meta,
+    )
+
+    meta = read_ngram_meta(spark, path)
+    id_col = meta["id_col"]
+    if id_col not in diff.columns:
+        raise ValueError(
+            f"apply_snapshot_to_ngram_index: diff lacks the index id "
+            f"column {id_col!r}")
+    dead, fresh = _split_diff(diff, id_col, change_col)
+    n_deleted = delete_from_ngram_index(
+        spark, path, dead.withColumnRenamed(id_col, "id"))
+    rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+    n_up = rows.count()
+    if n_up:
+        append_ngram_index(spark, path, rows, text_col, id_col)
+    return {"deleted": n_deleted, "upserted": int(n_up)}
 
 
 def _split_diff(diff: DataFrame, id_col: str, change_col: str):

@@ -283,6 +283,55 @@ def test_apply_snapshot_to_minhash_index_matches_rebuild(spark, tmp_path):
         assert a == b
 
 
+def test_apply_snapshot_to_ngram_index_matches_rebuild(spark, tmp_path):
+    """Eval suites get revised: delete + re-append through the CDC
+    driver leaves the decontamination index row-identical to a fresh
+    write of the revised suite, and the probe gates accordingly."""
+    from lotus_spark.functions.decontam_index import (
+        contamination_against_index, write_ngram_index,
+    )
+    from lotus_spark.functions.index_cdc import (
+        apply_snapshot_to_ngram_index,
+    )
+    from lotus_spark.functions.snapshot import snapshot_diff
+
+    # per-doc-unique tokens: no two eval docs share any n-gram, so the
+    # final gate assertion isolates exactly the deleted doc's postings
+    rows = [(i, " ".join(f"q{i}w{j}" for j in range(8)))
+            for i in range(30)]
+    t0 = spark.createDataFrame(rows, ["doc_id", "text"])
+    t1 = t0.filter("doc_id % 10 != 0").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 4,
+               F.concat(F.col("text"), F.lit(" revised")))
+        .otherwise(F.col("text"))
+    ).unionByName(spark.createDataFrame(
+        [(100 + i, f"new question {i} one two three four five six")
+         for i in range(5)], ["doc_id", "text"]))
+
+    path = str(tmp_path / "ng")
+    write_ngram_index(t0, path, "text", "doc_id", ngram_n=5)
+    diff = snapshot_diff(t0, t1, "doc_id")
+    stats = apply_snapshot_to_ngram_index(spark, path, diff, t1, "text")
+    assert stats == {"deleted": 6, "upserted": 8}  # 3+3 dead, 5+3 fresh
+
+    fresh = str(tmp_path / "ng_fresh")
+    write_ngram_index(t1, fresh, "text", "doc_id", ngram_n=5)
+    for table in ("ngrams", "sizes"):
+        a = sorted(map(tuple,
+                       spark.read.parquet(f"{path}/{table}").collect()))
+        b = sorted(map(tuple,
+                       spark.read.parquet(f"{fresh}/{table}").collect()))
+        assert a == b
+    # a training doc quoting a REMOVED eval question no longer gates
+    train = spark.createDataFrame(
+        [(1, rows[0][1]), (2, rows[1][1])], ["doc_id", "text"])
+    hits = contamination_against_index(
+        spark, path, train, "text", "doc_id", min_hits=1)
+    got = {r["doc_id"] for r in hits.collect()}
+    assert got == {2}  # doc 1 quotes the deleted eval doc 0
+
+
 def test_apply_snapshot_rejects_unknown_labels(spark, tmp_path):
     df, vecs, path = _ivfpq(spark, tmp_path, n=20)
     bad = spark.createDataFrame([(1, "mutated")], "vec_id long, change string")
