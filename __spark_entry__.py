@@ -3076,6 +3076,40 @@ def q_bm25_search(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_bm25_index_search(spark, sf_dir):
+    """Lexical retrieval against the PERSISTED BM25 inverted index
+    (functions/bm25_store.py, NEW r11 — the serving path: write once,
+    append daily, every query reads only its terms' bucket partitions):
+    index the even docs, APPEND the odd docs (postings/doclens append +
+    verified termdf rewrite + sidecar stats update), then search the
+    standard query. Stored-path scoring shares the in-hand plan's Okapi
+    expressions and decimal accumulation, and N/avgdl come from the
+    sidecar instead of a per-query aggregate — a hash match against the
+    same full-corpus SQL oracle as `bm25_search` proves write + append +
+    bucket-pruned serving agree with the one-shot plan bit for bit."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.bm25_store import (
+        append_bm25_index, bm25_search_index, write_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="bm25_idx_")
+    try:
+        path = f"{d}/idx"
+        write_bm25_index(docs.filter("doc_id % 2 = 0"), path,
+                         "text", "doc_id", n_buckets=16)
+        append_bm25_index(spark, path, docs.filter("doc_id % 2 = 1"))
+        out = bm25_search_index(spark, path, _BM25_QUERY, k=10)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["score"]) for r in out.collect()],
+            "doc_id long, score double",
+        ).select("doc_id", F.round("score", 6).alias("score"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _SQL_BM25_COMMON = r"""
 tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         FROM documents),
@@ -4934,6 +4968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- persisted IVF-PQ / MinHash indexes: delete + upsert) ------
         "ivfpq_cdc": q_ivfpq_cdc,
         "neardup_index_cdc": q_neardup_index_cdc,
+        # -- NEW in round 11: persisted BM25 serving index -------------
+        "bm25_index_search": q_bm25_index_search,
         "quality_model_score": q_quality_model_score,
         "pipeline_quality": q_pipeline_quality,
         # -- functions/dedup.py edited this round (keep_by survivor
@@ -4976,7 +5012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_filter_cascade": q_sem_filter_cascade,
         "streaming_sessions": q_streaming_sessions,
         "pipeline_curate": q_pipeline_curate,
-        "pipeline_pack": q_pipeline_pack,
         "sem_cluster_by": q_sem_cluster,
         # -- tail (>50): modules byte-untouched in round 11; every key
         # -- holds a CHECKS_r10 green row (all 92) and is re-recorded in
@@ -4985,9 +5020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- forced its 14 importers plus 2 new rows into the window
         # -- (the >50-mandatory-entries case the CHECKS channel covers);
         # -- sem_search/sem_search_rerank displaced when the two CDC
-        # -- index rows joined (sem_search.py byte-untouched this round).
+        # -- index rows joined (sem_search.py byte-untouched this round);
+        # -- pipeline_pack when bm25_index_search joined (lazyframe.py
+        # -- byte-untouched).
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
+        "pipeline_pack": q_pipeline_pack,
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
@@ -5664,6 +5702,9 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _sql_url_canonicalize(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "neardup_index_cdc": _sql_neardup_index_cdc(),
+        # the stored path shares the one-shot plan's scoring algebra,
+        # so the serving-index oracle IS the full-corpus BM25 replica
+        "bm25_index_search": _SQL_BM25,
         "quality_model_score": _sql_quality_model_score(),
         "pipeline_quality": _sql_pipeline_quality(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce

@@ -1,0 +1,277 @@
+"""Persisted BM25 inverted index: the lexical-retrieval serving path.
+
+``functions/bm25.py`` computes its three relations per call — right for
+one-shot queries, wasteful when a corpus is queried all day. This
+module persists them with the same lifecycle discipline as the other
+two corpus indexes (MinHash-LSH, IVF-PQ): write once, append daily,
+serve many queries, each query reading a BOUNDED slice of the index.
+The reference's retrieval surface is embedding-only
+(lotus/sem_ops/sem_search.py); a lexical serving index is built here
+Spark-first because production retrieval stacks cannot run without one.
+
+Layout (the inverted-list idea expressed as parquet partitioning):
+
+- ``{path}/postings`` — one row per (term, doc): ``(term, id, tf, dl)``
+  written ``partitionBy(bucket)`` where ``bucket = pmod(xxhash64(term),
+  n_buckets)``. The doc length ``dl`` is DENORMALIZED into the posting
+  (computed map-side before the explode), so scoring never joins the
+  doc-lengths table — a query touches |query terms| buckets' worth of
+  postings and NOTHING else. Partition pruning is the inverted-list
+  lookup, done by the storage layer (same trick as the IVF-PQ cell
+  layout).
+- ``{path}/termdf`` — ``(term, df)``, bucket-partitioned the same way
+  (vocabulary-sized; rewritten on append since term frequencies change).
+- ``{path}/doclens`` — ``(id, dl)``: maintenance-only (append overlap
+  guard, CDC deletes); queries never read it.
+- ``{path}/_bm25_meta.json`` — pinned ``id_col``/``text_col``/
+  ``n_buckets`` plus the corpus stats ``(n_docs, total_dl)``, so N and
+  avgdl are literals at query time instead of a per-query aggregate
+  over the doc-lengths relation.
+
+Scoring is byte-identical to ``bm25.bm25_search`` / its DuckDB oracle:
+the same Okapi expressions, per-(doc, term) partials rounded to 9
+decimals and summed as DECIMAL (order-independent) — pinned by a parity
+test and the ``bm25_index_search`` oracle row.
+
+Single-writer maintenance (write/append/compact-by-delete), like every
+other index in this engine. CDC delete + snapshot upsert live in
+``functions/index_cdc.py``.
+"""
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from lotus_spark.functions.text import tokens
+
+_META = "_bm25_meta.json"
+
+
+def _encode(df: DataFrame, text_col: str, id_col: str,
+            n_buckets: int) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) for ``df`` — the single encode definition
+    shared by write and append. ``dl`` is computed map-side on the token
+    array (before the explode) and rides each posting row; tokenization
+    and the empty-token filter match ``bm25.bm25_index`` exactly."""
+    from lotus_spark.partitioning import ensure_parallelism
+
+    arr = F.array_remove(tokens(F.col(text_col)), "")
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), arr.alias("__toks"),
+    ).withColumn("dl", F.size("__toks"))
+    postings = (
+        base.select("id", "dl", F.explode("__toks").alias("term"))
+        .groupBy("term", "id", "dl").agg(F.count("*").alias("tf"))
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .select("term", "id", "tf", "dl", "bucket")
+    )
+    doclens = base.select("id", "dl")
+    return postings, doclens
+
+
+def _termdf(postings: DataFrame) -> DataFrame:
+    return postings.groupBy("term", "bucket").agg(
+        F.count("*").alias("df")).select("term", "df", "bucket")
+
+
+def write_bm25_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Build and persist the BM25 serving index: one tokenize/explode
+    pass over the corpus (the index build's only full-data read), three
+    parquet tables + the stats sidecar. At 100 TB choose ``n_buckets``
+    so one bucket's postings are a few hundred MB (buckets are the
+    query-time read unit). NULL ids are rejected loudly."""
+    if df.filter(F.col(id_col).isNull()).count():
+        raise ValueError("write_bm25_index: NULL ids are not indexable")
+    postings, doclens = _encode(df, text_col, id_col, n_buckets)
+    postings = postings.persist()
+    postings.write.partitionBy("bucket").parquet(f"{path}/postings")
+    _termdf(postings).write.partitionBy("bucket").parquet(f"{path}/termdf")
+    doclens.write.parquet(f"{path}/doclens")
+    # doclens holds EVERY doc (all-empty docs too), so it is the one
+    # true source of the corpus stats
+    stats = doclens.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()
+    from lotus_spark.functions.ann import _fs_write_json
+
+    _fs_write_json(df.sparkSession, f"{path}/{_META}", {
+        "id_col": id_col, "text_col": text_col,
+        "n_buckets": int(n_buckets),
+        "n_docs": int(stats["n"]),
+        "total_dl": int(stats["t"]),
+    })
+    postings.unpersist()
+
+
+def read_bm25_meta(spark, path: str) -> dict:
+    from lotus_spark.functions.ann import _fs_read_json
+
+    meta = _fs_read_json(spark, f"{path}/{_META}")
+    if meta is None:
+        raise FileNotFoundError(
+            f"no {_META} sidecar at {path} — not a BM25 index "
+            "(write_bm25_index creates it)")
+    return meta
+
+
+def _term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
+    """Bucket ids for the query terms via the SAME JVM xxhash64 the
+    writer used (one tiny local job — driver-side replication of
+    Spark's hash would be a parity bug waiting to happen)."""
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    return sorted({
+        r["b"] for r in df.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        ).collect()
+    })
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` lexical search against the persisted index. Plan: the
+    query terms' buckets prune the postings scan (PartitionFilters —
+    pinned in tests/test_plan_shapes.py), the term IN-filter pushes into
+    it, term df joins as a broadcast, N/avgdl fold in as sidecar
+    literals, and the decimal score accumulation + top-k match
+    ``bm25.bm25_search`` bit for bit. Nothing proportional to corpus or
+    vocabulary size is read, shuffled, or collected."""
+    meta = read_bm25_meta(spark, path)
+    if not int(meta["n_docs"]):
+        raise ValueError("bm25_search_index: the index is empty")
+    terms = sorted(set(query.strip().lower().split()))
+    if not terms:
+        raise ValueError("empty query")
+    buckets = _term_buckets(spark, terms, meta["n_buckets"])
+
+    posts = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    tdf = (
+        spark.read.parquet(f"{path}/termdf")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    n = float(meta["n_docs"])
+    avgdl = float(meta["total_dl"]) / float(meta["n_docs"])
+    hits = posts.join(F.broadcast(tdf), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    partial = (
+        idf * (F.col("tf") * (1.0 + k1))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        hits.withColumn("p", F.round(partial, 9).cast("decimal(28,10)"))
+        .groupBy("id").agg(F.sum("p").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("id")).limit(k)
+        .withColumnRenamed("id", meta["id_col"])
+    )
+
+
+def append_bm25_index(
+    spark, path: str, new_df: DataFrame,
+    text_col: str | None = None, id_col: str | None = None,
+) -> None:
+    """Grow the index with new docs: one map-only encode pass, postings
+    and doclens append, the vocabulary-sized termdf REWRITTEN (term
+    frequencies change — the rewrite is swap-installed, verified first),
+    sidecar stats updated last. Already-indexed ids are rejected loudly
+    (re-appending would double-count their postings); column names
+    default to the sidecar-pinned ones. The grown index answers every
+    query identically to a from-scratch write of the union (pinned in
+    tests and the ``bm25_index_search`` oracle row)."""
+    from lotus_spark.functions.ann import _fs_write_json
+
+    meta = read_bm25_meta(spark, path)
+    text_col = text_col or meta["text_col"]
+    id_col = id_col or meta["id_col"]
+    if new_df.filter(F.col(id_col).isNull()).count():
+        raise ValueError("append_bm25_index: NULL ids are not indexable")
+    existing = spark.read.parquet(f"{path}/doclens").select("id")
+    dup = (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(existing, "id", "semi").limit(3).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"append_bm25_index: ids already indexed "
+            f"(e.g. {[r['id'] for r in dup]}) — delete them first "
+            "(functions/index_cdc.py) for replace-style updates")
+
+    postings, doclens = _encode(new_df, text_col, id_col,
+                                meta["n_buckets"])
+    postings = postings.persist()
+    postings.write.mode("append").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+    doclens.write.mode("append").parquet(f"{path}/doclens")
+
+    # termdf rewrite: old + delta, verified, swap-installed
+    merged = (
+        spark.read.parquet(f"{path}/termdf")
+        .unionByName(_termdf(postings))
+        .groupBy("term", "bucket").agg(F.sum("df").alias("df"))
+        .select("term", "df", "bucket")
+    )
+    _swap_rewrite_table(spark, f"{path}/termdf", merged,
+                        "append_bm25_index")
+
+    inc = doclens.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()
+    meta["n_docs"] = int(meta["n_docs"]) + int(inc["n"])
+    meta["total_dl"] = int(meta["total_dl"]) + int(inc["t"])
+    _fs_write_json(spark, f"{path}/{_META}", meta)
+    postings.unpersist()
+
+
+def _swap_rewrite_table(spark, table_path: str, new_df: DataFrame,
+                        who: str) -> None:
+    """Rewrite ONE parquet table via the verify-then-two-renames
+    discipline every index maintainer here uses."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = p(table_path).getFileSystem(conf)
+    n_want = new_df.count()
+    tmp = f"{table_path}.rw-{uuid.uuid4().hex[:8]}"
+    new_df.write.partitionBy("bucket").parquet(tmp)
+    n_got = spark.read.parquet(tmp).count()
+    if n_got != n_want:
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            f"{who}: rewrite has {n_got} rows, expected {n_want}")
+    old = f"{table_path}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(p(table_path), p(old)):
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"{who}: could not move {table_path}")
+    if not fs.rename(p(tmp), p(table_path)):
+        if not fs.rename(p(old), p(table_path)):
+            raise RuntimeError(
+                f"{who}: install AND rollback failed — data intact at "
+                f"{old} and {tmp}; rename one back to {table_path}")
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"{who}: could not install rewrite; "
+                           "original restored")
+    fs.delete(p(old), True)

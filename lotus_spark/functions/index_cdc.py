@@ -311,6 +311,119 @@ def delete_from_ngram_index(spark, path: str, ids: DataFrame) -> int:
         count_table="sizes", who="delete_from_ngram_index")
 
 
+def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
+    """Delete docs by id from a persisted BM25 index
+    (``bm25_store.write_bm25_index`` layout). Postings are partitioned
+    by TERM bucket, not doc id, so a delete touches every bucket a dead
+    doc's terms hash into — in practice all of them; this is therefore a
+    filtered full rewrite (doubling as compaction), with ``termdf``
+    recomputed from the surviving postings and the sidecar stats
+    refreshed, all written to a sibling directory, verified, and
+    installed with the two-rename swap. Batch deletes daily (the CDC
+    cadence). Returns the number of DOCS deleted."""
+    from lotus_spark.functions.ann import _fs_write_json
+    from lotus_spark.functions.bm25_store import (
+        _META as _BM_META,
+        _termdf,
+        read_bm25_meta,
+    )
+
+    meta = read_bm25_meta(spark, path)
+    dids = _ids_frame(ids, "id", "delete_from_bm25_index")
+    doclens = spark.read.parquet(f"{path}/doclens")
+    n_docs_deleted = doclens.join(F.broadcast(dids), "id").count()
+    if n_docs_deleted == 0:
+        return 0
+
+    jvm, fs, p = _fs(spark, path)
+    tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
+
+    postings = spark.read.parquet(f"{path}/postings")
+    n_post_before = postings.count()
+    n_post_match = postings.join(F.broadcast(dids), "id").count()
+    posts_new = (
+        postings.join(F.broadcast(dids), on="id", how="left_anti")
+        .select("term", "id", "tf", "dl", "bucket")
+    ).persist()
+    posts_new.write.partitionBy("bucket").parquet(f"{tmp}/postings")
+    _termdf(posts_new).write.partitionBy("bucket") \
+        .parquet(f"{tmp}/termdf")
+    dl_new = doclens.join(F.broadcast(dids), on="id", how="left_anti") \
+        .select(*doclens.columns)
+    dl_new.write.parquet(f"{tmp}/doclens")
+
+    stats = spark.read.parquet(f"{tmp}/doclens").agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()
+    expected_docs = int(meta["n_docs"]) - n_docs_deleted
+    n_post_after = spark.read.parquet(f"{tmp}/postings").count() \
+        if n_post_before - n_post_match else 0
+    if (n_post_after != n_post_before - n_post_match
+            or int(stats["n"]) != expected_docs):
+        posts_new.unpersist()
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            f"delete_from_bm25_index: rewrite has {n_post_after} postings "
+            f"/ {stats['n']} docs, expected {n_post_before - n_post_match} "
+            f"/ {expected_docs}; original untouched")
+    meta = dict(meta, n_docs=int(stats["n"]), total_dl=int(stats["t"]))
+    _fs_write_json(spark, f"{tmp}/{_BM_META}", meta)
+    posts_new.unpersist()
+
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(p(path), p(old)):
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"delete_from_bm25_index: could not move {path}")
+    if not fs.rename(p(tmp), p(path)):
+        if not fs.rename(p(old), p(path)):  # roll back
+            raise RuntimeError(
+                f"delete_from_bm25_index: could not install rewrite AND "
+                f"the rollback failed — data intact at {old} (original) "
+                f"and {tmp} (rewrite); rename one back to {path} by hand")
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            "delete_from_bm25_index: could not install rewrite; "
+            "original restored")
+    fs.delete(p(old), True)
+    return int(n_docs_deleted)
+
+
+def apply_snapshot_to_bm25_index(
+    spark,
+    path: str,
+    diff: DataFrame,
+    new_snapshot: DataFrame,
+    text_col: str | None = None,
+    change_col: str = "change",
+) -> dict:
+    """Apply a ``snapshot_diff`` to a persisted BM25 index: delete
+    removed+changed docs (one filtered rewrite), then append
+    added+changed from ``new_snapshot`` under the sidecar-pinned
+    tokenization — the maintained index answers every query identically
+    to a fresh build of the new snapshot (pinned in tests and the
+    ``bm25_index_search`` oracle row's append parity). Returns
+    ``{"deleted": n, "upserted": n}``."""
+    from lotus_spark.functions.bm25_store import (
+        append_bm25_index, read_bm25_meta,
+    )
+
+    meta = read_bm25_meta(spark, path)
+    id_col = meta["id_col"]
+    if id_col not in diff.columns:
+        raise ValueError(
+            f"apply_snapshot_to_bm25_index: diff lacks the index id "
+            f"column {id_col!r}")
+    dead, fresh = _split_diff(diff, id_col, change_col)
+    n_deleted = delete_from_bm25_index(
+        spark, path, dead.withColumnRenamed(id_col, "id"))
+    rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+    n_up = rows.count()
+    if n_up:
+        append_bm25_index(spark, path, rows,
+                          text_col=text_col or meta["text_col"])
+    return {"deleted": n_deleted, "upserted": int(n_up)}
+
+
 def apply_snapshot_to_ngram_index(
     spark,
     path: str,

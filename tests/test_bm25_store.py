@@ -1,0 +1,128 @@
+"""Persisted BM25 serving index (functions/bm25_store.py): the stored
+path must score bit-identically to the in-hand bm25_search plan, grow
+by append without drift, and prune its reads to the query terms'
+buckets."""
+import pytest
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.bm25_store import (
+    append_bm25_index,
+    bm25_search_index,
+    read_bm25_meta,
+    write_bm25_index,
+)
+
+DOCS = [
+    (0, "spark shuffles the window over the merge join"),
+    (1, "a window function avoids the self join"),
+    (2, "merge sort join beats the hash join on sorted input"),
+    (3, "the quick brown fox jumps over the lazy dog"),
+    (4, "spark spark spark window"),
+    (5, "completely unrelated text about cooking pasta"),
+    (6, ""),
+    (7, "join join join join"),
+]
+QUERY = "spark window merge join"
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stored_search_matches_inhand_bm25(spark, tmp_path):
+    from lotus_spark.functions.bm25 import bm25_search
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs, path, "text", "doc_id", n_buckets=8)
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_search_index(spark, path, QUERY, k=5).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            bm25_search(docs, "text", "doc_id", QUERY, k=5).collect()]
+    assert got == want  # ids AND scores, bit-identical
+    meta = read_bm25_meta(spark, path)
+    assert meta["n_docs"] == len(DOCS)
+    # dl excludes empty tokens; doc 6 is empty but still counts for N
+    assert meta["total_dl"] == sum(len(t.split()) for _, t in DOCS)
+
+
+def test_append_equals_fresh_write(spark, tmp_path):
+    from lotus_spark.functions.bm25 import bm25_search
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs.filter("doc_id % 2 = 0"), path, "text",
+                     "doc_id", n_buckets=8)
+    append_bm25_index(spark, path, docs.filter("doc_id % 2 = 1"))
+    meta = read_bm25_meta(spark, path)
+    assert meta["n_docs"] == len(DOCS)
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_search_index(spark, path, QUERY, k=8).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            bm25_search(docs, "text", "doc_id", QUERY, k=8).collect()]
+    assert got == want
+    # grown tables == fresh write of the union, row for row
+    fresh = str(tmp_path / "bm_fresh")
+    write_bm25_index(docs, fresh, "text", "doc_id", n_buckets=8)
+    for table in ("postings", "termdf", "doclens"):
+        a = sorted(map(tuple,
+                       spark.read.parquet(f"{path}/{table}").collect()))
+        b = sorted(map(tuple,
+                       spark.read.parquet(f"{fresh}/{table}").collect()))
+        assert a == b, table
+
+
+def test_append_validation(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs, path, "text", "doc_id", n_buckets=8)
+    with pytest.raises(ValueError, match="already indexed"):
+        append_bm25_index(spark, path, docs.limit(2))
+    with pytest.raises(ValueError, match="NULL ids"):
+        append_bm25_index(
+            spark, path,
+            spark.createDataFrame([(None, "x")],
+                                  "doc_id long, text string"))
+    with pytest.raises(ValueError, match="NULL ids"):
+        write_bm25_index(
+            spark.createDataFrame([(None, "x")],
+                                  "doc_id long, text string"),
+            str(tmp_path / "bm2"), "text", "doc_id")
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_search_index(spark, path, "   ")
+    with pytest.raises(FileNotFoundError, match="_bm25_meta"):
+        bm25_search_index(spark, str(tmp_path / "nope"), QUERY)
+
+
+def test_search_scan_prunes_to_query_term_buckets(spark, tmp_path):
+    """The postings read is partition-pruned to the query terms'
+    buckets — the inverted-list lookup done by the storage layer."""
+    from tests.test_plan_shapes import formatted_plan
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs, path, "text", "doc_id", n_buckets=8)
+    plan = formatted_plan(bm25_search_index(spark, path, "spark", k=3))
+    scan = plan[plan.index("Scan parquet"):]
+    assert "PartitionFilters" in scan and "bucket" in scan
+
+
+def test_testdata_corpus_roundtrip(spark, tmp_path):
+    """Real-table check at sf0.001 (the fixture-vs-real-types lesson,
+    NOTES round 4): stored search over the documents table matches the
+    in-hand plan."""
+    from lotus_spark.functions.bm25 import bm25_search
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs.filter("doc_id % 2 = 0"), path, "text",
+                     "doc_id", n_buckets=16)
+    append_bm25_index(spark, path, docs.filter("doc_id % 2 = 1"))
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           bm25_search_index(spark, path, "spark window merge join",
+                             k=10).collect()]
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            bm25_search(docs, "text", "doc_id",
+                        "spark window merge join", k=10).collect()]
+    assert got == want

@@ -332,6 +332,55 @@ def test_apply_snapshot_to_ngram_index_matches_rebuild(spark, tmp_path):
     assert got == {2}  # doc 1 quotes the deleted eval doc 0
 
 
+def test_apply_snapshot_to_bm25_index_matches_rebuild(spark, tmp_path):
+    """Re-crawl day for the lexical serving index: delete + re-append
+    through the CDC driver leaves every table row-identical to a fresh
+    build of the new snapshot, and searches answer identically."""
+    from lotus_spark.functions.bm25_store import (
+        bm25_search_index, write_bm25_index,
+    )
+    from lotus_spark.functions.index_cdc import (
+        apply_snapshot_to_bm25_index, delete_from_bm25_index,
+    )
+    from lotus_spark.functions.snapshot import snapshot_diff
+
+    rows = [(i, f"doc {i} spark window merge join token{i % 7}")
+            for i in range(40)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = full.filter("doc_id % 2 = 0")
+    t1 = full.filter("doc_id % 10 != 0").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 4,
+               F.concat(F.col("text"), F.lit(" revised")))
+        .otherwise(F.col("text")))
+
+    path = str(tmp_path / "bm")
+    write_bm25_index(t0, path, "text", "doc_id", n_buckets=8)
+    diff = snapshot_diff(t0, t1, "doc_id")
+    stats = apply_snapshot_to_bm25_index(spark, path, diff, t1)
+    assert stats == {"deleted": 8, "upserted": 24}  # 4+4 dead, 20+4 fresh
+
+    fresh = str(tmp_path / "bm_fresh")
+    write_bm25_index(t1, fresh, "text", "doc_id", n_buckets=8)
+    for table in ("postings", "termdf", "doclens"):
+        a = sorted(map(tuple,
+                       spark.read.parquet(f"{path}/{table}").collect()))
+        b = sorted(map(tuple,
+                       spark.read.parquet(f"{fresh}/{table}").collect()))
+        assert a == b, table
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_search_index(spark, path, "spark revised", k=10).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            bm25_search_index(spark, fresh, "spark revised",
+                              k=10).collect()]
+    assert got == want and got  # revised docs retrievable, scores equal
+    # idempotent: re-deleting the same ids is a no-op
+    assert delete_from_bm25_index(
+        spark, path,
+        diff.filter("change = 'removed'")
+        .select(F.col("doc_id").alias("id"))) == 0
+
+
 def test_apply_snapshot_rejects_unknown_labels(spark, tmp_path):
     df, vecs, path = _ivfpq(spark, tmp_path, n=20)
     bad = spark.createDataFrame([(1, "mutated")], "vec_id long, change string")
