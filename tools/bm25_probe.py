@@ -1,0 +1,107 @@
+"""BM25 serving-cost scaling (functions/bm25_store.py): what does one
+query cost against the persisted index as the corpus grows, vs the
+one-shot in-hand plan that must scan the corpus text every time?
+
+The load-bearing claims:
+- the stored query reads ONLY its terms' bucket partitions of the
+  narrow postings table (bytes ∝ matched postings, not corpus text);
+- the in-hand plan re-scans and re-tokenizes all text per query — fine
+  once, wrong as a serving path.
+
+Corpus: deterministic synthetic docs over a 2000-token vocabulary
+(30 tokens/doc → a query term matches ~1.5% of docs, the realistic
+selectivity regime), 50k docs at 1x / 500k at 10x. Adjacent per-scale
+measurement, best-of-2 interleaved.
+
+Usage: python tools/bm25_probe.py     (~4-6 min, local[32])
+Writes BENCH_bm25.json at the repo root.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+N1 = 50_000
+VOCAB = 2_000
+QUERY = "tok3 tok77 tok501 tok1337"
+
+
+def _docs(spark, n):
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    parts = [
+        F.concat(F.lit("tok"),
+                 F.pmod(F.xxhash64(F.col("doc_id"), F.lit(j)),
+                        F.lit(VOCAB)).cast("string"))
+        for j in range(30)
+    ]
+    return df.select("doc_id", F.concat_ws(" ", *parts).alias("text"))
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.bm25 import bm25_search
+    from lotus_spark.functions.bm25_store import (
+        bm25_search_index, write_bm25_index,
+    )
+    from lotus_spark.session import get_spark
+
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = {"metric": "bm25_probe", "unit": "sec", "scales": {}}
+    work = tempfile.mkdtemp(prefix="bm25_probe_")
+    try:
+        for scale in (1, 10):
+            n = N1 * scale
+            docs = _docs(spark, n).persist()
+            docs.count()
+            path = f"{work}/bm_{scale}"
+            t0 = time.time()
+            write_bm25_index(docs, path, "text", "doc_id", n_buckets=64)
+            build = round(time.time() - t0, 3)
+
+            best_idx = best_hand = float("inf")
+            got = want = None
+            for _ in range(2):  # interleaved sweeps
+                t0 = time.time()
+                got = bm25_search_index(spark, path, QUERY, k=10).collect()
+                best_idx = min(best_idx, time.time() - t0)
+                t0 = time.time()
+                want = bm25_search(docs, "text", "doc_id", QUERY,
+                                   k=10).collect()
+                best_hand = min(best_hand, time.time() - t0)
+            assert [(r["doc_id"], r["score"]) for r in got] == \
+                [(r["doc_id"], r["score"]) for r in want], "parity!"
+            docs.unpersist()
+            out["scales"][str(scale)] = {
+                "build": build,
+                "stored_query": round(best_idx, 3),
+                "inhand_query": round(best_hand, 3),
+            }
+            print(f"# scale {scale}: {out['scales'][str(scale)]}",
+                  file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    s1, s10 = out["scales"]["1"], out["scales"]["10"]
+    out["ratios_10x"] = {k: round(s10[k] / s1[k], 2) for k in s1}
+    out["stored_vs_inhand_at_10x"] = round(
+        s10["inhand_query"] / s10["stored_query"], 2)
+    out["value"] = s10["stored_query"]
+    with open(os.path.join(ROOT, "BENCH_bm25.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
