@@ -133,8 +133,14 @@ def delete_from_ivfpq_index(
     name: Spark's file index hides it), the rewritten directory renamed
     in, asides deleted last — data is never destroyed before its
     replacement is installed. A cell whose every row is deleted is
-    removed outright. A crash mid-swap leaves some cells updated and
-    some not; re-running the same delete converges (idempotent).
+    removed outright. Crash semantics, stated precisely: before the
+    swap starts or after it completes, re-running the same delete
+    converges (idempotent); a crash INSIDE the swap window (between a
+    cell's aside rename and its install) leaves that cell's survivors
+    at the ``.cdcdel-*`` sibling and its old rows at the ``.cdcold-*``
+    aside — both preserved on disk, and the next delete call REFUSES to
+    run until they are recovered by hand (renamed back or the install
+    finished), because a blind re-run would not see the mid-swap cell.
     Single-writer: do not run concurrently with an appender or stream
     sink, and drain crashed streams first (same guard as
     ``compact_ivfpq_index``)."""
@@ -142,6 +148,14 @@ def delete_from_ivfpq_index(
     # stream's to clean up, and (unlike the sidecar JSON) reading the
     # data requires scanning them
     _assert_no_unacked_stream_epochs(spark, path, "delete_from_ivfpq_index")
+    jvm0, fs0, p0 = _fs(spark, path)
+    leftover = fs0.globStatus(p0(f"{path}/.cdcold-*")) or []
+    if leftover:
+        raise RuntimeError(
+            "delete_from_ivfpq_index: leftover mid-swap state from a "
+            f"crashed delete at {[str(s.getPath()) for s in leftover]} — "
+            "recover it (rename the aside back, or finish installing the "
+            "matching .cdcdel-* cell) before deleting again")
     stored, _cents, _books, cell_col = read_ivfpq_index(spark, path)
     if id_col not in stored.columns:
         raise ValueError(
@@ -161,6 +175,12 @@ def delete_from_ivfpq_index(
         return 0
     hit_cells = sorted(per_cell_deleted)
     n_deleted = sum(per_cell_deleted.values())
+
+    if stored.count() == n_deleted:
+        raise ValueError(
+            "delete_from_ivfpq_index: the delete would empty the index "
+            "(an empty partitioned layout is unreadable) — drop the "
+            "index directory instead")
 
     in_hits = F.col(cell_col).isin(hit_cells)
     n_hit_rows = stored.filter(in_hits).count()
@@ -182,26 +202,36 @@ def delete_from_ivfpq_index(
             f"delete_from_ivfpq_index: rewrite has {n_after} rows, "
             f"expected {expected}; index untouched")
 
-    asides = []
+    asides = []  # every entry is a FULLY swapped cell's old directory
+
+    def _drop_completed_asides():
+        for a in asides:
+            fs.delete(a, True)
+
     for cell in hit_cells:
         live = p(f"{path}/{cell_col}={cell}")
         aside = p(f"{path}/.cdcold-{uuid.uuid4().hex[:8]}-{cell}")
         if not fs.rename(live, aside):
+            _drop_completed_asides()  # prior cells are consistent
             raise RuntimeError(
                 f"delete_from_ivfpq_index: could not move cell directory "
-                f"{live} aside — partially applied; re-run to converge "
-                f"(asides so far: {[str(a) for a in asides]})")
-        asides.append(aside)
+                f"{live} aside — partially applied but consistent; "
+                "re-run to converge")
         new = p(f"{tmp}/{cell_col}={cell}")
         if fs.exists(new):  # absent == the cell emptied out entirely
             if not fs.rename(new, live):
-                fs.rename(aside, live)  # restore — keep the old rows
+                ok = fs.rename(aside, live)  # restore — keep the old rows
+                _drop_completed_asides()
                 raise RuntimeError(
                     f"delete_from_ivfpq_index: could not install rewritten "
-                    f"cell {cell}; original restored for that cell — "
-                    "re-run to converge")
-    for aside in asides:
-        fs.delete(aside, True)
+                    f"cell {cell}" + (
+                        "; original restored for that cell — re-run to "
+                        "converge" if ok else
+                        f" AND the restore failed — its old rows are at "
+                        f"{aside}, its survivors at {new}; rename one "
+                        f"back to {live} by hand"))
+        asides.append(aside)
+    _drop_completed_asides()
     fs.delete(p(tmp), True)
     return int(n_deleted)
 
@@ -341,6 +371,11 @@ def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
     postings = spark.read.parquet(f"{path}/postings")
     n_post_before = postings.count()
     n_post_match = postings.join(F.broadcast(dids), "id").count()
+    if n_post_match == n_post_before:
+        raise ValueError(
+            "delete_from_bm25_index: the delete would empty the postings "
+            "table (an empty partitioned layout is unreadable) — drop or "
+            "rebuild the index instead")
     posts_new = (
         postings.join(F.broadcast(dids), on="id", how="left_anti")
         .select("term", "id", "tf", "dl", "bucket")

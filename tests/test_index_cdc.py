@@ -141,6 +141,39 @@ def test_ivfpq_delete_validation_and_stream_guard(spark, tmp_path):
         delete_from_ivfpq_index(spark, path, _ids(spark, [1]), "vec_id")
 
 
+def test_ivfpq_delete_refuses_empty_index_and_mid_swap_leftovers(
+        spark, tmp_path):
+    df, vecs, path = _ivfpq(spark, tmp_path, n=20)
+    with pytest.raises(ValueError, match="empty the index"):
+        delete_from_ivfpq_index(spark, path, _ids(spark, range(20)),
+                                "vec_id")
+    # a leftover aside == a crash inside a previous delete's swap window:
+    # a blind re-run would not see that cell — refuse until recovered
+    import os
+
+    os.mkdir(f"{path}/.cdcold-deadbeef-3")
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        delete_from_ivfpq_index(spark, path, _ids(spark, [1]), "vec_id")
+    os.rmdir(f"{path}/.cdcold-deadbeef-3")
+    assert delete_from_ivfpq_index(
+        spark, path, _ids(spark, [1]), "vec_id") == 1
+
+
+def test_bm25_delete_refuses_emptying_postings(spark, tmp_path):
+    from lotus_spark.functions.bm25_store import write_bm25_index
+    from lotus_spark.functions.index_cdc import delete_from_bm25_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i}") for i in range(5)],
+        "doc_id long, text string")
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs, path, "text", "doc_id", n_buckets=4)
+    with pytest.raises(ValueError, match="empty the postings"):
+        delete_from_bm25_index(
+            spark, path,
+            spark.createDataFrame([(i,) for i in range(5)], "id long"))
+
+
 def test_minhash_delete_equals_fresh_write_of_survivors(spark, tmp_path):
     from lotus_spark.functions.dedup_index import write_minhash_index
 

@@ -8,10 +8,11 @@ The load-bearing claims:
 - the in-hand plan re-scans and re-tokenizes all text per query — fine
   once, wrong as a serving path.
 
-Corpus: deterministic synthetic docs over a 2000-token vocabulary
-(30 tokens/doc → a query term matches ~1.5% of docs, the realistic
-selectivity regime), 50k docs at 1x / 500k at 10x. Adjacent per-scale
-measurement, best-of-2 interleaved.
+Corpus: deterministic synthetic docs over a 2000-token vocabulary at
+~300 tokens/doc (web-page scale — the in-hand plan's per-query cost IS
+re-tokenizing this text; a query term matches ~14% of docs), 20k docs
+at 1x / 200k at 10x. Adjacent per-scale measurement, best-of-2
+interleaved.
 
 Usage: python tools/bm25_probe.py     (~4-6 min, local[32])
 Writes BENCH_bm25.json at the repo root.
@@ -27,12 +28,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-N1 = 50_000
+N1 = 20_000
 VOCAB = 2_000
 QUERY = "tok3 tok77 tok501 tok1337"
 
 
 def _docs(spark, n):
+    """~300 tokens/doc without a 300-expression projection: 10 hashed
+    base tokens per doc, the row repeated via one explode+concat (the
+    text bytes are what matters to the in-hand scan)."""
     from pyspark.sql import functions as F
 
     df = spark.range(n).select(F.col("id").alias("doc_id"))
@@ -40,9 +44,17 @@ def _docs(spark, n):
         F.concat(F.lit("tok"),
                  F.pmod(F.xxhash64(F.col("doc_id"), F.lit(j)),
                         F.lit(VOCAB)).cast("string"))
-        for j in range(30)
+        for j in range(10)
     ]
-    return df.select("doc_id", F.concat_ws(" ", *parts).alias("text"))
+    chunk = F.concat_ws(" ", *parts)
+    reps = [F.concat(F.lit("tok"),
+                     F.pmod(F.xxhash64(F.col("doc_id"), F.lit(100 + r)),
+                            F.lit(VOCAB)).cast("string"))
+            for r in range(20)]
+    body = F.concat_ws(" ", chunk, *[
+        F.concat_ws(" ", chunk, rep) for rep in reps
+    ])
+    return df.select("doc_id", body.alias("text"))
 
 
 def main() -> None:
