@@ -243,6 +243,68 @@ def append_bm25_index(
     postings.unpersist()
 
 
+def compact_bm25_index(spark, path: str) -> None:
+    """Small-files maintenance: daily appends add files under every
+    touched bucket directory until scans are file-open bound — the same
+    pathology ``compact_ivfpq_index`` fixes for the vector index.
+    Rewrites postings and termdf to ONE file per bucket
+    (hash-repartition on the bucket id) and doclens to byte-sized file
+    counts, verifies row counts, swaps the whole directory in with the
+    usual two renames. Single-writer; row sets unchanged (a query
+    answers identically — pinned in tests). Deletes already compact as
+    a side effect, so schedule this only on append-heavy indexes."""
+    import math
+    import uuid as _uuid
+
+    from lotus_spark.functions.ann import _fs_write_json
+
+    meta = read_bm25_meta(spark, path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = p(path).getFileSystem(conf)
+    tmp = f"{path}.compact-{_uuid.uuid4().hex[:8]}"
+
+    counts = {}
+    for table in ("postings", "termdf"):
+        df = spark.read.parquet(f"{path}/{table}")
+        counts[table] = df.count()
+        (df.repartition(F.col("bucket"))
+         .write.partitionBy("bucket").parquet(f"{tmp}/{table}"))
+    dl = spark.read.parquet(f"{path}/doclens")
+    counts["doclens"] = dl.count()
+    n_bytes = fs.getContentSummary(p(f"{path}/doclens")).getLength()
+    dl.repartition(max(1, math.ceil(n_bytes / (128 << 20)))) \
+        .write.parquet(f"{tmp}/doclens")
+    _fs_write_json(spark, f"{tmp}/{_META}", meta)
+
+    for table in ("postings", "termdf", "doclens"):
+        n_after = spark.read.parquet(f"{tmp}/{table}").count()
+        if n_after != counts[table]:
+            fs.delete(p(tmp), True)
+            raise RuntimeError(
+                f"compact_bm25_index: compacted {table} has {n_after} "
+                f"rows, expected {counts[table]}; original untouched")
+    old = f"{path}.old-{_uuid.uuid4().hex[:8]}"
+    if not fs.rename(p(path), p(old)):
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"compact_bm25_index: could not move {path}")
+    if not fs.rename(p(tmp), p(path)):
+        if not fs.rename(p(old), p(path)):  # roll back
+            raise RuntimeError(
+                f"compact_bm25_index: could not install compacted index "
+                f"AND the rollback failed — data intact at {old} and "
+                f"{tmp}; rename one back to {path} by hand")
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            "compact_bm25_index: could not install compacted index; "
+            "original restored")
+    fs.delete(p(old), True)
+
+
 def _swap_rewrite_table(spark, table_path: str, new_df: DataFrame,
                         who: str) -> None:
     """Rewrite ONE parquet table via the verify-then-two-renames

@@ -107,6 +107,42 @@ def test_search_scan_prunes_to_query_term_buckets(spark, tmp_path):
     assert "PartitionFilters" in scan and "bucket" in scan
 
 
+def test_compact_preserves_rows_and_answers(spark, tmp_path):
+    import os
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs.filter("doc_id < 4"), path, "text", "doc_id",
+                     n_buckets=4)
+    for lo, hi in ((4, 6), (6, 8)):  # two appends fragment the buckets
+        append_bm25_index(
+            spark, path,
+            docs.filter(f"doc_id >= {lo} AND doc_id < {hi}"))
+    before = [(r["doc_id"], r["score"]) for r in
+              bm25_search_index(spark, path, QUERY, k=8).collect()]
+    rows_before = {
+        t: sorted(map(tuple, spark.read.parquet(f"{path}/{t}").collect()))
+        for t in ("postings", "termdf", "doclens")
+    }
+
+    from lotus_spark.functions.bm25_store import compact_bm25_index
+
+    compact_bm25_index(spark, path)
+    for b_dir in os.listdir(f"{path}/postings"):
+        if b_dir.startswith("bucket="):
+            files = [f for f in os.listdir(f"{path}/postings/{b_dir}")
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (b_dir, files)
+    for t, want in rows_before.items():
+        got = sorted(map(tuple,
+                         spark.read.parquet(f"{path}/{t}").collect()))
+        assert got == want, t
+    after = [(r["doc_id"], r["score"]) for r in
+             bm25_search_index(spark, path, QUERY, k=8).collect()]
+    assert after == before
+    assert read_bm25_meta(spark, path)["n_docs"] == len(DOCS)
+
+
 def test_testdata_corpus_roundtrip(spark, tmp_path):
     """Real-table check at sf0.001 (the fixture-vs-real-types lesson,
     NOTES round 4): stored search over the documents table matches the

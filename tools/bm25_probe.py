@@ -10,8 +10,8 @@ The load-bearing claims:
 
 Corpus: deterministic synthetic docs over a 2000-token vocabulary at
 ~300 tokens/doc (web-page scale — the in-hand plan's per-query cost IS
-re-tokenizing this text; a query term matches ~14% of docs), 20k docs
-at 1x / 200k at 10x. Adjacent per-scale measurement, best-of-2
+re-tokenizing this text; a query term matches ~14% of docs), 100k docs
+at 1x / 1M at 10x. Adjacent per-scale measurement, best-of-2
 interleaved.
 
 Usage: python tools/bm25_probe.py     (~4-6 min, local[32])
@@ -28,7 +28,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(HERE)
 sys.path.insert(0, ROOT)
 
-N1 = 20_000
+N1 = 100_000
 VOCAB = 2_000
 QUERY = "tok3 tok77 tok501 tok1337"
 
