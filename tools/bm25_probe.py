@@ -8,13 +8,22 @@ The load-bearing claims:
 - the in-hand plan re-scans and re-tokenizes all text per query — fine
   once, wrong as a serving path.
 
-Corpus: deterministic synthetic docs over a 2000-token vocabulary at
-~300 tokens/doc (web-page scale — the in-hand plan's per-query cost IS
-re-tokenizing this text; a query term matches ~14% of docs), 100k docs
-at 1x / 1M at 10x. Adjacent per-scale measurement, best-of-2
-interleaved.
+Measured two ways, because one is hardware-honest and one is
+design-honest:
+- WALL: both paths on a DISK-backed corpus (the repeat-query shape).
+  Caveat recorded in the artifact: a 32-idle-core box with page cache
+  hides most of the scan term, so walls here are a lower bound on the
+  separation, not the 100 TB story.
+- BYTES: what each path must read from storage per query — the pruned
+  query-bucket directories for the stored path vs the corpus parquet
+  for the in-hand plan. This is the quantity that survives the 1000x
+  scale-up (scan cost on an object store is billed in bytes).
 
-Usage: python tools/bm25_probe.py     (~4-6 min, local[32])
+Corpus: deterministic synthetic docs over a 2000-token vocabulary at
+~230 tokens/doc (web-page scale), 100k docs at 1x / 1M at 10x.
+Adjacent per-scale measurement, best-of-2 interleaved.
+
+Usage: python tools/bm25_probe.py     (~6-10 min, local[32])
 Writes BENCH_bm25.json at the repo root.
 """
 from __future__ import annotations
@@ -73,10 +82,23 @@ def main() -> None:
     out = {"metric": "bm25_probe", "unit": "sec", "scales": {}}
     work = tempfile.mkdtemp(prefix="bm25_probe_")
     try:
+        from lotus_spark.functions.bm25_store import (
+            _term_buckets, read_bm25_meta,
+        )
+
+        def _du(path_str: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path_str):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                    if not f.startswith(("_", ".")))
+            return total
+
         for scale in (1, 10):
             n = N1 * scale
-            docs = _docs(spark, n).persist()
-            docs.count()
+            corpus = f"{work}/corpus_{scale}"
+            _docs(spark, n).write.parquet(corpus)
+            docs = spark.read.parquet(corpus)  # DISK-backed, like a user
             path = f"{work}/bm_{scale}"
             t0 = time.time()
             write_bm25_index(docs, path, "text", "doc_id", n_buckets=64)
@@ -94,11 +116,20 @@ def main() -> None:
                 best_hand = min(best_hand, time.time() - t0)
             assert [(r["doc_id"], r["score"]) for r in got] == \
                 [(r["doc_id"], r["score"]) for r in want], "parity!"
-            docs.unpersist()
+
+            meta = read_bm25_meta(spark, path)
+            terms = sorted(set(QUERY.split()))
+            buckets = _term_buckets(spark, terms, meta["n_buckets"])
+            pruned_bytes = sum(
+                _du(f"{path}/postings/bucket={b}") for b in buckets)
             out["scales"][str(scale)] = {
                 "build": build,
                 "stored_query": round(best_idx, 3),
                 "inhand_query": round(best_hand, 3),
+                "stored_read_mb": round(pruned_bytes / 1e6, 2),
+                "inhand_read_mb": round(_du(corpus) / 1e6, 2),
+                "postings_total_mb": round(_du(f"{path}/postings") / 1e6,
+                                           2),
             }
             print(f"# scale {scale}: {out['scales'][str(scale)]}",
                   file=sys.stderr)
@@ -106,9 +137,15 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     s1, s10 = out["scales"]["1"], out["scales"]["10"]
-    out["ratios_10x"] = {k: round(s10[k] / s1[k], 2) for k in s1}
+    out["ratios_10x"] = {k: round(s10[k] / s1[k], 2) for k in s1
+                         if s1[k] > 0}
     out["stored_vs_inhand_at_10x"] = round(
         s10["inhand_query"] / s10["stored_query"], 2)
+    out["bytes_saved_at_10x"] = round(
+        s10["inhand_read_mb"] / max(s10["stored_read_mb"], 0.01), 1)
+    out["caveat"] = (
+        "walls on an idle 32-core box with page cache understate the "
+        "scan term; the bytes columns are the scale-honest comparison")
     out["value"] = s10["stored_query"]
     with open(os.path.join(ROOT, "BENCH_bm25.json"), "w") as f:
         json.dump(out, f, indent=1)
