@@ -2997,6 +2997,60 @@ FROM pc
 """
 
 
+def q_data_quality_report(spark, sf_dir):
+    """Declarative data-quality expectations
+    (functions/expectations.py, NEW r11 — the dbt-tests /
+    Great-Expectations slot): a six-constraint suite over orders
+    (not_null, unique, in_set, two in_range tiers — one deliberately
+    failing — and a regex match) evaluated in ONE aggregate pass (each
+    constraint is a conditional count in the same global agg;
+    uniqueness rides the same pass as a distinct count; no joins, no
+    second scan — plan-pinned in tests). The oracle replays every
+    conditional count + the pass rule in one DuckDB statement."""
+    from lotus_spark.functions.expectations import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    suite = [
+        {"check": "not_null", "col": "o_orderkey"},
+        {"check": "unique", "col": "o_orderkey"},
+        {"check": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"check": "in_range", "col": "o_totalprice", "min": 0.0},
+        {"check": "in_range", "col": "o_totalprice", "max": 100000.0},
+        {"check": "matches", "col": "o_orderpriority",
+         "pattern": "^[1-5]-"},
+    ]
+    return check_expectations(orders, suite).orderBy("check", "violations")
+
+
+_SQL_DATA_QUALITY = """
+WITH g AS (
+  SELECT COUNT(*) AS n,
+    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v0,
+    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v1,
+    COUNT(CASE WHEN o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) AS v2,
+    COUNT(CASE WHEN o_totalprice IS NOT NULL
+               AND o_totalprice < 0.0 THEN 1 END) AS v3,
+    COUNT(CASE WHEN o_totalprice IS NOT NULL
+               AND o_totalprice > 100000.0 THEN 1 END) AS v4,
+    COUNT(CASE WHEN o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+               THEN 1 END) AS v5
+  FROM orders)
+SELECT * FROM (
+  SELECT 'not_null(o_orderkey)' AS "check", v0 AS violations,
+         n AS n_rows, v0 = 0 AS passed FROM g
+  UNION ALL SELECT 'unique(o_orderkey)', v1, n, v1 = 0 FROM g
+  UNION ALL SELECT 'in_set(o_orderstatus)', v2, n, v2 = 0 FROM g
+  UNION ALL SELECT 'in_range(o_totalprice,0.0,None)', v3, n, v3 = 0 FROM g
+  UNION ALL SELECT 'in_range(o_totalprice,None,100000.0)', v4, n,
+            v4 = 0 FROM g
+  UNION ALL SELECT 'matches(o_orderpriority)', v5, n, v5 = 0 FROM g
+) ORDER BY "check", violations
+"""
+
+
 def q_profile(spark, sf_dir):
     """One-pass multi-column data-QA profiler (functions/profile.py):
     rows/nulls/distinct/min/max/mean/exact-p50 for lineitem measure +
@@ -4970,6 +5024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_index_cdc": q_neardup_index_cdc,
         # -- NEW in round 11: persisted BM25 serving index -------------
         "bm25_index_search": q_bm25_index_search,
+        # -- NEW in round 11: data-quality expectation gate ------------
+        "data_quality_report": q_data_quality_report,
         "quality_model_score": q_quality_model_score,
         "pipeline_quality": q_pipeline_quality,
         # -- functions/dedup.py edited this round (keep_by survivor
@@ -5010,7 +5066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_filter": q_sem_filter,
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
-        "streaming_sessions": q_streaming_sessions,
         "pipeline_curate": q_pipeline_curate,
         "sem_cluster_by": q_sem_cluster,
         # -- tail (>50): modules byte-untouched in round 11; every key
@@ -5022,10 +5077,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- sem_search/sem_search_rerank displaced when the two CDC
         # -- index rows joined (sem_search.py byte-untouched this round);
         # -- pipeline_pack when bm25_index_search joined (lazyframe.py
-        # -- byte-untouched).
+        # -- byte-untouched); streaming_sessions when
+        # -- data_quality_report joined (streaming/ops.py byte-untouched;
+        # -- streaming_neardup* stay in-window for the family).
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
         "pipeline_pack": q_pipeline_pack,
+        "streaming_sessions": q_streaming_sessions,
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
@@ -5705,6 +5763,7 @@ def oracle_sql() -> dict[str, str]:
         # the stored path shares the one-shot plan's scoring algebra,
         # so the serving-index oracle IS the full-corpus BM25 replica
         "bm25_index_search": _SQL_BM25,
+        "data_quality_report": _SQL_DATA_QUALITY,
         "quality_model_score": _sql_quality_model_score(),
         "pipeline_quality": _sql_pipeline_quality(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce
