@@ -16,6 +16,7 @@ the whole tail. Only use it at the DRIVER's sf (0.01).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -129,9 +130,21 @@ def main() -> int:
             spark_rows=len(a), oracle_rows=len(b))
         print(f"OK    {name}: rows={len(a)} ({dt:.1f}s)")
     if record_path:
+        # MERGE into an existing artifact: a partial re-check of a few
+        # queries must not erase the round's earlier recordings (r11
+        # lesson — a one-query --record overwrote the 108-key file)
+        merged = {}
+        if os.path.exists(record_path):
+            try:
+                with open(record_path) as f:
+                    merged = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                merged = {}
+        merged.update(record)
         with open(record_path, "w") as f:
-            json.dump(record, f, indent=1)
-        print(f"recorded {len(record)} results -> {record_path}")
+            json.dump(merged, f, indent=1)
+        print(f"recorded {len(record)} results -> {record_path} "
+              f"({len(merged)} total)")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
