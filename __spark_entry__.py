@@ -1719,6 +1719,54 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
+def q_cluster_assign_incremental(spark, sf_dir):
+    """Incremental near-dup CLUSTER assignment against the persisted
+    index (functions/cluster_index.py, NEW r11 — stable cluster ids
+    across days): day 0 builds the LSH index + cluster map over the
+    %4==0 docs; the %4==2 increment self-clusters, probes the index
+    (exact-Jaccard tier), and its (local cluster ↔ corpus cluster)
+    match edges run through connected components so bridged corpus
+    clusters MERGE — the contract is batch equality, and the oracle IS
+    the batch: the shared CC CTE stack over corpus ∪ increment,
+    projected to the increment docs. A hash match proves the
+    incremental algebra reproduces a full re-clustering without
+    re-reading the corpus."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.cluster_index import (
+        assign_clusters_against_index, build_cluster_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 4 = 0")
+    inc = docs.filter("doc_id % 4 = 2")
+    d = tempfile.mkdtemp(prefix="cl_idx_")
+    try:
+        path = f"{d}/idx"
+        build_cluster_index(spark, corpus, path, "text", "doc_id",
+                            n_hashes=16, bands=4, shingle_n=2,
+                            jaccard_threshold=0.5)
+        assignments, _remap = assign_clusters_against_index(
+            spark, path, inc, "text", "doc_id", corpus_df=corpus)
+        return spark.createDataFrame(
+            [(r["doc_id"], r["cluster"]) for r in assignments.collect()],
+            "doc_id long, cluster long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_cluster_assign_incremental() -> str:
+    src = ("(SELECT doc_id, text FROM documents "
+           "WHERE doc_id % 4 = 0 OR doc_id % 4 = 2) cdocs")
+    return _sql_minhash_cc_ctes(src=src) + """
+SELECT q.doc_id, COALESCE(r.comp, q.doc_id) AS cluster
+FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 2) q
+LEFT JOIN rep r ON r.id = q.doc_id
+"""
+
+
 def _messy_url_expr():
     """Deterministic messy URL per document row (even rows:
     https/userinfo/:443/two-level-suffix/utm+fragment; odd rows:
@@ -5026,6 +5074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         # -- NEW in round 11: data-quality expectation gate ------------
         "data_quality_report": q_data_quality_report,
+        # -- NEW in round 11: incremental cluster assignment -----------
+        "cluster_assign_incremental": q_cluster_assign_incremental,
         "quality_model_score": q_quality_model_score,
         "pipeline_quality": q_pipeline_quality,
         # -- functions/dedup.py edited this round (keep_by survivor
@@ -5066,7 +5116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_filter": q_sem_filter,
         "sem_map": q_sem_map,
         "sem_filter_cascade": q_sem_filter_cascade,
-        "pipeline_curate": q_pipeline_curate,
         "sem_cluster_by": q_sem_cluster,
         # -- tail (>50): modules byte-untouched in round 11; every key
         # -- holds a CHECKS_r10 green row (all 92) and is re-recorded in
@@ -5084,6 +5133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_search_rerank": q_sem_search_rerank,
         "pipeline_pack": q_pipeline_pack,
         "streaming_sessions": q_streaming_sessions,
+        "pipeline_curate": q_pipeline_curate,
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
         "streaming_doc_stats": q_streaming_doc_stats,
@@ -5764,6 +5814,7 @@ def oracle_sql() -> dict[str, str]:
         # so the serving-index oracle IS the full-corpus BM25 replica
         "bm25_index_search": _SQL_BM25,
         "data_quality_report": _SQL_DATA_QUALITY,
+        "cluster_assign_incremental": _sql_cluster_assign_incremental(),
         "quality_model_score": _sql_quality_model_score(),
         "pipeline_quality": _sql_pipeline_quality(),
         "sem_search": _SQL_KNN,  # same scoring contract as knn_bruteforce

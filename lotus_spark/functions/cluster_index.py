@@ -1,0 +1,224 @@
+"""Incremental near-duplicate CLUSTER assignment against the persisted
+MinHash-LSH corpus index — stable cluster ids across days.
+
+``dedup_against_index`` answers "is this new doc a near-dup?";
+``minhash_clusters`` answers "which cluster is every doc in?" but only
+BATCH-wide, recomputing the whole corpus. Real pipelines need both at
+once, daily: each increment doc must receive the SAME cluster id a
+full-batch re-clustering would give it, without re-reading the corpus
+— cluster ids feed survivor policies, leakage-safe splits, and
+per-cluster bookkeeping that must stay stable as the corpus grows.
+
+The incremental algebra (equality with the batch result is the
+module's contract, pinned in tests and the ``cluster_assign_incremental``
+oracle row):
+
+1. the increment self-clusters (``minhash_clusters`` under the index's
+   sidecar-pinned parameters) → local cluster ids (min member id);
+2. the increment probes the index (``neardup_join_index``, exact-verify
+   tier when the corpus table is in hand) → (inc doc, corpus doc)
+   edges under the same banding + threshold;
+3. edges lift to CLUSTER nodes (local cluster ↔ matched corpus
+   cluster) — a graph bounded by the DAY's matches, never the corpus —
+   and connected components over it compute the merges: a new doc
+   bridging two old clusters merges them, exactly as a batch run would;
+4. final id = min over the merged component = min member doc id —
+   byte-equal to ``minhash_clusters`` over corpus ∪ increment, because
+   every batch edge class is covered: within-increment (step 1),
+   increment↔corpus (step 2; same band keys, same exact-Jaccard
+   verify), within-corpus (already folded into the stored map).
+
+Maintenance: ``apply_cluster_assignments`` rewrites the narrow
+``clusters`` table (remapped merges + appended assignments,
+verify-then-swap); compose with ``append_minhash_index`` for the LSH
+state itself. Caveat shared with the verify tiers: with
+``corpus_df=None`` the probe uses the signature-agreement ESTIMATOR,
+so edge membership near the threshold can differ from a batch run
+(recall at τ=0.9 measured 0.949 — BENCH_mhindex.json); pass the corpus
+for exact equality.
+"""
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from lotus_spark.functions.dedup import minhash_clusters
+from lotus_spark.functions.dedup_index import (
+    neardup_join_index,
+    read_minhash_meta,
+    write_minhash_index,
+)
+
+_CMETA = "_cluster_meta.json"
+
+
+def build_cluster_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> None:
+    """Day 0: persist the LSH state (``write_minhash_index``) plus the
+    corpus's cluster map (``{path}/clusters``: (id, cluster)) and pin
+    the clustering threshold in a sidecar — one corpus read for the
+    index tables, one ``minhash_clusters`` pass for the map."""
+    from lotus_spark.functions.ann import _fs_write_json
+
+    write_minhash_index(corpus, path, text_col, id_col,
+                        n_hashes=n_hashes, bands=bands,
+                        shingle_n=shingle_n)
+    cl = minhash_clusters(corpus, text_col, id_col, n_hashes=n_hashes,
+                          bands=bands, shingle_n=shingle_n,
+                          jaccard_threshold=jaccard_threshold)
+    (cl.select(F.col(id_col).alias("id"),
+               F.col("cluster_id").cast("long").alias("cluster"))
+     .write.parquet(f"{path}/clusters"))
+    _fs_write_json(spark, f"{path}/{_CMETA}",
+                   {"jaccard_threshold": float(jaccard_threshold)})
+
+
+def read_cluster_map(spark, path: str) -> DataFrame:
+    """The persisted (id, cluster) map."""
+    return spark.read.parquet(f"{path}/clusters")
+
+
+def assign_clusters_against_index(
+    spark,
+    path: str,
+    increment: DataFrame,
+    text_col: str,
+    id_col: str,
+    corpus_df: DataFrame | None = None,
+    cluster_col: str = "cluster",
+) -> tuple[DataFrame, DataFrame]:
+    """Day N: assign every increment doc its batch-equal cluster id.
+    Returns ``(assignments, corpus_remap)``:
+
+    - ``assignments`` — ``(id_col, cluster_col)``, one row per
+      increment doc;
+    - ``corpus_remap`` — ``(old_cluster, new_cluster)``, the EXISTING
+      corpus clusters this increment merged (bridged by a new doc
+      matching both) — usually empty or tiny; feed both to
+      :func:`apply_cluster_assignments`.
+
+    Pass ``corpus_df`` (the indexed corpus table) to probe with the
+    exact-Jaccard tier — required for strict batch equality; without it
+    the estimator tier is used (see module docstring)."""
+    from lotus_spark.functions.ann import _fs_read_json
+    from lotus_spark.operators.sem_dedup import connected_components_edges
+
+    meta = read_minhash_meta(spark, path)
+    cmeta = _fs_read_json(spark, f"{path}/{_CMETA}")
+    if cmeta is None:
+        raise FileNotFoundError(
+            f"no {_CMETA} sidecar at {path} — not a cluster index "
+            "(build_cluster_index creates it)")
+    thr = float(cmeta["jaccard_threshold"])
+
+    local = minhash_clusters(
+        increment, text_col, id_col, n_hashes=meta["n_hashes"],
+        bands=meta["bands"], shingle_n=meta["shingle_n"],
+        jaccard_threshold=thr,
+    ).select(F.col(id_col), F.col("cluster_id").cast("long").alias("__lcl"))
+    local = local.persist()
+
+    matches = neardup_join_index(
+        spark, path, increment, text_col, id_col, threshold=thr,
+        verify="exact" if corpus_df is not None else "estimate",
+        corpus_df=corpus_df,
+    ).select(F.col(id_col), F.col("match_id").alias("__mid"))
+
+    cmap = read_cluster_map(spark, path)
+    edges = (
+        matches
+        .join(local, id_col)
+        .join(cmap.select(F.col("id").alias("__mid"),
+                          F.col("cluster").alias("__ccl")), "__mid")
+        .select(F.col("__lcl").alias("src"), F.col("__ccl").alias("dst"))
+        .distinct()
+    )
+    comps = connected_components_edges(edges)  # (id, component) of nodes
+
+    assignments = (
+        local.join(comps.withColumnRenamed("id", "__lcl"), "__lcl", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col("__lcl"))
+            .cast("long").alias(cluster_col),
+        )
+    )
+    corpus_clusters = cmap.select(
+        F.col("cluster").alias("id")).distinct()
+    corpus_remap = (
+        comps.join(corpus_clusters, "id", "semi")
+        .filter(F.col("component") != F.col("id"))
+        .select(F.col("id").alias("old_cluster"),
+                F.col("component").alias("new_cluster"))
+    )
+    return assignments, corpus_remap
+
+
+def apply_cluster_assignments(
+    spark,
+    path: str,
+    assignments: DataFrame,
+    corpus_remap: DataFrame,
+    id_col: str,
+    cluster_col: str = "cluster",
+) -> None:
+    """Fold a day's assignment into the persisted map: remap the merged
+    corpus clusters (broadcast join over the tiny remap set) and append
+    the increment rows, written to a sibling and swap-installed after a
+    count verify — the narrow-table discipline every maintainer here
+    uses. Compose with ``append_minhash_index(increment)`` so the NEXT
+    day's probe sees today's docs."""
+    old = read_cluster_map(spark, path)
+    n_expected = old.count() + assignments.count()
+    remap = F.broadcast(corpus_remap)
+    merged = (
+        old.join(remap, old["cluster"] == corpus_remap["old_cluster"],
+                 "left")
+        .select(old["id"],
+                F.coalesce(F.col("new_cluster"), old["cluster"])
+                .alias("cluster"))
+        .unionByName(assignments.select(
+            F.col(id_col).alias("id"),
+            F.col(cluster_col).cast("long").alias("cluster")))
+    )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def p(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    fs = p(path).getFileSystem(conf)
+    tmp = f"{path}/clusters.rw-{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(tmp)
+    n_got = spark.read.parquet(tmp).count()
+    if n_got != n_expected:
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            f"apply_cluster_assignments: rewrite has {n_got} rows, "
+            f"expected {n_expected}; map untouched")
+    old_dir = f"{path}/clusters.old-{uuid.uuid4().hex[:8]}"
+    live = f"{path}/clusters"
+    if not fs.rename(p(live), p(old_dir)):
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"apply_cluster_assignments: could not move "
+                           f"{live}")
+    if not fs.rename(p(tmp), p(live)):
+        if not fs.rename(p(old_dir), p(live)):
+            raise RuntimeError(
+                f"apply_cluster_assignments: install AND rollback failed "
+                f"— data intact at {old_dir} and {tmp}")
+        fs.delete(p(tmp), True)
+        raise RuntimeError("apply_cluster_assignments: could not install "
+                           "rewrite; original restored")
+    fs.delete(p(old_dir), True)

@@ -1,0 +1,128 @@
+"""Incremental cluster assignment (functions/cluster_index.py): the
+contract is BATCH EQUALITY — an increment's assignments (and any
+corpus-cluster merges it causes) must reproduce exactly what
+minhash_clusters over corpus ∪ increment would compute."""
+import pytest
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.cluster_index import (
+    apply_cluster_assignments,
+    assign_clusters_against_index,
+    build_cluster_index,
+    read_cluster_map,
+)
+from lotus_spark.functions.dedup import minhash_clusters
+
+PARAMS = dict(n_hashes=16, bands=4, shingle_n=2, jaccard_threshold=0.7)
+
+# sliding-window texts: A~B are 0.64-similar (below τ=0.7 — separate
+# corpus clusters), the increment doc C overlaps BOTH at 0.8 — a bridge
+# that must MERGE the two corpus clusters
+_W = [f"w{i}" for i in range(1, 13)]
+A_TEXT = " ".join(_W[0:10])    # w1..w10
+B_TEXT = " ".join(_W[2:12])    # w3..w12
+C_TEXT = " ".join(_W[1:11])    # w2..w11
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch_clusters(df):
+    return {
+        r["doc_id"]: r["cluster_id"]
+        for r in minhash_clusters(df, "text", "doc_id",
+                                  **PARAMS).collect()
+    }
+
+
+def _full_state(spark, path, assignments):
+    cmap = {r["id"]: r["cluster"]
+            for r in read_cluster_map(spark, path).collect()}
+    cmap.update({r["doc_id"]: r["cluster"]
+                 for r in assignments.collect()})
+    return cmap
+
+
+def test_assign_matches_batch_including_merges(spark, tmp_path):
+    corpus = _rows(spark, [
+        (0, A_TEXT), (1, B_TEXT),
+        (2, "completely different text about pasta and cooking"),
+        (3, "completely different text about pasta and cooking today"),
+    ])
+    inc = _rows(spark, [
+        (10, C_TEXT),                       # bridges clusters 0 and 1
+        (11, "a fresh unique document with its own words"),
+        (12, "a fresh unique document with its own words"),  # dup of 11
+    ])
+    path = str(tmp_path / "cl")
+    build_cluster_index(spark, corpus, path, "text", "doc_id", **{
+        k: v for k, v in PARAMS.items()})
+
+    batch = _batch_clusters(corpus.unionByName(inc))
+    # the fixture must actually exercise a merge — A, B, C one cluster
+    assert batch[0] == batch[1] == batch[10] == 0, batch
+
+    assignments, remap = assign_clusters_against_index(
+        spark, path, inc, "text", "doc_id", corpus_df=corpus)
+    got = {r["doc_id"]: r["cluster"] for r in assignments.collect()}
+    assert got == {k: v for k, v in batch.items() if k >= 10}
+    # the bridged corpus cluster is reported for remapping
+    assert {(r["old_cluster"], r["new_cluster"])
+            for r in remap.collect()} == {(1, 0)}
+
+    apply_cluster_assignments(spark, path, assignments, remap, "doc_id")
+    assert _full_state(spark, path,
+                       assignments.limit(0)) == batch
+
+
+def test_two_day_lifecycle_matches_batch(spark, tmp_path):
+    from lotus_spark.functions.dedup_index import append_minhash_index
+
+    corpus = _rows(spark, [
+        (0, A_TEXT),
+        (1, "unrelated corpus text about databases and storage"),
+    ])
+    day1 = _rows(spark, [(10, C_TEXT), (11, "novel text one here")])
+    # day-2 doc matches a DAY-1 doc — the probe must see appended rows
+    day2 = _rows(spark, [(20, C_TEXT), (21, "another novel text two")])
+
+    path = str(tmp_path / "cl")
+    build_cluster_index(spark, corpus, path, "text", "doc_id",
+                        **PARAMS)
+    a1, r1 = assign_clusters_against_index(
+        spark, path, day1, "text", "doc_id", corpus_df=corpus)
+    apply_cluster_assignments(spark, path, a1, r1, "doc_id")
+    append_minhash_index(spark, path, day1, "text", "doc_id")
+
+    grown = corpus.unionByName(day1)
+    a2, r2 = assign_clusters_against_index(
+        spark, path, day2, "text", "doc_id", corpus_df=grown)
+    apply_cluster_assignments(spark, path, a2, r2, "doc_id")
+
+    batch = _batch_clusters(grown.unionByName(day2))
+    final = {r["id"]: r["cluster"]
+             for r in read_cluster_map(spark, path).collect()}
+    assert final == batch
+    # stable ids: day-2's copy of C inherits day-1's cluster, which
+    # inherited A's id at day 1 — the id never moved
+    assert final[20] == final[10] == final[0] == 0
+
+
+def test_estimator_tier_and_validation(spark, tmp_path):
+    corpus = _rows(spark, [(0, A_TEXT), (1, "other words entirely")])
+    path = str(tmp_path / "cl")
+    build_cluster_index(spark, corpus, path, "text", "doc_id", **PARAMS)
+    # estimator tier runs without the corpus table (approximate edges)
+    a, r = assign_clusters_against_index(
+        spark, path, _rows(spark, [(10, A_TEXT)]), "text", "doc_id")
+    assert {x["doc_id"]: x["cluster"] for x in a.collect()} == {10: 0}
+
+    from lotus_spark.functions.dedup_index import write_minhash_index
+
+    bare = str(tmp_path / "bare")
+    write_minhash_index(corpus, bare, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    with pytest.raises(FileNotFoundError, match="_cluster_meta"):
+        assign_clusters_against_index(
+            spark, bare, _rows(spark, [(10, A_TEXT)]), "text", "doc_id")
