@@ -222,6 +222,44 @@ def bench_decontam_probe(spark, sf_dir: str) -> int:
     ).count()
 
 
+_CLUSTER_INDEX: dict = {}
+
+
+def bench_cluster_assign(spark, sf_dir: str) -> int:
+    """Time ONE incremental cluster assignment (the recurring daily
+    path of functions/cluster_index.py): the cluster index over the
+    even documents is built once per bench session (setup, untimed —
+    BENCH_sfscale's cluster_assign_incremental row times the full
+    lifecycle) and each call times self-cluster + index probe
+    (estimator tier, the daily default) + the day-bounded merge CC for
+    the 10% increment slice."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.cluster_index import (
+        assign_clusters_against_index, build_cluster_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    if sf_dir not in _CLUSTER_INDEX:
+        d = tempfile.mkdtemp(prefix="bench_clidx_")
+        build_cluster_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0), f"{d}/idx",
+            "text", "doc_id", n_hashes=16, bands=4, shingle_n=2,
+            jaccard_threshold=0.5)
+        _CLUSTER_INDEX[sf_dir] = d
+        import atexit
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    assignments, _remap = assign_clusters_against_index(
+        spark, f"{_CLUSTER_INDEX[sf_dir]}/idx",
+        docs.filter(F.col("doc_id") % 10 == 1), "text", "doc_id")
+    return assignments.count()
+
+
 def bench_cdc_apply(spark, sf_dir: str) -> tuple[int, float]:
     """Time ONE snapshot-CDC apply against the persisted IVF-PQ index
     (functions/index_cdc.py, r11): diff T0→T1 (~1% removed, ~1%
@@ -400,6 +438,21 @@ def main() -> None:
               f"{timings['decontam_probe']:.2f}s", file=sys.stderr)
     except Exception as exc:
         print(f"# decontam_probe failed: {exc}", file=sys.stderr)
+
+    # incremental cluster-assignment micro-bench (r11): the recurring
+    # stable-cluster-id path — one-time index build is setup;
+    # correctness is the cluster_assign_incremental oracle row.
+    try:
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = bench_cluster_assign(spark, sf_dir)
+            best = min(best, time.time() - t0)
+        timings["cluster_assign_probe"] = round(best, 3)
+        print(f"# cluster_assign_probe: {n} assignments in "
+              f"{timings['cluster_assign_probe']:.2f}s", file=sys.stderr)
+    except Exception as exc:
+        print(f"# cluster_assign_probe failed: {exc}", file=sys.stderr)
 
     # snapshot-CDC apply micro-bench (r11): the third recurring daily
     # path — diff the corpus snapshot and upsert the IVF-PQ index

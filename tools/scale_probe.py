@@ -93,6 +93,15 @@ PROBE_QUERIES = [
     # sides) and the map-only URL canonicalization
     "snapshot_diff",
     "url_canonicalize",
+    # round 11 (late): the one-pass constraint suite, the persisted-BM25
+    # lifecycle row (write evens + append odds + bucket-pruned search),
+    # and incremental cluster assignment (index build + probe + CC over
+    # the day's match edges). The index-CDC apply/rebuild laws live in
+    # BENCH_cdc.json (they need pristine-restore machinery this probe
+    # lacks); BENCH_bm25.json carries the serving bytes law.
+    "data_quality_report",
+    "bm25_index_search",
+    "cluster_assign_incremental",
 ]
 
 
