@@ -126,7 +126,10 @@ def assign_clusters_against_index(
         bands=meta["bands"], shingle_n=meta["shingle_n"],
         jaccard_threshold=thr,
     ).select(F.col(id_col), F.col("cluster_id").cast("long").alias("__lcl"))
-    local = local.persist()
+    # consumed by the edge build AND the assignment join: pin the
+    # clustering result once (localCheckpoint, the same contract the
+    # ANN join tiers use) instead of re-running the banded pipeline
+    local = local.localCheckpoint(eager=True)
 
     matches = neardup_join_index(
         spark, path, increment, text_col, id_col, threshold=thr,
@@ -179,6 +182,15 @@ def apply_cluster_assignments(
     uses. Compose with ``append_minhash_index(increment)`` so the NEXT
     day's probe sees today's docs."""
     old = read_cluster_map(spark, path)
+    dup = (
+        assignments.select(F.col(id_col).alias("id"))
+        .join(old.select("id"), "id", "semi").limit(3).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"apply_cluster_assignments: ids already in the cluster map "
+            f"(e.g. {[r['id'] for r in dup]}) — a day must be applied "
+            "once (re-applying would duplicate map rows)")
     n_expected = old.count() + assignments.count()
     remap = F.broadcast(corpus_remap)
     merged = (

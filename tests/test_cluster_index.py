@@ -118,6 +118,11 @@ def test_estimator_tier_and_validation(spark, tmp_path):
         spark, path, _rows(spark, [(10, A_TEXT)]), "text", "doc_id")
     assert {x["doc_id"]: x["cluster"] for x in a.collect()} == {10: 0}
 
+    # re-applying a day is refused (would duplicate map rows)
+    apply_cluster_assignments(spark, path, a, r, "doc_id")
+    with pytest.raises(ValueError, match="already in the cluster map"):
+        apply_cluster_assignments(spark, path, a, r, "doc_id")
+
     from lotus_spark.functions.dedup_index import write_minhash_index
 
     bare = str(tmp_path / "bare")
