@@ -111,7 +111,6 @@ def assign_clusters_against_index(
     exact-Jaccard tier — required for strict batch equality; without it
     the estimator tier is used (see module docstring)."""
     from lotus_spark.functions.ann import _fs_read_json
-    from lotus_spark.operators.sem_dedup import connected_components_edges
 
     meta = read_minhash_meta(spark, path)
     cmeta = _fs_read_json(spark, f"{path}/{_CMETA}")
@@ -138,6 +137,20 @@ def assign_clusters_against_index(
     ).select(F.col(id_col), F.col("match_id").alias("__mid"))
 
     cmap = read_cluster_map(spark, path)
+    return _merge_assign(local, matches, cmap, id_col, cluster_col)
+
+
+def _merge_assign(
+    local: DataFrame, matches: DataFrame, cmap: DataFrame,
+    id_col: str, cluster_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared merge core for both modalities: lift (increment doc ↔
+    corpus doc) match edges to CLUSTER nodes, run connected components
+    over the day-bounded merge graph, and emit (assignments,
+    corpus_remap). ``local`` = (id_col, __lcl); ``matches`` = (id_col,
+    __mid); ``cmap`` = the persisted (id, cluster) map."""
+    from lotus_spark.operators.sem_dedup import connected_components_edges
+
     edges = (
         matches
         .join(local, id_col)
@@ -181,7 +194,15 @@ def apply_cluster_assignments(
     count verify — the narrow-table discipline every maintainer here
     uses. Compose with ``append_minhash_index(increment)`` so the NEXT
     day's probe sees today's docs."""
-    old = read_cluster_map(spark, path)
+    _apply_to_map(spark, f"{path}/clusters", assignments, corpus_remap,
+                  id_col, cluster_col)
+
+
+def _apply_to_map(
+    spark, live: str, assignments: DataFrame, corpus_remap: DataFrame,
+    id_col: str, cluster_col: str,
+) -> None:
+    old = spark.read.parquet(live)
     dup = (
         assignments.select(F.col(id_col).alias("id"))
         .join(old.select("id"), "id", "semi").limit(3).collect()
@@ -210,8 +231,8 @@ def apply_cluster_assignments(
     def p(s):
         return jvm.org.apache.hadoop.fs.Path(s)
 
-    fs = p(path).getFileSystem(conf)
-    tmp = f"{path}/clusters.rw-{uuid.uuid4().hex[:8]}"
+    fs = p(live).getFileSystem(conf)
+    tmp = f"{live}.rw-{uuid.uuid4().hex[:8]}"
     merged.write.parquet(tmp)
     n_got = spark.read.parquet(tmp).count()
     if n_got != n_expected:
@@ -219,8 +240,7 @@ def apply_cluster_assignments(
         raise RuntimeError(
             f"apply_cluster_assignments: rewrite has {n_got} rows, "
             f"expected {n_expected}; map untouched")
-    old_dir = f"{path}/clusters.old-{uuid.uuid4().hex[:8]}"
-    live = f"{path}/clusters"
+    old_dir = f"{live}.old-{uuid.uuid4().hex[:8]}"
     if not fs.rename(p(live), p(old_dir)):
         fs.delete(p(tmp), True)
         raise RuntimeError(f"apply_cluster_assignments: could not move "
@@ -234,3 +254,144 @@ def apply_cluster_assignments(
         raise RuntimeError("apply_cluster_assignments: could not install "
                            "rewrite; original restored")
     fs.delete(p(old_dir), True)
+
+
+def embedding_clusters(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Batch embedding-cosine clustering: every row gets the min member
+    id of its cosine-threshold connected component (singletons are their
+    own cluster) — the embedding twin of :func:`~lotus_spark.functions.
+    dedup.minhash_clusters`, built on :func:`~lotus_spark.functions.
+    dedup.embedding_neardup_pairs` (block the pair space with
+    ``block_col`` at scale; the exact tier's growth law and the LSH
+    remedy are documented there)."""
+    from lotus_spark.functions.dedup import embedding_neardup_pairs
+    from lotus_spark.operators.sem_dedup import connected_components_edges
+
+    pairs = embedding_neardup_pairs(df, emb_col, id_col,
+                                    threshold=threshold,
+                                    block_col=block_col)
+    comps = connected_components_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return (
+        df.join(comps.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn(cluster_col,
+                    F.coalesce(F.col("component"), F.col(id_col))
+                    .cast("long"))
+        .drop("component")
+    )
+
+
+def build_embedding_cluster_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    pq_seed: int = 101,
+    train_sample=None,
+    block_col: str | None = None,
+) -> None:
+    """Day 0 for the EMBEDDING modality: persist the IVF-PQ index
+    (``ann.write_ivfpq_index`` layout at ``path``) plus the corpus's
+    cosine cluster map at the SIBLING directory ``{path}.clusters``
+    (inside the index directory it would corrupt the cell-partitioned
+    layout readers scan), with the threshold and column names pinned in
+    the map's sidecar."""
+    from lotus_spark.functions.ann import (
+        _fs_write_json, ivf_index, pq_index, write_ivfpq_index,
+    )
+
+    indexed, cents = ivf_index(corpus, emb_col, n_cells=n_cells,
+                               seed=seed, method="deterministic",
+                               id_col=id_col, train_sample=train_sample)
+    encoded, books = pq_index(indexed, emb_col, id_col, m=m, nbits=nbits,
+                              seed=pq_seed, train_sample=train_sample)
+    write_ivfpq_index(encoded, path, cents, books)
+    cl = embedding_clusters(corpus, emb_col, id_col, threshold=threshold,
+                            block_col=block_col)
+    (cl.select(F.col(id_col).alias("id"),
+               F.col("cluster_id").alias("cluster"))
+     .write.parquet(f"{path}.clusters"))
+    _fs_write_json(spark, f"{path}.clusters/{_CMETA}", {
+        "threshold": float(threshold), "id_col": id_col,
+        "emb_col": emb_col,
+    })
+
+
+def assign_embedding_clusters_against_index(
+    spark,
+    path: str,
+    increment: DataFrame,
+    emb_col: str,
+    id_col: str,
+    n_probe: int = 8,
+    k: int = 10,
+    block_col: str | None = None,
+    cluster_col: str = "cluster",
+) -> tuple[DataFrame, DataFrame]:
+    """Day N for the EMBEDDING modality: the increment self-clusters
+    exactly (:func:`embedding_clusters`), probes the persisted IVF-PQ
+    index (``dedup_index.embedding_neardup_index`` — at most ``k``
+    exact-reranked matches per row above the pinned threshold), and the
+    match edges run through the shared merge core. Returns
+    ``(assignments, corpus_remap)`` like the text twin.
+
+    Equality with a batch re-clustering holds when the probe recalls
+    every above-threshold edge: ``n_probe`` = the index's cell count, a
+    rerank budget covering the probed mass (``auto_rerank_k`` — at
+    max(32k, 320) this is the corpus itself for small cells), and ``k``
+    at least the increment rows' match multiplicity. At daily defaults
+    the probe is APPROXIMATE like every IVF tier (recall curves in
+    BENCH_joinrecall.json) — missed edges mean a duplicate keeps its
+    own cluster id, never a wrong merge. Pinned in
+    tests/test_cluster_index.py under the full-recall knobs."""
+    from lotus_spark.functions.ann import _fs_read_json
+    from lotus_spark.functions.dedup_index import embedding_neardup_index
+
+    cmeta = _fs_read_json(spark, f"{path}.clusters/{_CMETA}")
+    if cmeta is None:
+        raise FileNotFoundError(
+            f"no {_CMETA} sidecar at {path}.clusters — not an embedding "
+            "cluster index (build_embedding_cluster_index creates it)")
+    thr = float(cmeta["threshold"])
+
+    local = embedding_clusters(
+        increment, emb_col, id_col, threshold=thr, block_col=block_col,
+    ).select(F.col(id_col), F.col("cluster_id").alias("__lcl"))
+    local = local.localCheckpoint(eager=True)
+
+    matches = embedding_neardup_index(
+        spark, path, increment, id_col, emb_col,
+        index_id_col=cmeta["id_col"], index_emb_col=cmeta["emb_col"],
+        threshold=thr, n_probe=n_probe, k=k,
+    ).select(F.col(id_col), F.col("match_id").alias("__mid"))
+
+    cmap = spark.read.parquet(f"{path}.clusters")
+    return _merge_assign(local, matches, cmap, id_col, cluster_col)
+
+
+def apply_embedding_cluster_assignments(
+    spark,
+    path: str,
+    assignments: DataFrame,
+    corpus_remap: DataFrame,
+    id_col: str,
+    cluster_col: str = "cluster",
+) -> None:
+    """Fold a day into the embedding cluster map (sibling directory
+    ``{path}.clusters``); compose with ``ann.append_ivfpq_index`` so
+    the next day's probe sees today's vectors."""
+    _apply_to_map(spark, f"{path}.clusters", assignments, corpus_remap,
+                  id_col, cluster_col)

@@ -109,6 +109,72 @@ def test_two_day_lifecycle_matches_batch(spark, tmp_path):
     assert final[20] == final[10] == final[0] == 0
 
 
+def _unit(angle_deg, d=8):
+    import math
+
+    a = math.radians(angle_deg)
+    v = [0.0] * d
+    v[0], v[1] = math.cos(a), math.sin(a)
+    return v
+
+
+def test_embedding_twin_matches_batch_including_merges(spark, tmp_path):
+    """Embedding modality under full-recall knobs (n_probe = every
+    cell, k >= multiplicity, corpus within the auto rerank budget):
+    assignments + merges equal a batch embedding_clusters run. The
+    bridge is geometric — corpus vectors at 0° and 36° (cos 0.81 < τ,
+    separate clusters), the increment vector at 18° (cos 0.95 to BOTH)."""
+    import numpy as np
+
+    from lotus_spark.functions.cluster_index import (
+        apply_embedding_cluster_assignments,
+        assign_embedding_clusters_against_index,
+        build_embedding_cluster_index,
+        embedding_clusters,
+    )
+
+    rng = np.random.RandomState(5)
+    noise = [(100 + i, [float(x) for x in rng.randn(8)])
+             for i in range(40)]
+    corpus = spark.createDataFrame(
+        [(0, _unit(0)), (1, _unit(36))] + noise,
+        "vec_id long, embedding array<double>")
+    inc = spark.createDataFrame(
+        [(10, _unit(18)),                    # bridges clusters 0 and 1
+         (11, _unit(90)), (12, _unit(90))],  # dup pair, novel direction
+        "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "emb")
+    build_embedding_cluster_index(spark, corpus, path, "embedding",
+                                  "vec_id", threshold=0.9, n_cells=4)
+    batch = {
+        r["vec_id"]: r["cluster_id"]
+        for r in embedding_clusters(
+            corpus.unionByName(inc), "embedding", "vec_id",
+            threshold=0.9).collect()
+    }
+    assert batch[0] == batch[1] == batch[10] == 0, batch
+    assert batch[11] == batch[12] == 11
+
+    assignments, remap = assign_embedding_clusters_against_index(
+        spark, path, inc, "embedding", "vec_id", n_probe=4, k=10)
+    got = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
+    assert got == {k: batch[k] for k in (10, 11, 12)}
+    assert {(r["old_cluster"], r["new_cluster"])
+            for r in remap.collect()} == {(1, 0)}
+
+    apply_embedding_cluster_assignments(spark, path, assignments, remap,
+                                        "vec_id")
+    final = {r["id"]: r["cluster"] for r in
+             spark.read.parquet(f"{path}.clusters").collect()}
+    assert final == batch
+    # the map sibling never leaks into the index scan
+    from lotus_spark.functions.ann import read_ivfpq_index
+
+    stored, _, _, _ = read_ivfpq_index(spark, path)
+    assert stored.count() == corpus.count()
+
+
 def test_estimator_tier_and_validation(spark, tmp_path):
     corpus = _rows(spark, [(0, A_TEXT), (1, "other words entirely")])
     path = str(tmp_path / "cl")
