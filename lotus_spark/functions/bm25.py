@@ -145,7 +145,12 @@ def bm25_search(
             for i, t in enumerate(terms)
         ],
     ).persist()  # id + k ints per doc — tiny vs the corpus; read twice
-    g = F.broadcast(counts.agg(
+    # pinned stats convention (shared with bm25_scores, the persisted
+    # bm25_store index, and the DuckDB oracle): N and avgdl cover docs
+    # with >= 1 token — empty/NULL-text docs can't match a term anyway,
+    # and counting them would skew avgdl on real crawl corpora
+    stats_src = counts.filter(F.col("dl") > 0)
+    g = F.broadcast(stats_src.agg(
         F.count("*").cast("double").alias("__n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
         *[

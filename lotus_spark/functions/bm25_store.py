@@ -26,7 +26,13 @@ Layout (the inverted-list idea expressed as parquet partitioning):
 - ``{path}/_bm25_meta.json`` — pinned ``id_col``/``text_col``/
   ``n_buckets`` plus the corpus stats ``(n_docs, total_dl)``, so N and
   avgdl are literals at query time instead of a per-query aggregate
-  over the doc-lengths relation.
+  over the doc-lengths relation. Pinned convention: the stats count
+  docs with AT LEAST ONE token — exactly the population
+  ``bm25.bm25_scores`` and the DuckDB oracle compute N/avgdl over —
+  so indexing a corpus with empty or NULL texts scores identically to
+  the one-shot path. Token-empty docs still get doclens rows (dl=0;
+  the append overlap guard and CDC deletes must see every id) but
+  contribute no postings and no stats.
 
 Scoring is byte-identical to ``bm25.bm25_search`` / its DuckDB oracle:
 the same Okapi expressions, per-(doc, term) partials rounded to 9
@@ -56,7 +62,10 @@ def _encode(df: DataFrame, text_col: str, id_col: str,
     and the empty-token filter match ``bm25.bm25_index`` exactly."""
     from lotus_spark.partitioning import ensure_parallelism
 
-    arr = F.array_remove(tokens(F.col(text_col)), "")
+    # NULL text tokenizes to NULL whose size() is -1; coalesce to an
+    # empty array so a NULL-text doc indexes as dl=0 like an empty one
+    arr = F.coalesce(F.array_remove(tokens(F.col(text_col)), ""),
+                     F.array().cast("array<string>"))
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), arr.alias("__toks"),
     ).withColumn("dl", F.size("__toks"))
@@ -74,6 +83,16 @@ def _encode(df: DataFrame, text_col: str, id_col: str,
 def _termdf(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term", "bucket").agg(
         F.count("*").alias("df")).select("term", "df", "bucket")
+
+
+def _corpus_stats(doclens: DataFrame) -> tuple[int, int]:
+    """(n_docs, total_dl) over docs with >= 1 token — the pinned stats
+    convention (module docstring): matches the population
+    ``bm25.bm25_scores`` / the DuckDB oracle average over."""
+    s = doclens.filter(F.col("dl") > 0).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()
+    return int(s["n"]), int(s["t"])
 
 
 def write_bm25_index(
@@ -95,18 +114,14 @@ def write_bm25_index(
     postings.write.partitionBy("bucket").parquet(f"{path}/postings")
     _termdf(postings).write.partitionBy("bucket").parquet(f"{path}/termdf")
     doclens.write.parquet(f"{path}/doclens")
-    # doclens holds EVERY doc (all-empty docs too), so it is the one
-    # true source of the corpus stats
-    stats = doclens.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()
+    n_docs, total_dl = _corpus_stats(doclens)
     from lotus_spark.functions.ann import _fs_write_json
 
     _fs_write_json(df.sparkSession, f"{path}/{_META}", {
         "id_col": id_col, "text_col": text_col,
         "n_buckets": int(n_buckets),
-        "n_docs": int(stats["n"]),
-        "total_dl": int(stats["t"]),
+        "n_docs": n_docs,
+        "total_dl": total_dl,
     })
     postings.unpersist()
 
@@ -191,14 +206,25 @@ def append_bm25_index(
     spark, path: str, new_df: DataFrame,
     text_col: str | None = None, id_col: str | None = None,
 ) -> None:
-    """Grow the index with new docs: one map-only encode pass, postings
-    and doclens append, the vocabulary-sized termdf REWRITTEN (term
-    frequencies change — the rewrite is swap-installed, verified first),
-    sidecar stats updated last. Already-indexed ids are rejected loudly
-    (re-appending would double-count their postings); column names
-    default to the sidecar-pinned ones. The grown index answers every
-    query identically to a from-scratch write of the union (pinned in
-    tests and the ``bm25_index_search`` oracle row)."""
+    """Grow the index with new docs: one map-only encode pass, doclens
+    appended FIRST, then postings, then the vocabulary-sized termdf
+    REWRITTEN (term frequencies change — the rewrite is swap-installed,
+    verified first), sidecar stats updated last. Already-indexed ids
+    are rejected loudly (re-appending would double-count their
+    postings); column names default to the sidecar-pinned ones. The
+    grown index answers every query identically to a from-scratch write
+    of the union (pinned in tests and the ``bm25_index_search`` oracle
+    row).
+
+    Crash/retry contract: the append is NOT atomic across its four
+    updates. doclens is written before anything else precisely so a
+    retry of a partially applied append FAILS LOUDLY on the
+    doclens-based duplicate check above (appending postings first
+    would let the retry silently double-count tf). Recovery from any
+    mid-append crash is ``index_cdc.delete_from_bm25_index`` of the
+    increment's ids, then re-run the append — the delete rewrites
+    postings/doclens, recomputes termdf from the surviving postings,
+    and refreshes the sidecar stats, healing every partial state."""
     from lotus_spark.functions.ann import _fs_write_json
 
     meta = read_bm25_meta(spark, path)
@@ -220,9 +246,12 @@ def append_bm25_index(
     postings, doclens = _encode(new_df, text_col, id_col,
                                 meta["n_buckets"])
     postings = postings.persist()
+    # doclens FIRST: the dup check above reads it, so a crash anywhere
+    # past this line makes a blind retry fail loudly instead of
+    # double-appending postings (see the docstring's recovery contract)
+    doclens.write.mode("append").parquet(f"{path}/doclens")
     postings.write.mode("append").partitionBy("bucket") \
         .parquet(f"{path}/postings")
-    doclens.write.mode("append").parquet(f"{path}/doclens")
 
     # termdf rewrite: old + delta, verified, swap-installed
     merged = (
@@ -234,11 +263,9 @@ def append_bm25_index(
     _swap_rewrite_table(spark, f"{path}/termdf", merged,
                         "append_bm25_index")
 
-    inc = doclens.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()
-    meta["n_docs"] = int(meta["n_docs"]) + int(inc["n"])
-    meta["total_dl"] = int(meta["total_dl"]) + int(inc["t"])
+    inc_n, inc_t = _corpus_stats(doclens)
+    meta["n_docs"] = int(meta["n_docs"]) + inc_n
+    meta["total_dl"] = int(meta["total_dl"]) + inc_t
     _fs_write_json(spark, f"{path}/{_META}", meta)
     postings.unpersist()
 

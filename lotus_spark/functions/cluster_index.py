@@ -52,6 +52,47 @@ from lotus_spark.functions.dedup_index import (
 
 _CMETA = "_cluster_meta.json"
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str, who: str) -> None:
+    """Cluster ids are min-member DOC ids cast to long (and the CC core
+    emits ``id long, component long``), so a non-integral id column
+    would silently write an all-NULL cluster map instead of failing —
+    raise up front with the remedy."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype is None:
+        raise ValueError(f"{who}: no column {id_col!r} "
+                         f"(columns: {df.columns})")
+    if dtype not in _INTEGRAL:
+        raise ValueError(
+            f"{who}: id column {id_col!r} has type {dtype!r}, but cluster "
+            "ids are min-member doc ids and require an integral id column "
+            "— derive one first (e.g. xxhash64(string_id) or a dense key) "
+            "and keep the mapping alongside the corpus")
+
+
+def _require_disjoint_increment(
+    increment_ids: DataFrame, cmap: DataFrame, id_col: str, who: str,
+) -> None:
+    """An increment id already present in the cluster map would
+    self-match via the probe, collide the local/corpus node namespaces
+    in the merge graph, and yield silently wrong assignments — fail
+    BEFORE the merge graph is built (the late
+    ``apply_cluster_assignments`` dup check would only fire after the
+    assignments may have been consumed). Changed docs must be deleted
+    from the index + map first (CDC discipline)."""
+    dup = (
+        increment_ids.select(F.col(id_col).alias("id"))
+        .join(cmap.select("id"), "id", "semi").limit(3).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{who}: increment ids already in the cluster map "
+            f"(e.g. {[r['id'] for r in dup]}) — an increment must be "
+            "disjoint from the indexed corpus; delete changed docs from "
+            "the index and map first (functions/index_cdc.py)")
+
 
 def build_cluster_index(
     spark,
@@ -70,6 +111,7 @@ def build_cluster_index(
     index tables, one ``minhash_clusters`` pass for the map."""
     from lotus_spark.functions.ann import _fs_write_json
 
+    _require_integral_id(corpus, id_col, "build_cluster_index")
     write_minhash_index(corpus, path, text_col, id_col,
                         n_hashes=n_hashes, bands=bands,
                         shingle_n=shingle_n)
@@ -119,6 +161,10 @@ def assign_clusters_against_index(
             f"no {_CMETA} sidecar at {path} — not a cluster index "
             "(build_cluster_index creates it)")
     thr = float(cmeta["jaccard_threshold"])
+    _require_integral_id(increment, id_col,
+                         "assign_clusters_against_index")
+    _require_disjoint_increment(increment, read_cluster_map(spark, path),
+                                id_col, "assign_clusters_against_index")
 
     local = minhash_clusters(
         increment, text_col, id_col, n_hashes=meta["n_hashes"],
@@ -313,6 +359,7 @@ def build_embedding_cluster_index(
         _fs_write_json, ivf_index, pq_index, write_ivfpq_index,
     )
 
+    _require_integral_id(corpus, id_col, "build_embedding_cluster_index")
     indexed, cents = ivf_index(corpus, emb_col, n_cells=n_cells,
                                seed=seed, method="deterministic",
                                id_col=id_col, train_sample=train_sample)
@@ -366,6 +413,11 @@ def assign_embedding_clusters_against_index(
             f"no {_CMETA} sidecar at {path}.clusters — not an embedding "
             "cluster index (build_embedding_cluster_index creates it)")
     thr = float(cmeta["threshold"])
+    _require_integral_id(increment, id_col,
+                         "assign_embedding_clusters_against_index")
+    _require_disjoint_increment(
+        increment, spark.read.parquet(f"{path}.clusters"), id_col,
+        "assign_embedding_clusters_against_index")
 
     local = embedding_clusters(
         increment, emb_col, id_col, threshold=thr, block_col=block_col,

@@ -213,6 +213,7 @@ def delete_from_ivfpq_index(
         aside = p(f"{path}/.cdcold-{uuid.uuid4().hex[:8]}-{cell}")
         if not fs.rename(live, aside):
             _drop_completed_asides()  # prior cells are consistent
+            fs.delete(p(tmp), True)  # fully regenerated on re-run
             raise RuntimeError(
                 f"delete_from_ivfpq_index: could not move cell directory "
                 f"{live} aside — partially applied but consistent; "
@@ -222,6 +223,8 @@ def delete_from_ivfpq_index(
             if not fs.rename(new, live):
                 ok = fs.rename(aside, live)  # restore — keep the old rows
                 _drop_completed_asides()
+                if ok:  # index consistent: a re-run regenerates tmp
+                    fs.delete(p(tmp), True)
                 raise RuntimeError(
                     f"delete_from_ivfpq_index: could not install rewritten "
                     f"cell {cell}" + (
@@ -354,6 +357,7 @@ def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
     from lotus_spark.functions.ann import _fs_write_json
     from lotus_spark.functions.bm25_store import (
         _META as _BM_META,
+        _corpus_stats,
         _termdf,
         read_bm25_meta,
     )
@@ -361,6 +365,7 @@ def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
     meta = read_bm25_meta(spark, path)
     dids = _ids_frame(ids, "id", "delete_from_bm25_index")
     doclens = spark.read.parquet(f"{path}/doclens")
+    n_dl_before = doclens.count()
     n_docs_deleted = doclens.join(F.broadcast(dids), "id").count()
     if n_docs_deleted == 0:
         return 0
@@ -387,21 +392,23 @@ def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
         .select(*doclens.columns)
     dl_new.write.parquet(f"{tmp}/doclens")
 
-    stats = spark.read.parquet(f"{tmp}/doclens").agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).first()
-    expected_docs = int(meta["n_docs"]) - n_docs_deleted
+    dl_after = spark.read.parquet(f"{tmp}/doclens")
+    n_dl_after = dl_after.count()
+    expected_dl = n_dl_before - n_docs_deleted
     n_post_after = spark.read.parquet(f"{tmp}/postings").count() \
         if n_post_before - n_post_match else 0
     if (n_post_after != n_post_before - n_post_match
-            or int(stats["n"]) != expected_docs):
+            or n_dl_after != expected_dl):
         posts_new.unpersist()
         fs.delete(p(tmp), True)
         raise RuntimeError(
             f"delete_from_bm25_index: rewrite has {n_post_after} postings "
-            f"/ {stats['n']} docs, expected {n_post_before - n_post_match} "
-            f"/ {expected_docs}; original untouched")
-    meta = dict(meta, n_docs=int(stats["n"]), total_dl=int(stats["t"]))
+            f"/ {n_dl_after} doclens rows, expected "
+            f"{n_post_before - n_post_match} / {expected_dl}; "
+            "original untouched")
+    # stats follow bm25_store's pinned convention (docs with >= 1 token)
+    n_docs, total_dl = _corpus_stats(dl_after)
+    meta = dict(meta, n_docs=n_docs, total_dl=total_dl)
     _fs_write_json(spark, f"{tmp}/{_BM_META}", meta)
     posts_new.unpersist()
 

@@ -21,8 +21,10 @@ DOCS = [
     (5, "completely unrelated text about cooking pasta"),
     (6, ""),
     (7, "join join join join"),
+    (8, None),  # NULL text: size(NULL)=-1 must not poison the stats
 ]
 QUERY = "spark window merge join"
+N_TOKENED = sum(1 for _, t in DOCS if t and t.split())
 
 
 def _docs(spark, rows=DOCS):
@@ -41,9 +43,14 @@ def test_stored_search_matches_inhand_bm25(spark, tmp_path):
             bm25_search(docs, "text", "doc_id", QUERY, k=5).collect()]
     assert got == want  # ids AND scores, bit-identical
     meta = read_bm25_meta(spark, path)
-    assert meta["n_docs"] == len(DOCS)
-    # dl excludes empty tokens; doc 6 is empty but still counts for N
-    assert meta["total_dl"] == sum(len(t.split()) for _, t in DOCS)
+    # pinned stats convention: docs with >= 1 token only (docs 6 and 8
+    # are indexed — doclens rows — but excluded from N/avgdl, matching
+    # bm25_scores and the DuckDB oracle)
+    assert meta["n_docs"] == N_TOKENED
+    assert meta["total_dl"] == sum(len(t.split()) for _, t in DOCS if t)
+    dl = {r["id"]: r["dl"] for r in
+          spark.read.parquet(f"{path}/doclens").collect()}
+    assert len(dl) == len(DOCS) and dl[6] == 0 and dl[8] == 0
 
 
 def test_append_equals_fresh_write(spark, tmp_path):
@@ -55,7 +62,7 @@ def test_append_equals_fresh_write(spark, tmp_path):
                      "doc_id", n_buckets=8)
     append_bm25_index(spark, path, docs.filter("doc_id % 2 = 1"))
     meta = read_bm25_meta(spark, path)
-    assert meta["n_docs"] == len(DOCS)
+    assert meta["n_docs"] == N_TOKENED
     got = [(r["doc_id"], r["score"]) for r in
            bm25_search_index(spark, path, QUERY, k=8).collect()]
     want = [(r["doc_id"], r["score"]) for r in
@@ -92,6 +99,41 @@ def test_append_validation(spark, tmp_path):
         bm25_search_index(spark, path, "   ")
     with pytest.raises(FileNotFoundError, match="_bm25_meta"):
         bm25_search_index(spark, str(tmp_path / "nope"), QUERY)
+
+
+def test_partial_append_fails_loudly_and_delete_heals(spark, tmp_path):
+    """The docstring's crash/retry contract, executed: a crash right
+    after the doclens append (the FIRST write) makes a blind retry fail
+    on the dup check instead of double-counting postings, and
+    delete_from_bm25_index of the increment ids heals every partial
+    state so the retried append lands clean."""
+    from lotus_spark.functions.bm25 import bm25_search
+    from lotus_spark.functions.index_cdc import delete_from_bm25_index
+
+    docs = _docs(spark)
+    base, inc = docs.filter("doc_id < 5"), docs.filter("doc_id >= 5")
+    path = str(tmp_path / "bm")
+    write_bm25_index(base, path, "text", "doc_id", n_buckets=8)
+
+    # simulate the crash: ONLY the doclens append landed
+    from lotus_spark.functions.bm25_store import _encode
+
+    _, dl_inc = _encode(inc, "text", "doc_id", 8)
+    dl_inc.write.mode("append").parquet(f"{path}/doclens")
+
+    with pytest.raises(ValueError, match="already indexed"):
+        append_bm25_index(spark, path, inc)  # blind retry fails loudly
+    assert delete_from_bm25_index(
+        spark, path, inc.select(F.col("doc_id").alias("id"))) == \
+        inc.count()
+    append_bm25_index(spark, path, inc)  # recovery: delete then retry
+
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25_search_index(spark, path, QUERY, k=9).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            bm25_search(docs, "text", "doc_id", QUERY, k=9).collect()]
+    assert got == want
+    assert read_bm25_meta(spark, path)["n_docs"] == N_TOKENED
 
 
 def test_search_scan_prunes_to_query_term_buckets(spark, tmp_path):
@@ -140,7 +182,7 @@ def test_compact_preserves_rows_and_answers(spark, tmp_path):
     after = [(r["doc_id"], r["score"]) for r in
              bm25_search_index(spark, path, QUERY, k=8).collect()]
     assert after == before
-    assert read_bm25_meta(spark, path)["n_docs"] == len(DOCS)
+    assert read_bm25_meta(spark, path)["n_docs"] == N_TOKENED
 
 
 def test_testdata_corpus_roundtrip(spark, tmp_path):

@@ -197,3 +197,52 @@ def test_estimator_tier_and_validation(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="_cluster_meta"):
         assign_clusters_against_index(
             spark, bare, _rows(spark, [(10, A_TEXT)]), "text", "doc_id")
+
+
+def test_string_ids_and_overlapping_increments_raise(spark, tmp_path):
+    """Cluster ids are min-member doc ids cast to long, so a string id
+    column must raise loudly (it used to write an all-NULL map); an
+    increment sharing an id with the indexed corpus must fail BEFORE
+    the merge graph, not at apply time."""
+    sdocs = spark.createDataFrame([("a", A_TEXT)],
+                                  "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral id column"):
+        build_cluster_index(spark, sdocs, str(tmp_path / "s"),
+                            "text", "doc_id", **PARAMS)
+
+    corpus = _rows(spark, [(0, A_TEXT), (1, "other words entirely")])
+    path = str(tmp_path / "cl")
+    build_cluster_index(spark, corpus, path, "text", "doc_id", **PARAMS)
+    with pytest.raises(ValueError, match="integral id column"):
+        assign_clusters_against_index(spark, path, sdocs, "text",
+                                      "doc_id")
+    # id 0 is already indexed — a changed doc must go through CDC delete
+    with pytest.raises(ValueError, match="disjoint"):
+        assign_clusters_against_index(
+            spark, path, _rows(spark, [(0, A_TEXT)]), "text", "doc_id")
+
+    # embedding twin: same two guards
+    from lotus_spark.functions.cluster_index import (
+        assign_embedding_clusters_against_index,
+        build_embedding_cluster_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "doc_id long, emb array<float>")
+    epath = str(tmp_path / "em")
+    build_embedding_cluster_index(spark, emb, epath, "emb", "doc_id",
+                                  threshold=0.99, n_cells=2, m=2,
+                                  nbits=2)
+    with pytest.raises(ValueError, match="integral id column"):
+        build_embedding_cluster_index(
+            spark,
+            spark.createDataFrame([("a", [1.0, 0.0])],
+                                  "doc_id string, emb array<float>"),
+            str(tmp_path / "em2"), "emb", "doc_id")
+    with pytest.raises(ValueError, match="disjoint"):
+        assign_embedding_clusters_against_index(
+            spark, epath,
+            spark.createDataFrame([(3, [1.0, 0.0])],
+                                  "doc_id long, emb array<float>"),
+            "emb", "doc_id")
