@@ -15,6 +15,15 @@ path they exist for is the same codegen map + TakeOrdered shape the
 knn_* entries already time). Each query is timed as
 plan-build + execute-to-count (results are not collected; Spark keeps the
 aggregation distributed).
+
+Measurement protocol (r12): the official per-query number is the
+MEDIAN of 3 interleaved full sweeps (one contended trial cannot become
+the round's record); the per-query MIN rides in ``queries_min`` (the
+plan-cost estimator under one-sided contention noise, and the
+comparator against the min-based r<=11 history). Structured-Streaming
+rows run in their own phase after the batch sweeps. A regression flag
+requires the MIN to exceed 1.5x the previous round — i.e. all three
+sweeps reproduced the slowdown.
 """
 
 from __future__ import annotations
@@ -66,7 +75,6 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "quantile_filter",
     "cap_per_key",
-    "streaming_sessions",
     "dedupe_doc_units",
     "sem_pipeline",
     "filter_reorder",
@@ -87,7 +95,6 @@ BENCH_QUERIES = [
     # micro-batch machinery streaming_neardup already times)
     "sem_topk_quicksem",
     "agentic_mapreduce",
-    "streaming_neardup",
     "shard_for_training",
     # bucketed_join / ivfpq_incremental stay out for the knn_pq reason:
     # their wall is one-time build cost (bucketed table writes; quantizer
@@ -116,6 +123,16 @@ BENCH_QUERIES = [
     # compositions whose recurring probes are timed by mhindex_probe /
     # decontam_probe and the standalone feature stages
     "url_canonicalize",
+]
+
+# Structured-Streaming rows run in their OWN phase after the batch
+# sweeps (r11 verdict): their micro-batch scheduler threads + state
+# store churn have flagged spuriously in three separate rounds when
+# interleaved with the batch queries; isolating them keeps one
+# contended interleave from becoming the round's official number.
+STREAMING_QUERIES = [
+    "streaming_sessions",
+    "streaming_neardup",
 ]
 
 
@@ -341,7 +358,7 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + STREAMING_QUERIES:
         try:
             qs[name](spark, warm_dir).count()
         except Exception as exc:  # warm-up must never fail the bench
@@ -350,12 +367,13 @@ def main() -> None:
     # don't contend with them for storage memory
     spark.catalog.clearCache()
 
-    # best-of-3 (after the discarded warm pass above): host contention on
-    # this shared box inflates identical-code runs by up to 2x (NOTES.md,
-    # rounds 1+4) and the noise is one-sided — contention only ever ADDS
-    # time — so min-of-3 is the estimator of the plan's actual cost, and
-    # best-of-2 demonstrably wasn't enough to keep the driver's
-    # regression flags quiet on untouched code.
+    # MEDIAN-of-3 is the official per-query number (r11 verdict: one
+    # contended trial must not become the round's record — a median
+    # flips only if >=2 of 3 sweeps move together). The min of the same
+    # samples is kept in a side field: host contention on this shared
+    # box is one-sided (only ever ADDS time; NOTES.md rounds 1+4), so
+    # min estimates the PLAN's cost and is the apples-to-apples
+    # comparator against the min-based r<=11 history.
     #
     # The 3 repeats run as FULL SWEEPS over the query list (pass 1 all
     # queries, pass 2 all queries, ...), not back-to-back per query: a
@@ -363,7 +381,7 @@ def main() -> None:
     # query in at most one pass, whereas consecutive repeats all sit
     # inside the burst (round-5 measured sem_filter 1.59s best-of-3
     # consecutive vs 0.57s isolated — all three repeats were inflated).
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for sweep in range(3):
         for name in BENCH_QUERIES:
@@ -377,30 +395,49 @@ def main() -> None:
                       file=sys.stderr)
                 continue
             dt = time.time() - t0
-            if dt < best.get(name, float("inf")):
-                best[name] = dt
+            samples.setdefault(name, []).append(dt)
             if sweep == 0:
                 # incremental line per query so a mid-run crash still
                 # leaves a usable partial record on stderr
                 print(f"# sweep0 {name}: {rows[name]} rows in {dt:.2f}s",
                       file=sys.stderr)
+
+    # streaming rows: their own phase, 3 consecutive repeats each (the
+    # batch sweeps are done — nothing left to interleave against)
+    for name in STREAMING_QUERIES:
+        for rep in range(3):
+            t0 = time.time()
+            try:
+                rows[name] = qs[name](spark, sf_dir).count()
+            except Exception as exc:
+                print(f"# stream rep{rep} {name} FAILED: {exc}",
+                      file=sys.stderr)
+                continue
+            samples.setdefault(name, []).append(time.time() - t0)
+
+    def med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        if name not in best:
+    timings_min: dict[str, float] = {}
+    for name in BENCH_QUERIES + STREAMING_QUERIES:
+        if name not in samples:
             continue  # failed in every sweep; already reported
-        timings[name] = round(best[name], 3)
-        print(f"# {name}: {rows[name]} rows in {timings[name]:.2f}s",
-              file=sys.stderr)
+        timings[name] = round(med(samples[name]), 3)
+        timings_min[name] = round(min(samples[name]), 3)
+        print(f"# {name}: {rows[name]} rows in {timings[name]:.2f}s "
+              f"(median; min {timings_min[name]:.2f}s)", file=sys.stderr)
 
     # streaming micro-bench (not in queries() — a streaming query has no
     # batch DuckDB oracle; rows-only sanity + timing visibility here)
     try:
-        best, n = float("inf"), 0
-        for _ in range(2):  # best-of-2: same host-noise rationale
+        strm, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             n = bench_streaming(spark, sf_dir)
-            best = min(best, time.time() - t0)
-        timings["streaming_doc_stats"] = round(best, 3)
+            strm.append(time.time() - t0)
+        timings["streaming_doc_stats"] = round(med(strm), 3)
+        timings_min["streaming_doc_stats"] = round(min(strm), 3)
         print(f"# streaming_doc_stats: {n} rows in "
               f"{timings['streaming_doc_stats']:.2f}s", file=sys.stderr)
     except Exception as exc:  # streaming must never fail the batch bench
@@ -412,12 +449,13 @@ def main() -> None:
     # recurring path being measured. Not in queries() under this name;
     # the oracle rows (neardup_index etc.) cover correctness.
     try:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        xs, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             n = bench_index_probe(spark, sf_dir)
-            best = min(best, time.time() - t0)
-        timings["mhindex_probe"] = round(best, 3)
+            xs.append(time.time() - t0)
+        timings["mhindex_probe"] = round(med(xs), 3)
+        timings_min["mhindex_probe"] = round(min(xs), 3)
         print(f"# mhindex_probe: {n} match rows in "
               f"{timings['mhindex_probe']:.2f}s", file=sys.stderr)
     except Exception as exc:
@@ -428,12 +466,13 @@ def main() -> None:
     # index. Correctness is the contamination_index oracle row; this
     # times the recurring 100 TB-side path.
     try:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        xs, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             n = bench_decontam_probe(spark, sf_dir)
-            best = min(best, time.time() - t0)
-        timings["decontam_probe"] = round(best, 3)
+            xs.append(time.time() - t0)
+        timings["decontam_probe"] = round(med(xs), 3)
+        timings_min["decontam_probe"] = round(min(xs), 3)
         print(f"# decontam_probe: {n} contaminated pairs in "
               f"{timings['decontam_probe']:.2f}s", file=sys.stderr)
     except Exception as exc:
@@ -443,12 +482,13 @@ def main() -> None:
     # stable-cluster-id path — one-time index build is setup;
     # correctness is the cluster_assign_incremental oracle row.
     try:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        xs, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             n = bench_cluster_assign(spark, sf_dir)
-            best = min(best, time.time() - t0)
-        timings["cluster_assign_probe"] = round(best, 3)
+            xs.append(time.time() - t0)
+        timings["cluster_assign_probe"] = round(med(xs), 3)
+        timings_min["cluster_assign_probe"] = round(min(xs), 3)
         print(f"# cluster_assign_probe: {n} assignments in "
               f"{timings['cluster_assign_probe']:.2f}s", file=sys.stderr)
     except Exception as exc:
@@ -460,11 +500,12 @@ def main() -> None:
     # is the ivfpq_cdc oracle row; the per-call index rebuild is setup
     # inside bench_cdc_apply and excluded from its returned timing.
     try:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        xs, n = [], 0
+        for _ in range(3):
             n, wall = bench_cdc_apply(spark, sf_dir)
-            best = min(best, wall)
-        timings["cdc_apply"] = round(best, 3)
+            xs.append(wall)
+        timings["cdc_apply"] = round(med(xs), 3)
+        timings_min["cdc_apply"] = round(min(xs), 3)
         print(f"# cdc_apply: {n} rows touched in "
               f"{timings['cdc_apply']:.2f}s", file=sys.stderr)
     except Exception as exc:
@@ -488,13 +529,22 @@ def main() -> None:
         for path in reversed(benches):
             with open(path) as f:
                 rec = json.load(f)
-            prev_q = (rec.get("parsed") or {}).get("queries") or rec.get("queries")
+            parsed = rec.get("parsed") or rec
+            prev_q = parsed.get("queries")
             if prev_q:
                 prev_name = os.path.basename(path)
-                for k, v in timings.items():
-                    p = prev_q.get(k)
+                # prior to r12 the recorded numbers WERE the per-query
+                # min; from r12 on "queries" is the median and
+                # "queries_min" carries the min — compare min-to-min
+                prev_min = parsed.get("queries_min") or prev_q
+                # a flag requires the MIN of 3 interleaved sweeps to
+                # exceed 1.5x — i.e. every sweep reproduced the
+                # slowdown; a single contended trial can no longer flag
+                for k, v in timings_min.items():
+                    p = prev_min.get(k)
                     if p and p > 0.05 and v > 1.5 * p:
-                        regressions[k] = {"prev": p, "now": v}
+                        regressions[k] = {"prev": p, "now_min": v,
+                                          "now_median": timings.get(k)}
                 # comparable-subset totals: newly added queries must not
                 # mask round-over-round wins/losses in the headline total
                 shared = [k for k in timings if k in prev_q]
@@ -502,10 +552,20 @@ def main() -> None:
                     "n_queries": len(shared),
                     "total_now": round(sum(timings[k] for k in shared), 3),
                     "total_prev": round(sum(prev_q[k] for k in shared), 3),
+                    "total_now_min": round(
+                        sum(timings_min.get(k, timings[k])
+                            for k in shared), 3),
+                    "total_prev_min": round(
+                        sum(prev_min.get(k, prev_q[k]) for k in shared), 3),
                 }
                 if comparable["total_prev"] > 0:
                     comparable["ratio"] = round(
                         comparable["total_now"] / comparable["total_prev"], 3
+                    )
+                if comparable["total_prev_min"] > 0:
+                    comparable["ratio_min"] = round(
+                        comparable["total_now_min"]
+                        / comparable["total_prev_min"], 3
                     )
                 break
     except Exception as exc:
@@ -518,6 +578,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "prev_bench": prev_name,
                 "regressions_vs_prev": regressions,

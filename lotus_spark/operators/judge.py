@@ -3,7 +3,13 @@
 - ``llm_as_judge`` (reference ``lotus/evals/llm_as_judge.py:16-115``):
   row-wise judge = multi-trial sem_map with an evaluator system prompt;
   ``n_trials`` independent trials (cache disabled during trials), outputs
-  ``{suffix}_{trial}`` columns; optional structured ``response_format``.
+  ``{suffix}_{trial}`` columns. Structured ``response_format`` (reference
+  ``:16-115`` structured scores): forwarded to each trial's LM calls;
+  each trial's JSON answer splits into typed per-field columns named
+  ``{field}{suffix}_{trial}`` via ``from_json`` (the reference's
+  ``model_validate_json`` per raw output, as Catalyst expressions). CoT
+  strategies are rejected with it (``:92-95``) — add a reasoning field
+  to the response format instead.
 - ``pairwise_judge`` (reference ``lotus/evals/pairwise_judge.py:27-251``):
   A-vs-B comparison = sem_filter with the instruction
   "{A} is better than {B} given the criteria: ..."; ``permute_cols`` runs a
@@ -36,18 +42,30 @@ def llm_as_judge(
     n_trials: int = 1,
     suffix: str = "_judge",
     system_prompt: Optional[str] = None,
+    response_format: Any = None,
+    split_fields_into_cols: bool = True,
     **model_kwargs: Any,
 ) -> DataFrame:
     out = df
     for t in range(n_trials):
+        trial_suffix = f"{suffix}_{t}" if n_trials > 1 else suffix
         out = sem_map(
             out,
             user_instruction,
             lm=lm,
-            suffix=f"{suffix}_{t}" if n_trials > 1 else suffix,
+            suffix=trial_suffix,
             system_prompt=system_prompt or JUDGE_SYSTEM_PROMPT,
+            response_format=response_format,
+            # the per-trial split below suffixes the field names; a
+            # plain sem_map split would collide across trials
+            split_fields_into_cols=False,
             **model_kwargs,
         )
+        if response_format is not None and split_fields_into_cols:
+            from lotus_spark.operators.structured import split_fields
+
+            out = split_fields(out, trial_suffix, response_format,
+                               "llm_as_judge", field_suffix=trial_suffix)
     return out
 
 

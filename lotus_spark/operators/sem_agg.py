@@ -155,11 +155,35 @@ def sem_agg(
     group_by: Optional[list[str]] = None,
     suffix: str = AGG_COL,
     long_context_strategy: str = "truncate",
+    response_format: Any = None,
+    split_fields_into_cols: bool = True,
     **model_kwargs: Any,
 ) -> DataFrame:
+    """``response_format`` (reference ``sem_agg.py:471-484``): forwarded
+    to every fold call; the ``{suffix}`` column keeps the raw JSON and
+    ``split_fields_into_cols`` expands each schema field into a typed
+    column via ``from_json`` — for grouped aggregation that is one row
+    per group with the fields alongside the group keys, exactly the
+    reference's ``pd.DataFrame([output])`` shape distributed."""
     if long_context_strategy not in ("truncate", "chunk"):
         raise ValueError("long_context_strategy must be 'truncate' or 'chunk'")
     model = _resolve_lm(lm)
+    if response_format is not None:
+        from lotus_spark.operators.structured import (
+            response_format_lm_kwarg, response_format_schema,
+        )
+
+        response_format_schema(response_format)  # validate EARLY
+        model_kwargs = dict(
+            model_kwargs,
+            response_format=response_format_lm_kwarg(response_format))
+
+    def _split(out_df: DataFrame) -> DataFrame:
+        if response_format is None or not split_fields_into_cols:
+            return out_df
+        from lotus_spark.operators.structured import split_fields
+
+        return split_fields(out_df, suffix, response_format, "sem_agg")
     cols = parse_cols(user_instruction)
     all_cols = "{all}" in user_instruction or not cols
     use_cols = [c for c in df.columns if not c.startswith("_")] if all_cols else cols
@@ -202,8 +226,8 @@ def sem_agg(
                 [list(k) + [a] for k, a in zip(keys, answers)],
                 columns=group_cols + [suffix])
 
-        return df.repartition(*group_by).mapInPandas(
-            fold_partition, schema=out_schema)
+        return _split(df.repartition(*group_by).mapInPandas(
+            fold_partition, schema=out_schema))
 
     # global aggregation: per-partition fold rounds until one row remains
     if PARTITION_COL in df.columns:
@@ -234,7 +258,7 @@ def sem_agg(
         work = work.mapInPandas(fold_partition, schema=schema).localCheckpoint()
         n = work.count()
         if n <= 1:
-            return work
+            return _split(work)
         # shrink towards a single partition as the data collapses
         work = work.coalesce(max(1, n // 8))
         leaf = False

@@ -108,9 +108,34 @@ def sem_map(
     return_raw_outputs: bool = False,
     system_prompt: Optional[str] = None,
     postprocessor: Optional[Callable[[list[str]], list[str]]] = None,
+    response_format: Any = None,
+    split_fields_into_cols: bool = True,
     **model_kwargs: Any,
 ) -> DataFrame:
+    """``response_format`` (reference ``sem_agg.py:471-484`` /
+    ``llm_as_judge.py:16-115``, Spark spelling per SURVEY §1.2): a
+    pydantic model class, JSON-schema dict, Spark StructType, or DDL
+    string. It is forwarded to the LM call, the ``{suffix}`` column
+    keeps the raw JSON answer, and with ``split_fields_into_cols`` each
+    schema field lands as a typed column via ``from_json`` (malformed
+    JSON → NULL fields, like the reference's warn-and-continue parse).
+    CoT strategies are rejected with it, as in the reference — put a
+    reasoning field in the response format instead."""
     model = _resolve_lm(lm)
+    if response_format is not None:
+        if strategy in ("cot", "zs-cot"):
+            raise ValueError(
+                "response_format is not supported with CoT strategies — "
+                "add a reasoning field to the response format instead "
+                "(reference llm_as_judge.py:92-95)")
+        from lotus_spark.operators.structured import (
+            response_format_lm_kwarg, response_format_schema,
+        )
+
+        response_format_schema(response_format)  # validate EARLY
+        model_kwargs = dict(
+            model_kwargs,
+            response_format=response_format_lm_kwarg(response_format))
     cols = parse_cols(user_instruction)
     missing = [c for c in cols if c not in df.columns]
     if missing:
@@ -132,4 +157,9 @@ def sem_map(
         out = out.withColumn(f"explanation{suffix}", F.col("__sem_map_out.explanation"))
     if return_raw_outputs:
         out = out.withColumn(f"raw_output{suffix}", F.col("__sem_map_out.raw"))
-    return out.drop("__sem_map_out")
+    out = out.drop("__sem_map_out")
+    if response_format is not None and split_fields_into_cols:
+        from lotus_spark.operators.structured import split_fields
+
+        out = split_fields(out, suffix, response_format, "sem_map")
+    return out
