@@ -2053,12 +2053,14 @@ qm AS (SELECT doc_id,
          ELSE CAST(list_reduce(list_prepend(0, list_transform(toks,
               t -> length(t))), (a, x) -> a + x) AS DOUBLE) / len(toks)
          END AS atl,
-    ln(1 + CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS lt
+    ln(1 + CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END) AS lt,
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS ntok
   FROM (SELECT d0.doc_id, d0.text,
           string_split_regex(lower(trim(d0.text)), '\\s+') AS toks
         FROM documents d0 JOIN uds USING (doc_id))),
 gated AS (SELECT d0.* FROM documents d0 JOIN qm USING (doc_id)
-          WHERE 1.0 / (1.0 + exp(-({b} + ({w[0]}) * sw + ({w[1]}) * al
+          WHERE ntok > 0
+            AND 1.0 / (1.0 + exp(-({b} + ({w[0]}) * sw + ({w[1]}) * al
                 + ({w[2]}) * atl + ({w[3]}) * lt))) >= 0.5),
 {_sql_minhash_cc_ctes(src="gated", header=False)},
 clus AS (SELECT g0.doc_id, g0.n_chars, COALESCE(r.comp, g0.doc_id) AS comp
@@ -4212,9 +4214,28 @@ def q_embedding_neardup_index(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _sql_embedding_neardup_index(d: int) -> str:
+def _sql_embedding_neardup_index(
+    d: int,
+    corpus_where: str = "vec_id >= 20",
+    query_where: str = "vec_id % 7 = 0 AND vec_id >= 20",
+    k: int = 3,
+    n_probe: int = 4,
+    rerank: int = 320,
+    tau: float = 0.9,
+    as_ctes: bool = False,
+) -> str:
+    """DuckDB replay of the embedding_neardup_index probe chain (both
+    quantizer Lloyd's chains trained on ``corpus_where`` rows, per-query
+    cell probe, per-pair integer ADC, the FINITE ``rerank`` shortlist,
+    exact-cosine rerank, top-``k``, threshold). Defaults reproduce the
+    pre-r12 oracle text byte-for-byte (verified against the committed
+    version before registering; the green ``embedding_neardup_index``
+    row is the ongoing pin); ``as_ctes=True`` returns the body as a CTE
+    stack ending in ``probe_matches(qid, match_id, score)`` —
+    MATERIALIZED, or DuckDB re-inlines the whole quantizer+ADC stack
+    per reference — so compositions (the r12
+    ``embedding_cluster_assign`` oracle) can extend it."""
     m, nbits, iters = 8, 4, 3
-    k, n_probe, rerank, tau = 3, 4, 320, 0.9
     sub = d // m
     pdist = " + ".join(
         f"(l.xq[{j}]-c3.v[{j}])*(l.xq[{j}]-c3.v[{j}])"
@@ -4224,7 +4245,7 @@ def _sql_embedding_neardup_index(d: int) -> str:
         _sql_kmeans_ctes(
             k=2 ** nbits, iters=iters, seed=101 + s, d=sub,
             emb_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
-            p=f"eq{s}_", train_where="vec_id >= 20")
+            p=f"eq{s}_", train_where=corpus_where)
         for s in range(m)
     ]
     pair_joins = " ".join(
@@ -4237,9 +4258,8 @@ def _sql_embedding_neardup_index(d: int) -> str:
         f"(lp{s}.xq[{j}]-cc{s}.v[{j}])*(lp{s}.xq[{j}]-cc{s}.v[{j}])"
         for s in range(m) for j in range(1, sub + 1)
     )
-    return f"""
-WITH {_sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d,
-                       train_where="vec_id >= 20")},
+    ctes = f"""{_sql_kmeans_ctes(k=16, iters=iters, seed=42, d=d,
+                       train_where=corpus_where)},
 {",".join(pq_chains)},
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
 probe AS (
@@ -4247,14 +4267,14 @@ probe AS (
          row_number() OVER (PARTITION BY l.vec_id
                             ORDER BY {pdist}, c3.c) AS pr
   FROM (SELECT vec_id, xq FROM p
-        WHERE vec_id % 7 = 0 AND vec_id >= 20) l, c3
+        WHERE {query_where}) l, c3
 ),
 pc AS (SELECT qid, c FROM probe WHERE pr <= {n_probe}),
-rc AS (SELECT vec_id AS match_id, c FROM afinal WHERE vec_id >= 20),
+rc AS (SELECT vec_id AS match_id, c FROM afinal WHERE {corpus_where}),
 cand AS (
   SELECT l.qid, rc.match_id, CAST({adc} AS BIGINT) AS pq_dist
   FROM (SELECT vec_id AS qid FROM e
-        WHERE vec_id % 7 = 0 AND vec_id >= 20) l
+        WHERE {query_where}) l
   JOIN pc ON pc.qid = l.qid
   JOIN rc ON rc.c = pc.c
   {pair_joins}
@@ -4276,9 +4296,127 @@ fin AS (
 rk AS (SELECT qid, match_id, score,
        row_number() OVER (PARTITION BY qid
                           ORDER BY score DESC, match_id) AS rank
-       FROM fin)
-SELECT qid, CAST(match_id AS BIGINT) AS match_id, score
-FROM rk WHERE rank <= {k} AND score >= {tau}
+       FROM fin)"""
+    final = (f"SELECT qid, CAST(match_id AS BIGINT) AS match_id, score\n"
+             f"FROM rk WHERE rank <= {k} AND score >= {tau}")
+    if as_ctes:
+        # MATERIALIZED: the composed consumers reference this repeatedly
+        # and DuckDB would otherwise re-inline (re-run) the whole
+        # quantizer+probe+ADC stack per reference
+        return (f"{ctes},\nprobe_matches AS MATERIALIZED ({final})")
+    return f"\nWITH {ctes}\n{final}\n"
+
+
+def q_embedding_cluster_assign(spark, sf_dir):
+    """Incremental EMBEDDING-modality cluster assignment over the
+    persisted IVF-PQ index (functions/cluster_index.py — the r11 twin,
+    oracle REGISTERED r12 with the ADC-shortlist replay the staging
+    note required): day 0 builds the index + label-blocked cosine
+    cluster map over the vec_id % 7 != 0 corpus; day N assigns every
+    vec_id % 7 == 0 increment row its cluster id — local label-blocked
+    self-cluster, index probe at the DAILY knobs (n_probe=4, k=4,
+    rerank_k=320 — the r12-exposed shortlist budget), day-bounded merge
+    CC. The oracle replays the WHOLE chain in DuckDB: both quantizer
+    Lloyd's chains, per-query cell probe, per-pair integer ADC, the
+    FINITE 320-row shortlist (the top-k-by-exact-cosine simplification
+    would be wrong once the probed mass exceeds it), exact-cosine
+    rerank + threshold, the two exact-cosine CC stacks, and the merge
+    CC — assignments AND corpus-cluster remaps both checked."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.cluster_index import (
+        assign_embedding_clusters_against_index,
+        build_embedding_cluster_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id % 7 != 0")
+    inc = emb.filter("vec_id % 7 = 0")
+    d = tempfile.mkdtemp(prefix="emb_clasg_")
+    try:
+        path = f"{d}/idx"
+        build_embedding_cluster_index(
+            spark, corpus, path, "embedding", "vec_id",
+            threshold=0.35, n_cells=16, m=8, nbits=4, seed=42,
+            pq_seed=101, block_col="label")
+        assigns, remap = assign_embedding_clusters_against_index(
+            spark, path, inc, "embedding", "vec_id",
+            n_probe=4, k=4, rerank_k=320, block_col="label")
+        rows = [("assign", r["vec_id"], r["cluster"])
+                for r in assigns.collect()]
+        rows += [("remap", r["old_cluster"], r["new_cluster"])
+                 for r in remap.collect()]
+        # materialize before the tempdir (the probe's source) is removed
+        return spark.createDataFrame(rows, "kind string, a long, b long")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_cc_ctes(edge_src: str, p: str) -> str:
+    """Recursive connected-components stack over ``{edge_src}(sa, sb)``
+    → ``{p}rep(id, comp)`` with comp = min reachable node id (nodes
+    appearing in at least one edge — singletons coalesce downstream),
+    mirroring operators/sem_dedup.py::connected_components_edges."""
+    return f"""{p}sym AS (SELECT sa AS sx, sb AS dx FROM {edge_src}
+        UNION ALL SELECT sb, sa FROM {edge_src}),
+{p}reach(sx, dx) AS (
+  SELECT sx, dx FROM {p}sym
+  UNION
+  SELECT r.sx, y.dx FROM {p}reach r JOIN {p}sym y ON r.dx = y.sx
+),
+{p}rep AS (SELECT sx AS id, LEAST(sx, MIN(dx)) AS comp
+           FROM {p}reach GROUP BY sx)"""
+
+
+def _sql_embedding_cluster_assign(d: int = 64) -> str:
+    tau = 0.35
+    cw = "vec_id % 7 <> 0"
+    qw = "vec_id % 7 = 0"
+    probe = _sql_embedding_neardup_index(
+        d, corpus_where=cw, query_where=qw, k=4, n_probe=4, rerank=320,
+        tau=tau, as_ctes=True)
+    return f"""
+WITH RECURSIVE {probe},
+en AS MATERIALIZED (
+  SELECT vec_id, label,
+    CASE WHEN {_sql_norm('v')} = 0 THEN v
+         ELSE list_transform(v, x -> x / {_sql_norm('v')}) END AS u
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v
+        FROM embeddings)
+),
+ce AS MATERIALIZED (SELECT * FROM en WHERE {cw}),
+cedge AS (SELECT a.vec_id AS sa, b.vec_id AS sb FROM ce a JOIN ce b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE {_sql_dot('a.u', 'b.u')} >= {tau}),
+{_sql_cc_ctes('cedge', 'c')},
+cmap AS MATERIALIZED (SELECT e.vec_id AS id,
+                CAST(COALESCE(r.comp, e.vec_id) AS BIGINT) AS cluster
+         FROM ce e LEFT JOIN crep r ON r.id = e.vec_id),
+ie AS MATERIALIZED (SELECT * FROM en WHERE {qw}),
+iedge AS (SELECT a.vec_id AS sa, b.vec_id AS sb FROM ie a JOIN ie b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE {_sql_dot('a.u', 'b.u')} >= {tau}),
+{_sql_cc_ctes('iedge', 'i')},
+lcl AS MATERIALIZED (SELECT e.vec_id,
+               CAST(COALESCE(r.comp, e.vec_id) AS BIGINT) AS lcl
+        FROM ie e LEFT JOIN irep r ON r.id = e.vec_id),
+medge AS (SELECT DISTINCT l.lcl AS sa, c.cluster AS sb
+          FROM probe_matches pm
+          JOIN lcl l ON l.vec_id = pm.qid
+          JOIN cmap c ON c.id = pm.match_id),
+{_sql_cc_ctes('medge', 'm')},
+assigns AS (SELECT 'assign' AS kind, l.vec_id AS a,
+                   CAST(COALESCE(r.comp, l.lcl) AS BIGINT) AS b
+            FROM lcl l LEFT JOIN mrep r ON r.id = l.lcl),
+remaps AS (SELECT 'remap' AS kind, CAST(id AS BIGINT) AS a,
+                  CAST(comp AS BIGINT) AS b
+           FROM mrep
+           WHERE comp <> id
+             AND id IN (SELECT DISTINCT cluster FROM cmap))
+SELECT kind, a, b FROM assigns
+UNION ALL
+SELECT kind, a, b FROM remaps
 """
 
 
@@ -5025,110 +5163,24 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-11 rotation. The driver checks at most the FIRST 50
-        # entries in dict order, so: (a) the 6 rows STAGED in r10 lead
-        # — the persisted decontamination index, the minhash-index
-        # compaction lifecycle, the WARC source roundtrip, and the
-        # three multimodal feature rows (first driver-checkable
-        # verification for that family) — plus the NEW r11
-        # pipeline_ingest composition (WARC → html_to_text → Gopher
-        # gate → index dedup, the crawl front half); (b) every query
-        # whose MODULE
-        # was edited this round sits inside the window —
-        # functions/dedup_index.py (exact-verify stale-corpus guard,
-        # compaction cache release), functions/decontam_index.py
-        # (append overlap guard, compact_ngram_index, Arrow posting
-        # builder), sources/warc.py (streaming gzip-member decode),
-        # operators/sem_sim_join.py (ivfpq tier); (c) the 9 keys whose
-        # last DRIVER row is r8 (CHECKS_r10-covered relational overflow
-        # + llm_judge/asof_join/range_join) refresh, per the r10
-        # verdict; (d) r10-tail keys holding r9 driver rows rotate back
-        # in where slots allow. MID-ROUND REVISION: the keep-policy
-        # work edited functions/dedup.py, forcing its 14 importer keys
-        # plus the 2 new rows (minhash_dedup_keepbest,
-        # leakage_safe_split) into the window; 16 module-untouched keys
-        # were displaced to the tail head (each holds a CHECKS_r10
-        # green row and is re-recorded in CHECKS_r11 at round close —
-        # the >50-mandatory-entries case the CHECKS channel exists
-        # for).
-        # -- NEW this round (staged in r10) ----------------------------
-        "contamination_index": q_contamination_index,
-        "neardup_index_compacted": q_neardup_index_compacted,
-        "warc_roundtrip": q_warc_roundtrip,
-        "pipeline_ingest": q_pipeline_ingest,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
-        "video_frame_features": q_video_frame_features,
-        # -- NEW in round 11 itself (functions/dedup.py keep-policy +
-        # -- cluster-aware split family) -------------------------------
-        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
-        "leakage_safe_split": q_leakage_safe_split,
-        "url_canonicalize": q_url_canonicalize,
-        "snapshot_diff": q_snapshot_diff,
-        # -- NEW in round 11: CDC index maintenance
-        # -- (functions/index_cdc.py — snapshot_diff applied to the
-        # -- persisted IVF-PQ / MinHash indexes: delete + upsert) ------
-        "ivfpq_cdc": q_ivfpq_cdc,
-        "neardup_index_cdc": q_neardup_index_cdc,
-        # -- NEW in round 11: persisted BM25 serving index -------------
-        "bm25_index_search": q_bm25_index_search,
-        # -- NEW in round 11: data-quality expectation gate ------------
-        "data_quality_report": q_data_quality_report,
-        # -- NEW in round 11: incremental cluster assignment -----------
-        "cluster_assign_incremental": q_cluster_assign_incremental,
-        "quality_model_score": q_quality_model_score,
-        "pipeline_quality": q_pipeline_quality,
-        # -- functions/dedup.py edited this round (keep_by survivor
-        # -- policy + minhash_clusters extraction): every registry key
-        # -- importing it moves inside the window per the tail rule ----
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash": q_simhash,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ngram_stats": q_ngram_stats,
-        "contamination": q_contamination,
-        "embedding_neardup": q_embedding_neardup,
-        "exact_dedup": q_exact_dedup,
-        "span_dedup": q_span_dedup,
-        "strip_boilerplate": q_strip_boilerplate,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pipeline_clean": q_pipeline_clean,
-        "streaming_neardup": q_streaming_neardup,
-        "streaming_neardup_minhash": q_streaming_neardup_minhash,
-        # -- functions/dedup_index.py edited this round ----------------
-        "neardup_index": q_neardup_index,
-        "neardup_index_stream": q_neardup_index_stream,
-        "neardup_index_lifecycle": q_neardup_index_lifecycle,
-        "embedding_neardup_index": q_embedding_neardup_index,
-        # -- operators/sem_sim_join.py edited this round ---------------
-        "sem_sim_join": q_sem_sim_join,
-        # -- last driver row r8 (refresh per r10 verdict item 1) -------
-        "time_rollup": q_time_rollup,
-        "llm_judge": q_llm_judge,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "customers_no_orders": q_customers_no_orders,
-        "orders_rollup": q_orders_rollup,
-        "top_revenue": q_top_revenue,
-        "region_revenue": q_region_revenue,
-        "events_hourly": q_events_hourly,
-        # -- last driver row r9 (r10 tail rotates back in) -------------
-        "sem_filter": q_sem_filter,
-        "sem_map": q_sem_map,
-        "sem_filter_cascade": q_sem_filter_cascade,
-        "sem_cluster_by": q_sem_cluster,
-        # -- tail (>50): modules byte-untouched in round 11; every key
-        # -- holds a CHECKS_r10 green row (all 92) and is re-recorded in
-        # -- CHECKS_r11 at round close. The first 16 were displaced
-        # -- mid-round when the functions/dedup.py keep-policy edit
-        # -- forced its 14 importers plus 2 new rows into the window
-        # -- (the >50-mandatory-entries case the CHECKS channel covers);
-        # -- sem_search/sem_search_rerank displaced when the two CDC
-        # -- index rows joined (sem_search.py byte-untouched this round);
-        # -- pipeline_pack when bm25_index_search joined (lazyframe.py
-        # -- byte-untouched); streaming_sessions when
-        # -- data_quality_report joined (streaming/ops.py byte-untouched;
-        # -- streaming_neardup* stay in-window for the family).
+        # Round-12 rotation (.round_base = 9d2e2ff). Window = EXACTLY
+        # the forced set: (a) the 3 NEW r12 rows lead —
+        # llm_judge_structured (response_format structured outputs,
+        # verdict item 2), warc_export_roundtrip (write_warc sink,
+        # staged r11), embedding_cluster_assign (the ADC-shortlist
+        # replay oracle the r11 staging note required, verdict item 3);
+        # (b) 28 of the 29 keys whose last DRIVER row is r9 refresh per
+        # verdict item 4 (distinct_priorities, the redundant relational
+        # demo, is the one over-capacity key — tail + CHECKS_r12);
+        # (c) every key whose q-body imports a module edited this round
+        # (bm25/bm25_store/cluster_index/index_cdc/dedup_index/
+        # quality_model/sem_map/sem_agg/judge/structured*) sits inside
+        # the window per the tail rule. 3 + 28 + 19 = 50.
+        # -- NEW in round 12 ------------------------------------------
+        "llm_judge_structured": q_llm_judge_structured,
+        "warc_export_roundtrip": q_warc_export_roundtrip,
+        "embedding_cluster_assign": q_embedding_cluster_assign,
+        # -- last driver row r9: refresh (28 of 29) --------------------
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
         "pipeline_pack": q_pipeline_pack,
@@ -5156,8 +5208,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_coalesced": q_bucketed_join_coalesced,
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
-        "distinct_priorities": q_distinct_priorities,
         "supplier_intersect": q_supplier_intersect,
+        # -- modules edited this round: importers must be in-window ----
+        # operators/sem_map.py + sem_agg.py + judge.py (response_format)
+        "sem_map": q_sem_map,
+        "sem_agg": q_sem_agg,
+        "sem_partition_agg": q_sem_partition_agg,
+        "llm_judge": q_llm_judge,
+        "pairwise_judge": q_pairwise_judge,
+        # functions/bm25.py (stats convention) + bm25_store.py (append
+        # ordering, dl>0 stats, bucket cache)
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        "bm25_index_search": q_bm25_index_search,
+        # functions/cluster_index.py (id validation, disjointness guard,
+        # rerank_k) + quality_model.py (fail-closed gate)
+        "cluster_assign_incremental": q_cluster_assign_incremental,
+        "quality_model_score": q_quality_model_score,
+        "pipeline_quality": q_pipeline_quality,
+        # functions/index_cdc.py (tmp cleanup, bm25 stats convention) +
+        # dedup_index.py (rerank_k expose)
+        "ivfpq_cdc": q_ivfpq_cdc,
+        "neardup_index_cdc": q_neardup_index_cdc,
+        "neardup_index": q_neardup_index,
+        "neardup_index_stream": q_neardup_index_stream,
+        "neardup_index_lifecycle": q_neardup_index_lifecycle,
+        "neardup_index_compacted": q_neardup_index_compacted,
+        "embedding_neardup_index": q_embedding_neardup_index,
+        "pipeline_ingest": q_pipeline_ingest,
+        # -- tail (>50): every key holds an r11 DRIVER row
+        # (CORRECTNESS_r11) or an r11 CHECKS row re-recorded on the r11
+        # final tree, plus a CHECKS_r12 record at round close; all
+        # modules imported by these q bodies are byte-untouched since
+        # .round_base (CI: test_registry_tail_modules_untouched_this_round).
+        # distinct_priorities is the one r9-driver-row key parked here
+        # (window at exactly 50 mandatory entries) — re-verified via
+        # CHECKS_r12.
+        "distinct_priorities": q_distinct_priorities,
+        "contamination_index": q_contamination_index,
+        "warc_roundtrip": q_warc_roundtrip,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "video_frame_features": q_video_frame_features,
+        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
+        "leakage_safe_split": q_leakage_safe_split,
+        "url_canonicalize": q_url_canonicalize,
+        "snapshot_diff": q_snapshot_diff,
+        "data_quality_report": q_data_quality_report,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ngram_stats": q_ngram_stats,
+        "contamination": q_contamination,
+        "embedding_neardup": q_embedding_neardup,
+        "exact_dedup": q_exact_dedup,
+        "span_dedup": q_span_dedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "paragraph_dedup": q_paragraph_dedup,
+        "pipeline_clean": q_pipeline_clean,
+        "streaming_neardup": q_streaming_neardup,
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,
+        "sem_sim_join": q_sem_sim_join,
+        "time_rollup": q_time_rollup,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "customers_no_orders": q_customers_no_orders,
+        "orders_rollup": q_orders_rollup,
+        "top_revenue": q_top_revenue,
+        "region_revenue": q_region_revenue,
+        "events_hourly": q_events_hourly,
+        "sem_filter": q_sem_filter,
+        "sem_filter_cascade": q_sem_filter_cascade,
+        "sem_cluster_by": q_sem_cluster,
+        "agentic_mapreduce": q_agentic_mapreduce,
         "ann_join_ivfpq": q_ann_join_ivfpq,
         "ivfpq_compacted": q_ivfpq_compacted,
         "ivfpq_incremental": q_ivfpq_incremental,
@@ -5170,24 +5294,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "ann_join_pq": q_ann_join_pq,
         "ann_join_ivf": q_ann_join_ivf,
-        "hybrid_search": q_hybrid_search,
         "sem_topk": q_sem_topk,
         "sem_topk_quicksem": q_sem_topk_quicksem,
         "sem_join_cascade_routed": q_sem_join_cascade_routed,
-        "agentic_mapreduce": q_agentic_mapreduce,
         "bucketed_join": q_bucketed_join,
         "shard_for_training": q_shard_for_training,
         "filter_reorder": q_filter_reorder,
         "sem_index_roundtrip": q_sem_index_roundtrip,
-        "sem_partition_agg": q_sem_partition_agg,
         "dedupe_doc_units": q_dedupe_doc_units,
-        "bm25_search": q_bm25_search,
         "sem_dedup": q_sem_dedup,
-        "pairwise_judge": q_pairwise_judge,
         "sem_join_cascade": q_sem_join_cascade,
         "sem_extract": q_sem_extract,
         "sem_join": q_sem_join,
-        "sem_agg": q_sem_agg,
         "sem_pipeline": q_sem_pipeline,
     }
 
@@ -5732,6 +5850,48 @@ FROM documents
 """
 
 
+def q_llm_judge_structured(spark, sf_dir):
+    """Structured response_format outputs → typed columns (NEW r12 —
+    reference sem_agg.py:471-484 field splitting + llm_as_judge.py:16-115
+    structured scores; SURVEY §1.2 maps it to from_json → typed
+    columns): llm_as_judge forwards a DDL response_format to every LM
+    call, keeps the raw JSON in the suffix column, and splits each
+    trial's fields into typed per-trial columns
+    (operators/structured.py). The deterministic fake
+    (models/structured_lms.py::TokenCountStructuredJudge) emits
+    {"n_tokens": <ws token count>, "verdict": long/short @ 40}, so the
+    oracle replays the feature algebra AND the from_json typing —
+    n_tokens lands as BIGINT, not string."""
+    from lotus_spark.models.structured_lms import TokenCountStructuredJudge
+    from lotus_spark.operators.judge import llm_as_judge
+
+    docs = _t(spark, sf_dir, "documents")
+    out = llm_as_judge(
+        docs, "Rate the {text} by length", n_trials=2,
+        lm=TokenCountStructuredJudge(long_at=40),
+        response_format="n_tokens bigint, verdict string",
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens_judge_0").alias("n_tokens"),
+        F.col("verdict_judge_0").alias("verdict"),
+        F.col("verdict_judge_1").alias("verdict_trial2"),
+    )
+
+
+_SQL_LLM_JUDGE_STRUCTURED = r"""
+WITH n AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 1
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN n_tokens >= 40 THEN 'long' ELSE 'short' END AS verdict,
+  CASE WHEN n_tokens >= 40 THEN 'long' ELSE 'short' END AS verdict_trial2
+FROM n
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     import os
 
@@ -5751,6 +5911,10 @@ def oracle_sql() -> dict[str, str]:
         "neardup_index_stream": _sql_neardup_index(),  # stream == batch replay
         "neardup_index_lifecycle": _sql_neardup_index_lifecycle(),
         "embedding_neardup_index": _sql_embedding_neardup_index(64),
+        # r12: new rows
+        "llm_judge_structured": _SQL_LLM_JUDGE_STRUCTURED,
+        "warc_export_roundtrip": _SQL_WARC_EXPORT_ROUNDTRIP,
+        "embedding_cluster_assign": _sql_embedding_cluster_assign(64),
         "ann_join_ivfpq": _sql_ann_join_ivfpq(64),
         "span_dedup": _SQL_SPAN_DEDUP,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,

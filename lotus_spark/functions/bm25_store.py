@@ -137,16 +137,28 @@ def read_bm25_meta(spark, path: str) -> dict:
     return meta
 
 
+_BUCKET_CACHE: dict[tuple[str, int], int] = {}
+
+
 def _term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
     """Bucket ids for the query terms via the SAME JVM xxhash64 the
     writer used (one tiny local job — driver-side replication of
-    Spark's hash would be a parity bug waiting to happen)."""
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    return sorted({
-        r["b"] for r in df.select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
-        ).collect()
-    })
+    Spark's hash would be a parity bug waiting to happen). The
+    (term, n_buckets) → bucket mapping is a pure deterministic hash, so
+    it caches process-wide: a serving process answering many queries
+    over a shared vocabulary pays the mini-job only for never-seen
+    terms (r11 verdict: ~1.4s fixed per-query overhead at sf0.1,
+    amortized — BENCH_bm25.json stored_query_warm)."""
+    missing = sorted({t for t in terms
+                      if (t, n_buckets) not in _BUCKET_CACHE})
+    if missing:
+        df = spark.createDataFrame([(t,) for t in missing], "term string")
+        for r in df.select(
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b"),
+        ).collect():
+            _BUCKET_CACHE[(r["term"], n_buckets)] = int(r["b"])
+    return sorted({_BUCKET_CACHE[(t, n_buckets)] for t in terms})
 
 
 def bm25_search_index(

@@ -385,6 +385,7 @@ def assign_embedding_clusters_against_index(
     id_col: str,
     n_probe: int = 8,
     k: int = 10,
+    rerank_k: int | None | str = "auto",
     block_col: str | None = None,
     cluster_col: str = "cluster",
 ) -> tuple[DataFrame, DataFrame]:
@@ -396,14 +397,19 @@ def assign_embedding_clusters_against_index(
     ``(assignments, corpus_remap)`` like the text twin.
 
     Equality with a batch re-clustering holds when the probe recalls
-    every above-threshold edge: ``n_probe`` = the index's cell count, a
-    rerank budget covering the probed mass (``auto_rerank_k`` — at
-    max(32k, 320) this is the corpus itself for small cells), and ``k``
-    at least the increment rows' match multiplicity. At daily defaults
-    the probe is APPROXIMATE like every IVF tier (recall curves in
+    every above-threshold edge: ``n_probe`` = the index's cell count,
+    ``rerank_k`` covering the probed mass (r12: the ADC shortlist
+    budget is now a real knob, threaded through
+    ``embedding_neardup_index`` — default ``"auto"`` = max(32k, 320),
+    which a corpus larger than that exceeds), and ``k`` at least the
+    increment rows' match multiplicity. At daily defaults the probe is
+    APPROXIMATE like every IVF tier (recall curves in
     BENCH_joinrecall.json) — missed edges mean a duplicate keeps its
     own cluster id, never a wrong merge. Pinned in
-    tests/test_cluster_index.py under the full-recall knobs."""
+    tests/test_cluster_index.py under the full-recall knobs; the
+    ``embedding_cluster_assign`` oracle row replays the DAILY path —
+    IVF probe, per-pair ADC, the finite shortlist, exact rerank — in
+    SQL, so the approximation itself is what gets verified."""
     from lotus_spark.functions.ann import _fs_read_json
     from lotus_spark.functions.dedup_index import embedding_neardup_index
 
@@ -427,7 +433,7 @@ def assign_embedding_clusters_against_index(
     matches = embedding_neardup_index(
         spark, path, increment, id_col, emb_col,
         index_id_col=cmeta["id_col"], index_emb_col=cmeta["emb_col"],
-        threshold=thr, n_probe=n_probe, k=k,
+        threshold=thr, n_probe=n_probe, k=k, rerank_k=rerank_k,
     ).select(F.col(id_col), F.col("match_id").alias("__mid"))
 
     cmap = spark.read.parquet(f"{path}.clusters")

@@ -498,6 +498,7 @@ def embedding_neardup_index(
     threshold: float = 0.9,
     n_probe: int = 8,
     k: int = 10,
+    rerank_k: int | None | str = "auto",
     match_col: str = "match_id",
     score_col: str = "score",
 ) -> DataFrame:
@@ -513,12 +514,22 @@ def embedding_neardup_index(
     cell is missed — raise ``n_probe`` (recall curves:
     ``BENCH_joinrecall.json``), and size ``k`` to the duplicate
     multiplicity you need surfaced (at most ``k`` matches per query row
-    are checked against the threshold). The MinHash index is the text
-    twin with the same write/append/probe lifecycle."""
+    are checked against the threshold). ``rerank_k`` (r12) is the ADC
+    shortlist budget forwarded to the join — default ``"auto"`` rides
+    ``auto_rerank_k(k, join=True)`` = max(32k, 320); callers needing
+    exact-cosine coverage of the whole probed mass at scale (e.g. the
+    cluster-assign batch-equality contract) raise it instead of
+    dropping to ``ann_join_ivfpq`` directly. The MinHash index is the
+    text twin with the same write/append/probe lifecycle."""
     from lotus_spark.functions.ann import (
         _fs_read_json, ann_join_ivfpq, read_ivfpq_index,
     )
 
+    if rerank_k is None:
+        raise ValueError(
+            "embedding_neardup_index: rerank_k=None (raw-ADC opt-out) "
+            "would leave no cosine score to threshold on — pass an int "
+            "or 'auto'")
     stored, cents, books, cell_col = read_ivfpq_index(spark, index_path)
     # the sidecar pins which column holds the PQ codes — an index written
     # with a non-default code_col must probe under that name, exactly as
@@ -526,7 +537,8 @@ def embedding_neardup_index(
     meta = _fs_read_json(spark, f"{index_path}/_ivfpq_meta.json") or {}
     out = ann_join_ivfpq(
         query_df, None, id_col, emb_col, index_id_col, index_emb_col,
-        K=k, n_probe=n_probe, prebuilt=(stored, cents, books),
+        K=k, n_probe=n_probe, rerank_k=rerank_k,
+        prebuilt=(stored, cents, books),
         cell_col=cell_col, id_out=match_col, score_out=score_col,
         code_col=meta.get("code_col", "pq_codes"),
     )

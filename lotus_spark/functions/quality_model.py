@@ -114,9 +114,18 @@ def gate_by_quality_model(
 ) -> DataFrame:
     """Filter to rows scoring ≥ ``threshold``; optionally keep the score
     in ``score_col``. Map-only — composes with scans and every
-    downstream gate without a shuffle."""
+    downstream gate without a shuffle.
+
+    Fails CLOSED on degenerate text (r12, out-of-distribution
+    hardening): a token-empty document's features are all zero, so its
+    score is ``sigmoid(bias)`` — an artifact of the bias term, not
+    evidence of quality — and a NULL text scores NULL; both are dropped
+    regardless of threshold. A corpus gate must never keep an empty doc
+    because the trained intercept happened to be positive. Pinned in
+    tests/test_quality_model.py."""
     score = score_quality_model(F.col(text_col), model)
+    has_tokens = token_count(F.col(text_col)) > 0
     if score_col is not None:
         df = df.withColumn(score_col, score)
-        return df.filter(F.col(score_col) >= threshold)
-    return df.filter(score >= threshold)
+        return df.filter(has_tokens & (F.col(score_col) >= threshold))
+    return df.filter(has_tokens & (score >= threshold))

@@ -286,6 +286,28 @@ def test_embedding_neardup_index(spark, tmp_path):
     assert (500, 7) in rows and rows[(500, 7)] >= 0.999
     assert all(q != 501 for q, _ in rows)
 
+    # r12: the ADC shortlist budget is a real knob. A budget covering
+    # the whole corpus must reproduce the default-auto result (auto =
+    # max(32k,320) >= 100 here, so both are exhaustive); a budget of
+    # k must still surface the exact dup (ADC distance 0 shortlists
+    # first); None is rejected (no cosine to threshold on).
+    import pytest as _pytest
+
+    wide = embedding_neardup_index(
+        spark, path, inc, "qid", "emb", "vec_id", "embedding",
+        threshold=0.999, n_probe=4, rerank_k=100)
+    assert {(r["qid"], r["match_id"]) for r in wide.collect()} == \
+        set(rows)
+    narrow = embedding_neardup_index(
+        spark, path, inc, "qid", "emb", "vec_id", "embedding",
+        threshold=0.999, n_probe=4, k=3, rerank_k=3)
+    assert (500, 7) in {(r["qid"], r["match_id"])
+                        for r in narrow.collect()}
+    with _pytest.raises(ValueError, match="rerank_k=None"):
+        embedding_neardup_index(
+            spark, path, inc, "qid", "emb", "vec_id", "embedding",
+            threshold=0.999, rerank_k=None)
+
 
 def test_embedding_neardup_index_honors_pinned_code_col(spark, tmp_path):
     """r9 ADVICE: an IVF-PQ index written with a non-default code_col

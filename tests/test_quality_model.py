@@ -105,3 +105,55 @@ def test_handcrafted_model_is_deterministic_expression(spark):
         "id", score_quality_model(F.col("text"), model).alias("p")
     ).collect()}
     assert out == again
+
+
+def test_gate_fails_closed_on_out_of_distribution_text(spark):
+    """r11 verdict item 7: the classifier is trained on the repo's own
+    synthetic labels, so out-of-distribution text (empty/near-empty,
+    NULL, non-Latin, code) must fail CLOSED at the gate — never kept on
+    the bias term alone — and scores must be defined (non-NULL, [0,1])
+    for every non-NULL text."""
+    df = _labeled(spark)
+    model = train_quality_model(df, "text", "label")
+
+    ood = spark.createDataFrame(
+        [
+            (0, ""),                          # token-empty
+            # space-only: Spark's trim strips SPACES only (a tab-only
+            # text "tokenizes" to empty-string tokens under the shared
+            # split convention, same as the DuckDB oracle — that case
+            # is scored, not gated, by design)
+            (1, "      "),
+            (2, None),                        # NULL text
+            (3, "你好世界 这是一段没有拉丁字母的中文文本 统计特征全部越界"),
+            (4, "def f(x):\n    return x * 2  # code, not prose"),
+            (5, "a"),                         # near-empty
+            (6, GOOD[0]),                     # in-distribution control
+        ],
+        "id long, text string",
+    )
+    scored = {
+        r["id"]: r["p"]
+        for r in ood.select(
+            "id", score_quality_model(F.col("text"), model).alias("p")
+        ).collect()
+    }
+    # scores are total for non-NULL text: defined and in [0, 1]
+    for i in (0, 1, 3, 4, 5, 6):
+        assert scored[i] is not None and 0.0 <= scored[i] <= 1.0, i
+    assert scored[2] is None  # NULL text scores NULL...
+
+    kept = {r["id"] for r in
+            gate_by_quality_model(ood, "text", model, 0.0).collect()}
+    # ...and the gate drops NULL and token-empty rows EVEN AT
+    # threshold 0 (fail closed): membership is decided by the
+    # has-tokens guard, not by whatever sigmoid(bias) happens to be
+    assert 0 not in kept and 1 not in kept and 2 not in kept
+    assert 6 in kept  # real prose still passes
+
+    # a deliberately positive-bias model must not resurrect empties
+    biased = {"weights": [0.0, 0.0, 0.0, 0.0], "bias": 5.0,
+              "features": list(QUALITY_FEATURES)}
+    kept_b = {r["id"] for r in
+              gate_by_quality_model(ood, "text", biased, 0.5).collect()}
+    assert 0 not in kept_b and 1 not in kept_b and 2 not in kept_b
