@@ -5850,6 +5850,95 @@ FROM documents
 """
 
 
+def q_hybrid_search_stored(spark, sf_dir):
+    """Hybrid retrieval served from the PERSISTED indexes
+    (functions/serving.py::hybrid_search_index, NEW r12 — STAGED for
+    the r13 window; CI pin replays this compare at sf0.001 in
+    tests/test_serving.py): BM25 term-bucket-pruned stored search +
+    IVF-PQ stored ADC+rerank kNN + reciprocal-rank fusion. Per-query
+    reads are bounded by the index geometry (|terms| buckets + n_probe
+    cells + sidecar literals). Quantizers use the shared sampled-
+    training predicate so the oracle's kmeans chains replay them; knobs
+    (n_probe=8, rerank 40, k=10 per list) match _sql_ivfpq_parts'
+    pinned constants."""
+    import shutil
+    import tempfile
+
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.functions.bm25_store import write_bm25_index
+    from lotus_spark.functions.serving import hybrid_search_index
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    ts = (_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
+    d = tempfile.mkdtemp(prefix="hybrid_idx_")
+    try:
+        bm_path, iv_path = f"{d}/bm", f"{d}/iv"
+        write_bm25_index(docs, bm_path, "text", "doc_id", n_buckets=16)
+        indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
+                                   method="deterministic", id_col="vec_id",
+                                   train_sample=ts)
+        encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                                  nbits=4, seed=101, train_sample=ts)
+        write_ivfpq_index(encoded, iv_path, cents, books)
+        out = hybrid_search_index(
+            spark, bm_path, iv_path, _BM25_QUERY, qv, k=10,
+            lexical_k=10, vector_k=10, n_probe=8, rerank_k=40,
+        )
+        rows = [(r["doc_id"], r["rrf_score"]) for r in out.collect()]
+        # materialize before the tempdir (both indexes) is removed
+        return spark.createDataFrame(
+            rows, "doc_id long, rrf double"
+        ).select("doc_id", F.round("rrf", 6).alias("rrf_score"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sql_hybrid_stored(qv: list[float]) -> str:
+    """DuckDB replay of the stored hybrid: the BM25 relations
+    (_SQL_BM25_COMMON — the stored path is score-identical to the
+    in-hand plan, pinned by bm25_index_search), the full IVF-PQ chain
+    (_sql_ivfpq_parts: both quantizer Lloyd's chains under the shared
+    sampled-training predicate, probe LIMIT 8, ADC shortlist LIMIT 40,
+    exact-cosine rerank), and reciprocal-rank fusion — ranks on the
+    UNROUNDED scores exactly as rrf_fuse's row_number windows do."""
+    ctes, joins, total = _sql_ivfpq_parts(qv)
+    return f"""
+WITH {",".join(ctes)},
+short AS (
+  SELECT ct0.vec_id, ({total}) AS pq_dist
+  FROM ct0 {joins}
+  WHERE ct0.vec_id IN (SELECT vec_id FROM sel)
+  ORDER BY pq_dist, ct0.vec_id LIMIT 40
+),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+qvec AS (SELECT v AS q FROM ev WHERE vec_id = 0),
+vecs AS (
+  SELECT ev.vec_id AS doc_id, {_sql_cosine('ev.v', 'qvec.q')} AS score
+  FROM ev JOIN short ON ev.vec_id = short.vec_id, qvec
+  ORDER BY score DESC, ev.vec_id LIMIT 10
+),
+{_SQL_BM25_COMMON},
+lexs AS (SELECT doc_id, score FROM bm
+         ORDER BY score DESC, doc_id LIMIT 10),
+lex AS (SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM lexs),
+vec AS (SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM vecs),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+    (CASE WHEN lex.r IS NULL THEN 0.0 ELSE 1.0 / (60 + lex.r) END
+     + CASE WHEN vec.r IS NULL THEN 0.0 ELSE 1.0 / (60 + vec.r) END)
+    AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, ROUND(rrf, 6) AS rrf_score FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def q_llm_judge_structured(spark, sf_dir):
     """Structured response_format outputs → typed columns (NEW r12 —
     reference sem_agg.py:471-484 field splitting + llm_as_judge.py:16-115

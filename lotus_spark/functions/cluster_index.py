@@ -106,9 +106,20 @@ def build_cluster_index(
     jaccard_threshold: float = 0.7,
 ) -> None:
     """Day 0: persist the LSH state (``write_minhash_index``) plus the
-    corpus's cluster map (``{path}/clusters``: (id, cluster)) and pin
-    the clustering threshold in a sidecar — one corpus read for the
-    index tables, one ``minhash_clusters`` pass for the map."""
+    corpus's cluster map at the SIBLING directory ``{path}.clusters``
+    ((id, cluster) + the threshold sidecar inside it) — one corpus read
+    for the index tables, one ``minhash_clusters`` pass for the map.
+
+    Layout note (r12, was ``{path}/clusters`` in r11): the map must NOT
+    live inside the MinHash index directory — the index's own
+    maintenance (``delete_from_minhash_index`` /
+    ``compact_minhash_index``) rewrites that directory with a
+    whole-dir verify-then-swap that carries only the index's tables and
+    sidecar, so a co-located map was silently DESTROYED by the first
+    routine delete or compaction. The sibling placement matches the
+    embedding twin (which chose it for the cell-partitioned layout's
+    sake) and makes both twins maintenance-safe; the swaps now also
+    REFUSE unknown entries rather than dropping them."""
     from lotus_spark.functions.ann import _fs_write_json
 
     _require_integral_id(corpus, id_col, "build_cluster_index")
@@ -120,14 +131,14 @@ def build_cluster_index(
                           jaccard_threshold=jaccard_threshold)
     (cl.select(F.col(id_col).alias("id"),
                F.col("cluster_id").cast("long").alias("cluster"))
-     .write.parquet(f"{path}/clusters"))
-    _fs_write_json(spark, f"{path}/{_CMETA}",
+     .write.parquet(f"{path}.clusters"))
+    _fs_write_json(spark, f"{path}.clusters/{_CMETA}",
                    {"jaccard_threshold": float(jaccard_threshold)})
 
 
 def read_cluster_map(spark, path: str) -> DataFrame:
-    """The persisted (id, cluster) map."""
-    return spark.read.parquet(f"{path}/clusters")
+    """The persisted (id, cluster) map (``{path}.clusters`` sibling)."""
+    return spark.read.parquet(f"{path}.clusters")
 
 
 def assign_clusters_against_index(
@@ -155,11 +166,11 @@ def assign_clusters_against_index(
     from lotus_spark.functions.ann import _fs_read_json
 
     meta = read_minhash_meta(spark, path)
-    cmeta = _fs_read_json(spark, f"{path}/{_CMETA}")
+    cmeta = _fs_read_json(spark, f"{path}.clusters/{_CMETA}")
     if cmeta is None:
         raise FileNotFoundError(
-            f"no {_CMETA} sidecar at {path} — not a cluster index "
-            "(build_cluster_index creates it)")
+            f"no {_CMETA} sidecar at {path}.clusters — not a cluster "
+            "index (build_cluster_index creates it)")
     thr = float(cmeta["jaccard_threshold"])
     _require_integral_id(increment, id_col,
                          "assign_clusters_against_index")
@@ -240,7 +251,7 @@ def apply_cluster_assignments(
     count verify — the narrow-table discipline every maintainer here
     uses. Compose with ``append_minhash_index(increment)`` so the NEXT
     day's probe sees today's docs."""
-    _apply_to_map(spark, f"{path}/clusters", assignments, corpus_remap,
+    _apply_to_map(spark, f"{path}.clusters", assignments, corpus_remap,
                   id_col, cluster_col)
 
 
@@ -286,6 +297,13 @@ def _apply_to_map(
         raise RuntimeError(
             f"apply_cluster_assignments: rewrite has {n_got} rows, "
             f"expected {n_expected}; map untouched")
+    # the threshold sidecar lives INSIDE the map dir — it must ride
+    # every whole-dir rewrite or the next assign fails FileNotFoundError
+    # (r12 fix: the first apply used to silently drop it)
+    sidecar = p(f"{live}/{_CMETA}")
+    if fs.exists(sidecar):
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, sidecar, fs, p(f"{tmp}/{_CMETA}"), False, conf)
     old_dir = f"{live}.old-{uuid.uuid4().hex[:8]}"
     if not fs.rename(p(live), p(old_dir)):
         fs.delete(p(tmp), True)

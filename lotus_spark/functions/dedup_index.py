@@ -194,7 +194,12 @@ def compact_minhash_index(
     import uuid
 
     from lotus_spark.functions.ann import _fs_write_json
+    from lotus_spark.functions.index_cdc import _assert_no_unknown_siblings
 
+    # refuse rather than silently destroy anything co-located in the
+    # index dir (r12 — the whole-dir swap carries only buckets/sigs/meta)
+    _assert_no_unknown_siblings(spark, path, ("buckets", "sigs"), _META,
+                                "compact_minhash_index")
     meta = read_minhash_meta(spark, path)
 
     jvm = spark._jvm

@@ -115,6 +115,33 @@ def _assert_no_unacked_stream_epochs(spark, path: str, who: str) -> None:
             "(available_now=True suffices), then retry")
 
 
+def _assert_no_unknown_siblings(
+    spark, path: str, tables: tuple[str, ...], meta_name: str, who: str,
+) -> None:
+    """A whole-directory verify-then-swap rewrite carries ONLY the
+    layout's known tables + sidecar into the replacement — anything
+    else co-located in the index directory would be silently DESTROYED
+    by the swap (r12: the r11 text cluster index co-located its
+    ``clusters`` map there and lost it to the first routine delete).
+    Refuse loudly instead; the remedy is the sibling-directory layout
+    (``{path}.clusters`` pattern)."""
+    jvm, fs, p = _fs(spark, path)
+    known = set(tables) | {meta_name}
+    extras = [
+        st.getPath().getName()
+        for st in (fs.listStatus(p(path)) or [])
+        if st.getPath().getName() not in known
+        # _SUCCESS-style markers and dot/underscore files are Spark's
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if extras:
+        raise RuntimeError(
+            f"{who}: unknown entries co-located in the index directory "
+            f"{extras} — the whole-dir rewrite would destroy them; move "
+            "them to sibling directories (the {path}.clusters pattern) "
+            "before maintaining this index")
+
+
 def delete_from_ivfpq_index(
     spark, path: str, ids: DataFrame, id_col: str,
 ) -> int:
@@ -255,6 +282,7 @@ def _filtered_rewrite_swap(
     from lotus_spark.functions.ann import _fs_write_json
 
     jvm, fs, p = _fs(spark, path)
+    _assert_no_unknown_siblings(spark, path, tables, meta_name, who)
     tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
 
     n_docs_deleted = (
@@ -577,3 +605,130 @@ def apply_snapshot_to_minhash_index(
     if n_up:
         append_minhash_index(spark, path, rows, text_col, id_col)
     return {"deleted": n_deleted, "upserted": int(n_up)}
+
+
+def delete_from_cluster_map(spark, map_dir: str, ids: DataFrame) -> int:
+    """Delete dead docs' assignment rows from a persisted ``(id,
+    cluster)`` map (the ``{path}/clusters`` / ``{path}.clusters`` table
+    the cluster indexes maintain) — the map-side half of re-crawl CDC;
+    compose with ``delete_from_minhash_index`` /
+    ``delete_from_ivfpq_index`` so the probe state shrinks in step.
+
+    STABILITY SEMANTICS, stated precisely: surviving members KEEP their
+    cluster ids. A from-scratch re-clustering would (a) RENUMBER a
+    cluster whose min-member doc was deleted (ids are min member ids)
+    and (b) SPLIT a component whose bridge doc was deleted (the map
+    stores no edges, so splits are undetectable without re-scoring).
+    Stable ids are this module's contract — they feed split labels and
+    per-cluster bookkeeping that must not churn — so the divergence is
+    BY DESIGN and pinned in tests; rebuild from scratch when renumber/
+    split semantics are required.
+
+    Verify-then-swap rewrite of the narrow table; a ``_cluster_meta``
+    sidecar living inside the directory (the embedding twin's layout)
+    rides along to the rewrite. Returns rows deleted. Idempotent;
+    single-writer."""
+    jvm, fs, p = _fs(spark, map_dir)
+    dids = _ids_frame(ids, "id", "delete_from_cluster_map")
+    old = spark.read.parquet(map_dir)
+    n_before = old.count()
+    n_match = old.join(F.broadcast(dids), "id").count()
+    if n_match == 0:
+        return 0
+
+    tmp = f"{map_dir}.cdcdel-{uuid.uuid4().hex[:8]}"
+    (old.join(F.broadcast(dids), on="id", how="left_anti")
+        .select(*old.columns).write.parquet(tmp))
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before - n_match:
+        fs.delete(p(tmp), True)
+        raise RuntimeError(
+            f"delete_from_cluster_map: rewrite has {n_after} rows, "
+            f"expected {n_before - n_match}; map untouched")
+    sidecar = p(f"{map_dir}/_cluster_meta.json")
+    if fs.exists(sidecar):
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, sidecar, fs, p(f"{tmp}/_cluster_meta.json"), False,
+            spark._jsc.hadoopConfiguration())
+    old_dir = f"{map_dir}.old-{uuid.uuid4().hex[:8]}"
+    if not fs.rename(p(map_dir), p(old_dir)):
+        fs.delete(p(tmp), True)
+        raise RuntimeError(f"delete_from_cluster_map: could not move "
+                           f"{map_dir}")
+    if not fs.rename(p(tmp), p(map_dir)):
+        if not fs.rename(p(old_dir), p(map_dir)):
+            raise RuntimeError(
+                f"delete_from_cluster_map: install AND rollback failed — "
+                f"data intact at {old_dir} and {tmp}")
+        fs.delete(p(tmp), True)
+        raise RuntimeError("delete_from_cluster_map: could not install "
+                           "rewrite; original restored")
+    fs.delete(p(old_dir), True)
+    return int(n_match)
+
+
+def apply_snapshot_to_cluster_index(
+    spark,
+    path: str,
+    diff: DataFrame,
+    new_snapshot: DataFrame,
+    text_col: str,
+    corpus_df: DataFrame | None = None,
+    change_col: str = "change",
+) -> dict:
+    """Apply a ``snapshot_diff`` to a TEXT cluster index
+    (``cluster_index.build_cluster_index`` layout: MinHash-LSH state +
+    the ``{path}.clusters`` sibling map): delete removed+changed ids from BOTH
+    the map and the LSH tables, then run the daily assignment recipe
+    for added+changed rows — ``assign_clusters_against_index`` (the
+    probe sees the post-delete corpus, so a changed doc re-enters as a
+    fresh increment and the r12 disjointness guard passes) →
+    ``apply_cluster_assignments`` → ``append_minhash_index``. The id
+    column comes from the index sidecar; ``text_col`` names the
+    snapshot's text column (like ``apply_snapshot_to_minhash_index``).
+    Returns ``{"deleted": n, "upserted": n, "merged_clusters": n}``.
+
+    Inherits :func:`delete_from_cluster_map`'s stability semantics:
+    surviving docs keep their cluster ids; a changed doc is assigned
+    exactly as a NEW doc with its new text would be (it may rejoin its
+    old cluster, join another, or found its own). Pass ``corpus_df``
+    (the POST-delete snapshot, e.g. ``new_snapshot`` minus nothing —
+    it IS the post-delete state) for the exact-verify probe tier."""
+    from lotus_spark.functions.cluster_index import (
+        apply_cluster_assignments,
+        assign_clusters_against_index,
+    )
+    from lotus_spark.functions.dedup_index import (
+        append_minhash_index as _append_mh,
+        read_minhash_meta as _read_mh_meta,
+    )
+
+    meta = _read_mh_meta(spark, path)
+    id_col = meta["id_col"]
+    if id_col not in diff.columns:
+        raise ValueError(
+            f"apply_snapshot_to_cluster_index: diff lacks the index id "
+            f"column {id_col!r}")
+    dead, fresh = _split_diff(diff, id_col, change_col)
+    n_map = delete_from_cluster_map(
+        spark, f"{path}.clusters", dead.withColumnRenamed(id_col, "id"))
+    n_idx = delete_from_minhash_index(
+        spark, path, dead.withColumnRenamed(id_col, "id"))
+    if n_map != n_idx:
+        raise RuntimeError(
+            f"apply_snapshot_to_cluster_index: map deleted {n_map} rows "
+            f"but the LSH index deleted {n_idx} — the two stores were "
+            "out of sync BEFORE this apply (every indexed doc must hold "
+            "exactly one map row); rebuild the cluster index")
+    inc = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+    n_up = inc.count()
+    n_merged = 0
+    if n_up:
+        assigns, remap = assign_clusters_against_index(
+            spark, path, inc, text_col, id_col, corpus_df=corpus_df)
+        remap = remap.localCheckpoint(eager=True)
+        n_merged = remap.count()
+        apply_cluster_assignments(spark, path, assigns, remap, id_col)
+        _append_mh(spark, path, inc, text_col, id_col)
+    return {"deleted": int(n_idx), "upserted": int(n_up),
+            "merged_clusters": int(n_merged)}

@@ -1,0 +1,79 @@
+"""Serve hybrid (lexical + vector) retrieval from the PERSISTED indexes.
+
+``functions/bm25.py::rrf_fuse`` fuses in-hand ranked lists; this module
+is the SERVING composition over the two stored index layouts — the
+query path a retrieval deployment actually runs all day:
+
+- lexical: ``bm25_store.bm25_search_index`` — the query terms' bucket
+  directories prune the postings scan (|terms|/n_buckets of the index);
+- vector: ``ann.read_ivfpq_index`` + ``ann.knn_topk_ivfpq`` — n_probe
+  cell directories prune the codes scan, ADC orders them, the exact
+  rerank reads ``rerank_k`` embeddings;
+- fusion: reciprocal-rank (``bm25.rrf_fuse``) — rank fusion sidesteps
+  calibrating the incomparable BM25/cosine scales.
+
+Per-query cost is BOUNDED BY THE INDEX GEOMETRY, not the corpus: a
+query touches |terms| postings buckets + n_probe cells + the sidecar
+literals, nothing else — at 100 TB that is the difference between a
+serving path and a batch job. Both indexes are maintained by the same
+lifecycle verbs (write/append/compact + CDC delete/upsert in
+``functions/index_cdc.py``), so the fused answer tracks the corpus as
+snapshots roll.
+
+The reference's retrieval surface is embedding-only
+(``lotus/sem_ops/sem_search.py``); the lexical tier and the fusion are
+the production-stack extension, same rationale as ``functions/bm25.py``.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hybrid_search_index(
+    spark,
+    bm25_path: str,
+    ivfpq_path: str,
+    query_text: str,
+    query_vec: list[float],
+    k: int = 10,
+    lexical_k: int = 20,
+    vector_k: int = 20,
+    n_probe: int = 8,
+    rerank_k: int | str = "auto",
+    rrf_k: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    vector_id_col: str = "vec_id",
+) -> DataFrame:
+    """One hybrid query against the two persisted indexes → top-``k``
+    ``(id, rrf_score)``. The id column is the BM25 sidecar's pinned
+    ``id_col``; ``vector_id_col`` names the stored IVF-PQ index's id
+    column (the two corpora must share the id space — build both
+    indexes over the same document set). ``rerank_k=None`` is rejected:
+    RRF needs a rank order, and raw ADC distances rank differently per
+    probe geometry (pass an int to bound the exact rerank instead)."""
+    from lotus_spark.functions.ann import (
+        _fs_read_json, knn_topk_ivfpq, read_ivfpq_index,
+    )
+    from lotus_spark.functions.bm25 import rrf_fuse
+    from lotus_spark.functions.bm25_store import (
+        bm25_search_index, read_bm25_meta,
+    )
+
+    if rerank_k is None:
+        raise ValueError(
+            "hybrid_search_index: rerank_k=None (raw-ADC opt-out) has no "
+            "cosine score to rank for fusion — pass an int or 'auto'")
+    out_id = read_bm25_meta(spark, bm25_path)["id_col"]
+    lex = bm25_search_index(spark, bm25_path, query_text, k=lexical_k,
+                            k1=k1, b=b)
+
+    stored, cents, books, cell_col = read_ivfpq_index(spark, ivfpq_path)
+    meta = _fs_read_json(spark, f"{ivfpq_path}/_ivfpq_meta.json") or {}
+    vec = knn_topk_ivfpq(
+        stored, cents, books, query_vec, k=vector_k, n_probe=n_probe,
+        id_col=vector_id_col, cell_col=cell_col,
+        code_col=meta.get("code_col", "pq_codes"), rerank_k=rerank_k,
+    ).select(F.col(vector_id_col).alias(out_id), "score")
+
+    return rrf_fuse([lex, vec], out_id, k=k, rrf_k=rrf_k)
