@@ -327,6 +327,13 @@ def bench_cdc_apply(spark, sf_dir: str) -> tuple[int, float]:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _timed(fn, spark, sf_dir) -> tuple[int, float]:
+    """(rows, wall) for a micro-bench callable returning a row count."""
+    t0 = time.time()
+    n = fn(spark, sf_dir)
+    return int(n), time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -428,88 +435,49 @@ def main() -> None:
         print(f"# {name}: {rows[name]} rows in {timings[name]:.2f}s "
               f"(median; min {timings_min[name]:.2f}s)", file=sys.stderr)
 
-    # streaming micro-bench (not in queries() — a streaming query has no
-    # batch DuckDB oracle; rows-only sanity + timing visibility here)
-    try:
-        strm, n = [], 0
-        for _ in range(3):
-            t0 = time.time()
-            n = bench_streaming(spark, sf_dir)
-            strm.append(time.time() - t0)
-        timings["streaming_doc_stats"] = round(med(strm), 3)
-        timings_min["streaming_doc_stats"] = round(min(strm), 3)
-        print(f"# streaming_doc_stats: {n} rows in "
-              f"{timings['streaming_doc_stats']:.2f}s", file=sys.stderr)
-    except Exception as exc:  # streaming must never fail the batch bench
-        print(f"# streaming_doc_stats failed: {exc}", file=sys.stderr)
-
-    # corpus-index probe micro-bench (r10): the flagship daily shape is
-    # "index once, probe each increment" — the one-time write is setup
-    # (untimed, like the streaming source staging), the PROBE is the
-    # recurring path being measured. Not in queries() under this name;
-    # the oracle rows (neardup_index etc.) cover correctness.
-    try:
-        xs, n = [], 0
-        for _ in range(3):
-            t0 = time.time()
-            n = bench_index_probe(spark, sf_dir)
-            xs.append(time.time() - t0)
-        timings["mhindex_probe"] = round(med(xs), 3)
-        timings_min["mhindex_probe"] = round(min(xs), 3)
-        print(f"# mhindex_probe: {n} match rows in "
-              f"{timings['mhindex_probe']:.2f}s", file=sys.stderr)
-    except Exception as exc:
-        print(f"# mhindex_probe failed: {exc}", file=sys.stderr)
-
-    # decontamination probe micro-bench (r11): same index-once/probe-
-    # each-increment shape as mhindex_probe, for the eval-set n-gram
-    # index. Correctness is the contamination_index oracle row; this
-    # times the recurring 100 TB-side path.
-    try:
-        xs, n = [], 0
-        for _ in range(3):
-            t0 = time.time()
-            n = bench_decontam_probe(spark, sf_dir)
-            xs.append(time.time() - t0)
-        timings["decontam_probe"] = round(med(xs), 3)
-        timings_min["decontam_probe"] = round(min(xs), 3)
-        print(f"# decontam_probe: {n} contaminated pairs in "
-              f"{timings['decontam_probe']:.2f}s", file=sys.stderr)
-    except Exception as exc:
-        print(f"# decontam_probe failed: {exc}", file=sys.stderr)
-
-    # incremental cluster-assignment micro-bench (r11): the recurring
-    # stable-cluster-id path — one-time index build is setup;
-    # correctness is the cluster_assign_incremental oracle row.
-    try:
-        xs, n = [], 0
-        for _ in range(3):
-            t0 = time.time()
-            n = bench_cluster_assign(spark, sf_dir)
-            xs.append(time.time() - t0)
-        timings["cluster_assign_probe"] = round(med(xs), 3)
-        timings_min["cluster_assign_probe"] = round(min(xs), 3)
-        print(f"# cluster_assign_probe: {n} assignments in "
-              f"{timings['cluster_assign_probe']:.2f}s", file=sys.stderr)
-    except Exception as exc:
-        print(f"# cluster_assign_probe failed: {exc}", file=sys.stderr)
-
-    # snapshot-CDC apply micro-bench (r11): the third recurring daily
-    # path — diff the corpus snapshot and upsert the IVF-PQ index
-    # (partition-pruned deletes + pinned-codebook append). Correctness
-    # is the ivfpq_cdc oracle row; the per-call index rebuild is setup
-    # inside bench_cdc_apply and excluded from its returned timing.
-    try:
-        xs, n = [], 0
-        for _ in range(3):
-            n, wall = bench_cdc_apply(spark, sf_dir)
-            xs.append(wall)
-        timings["cdc_apply"] = round(med(xs), 3)
-        timings_min["cdc_apply"] = round(min(xs), 3)
-        print(f"# cdc_apply: {n} rows touched in "
-              f"{timings['cdc_apply']:.2f}s", file=sys.stderr)
-    except Exception as exc:
-        print(f"# cdc_apply failed: {exc}", file=sys.stderr)
+    # micro-bench phase (streaming sink + the four daily index probes):
+    # 3 repeats each, taken as ROUND-ROBIN ROUNDS over the whole set —
+    # consecutive per-probe repeats let one tail-of-session contention
+    # burst corrupt all three samples of the same probe (r12: the
+    # decontam_probe flag that did not reproduce in isolation), whereas
+    # a round-robin separates a probe's samples by the full round.
+    # Correctness lives in the oracle rows; this phase is timing only.
+    # Rows documented per probe: streaming_doc_stats = windowed corpus
+    # stats over a file-source stream (no batch oracle — rows-only);
+    # mhindex/decontam/cluster_assign = one increment probe against the
+    # session-built index (build untimed, amortized-by-design);
+    # cdc_apply = one snapshot upsert (pristine rebuild per call is
+    # setup inside the function, excluded from its returned wall).
+    micro = {
+        "streaming_doc_stats": lambda: _timed(bench_streaming, spark,
+                                              sf_dir),
+        "mhindex_probe": lambda: _timed(bench_index_probe, spark, sf_dir),
+        "decontam_probe": lambda: _timed(bench_decontam_probe, spark,
+                                         sf_dir),
+        "cluster_assign_probe": lambda: _timed(bench_cluster_assign,
+                                               spark, sf_dir),
+        "cdc_apply": lambda: bench_cdc_apply(spark, sf_dir),
+    }
+    msamples: dict[str, list[float]] = {}
+    mrows: dict[str, int] = {}
+    failed: set = set()
+    for _ in range(3):
+        for name, fn in micro.items():
+            if name in failed:
+                continue
+            try:
+                n, wall = fn()
+            except Exception as exc:  # a probe must not fail the bench
+                print(f"# {name} failed: {exc}", file=sys.stderr)
+                failed.add(name)
+                continue
+            mrows[name] = n
+            msamples.setdefault(name, []).append(wall)
+    for name, xs in msamples.items():
+        timings[name] = round(med(xs), 3)
+        timings_min[name] = round(min(xs), 3)
+        print(f"# {name}: {mrows[name]} rows in {timings[name]:.2f}s "
+              f"(median; min {timings_min[name]:.2f}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
