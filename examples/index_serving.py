@@ -114,6 +114,25 @@ def main() -> None:
         print("ivfpq join matches:",
               joined_pq.select("qid", "match_id").count())
 
+        # 6. HYBRID serving (r12): add the lexical tier — a persisted
+        # BM25 index over the documents table (doc_id ≡ vec_id in the
+        # test data) — and answer ONE query from both stores fused by
+        # reciprocal rank. Per-query reads stay bounded by the index
+        # geometry: |terms| postings buckets + n_probe cells.
+        from lotus_spark.functions.bm25_store import write_bm25_index
+        from lotus_spark.functions.serving import hybrid_search_index
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text")
+        bm_path = f"{d}/bm25"
+        write_bm25_index(docs, bm_path, "text", "doc_id", n_buckets=16)
+        fused = hybrid_search_index(
+            spark, bm_path, path, "spark window merge join", q,
+            k=5, n_probe=8)
+        print("hybrid top-5 (RRF):",
+              [(r["doc_id"], round(r["rrf_score"], 4))
+               for r in fused.collect()])
+
 
 if __name__ == "__main__":
     main()

@@ -732,3 +732,70 @@ def apply_snapshot_to_cluster_index(
         _append_mh(spark, path, inc, text_col, id_col)
     return {"deleted": int(n_idx), "upserted": int(n_up),
             "merged_clusters": int(n_merged)}
+
+
+def apply_snapshot_to_embedding_cluster_index(
+    spark,
+    path: str,
+    diff: DataFrame,
+    new_snapshot: DataFrame,
+    n_probe: int = 8,
+    k: int = 10,
+    rerank_k: int | str = "auto",
+    block_col: str | None = None,
+    change_col: str = "change",
+) -> dict:
+    """EMBEDDING twin of :func:`apply_snapshot_to_cluster_index`
+    (``cluster_index.build_embedding_cluster_index`` layout: IVF-PQ
+    index at ``path`` + the ``{path}.clusters`` sibling map): delete
+    removed+changed ids from the map and the index (partition-pruned
+    cell rewrites) with the same desync guard, then run the daily
+    embedding assignment recipe for added+changed rows. The id and
+    embedding column names come from the map's sidecar; the probe knobs
+    are the daily approximate tier (full-recall knobs documented on
+    ``assign_embedding_clusters_against_index``). Same stability
+    semantics: surviving vectors keep their cluster ids."""
+    from lotus_spark.functions.ann import (
+        _fs_read_json as _read_json,
+        append_ivfpq_index as _append_iv,
+    )
+    from lotus_spark.functions.cluster_index import (
+        apply_embedding_cluster_assignments,
+        assign_embedding_clusters_against_index,
+    )
+
+    cmeta = _read_json(spark, f"{path}.clusters/_cluster_meta.json")
+    if cmeta is None:
+        raise FileNotFoundError(
+            f"no _cluster_meta.json sidecar at {path}.clusters — not an "
+            "embedding cluster index (build_embedding_cluster_index "
+            "creates it)")
+    id_col, emb_col = cmeta["id_col"], cmeta["emb_col"]
+    if id_col not in diff.columns:
+        raise ValueError(
+            f"apply_snapshot_to_embedding_cluster_index: diff lacks the "
+            f"index id column {id_col!r}")
+    dead, fresh = _split_diff(diff, id_col, change_col)
+    n_map = delete_from_cluster_map(
+        spark, f"{path}.clusters", dead.withColumnRenamed(id_col, "id"))
+    n_idx = delete_from_ivfpq_index(spark, path, dead, id_col)
+    if n_map != n_idx:
+        raise RuntimeError(
+            f"apply_snapshot_to_embedding_cluster_index: map deleted "
+            f"{n_map} rows but the IVF-PQ index deleted {n_idx} — the "
+            "two stores were out of sync BEFORE this apply; rebuild the "
+            "cluster index")
+    inc = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+    n_up = inc.count()
+    n_merged = 0
+    if n_up:
+        assigns, remap = assign_embedding_clusters_against_index(
+            spark, path, inc, emb_col, id_col, n_probe=n_probe, k=k,
+            rerank_k=rerank_k, block_col=block_col)
+        remap = remap.localCheckpoint(eager=True)
+        n_merged = remap.count()
+        apply_embedding_cluster_assignments(spark, path, assigns, remap,
+                                            id_col)
+        _append_iv(spark, path, inc, emb_col=emb_col)
+    return {"deleted": int(n_idx), "upserted": int(n_up),
+            "merged_clusters": int(n_merged)}

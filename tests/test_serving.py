@@ -184,3 +184,54 @@ def test_hybrid_search_stored_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) == 10
     assert a.equals(b)
+
+
+def test_embedding_cluster_snapshot_cdc(spark, tmp_path):
+    """Embedding twin of the cluster-index snapshot apply: map + IVF-PQ
+    index shrink in step, survivors keep their cluster ids, changed and
+    added vectors re-enter through the daily assignment recipe."""
+    from lotus_spark.functions.cluster_index import (
+        build_embedding_cluster_index,
+    )
+    from lotus_spark.functions.index_cdc import (
+        apply_snapshot_to_embedding_cluster_index,
+    )
+    from lotus_spark.functions.snapshot import snapshot_diff
+
+    def _df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    a = [1.0, 0.05]           # cluster {0, 1}: nearly parallel
+    b = [1.0, 0.10]
+    c = [0.0, 1.0]            # own cluster
+    d = [-1.0, 0.2]           # own cluster
+    extra = [[0.5, 0.9], [0.3, -1.0], [0.9, -0.4], [-0.6, -0.8]]
+    t0_rows = [(0, a), (1, b), (2, c), (3, d)] + [
+        (20 + i, v) for i, v in enumerate(extra)]
+    t0 = _df(t0_rows)
+    path = str(tmp_path / "ec")
+    build_embedding_cluster_index(spark, t0, path, "embedding", "vec_id",
+                                  threshold=0.95, n_cells=2, m=2,
+                                  nbits=2, seed=42, pq_seed=101)
+    # T1: vec 0 (cluster 0's min member) removed; vec 3 changed to the
+    # a/b direction; vec 30 added in the same direction
+    t1_rows = [(1, b), (2, c), (3, [1.0, 0.07]), (30, [1.0, 0.08])] + [
+        (20 + i, v) for i, v in enumerate(extra)]
+    t1 = _df(t1_rows)
+    diff = snapshot_diff(t0, t1, "vec_id", compare_cols=["embedding"])
+    stats = apply_snapshot_to_embedding_cluster_index(
+        spark, path, diff, t1, n_probe=2, k=8, rerank_k=100)
+    assert stats["deleted"] == 2 and stats["upserted"] == 2
+    cmap = {r["id"]: r["cluster"] for r in
+            spark.read.parquet(f"{path}.clusters").collect()}
+    assert 0 not in cmap
+    assert cmap[1] == 0          # stability: id survives its namesake
+    assert cmap[3] == 0 and cmap[30] == 0   # re-entrants join cluster 0
+    assert cmap[2] == 2
+    assert len(cmap) == len(t1_rows)
+    # idempotence of the daily recipe boundary: re-applying raises on
+    # the disjointness/dup guards rather than corrupting the map
+    with pytest.raises(ValueError):
+        apply_snapshot_to_embedding_cluster_index(
+            spark, path, diff, t1, n_probe=2, k=8, rerank_k=100)
