@@ -110,11 +110,17 @@ def write_bm25_index(
     if df.filter(F.col(id_col).isNull()).count():
         raise ValueError("write_bm25_index: NULL ids are not indexable")
     postings, doclens = _encode(df, text_col, id_col, n_buckets)
+    n_docs, total_dl = _corpus_stats(doclens)
+    if n_docs == 0:
+        # an all-empty corpus would write an empty partitioned postings
+        # layout, which is unreadable — fail BEFORE any write
+        raise ValueError(
+            "write_bm25_index: no document has a single token — nothing "
+            "to index")
     postings = postings.persist()
     postings.write.partitionBy("bucket").parquet(f"{path}/postings")
     _termdf(postings).write.partitionBy("bucket").parquet(f"{path}/termdf")
     doclens.write.parquet(f"{path}/doclens")
-    n_docs, total_dl = _corpus_stats(doclens)
     from lotus_spark.functions.ann import _fs_write_json
 
     _fs_write_json(df.sparkSession, f"{path}/{_META}", {
@@ -138,6 +144,7 @@ def read_bm25_meta(spark, path: str) -> dict:
 
 
 _BUCKET_CACHE: dict[tuple[str, int], int] = {}
+_BUCKET_CACHE_MAX = 1_000_000  # entries; a serving vocabulary bound
 
 
 def _term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
@@ -149,6 +156,8 @@ def _term_buckets(spark, terms: list[str], n_buckets: int) -> list[int]:
     over a shared vocabulary pays the mini-job only for never-seen
     terms (r11 verdict: ~1.4s fixed per-query overhead at sf0.1,
     amortized — BENCH_bm25.json stored_query_warm)."""
+    if len(_BUCKET_CACHE) > _BUCKET_CACHE_MAX:
+        _BUCKET_CACHE.clear()  # unbounded vocab: reset, never grow past
     missing = sorted({t for t in terms
                       if (t, n_buckets) not in _BUCKET_CACHE})
     if missing:
@@ -297,6 +306,13 @@ def compact_bm25_index(spark, path: str) -> None:
 
     from lotus_spark.functions.ann import _fs_write_json
 
+    from lotus_spark.functions.index_cdc import _assert_no_unknown_siblings
+
+    # refuse rather than silently destroy anything co-located (the
+    # whole-dir swap carries only the three tables + sidecar — r12)
+    _assert_no_unknown_siblings(
+        spark, path, ("postings", "termdf", "doclens"), _META,
+        "compact_bm25_index")
     meta = read_bm25_meta(spark, path)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

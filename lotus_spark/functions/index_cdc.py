@@ -390,6 +390,9 @@ def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
         read_bm25_meta,
     )
 
+    _assert_no_unknown_siblings(
+        spark, path, ("postings", "termdf", "doclens"), _BM_META,
+        "delete_from_bm25_index")
     meta = read_bm25_meta(spark, path)
     dids = _ids_frame(ids, "id", "delete_from_bm25_index")
     doclens = spark.read.parquet(f"{path}/doclens")
@@ -688,6 +691,14 @@ def apply_snapshot_to_cluster_index(
     snapshot's text column (like ``apply_snapshot_to_minhash_index``).
     Returns ``{"deleted": n, "upserted": n, "merged_clusters": n}``.
 
+    Crash/retry: the map/index sync is checked BEFORE any mutation and
+    each delete is idempotent, so a crash anywhere in the delete phase
+    converges on re-run. A crash AFTER the assignments were applied but
+    before ``append_minhash_index`` makes the re-run fail loudly on the
+    assign disjointness guard — recovery is deleting the increment's
+    ids from the map and index (this module's delete verbs) and
+    re-running.
+
     Inherits :func:`delete_from_cluster_map`'s stability semantics:
     surviving docs keep their cluster ids; a changed doc is assigned
     exactly as a NEW doc with its new text would be (it may rejoin its
@@ -710,16 +721,26 @@ def apply_snapshot_to_cluster_index(
             f"apply_snapshot_to_cluster_index: diff lacks the index id "
             f"column {id_col!r}")
     dead, fresh = _split_diff(diff, id_col, change_col)
-    n_map = delete_from_cluster_map(
-        spark, f"{path}.clusters", dead.withColumnRenamed(id_col, "id"))
-    n_idx = delete_from_minhash_index(
-        spark, path, dead.withColumnRenamed(id_col, "id"))
-    if n_map != n_idx:
+    dead_ids = dead.withColumnRenamed(id_col, "id")
+    # sync check BEFORE any mutation (not on the delete counts): a
+    # crash between the two deletes must leave a state a re-run
+    # CONVERGES from (both matches drop to the same smaller number),
+    # not one the guard permanently wedges on
+    n_map_match = (spark.read.parquet(f"{path}.clusters")
+                   .join(F.broadcast(dead_ids.distinct()), "id").count())
+    n_idx_match = (spark.read.parquet(f"{path}/sigs")
+                   .join(F.broadcast(dead_ids.distinct()), "id").count())
+    if n_map_match != n_idx_match:
         raise RuntimeError(
-            f"apply_snapshot_to_cluster_index: map deleted {n_map} rows "
-            f"but the LSH index deleted {n_idx} — the two stores were "
-            "out of sync BEFORE this apply (every indexed doc must hold "
-            "exactly one map row); rebuild the cluster index")
+            f"apply_snapshot_to_cluster_index: {n_map_match} of the dead "
+            f"ids hold cluster-map rows but {n_idx_match} hold LSH index "
+            "rows — the two stores are out of sync (every indexed doc "
+            "must hold exactly one map row); if a previous apply crashed "
+            "mid-delete, re-running converges only when BOTH stores "
+            "still agree on the dead set — otherwise rebuild the "
+            "cluster index")
+    n_map = delete_from_cluster_map(spark, f"{path}.clusters", dead_ids)
+    n_idx = delete_from_minhash_index(spark, path, dead_ids)
     inc = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
     n_up = inc.count()
     n_merged = 0
@@ -776,15 +797,24 @@ def apply_snapshot_to_embedding_cluster_index(
             f"apply_snapshot_to_embedding_cluster_index: diff lacks the "
             f"index id column {id_col!r}")
     dead, fresh = _split_diff(diff, id_col, change_col)
-    n_map = delete_from_cluster_map(
-        spark, f"{path}.clusters", dead.withColumnRenamed(id_col, "id"))
-    n_idx = delete_from_ivfpq_index(spark, path, dead, id_col)
-    if n_map != n_idx:
+    dead_ids = dead.withColumnRenamed(id_col, "id").distinct()
+    stored, _c, _b, _cc = read_ivfpq_index(spark, path)
+    # sync check BEFORE any mutation — see apply_snapshot_to_cluster_index
+    n_map_match = (spark.read.parquet(f"{path}.clusters")
+                   .join(F.broadcast(dead_ids), "id").count())
+    n_idx_match = (stored.select(F.col(id_col).alias("id"))
+                   .join(F.broadcast(dead_ids), "id").count())
+    if n_map_match != n_idx_match:
         raise RuntimeError(
-            f"apply_snapshot_to_embedding_cluster_index: map deleted "
-            f"{n_map} rows but the IVF-PQ index deleted {n_idx} — the "
-            "two stores were out of sync BEFORE this apply; rebuild the "
-            "cluster index")
+            f"apply_snapshot_to_embedding_cluster_index: {n_map_match} "
+            f"of the dead ids hold cluster-map rows but {n_idx_match} "
+            "hold index rows — the two stores are out of sync; if a "
+            "previous apply crashed mid-delete, re-running converges "
+            "only when BOTH stores still agree on the dead set — "
+            "otherwise rebuild the cluster index")
+    n_map = delete_from_cluster_map(spark, f"{path}.clusters",
+                                    dead_ids)
+    n_idx = delete_from_ivfpq_index(spark, path, dead, id_col)
     inc = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
     n_up = inc.count()
     n_merged = 0
