@@ -1,0 +1,254 @@
+"""Read-only integrity checking (fsck) for the persisted index layouts.
+
+Five index families live on disk (MinHash-LSH, IVF-PQ, n-gram
+decontamination, BM25, and the cluster maps riding the first two), all
+maintained by verify-then-swap rewrites with documented crash windows.
+``validate_index`` is the operator's converse: ONE read-only pass that
+says whether an index is healthy, mid-recovery, or corrupt — run it
+before a maintenance job, after a crash, or on a schedule. Every check
+returns a row rather than raising, so a report covers everything at
+once (the ``expectations.py`` report shape); ``ok`` is the AND of all
+rows.
+
+Checks by family (all bounded: sidecar reads, directory listings, and
+narrow-column aggregates — never a full-payload scan):
+
+- every family: sidecar present + required keys; leftover maintenance
+  siblings (``.cdcold-*`` / ``.cdcdel-*`` / ``.compact-*`` / ``.old-*``
+  / ``.rw-*`` — evidence of a crashed swap, with the recovery named);
+  unknown co-located entries (the whole-dir swaps refuse them; see
+  ``index_cdc._assert_no_unknown_siblings``).
+- minhash: ``sigs`` ids unique; ``buckets`` rows == bands x sigs rows;
+  the two tables cover the same id set.
+- ivfpq: unacked stream epochs (``_stream_batches.json`` high-water);
+  stored ids unique; every PQ code vector has length m.
+- bm25: doclens ids unique; every postings id has a doclens row;
+  sidecar (n_docs, total_dl) equal a recount over doclens (dl > 0
+  convention).
+- cluster / embedding_cluster: map ids unique; map id set == index id
+  set (the sync invariant ``apply_snapshot_to_*_cluster_index`` checks
+  before mutating).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import functions as F
+
+KINDS = ("minhash", "ivfpq", "ngram", "bm25", "cluster",
+         "embedding_cluster")
+
+_LEFTOVER_GLOBS = (".cdcold-*", ".cdcdel-*", ".compact-*", ".old-*",
+                   ".rw-*")
+
+
+def _row(check: str, ok: bool, detail: str = "") -> dict:
+    return {"check": check, "ok": bool(ok), "detail": detail}
+
+
+def _sibling_leftovers(spark, path: str) -> list[str]:
+    from lotus_spark.functions.index_cdc import _fs
+
+    jvm, fs, p = _fs(spark, path)
+    found: list[str] = []
+    for g in _LEFTOVER_GLOBS:
+        for st in (fs.globStatus(p(f"{path}{g}")) or []):
+            found.append(st.getPath().getName())
+        for st in (fs.globStatus(p(f"{path}/{g}")) or []):
+            found.append(st.getPath().getName())
+    return found
+
+
+def _check_layout(spark, path: str, tables: tuple[str, ...],
+                  meta_name: str, rows: list[dict]) -> dict | None:
+    """Shared sidecar/leftover/unknown-sibling checks; returns the
+    parsed sidecar (or None, with a failed row recorded)."""
+    from lotus_spark.functions.ann import _fs_read_json
+    from lotus_spark.functions.index_cdc import _fs
+
+    jvm, fs, p = _fs(spark, path)
+    if not fs.exists(p(path)):
+        rows.append(_row("exists", False, f"no directory at {path}"))
+        return None
+    rows.append(_row("exists", True))
+    meta = _fs_read_json(spark, f"{path}/{meta_name}")
+    rows.append(_row(
+        "sidecar", meta is not None,
+        "" if meta is not None else f"missing {meta_name}"))
+    for t in tables:
+        present = fs.exists(p(f"{path}/{t}"))
+        rows.append(_row(f"table:{t}", present,
+                         "" if present else "table directory missing"))
+    left = _sibling_leftovers(spark, path)
+    rows.append(_row(
+        "no_crashed_swap_leftovers", not left,
+        "" if not left else (
+            f"maintenance leftovers {left} — a swap crashed mid-window; "
+            "recover per the owning verb's docstring (rename the .old-* "
+            "aside back, or finish installing the staged rewrite) "
+            "before running maintenance")))
+    known = set(tables) | {meta_name}
+    extras = [
+        st.getPath().getName()
+        for st in (fs.listStatus(p(path)) or [])
+        if st.getPath().getName() not in known
+        and not st.getPath().getName().startswith(("_", "."))
+    ]
+    rows.append(_row(
+        "no_unknown_siblings", not extras,
+        "" if not extras else (
+            f"unknown co-located entries {extras} — whole-dir "
+            "maintenance swaps refuse these; move them to sibling "
+            "directories")))
+    return meta
+
+
+def _ids_equal(a, b) -> int:
+    """Rows by which two single-column id frames differ (0 == same set)."""
+    return a.join(b, "id", "full_outer").filter(
+        a["id"].isNull() | b["id"].isNull()).count()
+
+
+def validate_index(spark, path: str, kind: str) -> dict[str, Any]:
+    """Validate one persisted index; returns ``{"ok": bool, "kind":
+    ..., "path": ..., "checks": [{check, ok, detail}, ...]}``. Read-only
+    and side-effect free — safe to run against a live (single-writer)
+    index between maintenance jobs."""
+    if kind not in KINDS:
+        raise ValueError(f"validate_index: unknown kind {kind!r} "
+                         f"(one of {KINDS})")
+    rows: list[dict] = []
+
+    if kind == "minhash":
+        meta = _check_layout(spark, path, ("buckets", "sigs"),
+                             "_minhash_meta.json", rows)
+        if meta is not None and all(r["ok"] for r in rows):
+            sigs = spark.read.parquet(f"{path}/sigs")
+            bks = spark.read.parquet(f"{path}/buckets")
+            n_sigs, n_ids = sigs.count(), sigs.select("id").distinct().count()
+            rows.append(_row("sigs_ids_unique", n_sigs == n_ids,
+                             f"{n_sigs} rows / {n_ids} distinct ids"))
+            n_b = bks.count()
+            want = n_sigs * int(meta["bands"])
+            rows.append(_row(
+                "buckets_rows_eq_bands_x_sigs", n_b == want,
+                f"{n_b} bucket rows, expected {want}"))
+            d = _ids_equal(sigs.select("id"),
+                           bks.select("id").distinct())
+            rows.append(_row("tables_cover_same_ids", d == 0,
+                             f"{d} ids present in only one table"))
+
+    elif kind == "ivfpq":
+        meta = _check_layout(spark, path, (), "_ivfpq_meta.json", rows)
+        # the data itself is the partitioned layout at the root — check
+        # the cell directories exist
+        if meta is not None:
+            from lotus_spark.functions.index_cdc import (
+                _assert_no_unacked_stream_epochs,
+            )
+
+            try:
+                _assert_no_unacked_stream_epochs(spark, path,
+                                                 "validate_index")
+                rows.append(_row("no_unacked_stream_epochs", True))
+            except RuntimeError as e:
+                rows.append(_row("no_unacked_stream_epochs", False,
+                                 str(e)))
+            if all(r["ok"] for r in rows):
+                from lotus_spark.functions.ann import read_ivfpq_index
+
+                stored, cents, books, cell_col = read_ivfpq_index(
+                    spark, path)
+                id_cols = [c for c in stored.columns
+                           if c not in (cell_col,)]
+                code_col = meta.get("code_col", "pq_codes")
+                n = stored.count()
+                m = len(books)
+                bad_codes = stored.filter(
+                    F.size(F.col(code_col)) != m).count()
+                rows.append(_row(
+                    "code_vectors_have_length_m", bad_codes == 0,
+                    f"{bad_codes}/{n} rows with len(codes) != {m}"))
+                cell_max = stored.agg(
+                    F.max(cell_col).alias("m")).first()["m"]
+                rows.append(_row(
+                    "cells_within_centroid_range",
+                    cell_max is not None and cell_max < len(cents),
+                    f"max cell {cell_max}, {len(cents)} centroids"))
+
+    elif kind == "ngram":
+        _check_layout(spark, path, ("ngrams", "sizes"),
+                      "_ngram_meta.json", rows)
+        if all(r["ok"] for r in rows):
+            sizes = spark.read.parquet(f"{path}/sizes")
+            n_s = sizes.count()
+            n_d = sizes.select("id").distinct().count()
+            rows.append(_row("sizes_ids_unique", n_s == n_d,
+                             f"{n_s} rows / {n_d} distinct ids"))
+
+    elif kind == "bm25":
+        meta = _check_layout(spark, path,
+                             ("postings", "termdf", "doclens"),
+                             "_bm25_meta.json", rows)
+        if meta is not None and all(r["ok"] for r in rows):
+            dl = spark.read.parquet(f"{path}/doclens")
+            n_dl, n_ids = dl.count(), dl.select("id").distinct().count()
+            rows.append(_row("doclens_ids_unique", n_dl == n_ids,
+                             f"{n_dl} rows / {n_ids} distinct ids"))
+            posts = spark.read.parquet(f"{path}/postings")
+            orphans = posts.select("id").distinct().join(
+                dl.select("id"), "id", "left_anti").count()
+            rows.append(_row(
+                "postings_ids_have_doclens", orphans == 0,
+                f"{orphans} posting ids with no doclens row — a partial "
+                "append (doclens-first ordering makes this impossible "
+                "for crashes; see append_bm25_index)"))
+            from lotus_spark.functions.bm25_store import _corpus_stats
+
+            n_docs, total_dl = _corpus_stats(dl)
+            stats_ok = (n_docs == int(meta["n_docs"])
+                        and total_dl == int(meta["total_dl"]))
+            rows.append(_row(
+                "sidecar_stats_match_recount", stats_ok,
+                f"sidecar ({meta['n_docs']}, {meta['total_dl']}) vs "
+                f"recount ({n_docs}, {total_dl})"))
+
+    else:  # cluster / embedding_cluster: the map + its backing index
+        from lotus_spark.functions.ann import _fs_read_json
+        from lotus_spark.functions.index_cdc import _fs
+
+        jvm, fs, p = _fs(spark, path)
+        map_dir = f"{path}.clusters"
+        if not fs.exists(p(map_dir)):
+            rows.append(_row("map_exists", False,
+                             f"no cluster map at {map_dir}"))
+        else:
+            rows.append(_row("map_exists", True))
+            cmeta = _fs_read_json(spark, f"{map_dir}/_cluster_meta.json")
+            rows.append(_row("map_sidecar", cmeta is not None,
+                             "" if cmeta else "missing _cluster_meta.json"))
+            cmap = spark.read.parquet(map_dir)
+            n_m = cmap.count()
+            n_i = cmap.select("id").distinct().count()
+            rows.append(_row("map_ids_unique", n_m == n_i,
+                             f"{n_m} rows / {n_i} distinct ids"))
+            if kind == "cluster":
+                idx_ids = spark.read.parquet(f"{path}/sigs").select("id")
+            else:
+                from lotus_spark.functions.ann import read_ivfpq_index
+
+                stored, _c, _b, _cc = read_ivfpq_index(spark, path)
+                id_col = (cmeta or {}).get("id_col")
+                if id_col is None or id_col not in stored.columns:
+                    id_col = [c for c in stored.columns
+                              if c not in (_cc, "pq_codes",
+                                           "embedding")][0]
+                idx_ids = stored.select(F.col(id_col).alias("id"))
+            d = _ids_equal(cmap.select("id"), idx_ids.distinct())
+            rows.append(_row(
+                "map_and_index_in_sync", d == 0,
+                f"{d} ids present in only one store — rebuild the "
+                "cluster index or finish the crashed apply"))
+
+    return {"ok": all(r["ok"] for r in rows), "kind": kind,
+            "path": path, "checks": rows}

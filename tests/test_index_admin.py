@@ -1,0 +1,107 @@
+"""Read-only index fsck (functions/index_admin.py): healthy layouts
+validate clean; crashed-swap leftovers, missing sidecars, and
+map/index desyncs are reported with recoveries named."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lotus_spark.functions.index_admin import KINDS, validate_index
+
+DOCS = [(i, f"w{i} w{i+1} w{i+2} common words here") for i in range(12)]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _checks(rep):
+    return {c["check"]: c["ok"] for c in rep["checks"]}
+
+
+def test_validate_minhash_and_cluster(spark, tmp_path):
+    from lotus_spark.functions.cluster_index import build_cluster_index
+
+    path = str(tmp_path / "mh")
+    build_cluster_index(spark, _docs(spark), path, "text", "doc_id",
+                        n_hashes=8, bands=2, shingle_n=2,
+                        jaccard_threshold=0.7)
+    rep = validate_index(spark, path, "minhash")
+    assert rep["ok"], rep["checks"]
+    repc = validate_index(spark, path, "cluster")
+    assert repc["ok"], repc["checks"]
+
+    # desync: remove one map row behind the module's back
+    from lotus_spark.functions.index_cdc import delete_from_cluster_map
+
+    delete_from_cluster_map(spark, f"{path}.clusters",
+                            spark.createDataFrame([(0,)], "id long"))
+    repd = validate_index(spark, path, "cluster")
+    assert not repd["ok"]
+    assert _checks(repd)["map_and_index_in_sync"] is False
+
+    # crashed-swap evidence: plant a leftover sibling
+    import os
+
+    os.makedirs(f"{path}.cdcdel-deadbeef")
+    repl = validate_index(spark, path, "minhash")
+    assert not repl["ok"]
+    assert _checks(repl)["no_crashed_swap_leftovers"] is False
+
+
+def test_validate_ivfpq_and_embedding_cluster(spark, tmp_path):
+    from lotus_spark.functions.cluster_index import (
+        build_embedding_cluster_index,
+    )
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(16)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "iv")
+    build_embedding_cluster_index(spark, emb, path, "embedding",
+                                  "vec_id", threshold=0.95, n_cells=2,
+                                  m=2, nbits=2)
+    rep = validate_index(spark, path, "ivfpq")
+    assert rep["ok"], rep["checks"]
+    repc = validate_index(spark, path, "embedding_cluster")
+    assert repc["ok"], repc["checks"]
+
+    # missing sidecar reported, not raised
+    import os
+
+    os.rename(f"{path}/_ivfpq_meta.json", f"{path}/meta.bak")
+    repm = validate_index(spark, path, "ivfpq")
+    assert not repm["ok"] and _checks(repm)["sidecar"] is False
+    os.rename(f"{path}/meta.bak", f"{path}/_ivfpq_meta.json")
+
+
+def test_validate_bm25_and_ngram(spark, tmp_path):
+    from lotus_spark.functions.bm25_store import write_bm25_index
+    from lotus_spark.functions.decontam_index import write_ngram_index
+
+    docs = _docs(spark)
+    bm = str(tmp_path / "bm")
+    write_bm25_index(docs, bm, "text", "doc_id", n_buckets=4)
+    rep = validate_index(spark, bm, "bm25")
+    assert rep["ok"], rep["checks"]
+
+    # stale sidecar stats reported
+    from lotus_spark.functions.ann import _fs_read_json, _fs_write_json
+
+    meta = _fs_read_json(spark, f"{bm}/_bm25_meta.json")
+    _fs_write_json(spark, f"{bm}/_bm25_meta.json",
+                   dict(meta, n_docs=999))
+    reps = validate_index(spark, bm, "bm25")
+    assert not reps["ok"]
+    assert _checks(reps)["sidecar_stats_match_recount"] is False
+
+    ng = str(tmp_path / "ng")
+    write_ngram_index(docs, ng, "text", "doc_id", ngram_n=3)
+    repn = validate_index(spark, ng, "ngram")
+    assert repn["ok"], repn["checks"]
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        validate_index(spark, bm, "nope")
+    missing = validate_index(spark, str(tmp_path / "ghost"), "bm25")
+    assert not missing["ok"]
+    assert len(KINDS) == 6
