@@ -27,7 +27,9 @@ narrow-column aggregates — never a full-payload scan):
   convention).
 - cluster / embedding_cluster: map ids unique; map id set == index id
   set (the sync invariant ``apply_snapshot_to_*_cluster_index`` checks
-  before mutating).
+  before mutating); the MAP directory's own crashed-swap leftovers and
+  unknown co-located entries (``_apply_to_map`` /
+  ``delete_from_cluster_map`` are whole-dir swap-rewriters too).
 """
 from __future__ import annotations
 
@@ -224,6 +226,35 @@ def validate_index(spark, path: str, kind: str) -> dict[str, Any]:
                              f"no cluster map at {map_dir}"))
         else:
             rows.append(_row("map_exists", True))
+            # the map dir has its own swap-rewriters (_apply_to_map,
+            # delete_from_cluster_map) with the same crash windows as
+            # the backing index — fsck ITS leftovers too, or the check
+            # misses exactly the crash evidence these kinds exist for
+            mleft = _sibling_leftovers(spark, map_dir)
+            rows.append(_row(
+                "map_no_crashed_swap_leftovers", not mleft,
+                "" if not mleft else (
+                    f"maintenance leftovers {mleft} beside/inside the "
+                    "cluster map — a map swap crashed mid-window; "
+                    "recover per the owning verb's docstring before "
+                    "running maintenance")))
+            mextras = [
+                st.getPath().getName()
+                for st in (fs.listStatus(p(map_dir)) or [])
+                if not st.getPath().getName().startswith(
+                    ("part-", "_", "."))
+            ]
+            rows.append(_row(
+                "map_no_unknown_siblings", not mextras,
+                "" if not mextras else (
+                    f"unknown co-located entries {mextras} in the "
+                    "cluster map dir — whole-dir map rewrites refuse "
+                    "these; move them to sibling directories")))
+            if mextras:
+                # an unknown co-located file breaks the parquet read
+                # below — report and stop (fsck never raises)
+                return {"ok": False, "kind": kind, "path": path,
+                        "checks": rows}
             cmeta = _fs_read_json(spark, f"{map_dir}/_cluster_meta.json")
             rows.append(_row("map_sidecar", cmeta is not None,
                              "" if cmeta else "missing _cluster_meta.json"))

@@ -546,6 +546,32 @@ def _split_diff(diff: DataFrame, id_col: str, change_col: str):
     return dead.select(id_col), fresh.select(id_col)
 
 
+def _dead_set_sync_guard(who: str, map_ids: DataFrame, idx_ids: DataFrame,
+                         dead_ids: DataFrame) -> None:
+    """Pre-mutation map/index sync check over the DEAD set, with
+    crash-convergent subset semantics. The cluster applies delete the
+    MAP first, then the index, so a crash between the two leaves dead
+    ids absent from the map but still present in the index — a state a
+    plain re-run HEALS (the map delete no-ops, the index delete
+    completes; both are idempotent), so it PASSES. The opposite
+    direction — a dead id holding a map row but NO index row — cannot
+    arise from any crash of this code path (the index is never deleted
+    first, and every indexed doc holds exactly one map row) and raises
+    as a genuine desync. ``map_ids``/``idx_ids``/``dead_ids`` are
+    single-``id``-column frames."""
+    dead = F.broadcast(dead_ids.select("id").distinct())
+    map_hit = map_ids.join(dead, "id", "semi").distinct()
+    idx_hit = idx_ids.join(dead, "id", "semi").distinct()
+    n_orphan = map_hit.join(idx_hit, "id", "left_anti").count()
+    if n_orphan:
+        raise RuntimeError(
+            f"{who}: {n_orphan} dead id(s) hold cluster-map rows but no "
+            "index rows — the stores are out of sync in a direction no "
+            "crash of this apply can produce (the map is always deleted "
+            "first); rebuild the cluster index, or delete those ids "
+            "from the map and re-run")
+
+
 def apply_snapshot_to_ivfpq_index(
     spark,
     path: str,
@@ -691,9 +717,13 @@ def apply_snapshot_to_cluster_index(
     snapshot's text column (like ``apply_snapshot_to_minhash_index``).
     Returns ``{"deleted": n, "upserted": n, "merged_clusters": n}``.
 
-    Crash/retry: the map/index sync is checked BEFORE any mutation and
-    each delete is idempotent, so a crash anywhere in the delete phase
-    converges on re-run. A crash AFTER the assignments were applied but
+    Crash/retry: the map/index sync is checked BEFORE any mutation with
+    crash-convergent SUBSET semantics — the map is deleted first, so
+    the state a mid-delete crash leaves (dead ids gone from the map but
+    still indexed) passes the guard and the idempotent re-run completes
+    the index delete; only the impossible direction (dead ids holding
+    map rows but no index rows) raises. A crash AFTER the assignments
+    were applied but
     before ``append_minhash_index`` makes the re-run fail loudly on the
     assign disjointness guard — recovery is deleting the increment's
     ids from the map and index (this module's delete verbs) and
@@ -722,23 +752,15 @@ def apply_snapshot_to_cluster_index(
             f"column {id_col!r}")
     dead, fresh = _split_diff(diff, id_col, change_col)
     dead_ids = dead.withColumnRenamed(id_col, "id")
-    # sync check BEFORE any mutation (not on the delete counts): a
-    # crash between the two deletes must leave a state a re-run
-    # CONVERGES from (both matches drop to the same smaller number),
-    # not one the guard permanently wedges on
-    n_map_match = (spark.read.parquet(f"{path}.clusters")
-                   .join(F.broadcast(dead_ids.distinct()), "id").count())
-    n_idx_match = (spark.read.parquet(f"{path}/sigs")
-                   .join(F.broadcast(dead_ids.distinct()), "id").count())
-    if n_map_match != n_idx_match:
-        raise RuntimeError(
-            f"apply_snapshot_to_cluster_index: {n_map_match} of the dead "
-            f"ids hold cluster-map rows but {n_idx_match} hold LSH index "
-            "rows — the two stores are out of sync (every indexed doc "
-            "must hold exactly one map row); if a previous apply crashed "
-            "mid-delete, re-running converges only when BOTH stores "
-            "still agree on the dead set — otherwise rebuild the "
-            "cluster index")
+    # sync check BEFORE any mutation, with crash-convergent SUBSET
+    # semantics (see _dead_set_sync_guard): the map-already-deleted
+    # state a mid-delete crash leaves passes and is healed by the
+    # idempotent re-run; only map-rows-without-index-rows raises
+    _dead_set_sync_guard(
+        "apply_snapshot_to_cluster_index",
+        spark.read.parquet(f"{path}.clusters").select("id"),
+        spark.read.parquet(f"{path}/sigs").select("id"),
+        dead_ids)
     n_map = delete_from_cluster_map(spark, f"{path}.clusters", dead_ids)
     n_idx = delete_from_minhash_index(spark, path, dead_ids)
     inc = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
@@ -799,19 +821,13 @@ def apply_snapshot_to_embedding_cluster_index(
     dead, fresh = _split_diff(diff, id_col, change_col)
     dead_ids = dead.withColumnRenamed(id_col, "id").distinct()
     stored, _c, _b, _cc = read_ivfpq_index(spark, path)
-    # sync check BEFORE any mutation — see apply_snapshot_to_cluster_index
-    n_map_match = (spark.read.parquet(f"{path}.clusters")
-                   .join(F.broadcast(dead_ids), "id").count())
-    n_idx_match = (stored.select(F.col(id_col).alias("id"))
-                   .join(F.broadcast(dead_ids), "id").count())
-    if n_map_match != n_idx_match:
-        raise RuntimeError(
-            f"apply_snapshot_to_embedding_cluster_index: {n_map_match} "
-            f"of the dead ids hold cluster-map rows but {n_idx_match} "
-            "hold index rows — the two stores are out of sync; if a "
-            "previous apply crashed mid-delete, re-running converges "
-            "only when BOTH stores still agree on the dead set — "
-            "otherwise rebuild the cluster index")
+    # sync check BEFORE any mutation, with crash-convergent subset
+    # semantics — see _dead_set_sync_guard
+    _dead_set_sync_guard(
+        "apply_snapshot_to_embedding_cluster_index",
+        spark.read.parquet(f"{path}.clusters").select("id"),
+        stored.select(F.col(id_col).alias("id")),
+        dead_ids)
     n_map = delete_from_cluster_map(spark, f"{path}.clusters",
                                     dead_ids)
     n_idx = delete_from_ivfpq_index(spark, path, dead, id_col)

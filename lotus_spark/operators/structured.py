@@ -71,6 +71,7 @@ def _is_pydantic_model(obj: Any) -> bool:
 
 
 def _spark_type_of_annotation(ann: Any, where: str) -> DataType:
+    import types
     import typing
 
     origin = typing.get_origin(ann)
@@ -78,7 +79,10 @@ def _spark_type_of_annotation(ann: Any, where: str) -> DataType:
         args = typing.get_args(ann)
         inner = _spark_type_of_annotation(args[0] if args else str, where)
         return ArrayType(inner)
-    if origin is typing.Union:  # Optional[T] → T (Spark fields are nullable)
+    # Optional[T] → T (Spark fields are nullable): both the
+    # typing.Optional spelling and PEP 604's `T | None`
+    # (types.UnionType — the common modern pydantic spelling)
+    if origin is typing.Union or origin is types.UnionType:
         args = [a for a in typing.get_args(ann) if a is not type(None)]
         if len(args) == 1:
             return _spark_type_of_annotation(args[0], where)
@@ -111,9 +115,18 @@ def _schema_of_json_schema(js: dict) -> StructType:
     for name, spec in props.items():
         t = spec.get("type", "string")
         if t == "array":
-            inner = (spec.get("items") or {}).get("type", "string")
-            dt: DataType = ArrayType(
-                _JSON_TO_SPARK.get(inner, StringType()))
+            items = spec.get("items") or {}
+            inner = items.get("type", "string")
+            if inner == "object":
+                dt: DataType = ArrayType(_schema_of_json_schema(items))
+            elif inner in _JSON_TO_SPARK:
+                dt = ArrayType(_JSON_TO_SPARK[inner])
+            else:
+                raise ValueError(
+                    f"response_format array field {name!r} has "
+                    f"unsupported items type {inner!r} — use "
+                    "string/integer/number/boolean or object (silently "
+                    "coercing to array<string> would corrupt values)")
         elif t == "object":
             dt = _schema_of_json_schema(spec)
         else:

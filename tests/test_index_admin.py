@@ -46,6 +46,20 @@ def test_validate_minhash_and_cluster(spark, tmp_path):
     repl = validate_index(spark, path, "minhash")
     assert not repl["ok"]
     assert _checks(repl)["no_crashed_swap_leftovers"] is False
+    os.rmdir(f"{path}.cdcdel-deadbeef")
+
+    # the MAP dir's own crash evidence (delete_from_cluster_map /
+    # _apply_to_map swaps): a leftover beside the map and an unknown
+    # co-located file inside it are the cluster kinds' failure modes
+    os.makedirs(f"{path}.clusters.old-cafe")
+    repm = validate_index(spark, path, "cluster")
+    assert _checks(repm)["map_no_crashed_swap_leftovers"] is False
+    os.rmdir(f"{path}.clusters.old-cafe")
+    with open(f"{path}.clusters/stray.txt", "w") as fh:
+        fh.write("x")
+    repu = validate_index(spark, path, "cluster")
+    assert _checks(repu)["map_no_unknown_siblings"] is False
+    os.remove(f"{path}.clusters/stray.txt")
 
 
 def test_validate_ivfpq_and_embedding_cluster(spark, tmp_path):

@@ -77,6 +77,7 @@ def test_cluster_map_cdc_stability_and_sync(spark, tmp_path):
     )
     from lotus_spark.functions.index_cdc import (
         apply_snapshot_to_cluster_index, delete_from_cluster_map,
+        delete_from_minhash_index,
     )
     from lotus_spark.functions.snapshot import snapshot_diff
 
@@ -121,15 +122,30 @@ def test_cluster_map_cdc_stability_and_sync(spark, tmp_path):
     assert cmap[3] == 0 and cmap[10] == 0 and cmap[2] == 2
     assert len(cmap) == 4
 
-    # desync detection: delete a map row behind the module's back, then
-    # a subsequent apply must refuse (map deleted 0, index deleted 1)
+    # crash-convergence: a mid-delete crash leaves the map already
+    # deleted but the dead id still indexed (the map is deleted FIRST)
+    # — re-running the apply must HEAL this state, not wedge the guard
     delete_from_cluster_map(
         spark, f"{path}.clusters",
         spark.createDataFrame([(10,)], "id long"))
     t2 = t1.filter("doc_id != 10")
     diff2 = snapshot_diff(t1, t2, "doc_id", compare_cols=["text"])
+    stats2 = apply_snapshot_to_cluster_index(spark, path, diff2, t2,
+                                             "text")
+    assert stats2["deleted"] == 1        # the index row for 10
+    assert {r["id"] for r in
+            read_cluster_map(spark, path).collect()} == {1, 2, 3}
+    assert {r["id"] for r in spark.read.parquet(f"{path}/sigs")
+            .select("id").collect()} == {1, 2, 3}
+
+    # genuine desync — a dead id holding a MAP row but no INDEX row —
+    # cannot arise from any crash of the apply and must refuse
+    delete_from_minhash_index(
+        spark, path, spark.createDataFrame([(3,)], "id long"))
+    t3 = t2.filter("doc_id != 3")
+    diff3 = snapshot_diff(t2, t3, "doc_id", compare_cols=["text"])
     with pytest.raises(RuntimeError, match="out of sync"):
-        apply_snapshot_to_cluster_index(spark, path, diff2, t2, "text")
+        apply_snapshot_to_cluster_index(spark, path, diff3, t3, "text")
 
 
 def test_delete_from_cluster_map_semantics(spark, tmp_path):

@@ -64,6 +64,44 @@ def test_schema_from_ddl_structtype_and_dict(spark):
         response_format_schema({"properties": {}})
     with pytest.raises(ValueError, match="must be a Spark StructType"):
         response_format_schema(42)
+    # array-of-object recurses into a nested struct; unsupported items
+    # types raise loudly instead of silently coercing to array<string>
+    nested = response_format_schema(
+        {"type": "object",
+         "properties": {"hits": {"type": "array", "items": {
+             "type": "object",
+             "properties": {"id": {"type": "integer"},
+                            "why": {"type": "string"}}}}}})
+    assert nested["hits"].dataType == ArrayType(StructType([
+        StructField("id", LongType()), StructField("why", StringType())]))
+    with pytest.raises(ValueError, match="unsupported items type"):
+        response_format_schema(
+            {"type": "object",
+             "properties": {"xs": {"type": "array",
+                                   "items": {"type": "array"}}}})
+
+
+@pytest.mark.skipif(not HAVE_PYDANTIC, reason="pydantic not installed")
+def test_schema_from_pydantic_pep604_optional(spark):
+    """PEP 604 optionals (int | None — types.UnionType, the common
+    modern pydantic spelling) unwrap like typing.Optional."""
+    from typing import Optional
+
+    class MaybeScore(BaseModel):
+        points: int | None
+        label: Optional[str]
+        tags: list[str] | None
+
+    got = response_format_schema(MaybeScore)
+    assert got == StructType([
+        StructField("points", LongType()),
+        StructField("label", StringType()),
+        StructField("tags", ArrayType(StringType())),
+    ])
+    with pytest.raises(ValueError, match="unsupported Union"):
+        class TwoTypes(BaseModel):
+            x: int | str
+        response_format_schema(TwoTypes)
 
 
 @pytest.mark.skipif(not HAVE_PYDANTIC, reason="pydantic not installed")
