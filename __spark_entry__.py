@@ -3838,6 +3838,72 @@ FROM rk WHERE rank <= 3
 """
 
 
+_IVFPQ_JOIN_STORE: dict = {}
+
+
+def _ivfpq_join_index(spark, sf_dir):
+    """Build-once memo for ``q_ann_join_ivfpq_stored``: the persisted
+    IVF-PQ index (``write_ivfpq_index`` cell-partitioned layout) over
+    the join's right side (``vec_id >= 20``), under the
+    ``ann_join_ivfpq`` row's exact knobs/seeds. First call per
+    (process, sf_dir) trains + writes; later calls re-read the parquet
+    layout — so bench sweeps 2+ time the RECURRING join, not quantizer
+    training (the amortization BENCH_amortize.json measures)."""
+    path = _IVFPQ_JOIN_STORE.get(sf_dir)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from lotus_spark.functions.ann import (
+            ivf_index, pq_index, write_ivfpq_index,
+        )
+
+        emb = _t(spark, sf_dir, "embeddings")
+        right = emb.filter(F.col("vec_id") >= 20)
+        d = tempfile.mkdtemp(prefix="ivfpq_join_idx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        path = f"{d}/idx"
+        coarse, cents = ivf_index(right, "embedding", n_cells=16, seed=42,
+                                  method="deterministic", id_col="vec_id")
+        encoded, books = pq_index(coarse, "embedding", "vec_id", m=8,
+                                  nbits=4, seed=101)
+        write_ivfpq_index(encoded, path, cents, books)
+        _IVFPQ_JOIN_STORE[sf_dir] = path
+    return path
+
+
+def q_ann_join_ivfpq_stored(spark, sf_dir):
+    """The ladder-top K-NN join served from the PERSISTED index (NEW
+    r13): ``ann_join_ivfpq(prebuilt=read_ivfpq_index(...))`` — probe +
+    one cell equi-join over a table already laid out by the join key
+    (partition-pruned scan), with quantizer training amortized into the
+    one-time build (``_ivfpq_join_index`` memo). This is the recurring
+    serving shape a deployment runs all day; the in-run-build row
+    (``ann_join_ivfpq``) keeps timing the cold build for history. Same
+    knobs/seeds as the in-run row, so the oracle is the SAME
+    full-composition replay — a hash match here also pins
+    stored-index join == in-run-build join, value for value."""
+    from lotus_spark.functions.ann import ann_join_ivfpq, read_ivfpq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    stored, cents, books, cell_col = read_ivfpq_index(
+        spark, _ivfpq_join_index(spark, sf_dir))
+    out = ann_join_ivfpq(
+        left, stored, "qid", "embedding", "vec_id", "embedding",
+        K=3, n_probe=4, rerank_k=20,
+        prebuilt=(stored, cents, books), cell_col=cell_col,
+    )
+    return out.select(
+        "qid",
+        F.col("match_id").cast("long").alias("match_id"),
+        F.col("_scores").alias("score"),
+        F.col("_rank").cast("long").alias("rank"),
+    )
+
+
 def q_neardup_index(spark, sf_dir):
     """Corpus-vs-increment near-dup via the persisted MinHash-LSH index
     (functions/dedup_index.py, NEW r9): index the ``doc_id % 4 == 0``
@@ -5163,24 +5229,103 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-12 rotation (.round_base = 9d2e2ff). Window = EXACTLY
-        # the forced set: (a) the 3 NEW r12 rows lead —
-        # llm_judge_structured (response_format structured outputs,
-        # verdict item 2), warc_export_roundtrip (write_warc sink,
-        # staged r11), embedding_cluster_assign (the ADC-shortlist
-        # replay oracle the r11 staging note required, verdict item 3);
-        # (b) 28 of the 29 keys whose last DRIVER row is r9 refresh per
-        # verdict item 4 (distinct_priorities, the redundant relational
-        # demo, is the one over-capacity key — tail + CHECKS_r12);
-        # (c) every key whose q-body imports a module edited this round
-        # (bm25/bm25_store/cluster_index/index_cdc/dedup_index/
-        # quality_model/sem_map/sem_agg/judge/structured*) sits inside
-        # the window per the tail rule. 3 + 28 + 19 = 50.
-        # -- NEW in round 12 ------------------------------------------
+        # Round-13 rotation (.round_base = a168da8). Window (first 50)
+        # = (a) the 2 NEW r13 rows lead — hybrid_search_stored (the
+        # persisted-index serving path staged r12, verdict item 2) and
+        # ann_join_ivfpq_stored (the amortized prebuilt-index join,
+        # verdict item 3); (b) every key whose q-body imports a module
+        # edited this round (operators/structured.py,
+        # functions/index_cdc.py — the r12 ADVICE fixes): 3 keys;
+        # (c) ALL 27 keys whose last driver row is <= r10
+        # (distinct_priorities r9 first, then the agentic/ann/knn/
+        # ivfpq-lifecycle and sem_join/topk/extract tail — verdict
+        # item 4: no key may leave r13 with a driver row older than
+        # r11); (d) 18 r11-driver-row keys promoted to fill the window
+        # (oldest-first by family; includes span_dedup/paragraph_dedup,
+        # two of the four A/B-adjudicated r12 bench flags).
+        # 2 + 3 + 27 + 18 = 50.
+        # -- NEW in round 13 ------------------------------------------
+        "hybrid_search_stored": q_hybrid_search_stored,
+        "ann_join_ivfpq_stored": q_ann_join_ivfpq_stored,
+        # -- modules edited this round: importers must be in-window ----
+        # operators/structured.py (PEP 604 / array-of-object schemas)
         "llm_judge_structured": q_llm_judge_structured,
+        # functions/index_cdc.py (crash-convergent subset sync guard)
+        "ivfpq_cdc": q_ivfpq_cdc,
+        "neardup_index_cdc": q_neardup_index_cdc,
+        # -- last driver row <= r10: refresh all 27 --------------------
+        "distinct_priorities": q_distinct_priorities,
+        "agentic_mapreduce": q_agentic_mapreduce,
+        "ann_join_ivf": q_ann_join_ivf,
+        "ann_join_ivfpq": q_ann_join_ivfpq,
+        "ann_join_pq": q_ann_join_pq,
+        "bucketed_join": q_bucketed_join,
+        "dedupe_doc_units": q_dedupe_doc_units,
+        "filter_reorder": q_filter_reorder,
+        "ivfpq_compacted": q_ivfpq_compacted,
+        "ivfpq_incremental": q_ivfpq_incremental,
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "knn_lsh": q_knn_lsh,
+        "knn_pq": q_knn_pq,
+        "sem_dedup": q_sem_dedup,
+        "sem_extract": q_sem_extract,
+        "sem_index_roundtrip": q_sem_index_roundtrip,
+        "sem_join": q_sem_join,
+        "sem_join_cascade": q_sem_join_cascade,
+        "sem_join_cascade_routed": q_sem_join_cascade_routed,
+        "sem_pipeline": q_sem_pipeline,
+        "sem_topk": q_sem_topk,
+        "sem_topk_quicksem": q_sem_topk_quicksem,
+        "shard_for_training": q_shard_for_training,
+        # -- r11 driver rows promoted to fill the window ---------------
+        "asof_join": q_asof_join,
+        "audio_features": q_audio_features,
+        "contamination": q_contamination,
+        "contamination_index": q_contamination_index,
+        "customers_no_orders": q_customers_no_orders,
+        "data_quality_report": q_data_quality_report,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "exact_dedup": q_exact_dedup,
+        "image_features": q_image_features,
+        "jaccard_pairs": q_jaccard_pairs,
+        "leakage_safe_split": q_leakage_safe_split,
+        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "span_dedup": q_span_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "simhash": q_simhash,
+        "strip_boilerplate": q_strip_boilerplate,
+        # -- tail (>50): every key holds an r11 or r12 DRIVER row
+        # (CORRECTNESS_r11/r12); all modules imported by these q bodies
+        # are byte-untouched since .round_base
+        # (CI: test_registry_tail_modules_untouched_this_round).
+        # remaining r11-driver-row keys:
+        "minhash_signature": q_minhash_signature,
+        "ngram_stats": q_ngram_stats,
+        "orders_rollup": q_orders_rollup,
+        "pipeline_clean": q_pipeline_clean,
+        "range_join": q_range_join,
+        "region_revenue": q_region_revenue,
+        "sem_cluster_by": q_sem_cluster,
+        "sem_filter": q_sem_filter,
+        "sem_filter_cascade": q_sem_filter_cascade,
+        "sem_sim_join": q_sem_sim_join,
+        "snapshot_diff": q_snapshot_diff,
+        "streaming_neardup": q_streaming_neardup,
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,
+        "time_rollup": q_time_rollup,
+        "top_revenue": q_top_revenue,
+        "url_canonicalize": q_url_canonicalize,
+        "video_frame_features": q_video_frame_features,
+        "warc_roundtrip": q_warc_roundtrip,
+        # r12-driver-row keys:
         "warc_export_roundtrip": q_warc_export_roundtrip,
         "embedding_cluster_assign": q_embedding_cluster_assign,
-        # -- last driver row r9: refresh (28 of 29) --------------------
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
         "pipeline_pack": q_pipeline_pack,
@@ -5209,104 +5354,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "supplier_intersect": q_supplier_intersect,
-        # -- modules edited this round: importers must be in-window ----
-        # operators/sem_map.py + sem_agg.py + judge.py (response_format)
         "sem_map": q_sem_map,
         "sem_agg": q_sem_agg,
         "sem_partition_agg": q_sem_partition_agg,
         "llm_judge": q_llm_judge,
         "pairwise_judge": q_pairwise_judge,
-        # functions/bm25.py (stats convention) + bm25_store.py (append
-        # ordering, dl>0 stats, bucket cache)
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
         "bm25_index_search": q_bm25_index_search,
-        # functions/cluster_index.py (id validation, disjointness guard,
-        # rerank_k) + quality_model.py (fail-closed gate)
         "cluster_assign_incremental": q_cluster_assign_incremental,
         "quality_model_score": q_quality_model_score,
         "pipeline_quality": q_pipeline_quality,
-        # functions/index_cdc.py (tmp cleanup, bm25 stats convention) +
-        # dedup_index.py (rerank_k expose)
-        "ivfpq_cdc": q_ivfpq_cdc,
-        "neardup_index_cdc": q_neardup_index_cdc,
         "neardup_index": q_neardup_index,
         "neardup_index_stream": q_neardup_index_stream,
         "neardup_index_lifecycle": q_neardup_index_lifecycle,
         "neardup_index_compacted": q_neardup_index_compacted,
         "embedding_neardup_index": q_embedding_neardup_index,
         "pipeline_ingest": q_pipeline_ingest,
-        # -- tail (>50): every key holds an r11 DRIVER row
-        # (CORRECTNESS_r11) or an r11 CHECKS row re-recorded on the r11
-        # final tree, plus a CHECKS_r12 record at round close; all
-        # modules imported by these q bodies are byte-untouched since
-        # .round_base (CI: test_registry_tail_modules_untouched_this_round).
-        # distinct_priorities is the one r9-driver-row key parked here
-        # (window at exactly 50 mandatory entries) — re-verified via
-        # CHECKS_r12.
-        "distinct_priorities": q_distinct_priorities,
-        "contamination_index": q_contamination_index,
-        "warc_roundtrip": q_warc_roundtrip,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
-        "video_frame_features": q_video_frame_features,
-        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
-        "leakage_safe_split": q_leakage_safe_split,
-        "url_canonicalize": q_url_canonicalize,
-        "snapshot_diff": q_snapshot_diff,
-        "data_quality_report": q_data_quality_report,
-        "minhash_signature": q_minhash_signature,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash": q_simhash,
-        "jaccard_pairs": q_jaccard_pairs,
-        "ngram_stats": q_ngram_stats,
-        "contamination": q_contamination,
-        "embedding_neardup": q_embedding_neardup,
-        "exact_dedup": q_exact_dedup,
-        "span_dedup": q_span_dedup,
-        "strip_boilerplate": q_strip_boilerplate,
-        "paragraph_dedup": q_paragraph_dedup,
-        "pipeline_clean": q_pipeline_clean,
-        "streaming_neardup": q_streaming_neardup,
-        "streaming_neardup_minhash": q_streaming_neardup_minhash,
-        "sem_sim_join": q_sem_sim_join,
-        "time_rollup": q_time_rollup,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "customers_no_orders": q_customers_no_orders,
-        "orders_rollup": q_orders_rollup,
-        "top_revenue": q_top_revenue,
-        "region_revenue": q_region_revenue,
-        "events_hourly": q_events_hourly,
-        "sem_filter": q_sem_filter,
-        "sem_filter_cascade": q_sem_filter_cascade,
-        "sem_cluster_by": q_sem_cluster,
-        "agentic_mapreduce": q_agentic_mapreduce,
-        "ann_join_ivfpq": q_ann_join_ivfpq,
-        "ivfpq_compacted": q_ivfpq_compacted,
-        "ivfpq_incremental": q_ivfpq_incremental,
-        "ivfpq_roundtrip": q_ivfpq_roundtrip,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
-        "knn_pq": q_knn_pq,
-        "knn_ivf": q_knn_ivf,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_lsh": q_knn_lsh,
-        "ann_join_pq": q_ann_join_pq,
-        "ann_join_ivf": q_ann_join_ivf,
-        "sem_topk": q_sem_topk,
-        "sem_topk_quicksem": q_sem_topk_quicksem,
-        "sem_join_cascade_routed": q_sem_join_cascade_routed,
-        "bucketed_join": q_bucketed_join,
-        "shard_for_training": q_shard_for_training,
-        "filter_reorder": q_filter_reorder,
-        "sem_index_roundtrip": q_sem_index_roundtrip,
-        "dedupe_doc_units": q_dedupe_doc_units,
-        "sem_dedup": q_sem_dedup,
-        "sem_join_cascade": q_sem_join_cascade,
-        "sem_extract": q_sem_extract,
-        "sem_join": q_sem_join,
-        "sem_pipeline": q_sem_pipeline,
     }
 
 
@@ -6005,6 +6069,9 @@ def oracle_sql() -> dict[str, str]:
         "warc_export_roundtrip": _SQL_WARC_EXPORT_ROUNDTRIP,
         "embedding_cluster_assign": _sql_embedding_cluster_assign(64),
         "ann_join_ivfpq": _sql_ann_join_ivfpq(64),
+        # r13: stored-index join == in-run-build join (same knobs/
+        # seeds), so the oracle is the same full-composition replay
+        "ann_join_ivfpq_stored": _sql_ann_join_ivfpq(64),
         "span_dedup": _SQL_SPAN_DEDUP,
         "strip_boilerplate": _SQL_STRIP_BOILERPLATE,
         "perplexity_bucket": _SQL_PERPLEXITY_BUCKET,
@@ -6117,6 +6184,9 @@ def oracle_sql() -> dict[str, str]:
         # T0-trained codebooks: train_src = original table (restricted
         # to the even T0 half), encode/probe over the emb_t1 CTE
         sqls["ivfpq_cdc"] = _sql_knn_ivfpq_cdc(qv)
+        # r13: hybrid retrieval served from BOTH persisted indexes
+        # (stored BM25 + stored IVF-PQ + RRF), staged r12
+        sqls["hybrid_search_stored"] = _sql_hybrid_stored(qv)
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()

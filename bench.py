@@ -112,6 +112,15 @@ BENCH_QUERIES = [
     # streaming/CC machinery already timed by streaming_neardup and the
     # pair queries
     "ann_join_ivfpq",
+    # round 13: the STORED-index variant of the row above — the index
+    # is built once per process (__spark_entry__._ivfpq_join_index
+    # memo, so only sweep 1 pays quantizer training + the write) and
+    # every timed call is probe + cell join + rerank over the
+    # partitioned layout. This is the recurring serving number;
+    # ann_join_ivfpq keeps timing the cold build for history (it has
+    # flagged spuriously three rounds running because the one-time
+    # build dominates its wall).
+    "ann_join_ivfpq_stored",
     # round 11: url_canonicalize is the recurring map-only crawl path
     # (pure codegen expressions — belongs in the sweep);
     # minhash_dedup_keepbest / leakage_safe_split stay out for the
