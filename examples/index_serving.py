@@ -133,6 +133,28 @@ def main() -> None:
               [(r["doc_id"], round(r["rrf_score"], 4))
                for r in fused.collect()])
 
+        # 7. FSCK (r13): after any maintenance — append, compact, CDC —
+        # run the read-only validate_index before trusting the store.
+        # It is bounded (sidecar reads + directory listings + narrow
+        # aggregates) and returns a report instead of raising.
+        from lotus_spark.functions.index_admin import validate_index
+
+        for p, kind in ((path, "ivfpq"), (bm_path, "bm25")):
+            rep = validate_index(spark, p, kind)
+            assert rep["ok"], rep["checks"]
+        print("validate_index: ivfpq + bm25 stores fsck clean after "
+              "append/compact")
+
+        # what a crashed maintenance swap looks like: the leftover
+        # sibling is the crash evidence, and the fsck names the recovery
+        os.makedirs(f"{path}.compact-crashed")
+        rep = validate_index(spark, path, "ivfpq")
+        bad = [c for c in rep["checks"] if not c["ok"]]
+        assert not rep["ok"] and bad
+        print("planted crashed-swap leftover caught by fsck:",
+              bad[0]["detail"])
+        os.rmdir(f"{path}.compact-crashed")
+
 
 if __name__ == "__main__":
     main()

@@ -119,6 +119,35 @@ def main() -> None:
         assert not any(i % 11 == 0 for i in ids), ids
         print(f"ANN top-5 for a removed vector's query: {ids} "
               "(no deleted ids)")
+
+        # ---- fsck after maintenance (r13) -----------------------------
+        # validate_index is the CDC day's last step: a bounded read-only
+        # pass that says healthy / mid-recovery / corrupt for each store
+        # before the next job trusts it.
+        from lotus_spark.functions.index_admin import validate_index
+
+        for p, kind in ((mh_path, "minhash"), (vec_path, "ivfpq")):
+            rep = validate_index(spark, p, kind)
+            assert rep["ok"], rep["checks"]
+        print("validate_index: both maintained indexes fsck clean")
+
+        # planted desync: a signature row deleted behind the module's
+        # back leaves sigs/buckets disagreeing on the id set — exactly
+        # the state the fsck exists to catch before maintenance runs
+        from lotus_spark.functions.index_cdc import _fs
+
+        sigs = spark.read.parquet(f"{mh_path}/sigs")
+        victim = sigs.first()["id"]
+        broken = sigs.filter(F.col("id") != victim)
+        jvm, fs, pth = _fs(spark, mh_path)
+        broken.write.parquet(f"{work}/sigs_broken")
+        fs.delete(pth(f"{mh_path}/sigs"), True)
+        fs.rename(pth(f"{work}/sigs_broken"), pth(f"{mh_path}/sigs"))
+        rep = validate_index(spark, mh_path, "minhash")
+        bad = [c for c in rep["checks"] if not c["ok"]]
+        assert not rep["ok"] and bad, rep
+        print("planted sigs/buckets desync caught by fsck:",
+              [c["check"] for c in bad])
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
