@@ -70,6 +70,48 @@ def test_simulated_cascade_meets_targets():
     assert precision >= 0.8 - 0.05
 
 
+def test_thresholds_meet_targets_at_failure_probability_over_seeds():
+    """SURVEY §7 'port the math exactly and property-test it': over many
+    independent simulated corpora with a NOISY proxy, the learned
+    (tau_pos, tau_neg) must miss its target on the FULL population no
+    more often than the configured failure probability delta — the
+    contract the Hoeffding-style corrections in learn_filter_thresholds
+    exist to provide. Routing semantics: accept cal >= tau_pos (the
+    precision guarantee is about this set), reject cal <= tau_neg (the
+    recall guarantee is about everything NOT rejected — the gray zone
+    reaches the oracle and is always right). The proxy here is
+    separable-but-noisy, so the learner must also be INFORMATIVE most
+    trials: the (2.0, 0.0) oracle-everything fallback would satisfy
+    both bounds vacuously."""
+    delta, target, trials = 0.2, 0.8, 200
+    prec_fail = rec_fail = informative = 0
+    for seed in range(trials):
+        rng = np.random.default_rng(seed)
+        n = 3000
+        labels = rng.random(n) < 0.4
+        scores = np.clip(
+            labels * 0.6 + 0.2 + rng.normal(0, 0.2, n), 0, 1)
+        cal = calibrate_scores(scores, 50)
+        idx, corr = importance_sampling(cal, 0.1, seed=seed + 10_000)
+        tp, tn = learn_filter_thresholds(
+            cal[idx], labels[idx], corr, target, target, delta)
+        acc = cal >= tp
+        if acc.sum() > 0:
+            informative += 1
+            if (acc & labels).sum() / acc.sum() < target:
+                prec_fail += 1
+        kept = cal > tn
+        if (kept & labels).sum() / max(labels.sum(), 1) < target:
+            rec_fail += 1
+    # binomial slack: at p=delta over 200 trials sigma ~= 0.028, so
+    # delta + 0.09 is a >3-sigma acceptance line — a real break of the
+    # bound (failures at 2*delta, say) still fails deterministically
+    assert prec_fail <= (delta + 0.09) * max(informative, 1), (
+        prec_fail, informative)
+    assert rec_fail <= (delta + 0.09) * trials, rec_fail
+    assert informative >= 0.8 * trials, informative
+
+
 def test_filter_cascade_end_to_end_equals_exact(spark):
     rows = [(i, f"doc {i} {'spark' if i % 3 == 0 else 'other'}") for i in range(60)]
     df = spark.createDataFrame(rows, ["id", "text"])
