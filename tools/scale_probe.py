@@ -102,6 +102,11 @@ PROBE_QUERIES = [
     "data_quality_report",
     "bm25_index_search",
     "cluster_assign_incremental",
+    # round 13: the RECURRING stored-index join. The q body memoizes the
+    # index build per (process, sf_dir), and this probe's repeats take
+    # the min — so repeat 1 pays train+write once per scale dir and the
+    # reported ratio is probe + cell join + rerank at 10x the corpus.
+    "ann_join_ivfpq_stored",
 ]
 
 
