@@ -1,27 +1,30 @@
-"""Hybrid stored-serving latency (functions/serving.py): what does ONE
-hybrid query (persisted BM25 + persisted IVF-PQ + RRF) cost at sf0.1,
-cold vs warm, against the in-hand plan that re-scans and re-embeds the
-corpus per query?
+"""Hybrid stored-serving cost (functions/serving.py): what does ONE
+hybrid query (persisted BM25 + persisted IVF-PQ + RRF) cost at sf0.1 —
+wall AND bytes — against the in-hand plan that re-scans the corpus and
+re-ranks the full embedding table per query?
 
-The load-bearing claims this probe records:
-- per-query cost of the stored path is bounded by index GEOMETRY
-  (|query terms| postings buckets + n_probe cells + sidecar literals),
-  so a serving process's steady-state latency is the WARM number — the
-  term-bucket cache (functions/bm25_store._term_buckets) absorbs the
-  per-new-term mini-job;
-- the one-time index build is the only full-data pass; the in-hand
-  hybrid (bm25_search corpus scan + knn_topk full-table cosine) pays a
-  corpus-shaped cost on EVERY query. Byte separation is recorded in
-  BENCH_bm25.json; this probe records the wall separation on the same
-  box (lower bound: page cache on 32 idle cores hides most of the
-  in-hand scan at sf0.1 — the 100 TB story is the bytes law).
+Two axes, because one is hardware-honest and one is design-honest
+(same split as BENCH_bm25.json):
+
+- WALL, cold vs warm: the stored path's steady state is the WARM
+  number (term-bucket cache populated). At sf0.1 (50k docs) on an idle
+  32-core box the stored path's fixed per-job overhead (several small
+  jobs: bucket lookup, postings read, cell probes, rerank) EXCEEDS the
+  page-cached in-hand scan — recorded as-is; walls at small scale do
+  not separate the designs (BENCH_bm25 measured the same at 10x).
+- BYTES per query: the stored path reads its query terms' postings
+  buckets + termdf/doclens + the n_probe probed cell directories +
+  KB sidecars; the in-hand plan reads documents.parquet AND
+  embeddings.parquet in full. Bytes are what a 1000x scale-up bills
+  (object-store scans), and the stored path's bytes are bounded by
+  index GEOMETRY, not corpus size.
 
 Protocol: build both stores once (wall recorded), one unmeasured warm
-query, then 3 interleaved rounds over 6 distinct queries (round 0 runs
-with a CLEARED term-bucket cache = cold; rounds 1-2 = warm). The
-in-hand contrast runs the same 6 queries, 2 rounds, min per query.
+query, then 3 interleaved rounds over 6 distinct corpus-derived
+queries (round 0 after a term-bucket cache clear = cold; rounds 1-2 =
+warm). In-hand contrast: same queries, 2 rounds, min per query.
 
-Usage: python tools/serving_probe.py [sf_dir]   (default sf0.1, ~5 min)
+Usage: python tools/serving_probe.py [sf_dir]   (default sf0.1, ~6 min)
 Writes BENCH_serving.json at the repo root.
 """
 from __future__ import annotations
@@ -39,11 +42,15 @@ sys.path.insert(0, ROOT)
 N_QUERIES = 6
 
 
-def _dir_bytes(path: str) -> int:
+def _du(path: str) -> int:
+    """Bytes under a parquet file OR directory (testdata tables are
+    bare files; index layouts are directories)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
     total = 0
     for dirpath, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(dirpath, f))
+        total += sum(os.path.getsize(os.path.join(dirpath, f))
+                     for f in files if not f.startswith(("_", ".")))
     return total
 
 
@@ -53,11 +60,12 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from lotus_spark.functions.ann import (
-        ivf_index, knn_topk, pq_index, write_ivfpq_index,
+        ivf_index, knn_topk, pq_index, probe_cells_expr,
+        write_ivfpq_index,
     )
     from lotus_spark.functions.bm25 import bm25_search, rrf_fuse
     from lotus_spark.functions.bm25_store import (
-        _BUCKET_CACHE, write_bm25_index,
+        _BUCKET_CACHE, _term_buckets, read_bm25_meta, write_bm25_index,
     )
     from lotus_spark.functions.serving import hybrid_search_index
     from lotus_spark.session import get_spark
@@ -83,9 +91,10 @@ def main() -> None:
              .orderBy("vec_id").collect())
     qvecs = [[float(x) for x in r["embedding"]] for r in vrows]
 
+    N_PROBE = 8
     work = tempfile.mkdtemp(prefix="serving_probe_")
     rec: dict = {"metric": "hybrid_serving_probe", "sf_dir": sf_dir,
-                 "n_queries": N_QUERIES}
+                 "n_queries": N_QUERIES, "n_probe": N_PROBE}
     try:
         bm_path, iv_path = f"{work}/bm", f"{work}/iv"
         t0 = time.time()
@@ -97,15 +106,11 @@ def main() -> None:
                                   m=8, nbits=4, seed=101)
         write_ivfpq_index(encoded, iv_path, cents, books)
         rec["build_sec"] = round(time.time() - t0, 2)
-        rec["index_bytes"] = _dir_bytes(bm_path) + _dir_bytes(iv_path)
-        rec["corpus_bytes"] = (
-            _dir_bytes(f"{sf_dir}/documents.parquet")
-            + _dir_bytes(f"{sf_dir}/embeddings.parquet"))
 
         def stored_one(i: int) -> float:
             t = time.time()
             hybrid_search_index(spark, bm_path, iv_path, qtexts[i],
-                                qvecs[i], k=10, n_probe=8).collect()
+                                qvecs[i], k=10, n_probe=N_PROBE).collect()
             return time.time() - t
 
         stored_one(0)  # unmeasured warm: JVM/codegen one-time costs
@@ -133,6 +138,27 @@ def main() -> None:
             for i in range(N_QUERIES):
                 inhand[i].append(inhand_one(i))
 
+        # BYTES per query — the scale-honest axis. Stored: the query
+        # terms' postings buckets + the full narrow termdf/doclens
+        # relations + the probed cell dirs + KB sidecars. In-hand: both
+        # corpus tables, in full, every query.
+        meta = read_bm25_meta(spark, bm_path)
+        probe = probe_cells_expr(cents, N_PROBE)
+        stored_bytes = []
+        for i in range(N_QUERIES):
+            terms = sorted(set(qtexts[i].split()))
+            buckets = _term_buckets(spark, terms, meta["n_buckets"])
+            b = sum(_du(f"{bm_path}/postings/bucket={bk}")
+                    for bk in buckets)
+            b += _du(f"{bm_path}/termdf") + _du(f"{bm_path}/doclens")
+            cells = spark.createDataFrame(
+                [(qvecs[i],)], "v array<double>").select(
+                    probe(F.col("v")).alias("c")).first()["c"]
+            b += sum(_du(f"{iv_path}/__ivf_cell={c}") for c in cells)
+            stored_bytes.append(b)
+        inhand_bytes = (_du(f"{sf_dir}/documents.parquet")
+                        + _du(f"{sf_dir}/embeddings.parquet"))
+
         warm_mins = sorted(round(min(v), 3) for v in warm.values())
         inhand_mins = sorted(round(min(v), 3) for v in inhand.values())
         rec.update({
@@ -141,11 +167,22 @@ def main() -> None:
             "stored_warm_median": warm_mins[len(warm_mins) // 2],
             "inhand_min_per_query": inhand_mins,
             "inhand_median": inhand_mins[len(inhand_mins) // 2],
+            "stored_read_mb_per_query": sorted(
+                round(b / 1e6, 3) for b in stored_bytes),
+            "inhand_read_mb_per_query": round(inhand_bytes / 1e6, 2),
+            "index_total_mb": round(
+                (_du(bm_path) + _du(iv_path)) / 1e6, 2),
+            "bytes_saved_per_query": round(
+                inhand_bytes / max(max(stored_bytes), 1), 1),
             "note": ("warm = term-bucket cache populated (the serving "
-                     "steady state); in-hand walls are a LOWER bound on "
-                     "the separation — page cache on an idle 32-core box "
-                     "hides the corpus scan at sf0.1; the bytes law is "
-                     "BENCH_bm25.json"),
+                     "steady state). At sf0.1 on an idle 32-core box the "
+                     "stored path's fixed multi-job overhead exceeds the "
+                     "page-cached in-hand scan — walls do NOT separate "
+                     "the designs at small scale (BENCH_bm25 measured "
+                     "the same at 10x); the bytes columns are the "
+                     "scale-honest comparison, and the stored path's "
+                     "bytes are bounded by index geometry, not corpus "
+                     "size"),
         })
     finally:
         shutil.rmtree(work, ignore_errors=True)
