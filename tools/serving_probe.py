@@ -138,10 +138,12 @@ def main() -> None:
             for i in range(N_QUERIES):
                 inhand[i].append(inhand_one(i))
 
-        # BYTES per query — the scale-honest axis. Stored: the query
-        # terms' postings buckets + the full narrow termdf/doclens
-        # relations + the probed cell dirs + KB sidecars. In-hand: both
-        # corpus tables, in full, every query.
+        # BYTES per query — the scale-honest axis. Stored: exactly what
+        # bm25_search_index + knn_topk_ivfpq scan — the query terms'
+        # bucket partitions of postings AND termdf (both bucket-pruned;
+        # doclens is maintenance-only and never read per query) + the
+        # n_probe probed cell dirs + KB sidecars. In-hand: both corpus
+        # tables, in full, every query.
         meta = read_bm25_meta(spark, bm_path)
         probe = probe_cells_expr(cents, N_PROBE)
         stored_bytes = []
@@ -149,8 +151,8 @@ def main() -> None:
             terms = sorted(set(qtexts[i].split()))
             buckets = _term_buckets(spark, terms, meta["n_buckets"])
             b = sum(_du(f"{bm_path}/postings/bucket={bk}")
+                    + _du(f"{bm_path}/termdf/bucket={bk}")
                     for bk in buckets)
-            b += _du(f"{bm_path}/termdf") + _du(f"{bm_path}/doclens")
             cells = spark.createDataFrame(
                 [(qvecs[i],)], "v array<double>").select(
                     probe(F.col("v")).alias("c")).first()["c"]
