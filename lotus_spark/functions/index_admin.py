@@ -22,9 +22,10 @@ narrow-column aggregates — never a full-payload scan):
   the two tables cover the same id set.
 - ivfpq: unacked stream epochs (``_stream_batches.json`` high-water);
   stored ids unique; every PQ code vector has length m.
-- bm25: doclens ids unique; every postings id has a doclens row;
-  sidecar (n_docs, total_dl) equal a recount over doclens (dl > 0
-  convention).
+- bm25: doclens ids unique; every postings id has a doclens row; the
+  dl denormalized into posting rows (the serving copy) agrees with
+  doclens (the maintenance copy); sidecar (n_docs, total_dl) equal a
+  recount over doclens (dl > 0 convention).
 - cluster / embedding_cluster: map ids unique; map id set == index id
   set (the sync invariant ``apply_snapshot_to_*_cluster_index`` checks
   before mutating); the MAP directory's own crashed-swap leftovers and
@@ -205,6 +206,17 @@ def validate_index(spark, path: str, kind: str) -> dict[str, Any]:
                 f"{orphans} posting ids with no doclens row — a partial "
                 "append (doclens-first ordering makes this impossible "
                 "for crashes; see append_bm25_index)"))
+            # dl is DENORMALIZED into posting rows (the query path never
+            # reads doclens) — the two copies must agree, or serving
+            # scores silently diverge from the maintenance tables
+            dmism = (posts.select("id", "dl").distinct()
+                     .join(dl.withColumnRenamed("dl", "dl2"), "id")
+                     .filter(F.col("dl") != F.col("dl2")).count())
+            rows.append(_row(
+                "postings_dl_matches_doclens", dmism == 0,
+                f"{dmism} ids whose posting dl disagrees with doclens — "
+                "the serving copy diverged from the maintenance table; "
+                "rebuild the index"))
             from lotus_spark.functions.bm25_store import _corpus_stats
 
             n_docs, total_dl = _corpus_stats(dl)

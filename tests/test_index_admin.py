@@ -109,6 +109,26 @@ def test_validate_bm25_and_ngram(spark, tmp_path):
     assert not reps["ok"]
     assert _checks(reps)["sidecar_stats_match_recount"] is False
 
+    # serving-copy divergence: bump one posting row's denormalized dl
+    # (rewrite one bucket dir through Spark so the schema is identical)
+    import os
+    import shutil
+
+    pdir = f"{bm}/postings"
+    bdir = sorted(d for d in os.listdir(pdir) if d.startswith("bucket="))[0]
+    b0 = spark.read.parquet(f"{pdir}/{bdir}")
+    victim = b0.first()["id"]
+    fixed = b0.withColumn(
+        "dl", F.when(F.col("id") == victim, F.col("dl") + 7)
+        .otherwise(F.col("dl")))
+    fixed.write.parquet(str(tmp_path / "b0corrupt"))
+    shutil.rmtree(f"{pdir}/{bdir}")
+    os.rename(str(tmp_path / "b0corrupt"), f"{pdir}/{bdir}")
+    _fs_write_json(spark, f"{bm}/_bm25_meta.json", meta)  # restore stats
+    repd = validate_index(spark, bm, "bm25")
+    assert not repd["ok"]
+    assert _checks(repd)["postings_dl_matches_doclens"] is False
+
     ng = str(tmp_path / "ng")
     write_ngram_index(docs, ng, "text", "doc_id", ngram_n=3)
     repn = validate_index(spark, ng, "ngram")
