@@ -112,11 +112,58 @@ def _ids_equal(a, b) -> int:
         a["id"].isNull() | b["id"].isNull()).count()
 
 
-def validate_index(spark, path: str, kind: str) -> dict[str, Any]:
+_SIDECAR_KINDS = {
+    "_minhash_meta.json": "minhash",
+    "_ivfpq_meta.json": "ivfpq",
+    "_ngram_meta.json": "ngram",
+    "_bm25_meta.json": "bm25",
+}
+
+
+def detect_index_kind(spark, path: str) -> str:
+    """Infer a persisted index's kind from its sidecar file; a
+    ``{path}.clusters`` sibling map upgrades minhash/ivfpq to the
+    cluster kinds. Raises with the candidate list when nothing at
+    ``path`` looks like an index."""
+    from lotus_spark.functions.index_cdc import _fs
+
+    jvm, fs, p = _fs(spark, path)
+    base = None
+    for name, k in _SIDECAR_KINDS.items():
+        if fs.exists(p(f"{path}/{name}")):
+            base = k
+            break
+    if base is None:
+        raise ValueError(
+            f"detect_index_kind: no index sidecar at {path} — looked "
+            f"for {sorted(_SIDECAR_KINDS)}")
+    if base == "minhash" and fs.exists(p(f"{path}.clusters")):
+        return "cluster"
+    if base == "ivfpq" and fs.exists(p(f"{path}.clusters")):
+        return "embedding_cluster"
+    return base
+
+
+def validate_index(spark, path: str, kind: str | None = None
+                   ) -> dict[str, Any]:
     """Validate one persisted index; returns ``{"ok": bool, "kind":
     ..., "path": ..., "checks": [{check, ok, detail}, ...]}``. Read-only
     and side-effect free — safe to run against a live (single-writer)
-    index between maintenance jobs."""
+    index between maintenance jobs.
+
+    With ``kind=None`` the kind is inferred from the sidecar
+    (:func:`detect_index_kind`), and a detected cluster kind validates
+    BOTH stores — the backing index's checks plus the map's — in one
+    report (the named-kind calls stay single-store for composability)."""
+    if kind is None:
+        kind = detect_index_kind(spark, path)
+        if kind in ("cluster", "embedding_cluster"):
+            base = "minhash" if kind == "cluster" else "ivfpq"
+            rep_b = validate_index(spark, path, base)
+            rep_m = validate_index(spark, path, kind)
+            return {"ok": rep_b["ok"] and rep_m["ok"], "kind": kind,
+                    "path": path,
+                    "checks": rep_b["checks"] + rep_m["checks"]}
     if kind not in KINDS:
         raise ValueError(f"validate_index: unknown kind {kind!r} "
                          f"(one of {KINDS})")

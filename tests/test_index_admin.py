@@ -139,3 +139,33 @@ def test_validate_bm25_and_ngram(spark, tmp_path):
     missing = validate_index(spark, str(tmp_path / "ghost"), "bm25")
     assert not missing["ok"]
     assert len(KINDS) == 6
+
+
+def test_validate_index_kind_autodetect(spark, tmp_path):
+    """kind=None infers the kind from the sidecar; a cluster map sibling
+    upgrades to the cluster kind and the report covers BOTH stores."""
+    from lotus_spark.functions.bm25_store import write_bm25_index
+    from lotus_spark.functions.cluster_index import build_cluster_index
+    from lotus_spark.functions.index_admin import detect_index_kind
+
+    docs = _docs(spark)
+    bm = str(tmp_path / "abm")
+    write_bm25_index(docs, bm, "text", "doc_id", n_buckets=4)
+    assert detect_index_kind(spark, bm) == "bm25"
+    rep = validate_index(spark, bm)
+    assert rep["kind"] == "bm25" and rep["ok"], rep["checks"]
+
+    cl = str(tmp_path / "acl")
+    build_cluster_index(spark, docs, cl, "text", "doc_id",
+                        n_hashes=8, bands=2, shingle_n=2,
+                        jaccard_threshold=0.7)
+    assert detect_index_kind(spark, cl) == "cluster"
+    rep = validate_index(spark, cl)
+    assert rep["kind"] == "cluster" and rep["ok"], rep["checks"]
+    names = {c["check"] for c in rep["checks"]}
+    # one report, both stores: backing-index rows AND map rows
+    assert "buckets_rows_eq_bands_x_sigs" in names
+    assert "map_and_index_in_sync" in names
+
+    with pytest.raises(ValueError, match="no index sidecar"):
+        detect_index_kind(spark, str(tmp_path / "ghost"))
