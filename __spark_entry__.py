@@ -3214,7 +3214,15 @@ def q_bm25_index_search(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
-_SQL_BM25_COMMON = r"""
+def _sql_bm25_common(terms: list[str]) -> str:
+    """The BM25 oracle relations parameterized by the query's term list
+    (the batch serving row replays several queries; the module-level
+    ``_SQL_BM25_COMMON`` stays the standard-query instance)."""
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return _SQL_BM25_COMMON_TMPL.replace("@TERMS@", lst)
+
+
+_SQL_BM25_COMMON_TMPL = r"""
 tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         FROM documents),
 post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok WHERE term != ''
@@ -3223,7 +3231,7 @@ dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok WHERE term != '' GROUP BY 1),
 tdf AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
 g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
       FROM dlen),
-q AS (SELECT unnest(['spark', 'window', 'merge', 'join']) AS term),
+q AS (SELECT unnest([@TERMS@]) AS term),
 hits AS (SELECT p.doc_id, p.tf, t.df, l.dl
          FROM post p JOIN q USING (term) JOIN tdf t USING (term)
          JOIN dlen l USING (doc_id)),
@@ -3237,6 +3245,8 @@ part AS (SELECT doc_id,
 bm AS (SELECT doc_id, CAST(SUM(p) AS DOUBLE) AS score FROM part
        GROUP BY doc_id)
 """
+
+_SQL_BM25_COMMON = _sql_bm25_common(["spark", "window", "merge", "join"])
 
 _SQL_BM25 = f"""
 WITH {_SQL_BM25_COMMON}
@@ -5229,82 +5239,27 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-13 rotation (.round_base = a168da8). Window (first 50)
-        # = (a) the 2 NEW r13 rows lead — hybrid_search_stored (the
-        # persisted-index serving path staged r12, verdict item 2) and
-        # ann_join_ivfpq_stored (the amortized prebuilt-index join,
-        # verdict item 3); (b) every key whose q-body imports a module
-        # edited this round (operators/structured.py,
-        # functions/index_cdc.py — the r12 ADVICE fixes): 3 keys;
-        # (c) ALL 27 keys whose last driver row is <= r10
-        # (distinct_priorities r9 first, then the agentic/ann/knn/
-        # ivfpq-lifecycle and sem_join/topk/extract tail — verdict
-        # item 4: no key may leave r13 with a driver row older than
-        # r11); (d) 18 r11-driver-row keys promoted to fill the window
-        # (oldest-first by family; includes span_dedup/paragraph_dedup,
-        # two of the four A/B-adjudicated r12 bench flags).
-        # 2 + 3 + 27 + 18 = 50.
-        # -- NEW in round 13 ------------------------------------------
-        "hybrid_search_stored": q_hybrid_search_stored,
-        "ann_join_ivfpq_stored": q_ann_join_ivfpq_stored,
+        # Round-14 rotation (.round_base = acce815). Window (first 50)
+        # = (a) the NEW r14 row leads — hybrid_search_stored_batch (the
+        # batched stored-serving path, r13 verdict item 1); (b) every
+        # key whose q-body imports a module edited this round
+        # (functions/bm25.py::rrf_fuse_batch, functions/bm25_store.py::
+        # bm25_search_index_batch, functions/serving.py::
+        # hybrid_search_index_batch): 4 keys; (c) ALL 18 keys whose
+        # newest driver row is r11 (r13 verdict item 2 — after this
+        # run no key's driver row predates r12); (d) 27 stalest
+        # r12-driver-row keys promoted to fill the window (oldest-first
+        # in registry order). 1 + 4 + 18 + 27 = 50.
+        # -- NEW in round 14 ------------------------------------------
+        "hybrid_search_stored_batch": q_hybrid_search_stored_batch,
         # -- modules edited this round: importers must be in-window ----
-        # operators/structured.py (PEP 604 / array-of-object schemas)
-        "llm_judge_structured": q_llm_judge_structured,
-        # functions/index_cdc.py (crash-convergent subset sync guard)
-        "ivfpq_cdc": q_ivfpq_cdc,
-        "neardup_index_cdc": q_neardup_index_cdc,
-        # -- last driver row <= r10: refresh all 27 --------------------
-        "distinct_priorities": q_distinct_priorities,
-        "agentic_mapreduce": q_agentic_mapreduce,
-        "ann_join_ivf": q_ann_join_ivf,
-        "ann_join_ivfpq": q_ann_join_ivfpq,
-        "ann_join_pq": q_ann_join_pq,
-        "bucketed_join": q_bucketed_join,
-        "dedupe_doc_units": q_dedupe_doc_units,
-        "filter_reorder": q_filter_reorder,
-        "ivfpq_compacted": q_ivfpq_compacted,
-        "ivfpq_incremental": q_ivfpq_incremental,
-        "ivfpq_roundtrip": q_ivfpq_roundtrip,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
-        "knn_lsh": q_knn_lsh,
-        "knn_pq": q_knn_pq,
-        "sem_dedup": q_sem_dedup,
-        "sem_extract": q_sem_extract,
-        "sem_index_roundtrip": q_sem_index_roundtrip,
-        "sem_join": q_sem_join,
-        "sem_join_cascade": q_sem_join_cascade,
-        "sem_join_cascade_routed": q_sem_join_cascade_routed,
-        "sem_pipeline": q_sem_pipeline,
-        "sem_topk": q_sem_topk,
-        "sem_topk_quicksem": q_sem_topk_quicksem,
-        "shard_for_training": q_shard_for_training,
-        # -- r11 driver rows promoted to fill the window ---------------
-        "asof_join": q_asof_join,
-        "audio_features": q_audio_features,
-        "contamination": q_contamination,
-        "contamination_index": q_contamination_index,
-        "customers_no_orders": q_customers_no_orders,
-        "data_quality_report": q_data_quality_report,
-        "embedding_neardup": q_embedding_neardup,
-        "events_hourly": q_events_hourly,
-        "exact_dedup": q_exact_dedup,
-        "image_features": q_image_features,
-        "jaccard_pairs": q_jaccard_pairs,
-        "leakage_safe_split": q_leakage_safe_split,
-        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "span_dedup": q_span_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "simhash": q_simhash,
-        "strip_boilerplate": q_strip_boilerplate,
-        # -- tail (>50): every key holds an r11 or r12 DRIVER row
-        # (CORRECTNESS_r11/r12); all modules imported by these q bodies
-        # are byte-untouched since .round_base
-        # (CI: test_registry_tail_modules_untouched_this_round).
-        # remaining r11-driver-row keys:
+        # functions/serving.py + functions/bm25_store.py
+        "hybrid_search_stored": q_hybrid_search_stored,
+        "bm25_index_search": q_bm25_index_search,
+        # functions/bm25.py
+        "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
+        # -- last driver row == r11: refresh all 18 ---------------------
         "minhash_signature": q_minhash_signature,
         "ngram_stats": q_ngram_stats,
         "orders_rollup": q_orders_rollup,
@@ -5323,7 +5278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "video_frame_features": q_video_frame_features,
         "warc_roundtrip": q_warc_roundtrip,
-        # r12-driver-row keys:
+        # -- 27 stalest r12-driver-row keys fill the window -------------
         "warc_export_roundtrip": q_warc_export_roundtrip,
         "embedding_cluster_assign": q_embedding_cluster_assign,
         "sem_search": q_sem_search,
@@ -5351,6 +5306,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": q_quality_signals,
         "sessionize": q_sessionize,
         "bucketed_join_coalesced": q_bucketed_join_coalesced,
+        # -- tail (>50): every key holds an r12 or r13 DRIVER row
+        # (CORRECTNESS_r12/r13); all modules imported by these q bodies
+        # are byte-untouched since .round_base
+        # (CI: test_registry_tail_modules_untouched_this_round).
+        # remaining r12-driver-row keys:
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "supplier_intersect": q_supplier_intersect,
@@ -5359,9 +5319,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_partition_agg": q_sem_partition_agg,
         "llm_judge": q_llm_judge,
         "pairwise_judge": q_pairwise_judge,
-        "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        "bm25_index_search": q_bm25_index_search,
         "cluster_assign_incremental": q_cluster_assign_incremental,
         "quality_model_score": q_quality_model_score,
         "pipeline_quality": q_pipeline_quality,
@@ -5371,6 +5328,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_index_compacted": q_neardup_index_compacted,
         "embedding_neardup_index": q_embedding_neardup_index,
         "pipeline_ingest": q_pipeline_ingest,
+        # r13-driver-row keys:
+        "ann_join_ivfpq_stored": q_ann_join_ivfpq_stored,
+        "llm_judge_structured": q_llm_judge_structured,
+        "ivfpq_cdc": q_ivfpq_cdc,
+        "neardup_index_cdc": q_neardup_index_cdc,
+        "distinct_priorities": q_distinct_priorities,
+        "agentic_mapreduce": q_agentic_mapreduce,
+        "ann_join_ivf": q_ann_join_ivf,
+        "ann_join_ivfpq": q_ann_join_ivfpq,
+        "ann_join_pq": q_ann_join_pq,
+        "bucketed_join": q_bucketed_join,
+        "dedupe_doc_units": q_dedupe_doc_units,
+        "filter_reorder": q_filter_reorder,
+        "ivfpq_compacted": q_ivfpq_compacted,
+        "ivfpq_incremental": q_ivfpq_incremental,
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "knn_lsh": q_knn_lsh,
+        "knn_pq": q_knn_pq,
+        "sem_dedup": q_sem_dedup,
+        "sem_extract": q_sem_extract,
+        "sem_index_roundtrip": q_sem_index_roundtrip,
+        "sem_join": q_sem_join,
+        "sem_join_cascade": q_sem_join_cascade,
+        "sem_join_cascade_routed": q_sem_join_cascade_routed,
+        "sem_pipeline": q_sem_pipeline,
+        "sem_topk": q_sem_topk,
+        "sem_topk_quicksem": q_sem_topk_quicksem,
+        "shard_for_training": q_shard_for_training,
+        "asof_join": q_asof_join,
+        "audio_features": q_audio_features,
+        "contamination": q_contamination,
+        "contamination_index": q_contamination_index,
+        "customers_no_orders": q_customers_no_orders,
+        "data_quality_report": q_data_quality_report,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly": q_events_hourly,
+        "exact_dedup": q_exact_dedup,
+        "image_features": q_image_features,
+        "jaccard_pairs": q_jaccard_pairs,
+        "leakage_safe_split": q_leakage_safe_split,
+        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "span_dedup": q_span_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "simhash": q_simhash,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -5914,6 +5921,45 @@ FROM documents
 """
 
 
+_HYBRID_STORED_IDX: dict[str, tuple[str, str]] = {}
+
+
+def _hybrid_stored_indexes(spark, sf_dir) -> tuple[str, str]:
+    """Build-once memo for the stored-hybrid rows: the persisted BM25
+    (n_buckets=16) + IVF-PQ (n_cells=16/seed 42, m=8/nbits=4/seed 101,
+    shared sampled-training predicate) indexes over the full corpus.
+    First call per (process, sf_dir) builds + writes; later calls
+    re-read the layouts — so the single and batch serving rows (and
+    bench sweeps 2+) time RECURRING queries, not index builds."""
+    paths = _HYBRID_STORED_IDX.get(sf_dir)
+    if paths is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        from lotus_spark.functions.ann import (
+            ivf_index, pq_index, write_ivfpq_index,
+        )
+        from lotus_spark.functions.bm25_store import write_bm25_index
+
+        docs = _t(spark, sf_dir, "documents")
+        emb = _t(spark, sf_dir, "embeddings")
+        ts = (_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
+        d = tempfile.mkdtemp(prefix="hybrid_idx_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        bm_path, iv_path = f"{d}/bm", f"{d}/iv"
+        write_bm25_index(docs, bm_path, "text", "doc_id", n_buckets=16)
+        indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
+                                   method="deterministic", id_col="vec_id",
+                                   train_sample=ts)
+        encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
+                                  nbits=4, seed=101, train_sample=ts)
+        write_ivfpq_index(encoded, iv_path, cents, books)
+        paths = (bm_path, iv_path)
+        _HYBRID_STORED_IDX[sf_dir] = paths
+    return paths
+
+
 def q_hybrid_search_stored(spark, sf_dir):
     """Hybrid retrieval served from the PERSISTED indexes
     (functions/serving.py::hybrid_search_index, NEW r12 — STAGED for
@@ -5924,52 +5970,35 @@ def q_hybrid_search_stored(spark, sf_dir):
     cells + sidecar literals). Quantizers use the shared sampled-
     training predicate so the oracle's kmeans chains replay them; knobs
     (n_probe=8, rerank 40, k=10 per list) match _sql_ivfpq_parts'
-    pinned constants."""
-    import shutil
-    import tempfile
-
-    from lotus_spark.functions.ann import (
-        ivf_index, pq_index, write_ivfpq_index,
-    )
-    from lotus_spark.functions.bm25_store import write_bm25_index
+    pinned constants. Index build is memoized per process
+    (``_hybrid_stored_indexes``) — repeated calls time the query."""
+    from lotus_spark.functions.bm25_store import write_bm25_index  # noqa: F401 — build dep, lives in the memo
     from lotus_spark.functions.serving import hybrid_search_index
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
-    ts = (_PQ_TRAIN_SEED, _PQ_TRAIN_THRESHOLD)
-    d = tempfile.mkdtemp(prefix="hybrid_idx_")
-    try:
-        bm_path, iv_path = f"{d}/bm", f"{d}/iv"
-        write_bm25_index(docs, bm_path, "text", "doc_id", n_buckets=16)
-        indexed, cents = ivf_index(emb, "embedding", n_cells=16, seed=42,
-                                   method="deterministic", id_col="vec_id",
-                                   train_sample=ts)
-        encoded, books = pq_index(indexed, "embedding", "vec_id", m=8,
-                                  nbits=4, seed=101, train_sample=ts)
-        write_ivfpq_index(encoded, iv_path, cents, books)
-        out = hybrid_search_index(
-            spark, bm_path, iv_path, _BM25_QUERY, qv, k=10,
-            lexical_k=10, vector_k=10, n_probe=8, rerank_k=40,
-        )
-        rows = [(r["doc_id"], r["rrf_score"]) for r in out.collect()]
-        # materialize before the tempdir (both indexes) is removed
-        return spark.createDataFrame(
-            rows, "doc_id long, rrf double"
-        ).select("doc_id", F.round("rrf", 6).alias("rrf_score"))
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    bm_path, iv_path = _hybrid_stored_indexes(spark, sf_dir)
+    out = hybrid_search_index(
+        spark, bm_path, iv_path, _BM25_QUERY, qv, k=10,
+        lexical_k=10, vector_k=10, n_probe=8, rerank_k=40,
+    )
+    return out.select(
+        "doc_id", F.round("rrf_score", 6).alias("rrf_score"))
 
 
-def _sql_hybrid_stored(qv: list[float]) -> str:
+def _sql_hybrid_stored(qv: list[float], terms: list[str] | None = None,
+                       vid: int = 0) -> str:
     """DuckDB replay of the stored hybrid: the BM25 relations
-    (_SQL_BM25_COMMON — the stored path is score-identical to the
+    (_sql_bm25_common — the stored path is score-identical to the
     in-hand plan, pinned by bm25_index_search), the full IVF-PQ chain
     (_sql_ivfpq_parts: both quantizer Lloyd's chains under the shared
     sampled-training predicate, probe LIMIT 8, ADC shortlist LIMIT 40,
     exact-cosine rerank), and reciprocal-rank fusion — ranks on the
-    UNROUNDED scores exactly as rrf_fuse's row_number windows do."""
+    UNROUNDED scores exactly as rrf_fuse's row_number windows do.
+    ``terms``/``vid`` parameterize the query (the batch row replays
+    several); defaults reproduce the single-row SQL byte-identically."""
     ctes, joins, total = _sql_ivfpq_parts(qv)
+    bm25 = (_SQL_BM25_COMMON if terms is None
+            else _sql_bm25_common(terms))
     return f"""
 WITH {",".join(ctes)},
 short AS (
@@ -5979,13 +6008,13 @@ short AS (
   ORDER BY pq_dist, ct0.vec_id LIMIT 40
 ),
 ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-qvec AS (SELECT v AS q FROM ev WHERE vec_id = 0),
+qvec AS (SELECT v AS q FROM ev WHERE vec_id = {vid}),
 vecs AS (
   SELECT ev.vec_id AS doc_id, {_sql_cosine('ev.v', 'qvec.q')} AS score
   FROM ev JOIN short ON ev.vec_id = short.vec_id, qvec
   ORDER BY score DESC, ev.vec_id LIMIT 10
 ),
-{_SQL_BM25_COMMON},
+{bm25},
 lexs AS (SELECT doc_id, score FROM bm
          ORDER BY score DESC, doc_id LIMIT 10),
 lex AS (SELECT doc_id,
@@ -6001,6 +6030,67 @@ fused AS (
 SELECT doc_id, ROUND(rrf, 6) AS rrf_score FROM fused
 ORDER BY rrf DESC, doc_id LIMIT 10
 """
+
+
+# the batched stored-serving row's query set: the standard query plus
+# two more drawn from the synthetic corpus vocabulary, paired with
+# query vectors 0/1/2 — fixed literals so the oracle can embed them
+_HYBRID_BATCH_QUERIES = {
+    "q0": _BM25_QUERY,
+    "q1": "hash sort filter data",
+    "q2": "batch table query vector",
+}
+_HYBRID_BATCH_VIDS = {"q0": 0, "q1": 1, "q2": 2}
+
+
+def q_hybrid_search_stored_batch(spark, sf_dir):
+    """BATCHED hybrid serving against the persisted indexes
+    (functions/serving.py::hybrid_search_index_batch, NEW r14): three
+    hybrid queries answered in ONE lexical pass over the union of their
+    term buckets (bm25_store.bm25_search_index_batch) + ONE ADC+rerank
+    pass over the union of their probed cells (ann.knn_topk_ivfpq_batch)
+    + ONE per-query RRF fusion (bm25.rrf_fuse_batch) — amortizing the
+    fixed per-query job overhead BENCH_serving.json exposed. Knobs and
+    index build match q_hybrid_search_stored exactly, so the oracle is
+    the per-query stored-hybrid replay, one UNION ALL branch per query
+    — a hash match pins batch == Q independent single calls, value for
+    value (reference capability anchor: lotus/sem_ops/sem_search.py
+    serves one query per call; batching is the production extension of
+    the same surface). Index build is memoized per process
+    (``_hybrid_stored_indexes``) — bench sweeps 2+ time the recurring
+    batched query, the same protocol as ``ann_join_ivfpq_stored``."""
+    from lotus_spark.functions.bm25_store import write_bm25_index  # noqa: F401 — build dep, lives in the memo
+    from lotus_spark.functions.serving import hybrid_search_index_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vids = _HYBRID_BATCH_VIDS
+    vrows = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(
+                 F.col("vec_id").isin(sorted(vids.values()))).collect()}
+    queries = {qid: (_HYBRID_BATCH_QUERIES[qid], vrows[vids[qid]])
+               for qid in _HYBRID_BATCH_QUERIES}
+    bm_path, iv_path = _hybrid_stored_indexes(spark, sf_dir)
+    out = hybrid_search_index_batch(
+        spark, bm_path, iv_path, queries, k=10,
+        lexical_k=10, vector_k=10, n_probe=8, rerank_k=40,
+    )
+    return out.select("query_id", "doc_id",
+                      F.round("rrf_score", 6).alias("rrf_score"))
+
+
+def _sql_hybrid_stored_batch(qvs: dict[str, list[float]]) -> str:
+    """The batch oracle: one _sql_hybrid_stored replay per query id,
+    stitched with UNION ALL — the batch API's contract IS per-query
+    equality with Q single calls, so its oracle IS Q single oracles."""
+    branches = []
+    for qid in sorted(_HYBRID_BATCH_QUERIES):
+        terms = sorted(set(_HYBRID_BATCH_QUERIES[qid].split()))
+        single = _sql_hybrid_stored(
+            qvs[qid], terms=terms, vid=_HYBRID_BATCH_VIDS[qid])
+        branches.append(
+            f"SELECT '{qid}' AS query_id, doc_id, rrf_score "
+            f"FROM (\n{single}\n)")
+    return "\nUNION ALL\n".join(branches)
 
 
 def q_llm_judge_structured(spark, sf_dir):
@@ -6187,6 +6277,15 @@ def oracle_sql() -> dict[str, str]:
         # r13: hybrid retrieval served from BOTH persisted indexes
         # (stored BM25 + stored IVF-PQ + RRF), staged r12
         sqls["hybrid_search_stored"] = _sql_hybrid_stored(qv)
+        # r14: the BATCHED stored-serving row — per-query equality with
+        # Q single calls, so the oracle is Q single replays UNION ALL'd
+        qvs = {"q0": qv}
+        for qid, vid in _HYBRID_BATCH_VIDS.items():
+            if qid not in qvs:
+                qvs[qid] = [float(x) for x in duckdb.sql(
+                    f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+                    f"WHERE vec_id = {vid}").fetchone()[0]]
+        sqls["hybrid_search_stored_batch"] = _sql_hybrid_stored_batch(qvs)
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()

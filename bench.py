@@ -121,6 +121,13 @@ BENCH_QUERIES = [
     # flagged spuriously three rounds running because the one-time
     # build dominates its wall).
     "ann_join_ivfpq_stored",
+    # round 14: BATCHED hybrid serving from the persisted BM25 + IVF-PQ
+    # indexes (3 queries per call; one bucket-union lexical pass + one
+    # cell-union ADC pass + one fusion). Build is memoized per process
+    # (__spark_entry__._hybrid_stored_indexes) so only sweep 1 pays the
+    # two index writes; the timed steady state is the recurring batch —
+    # the serving number BENCH_serving.json's amortization rows expand.
+    "hybrid_search_stored_batch",
     # round 11: url_canonicalize is the recurring map-only crawl path
     # (pure codegen expressions — belongs in the sweep);
     # minhash_dedup_keepbest / leakage_safe_split stay out for the
@@ -443,11 +450,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    n_samples: dict[str, int] = {}
     for name in BENCH_QUERIES + STREAMING_QUERIES:
         if name not in samples:
             continue  # failed in every sweep; already reported
         timings[name] = round(med(samples[name]), 3)
         timings_min[name] = round(min(samples[name]), 3)
+        n_samples[name] = len(samples[name])
         print(f"# {name}: {rows[name]} rows in {timings[name]:.2f}s "
               f"(median; min {timings_min[name]:.2f}s)", file=sys.stderr)
 
@@ -492,6 +501,7 @@ def main() -> None:
     for name, xs in msamples.items():
         timings[name] = round(med(xs), 3)
         timings_min[name] = round(min(xs), 3)
+        n_samples[name] = len(xs)
         print(f"# {name}: {mrows[name]} rows in {timings[name]:.2f}s "
               f"(median; min {timings_min[name]:.2f}s)", file=sys.stderr)
 
@@ -563,6 +573,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": timings_min,
+                # per-query surviving sample count (r13 ADVICE): med()
+                # falls back to min below 3 samples — rows with
+                # n_samples < 3 mix estimators and must be read as mins
+                "queries_n_samples": n_samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "prev_bench": prev_name,
                 "regressions_vs_prev": regressions,

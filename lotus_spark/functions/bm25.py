@@ -231,3 +231,54 @@ def rrf_fuse(
         fused.select(id_col, total.alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
     )
+
+
+def rrf_fuse_batch(
+    ranked: list[DataFrame],
+    id_col: str,
+    query_col: str = "query_id",
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    max_list_size: int = 1000,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion over BATCHED ranked lists (each
+    ``(query_col, id_col, score)``, higher better): for every query id,
+    value-identical to handing that query's slice of each list to
+    :func:`rrf_fuse` (parity-pinned in tests). One plan fuses the whole
+    batch — the windows partition by the query id, so Q queries fuse in
+    one job with Q-way parallelism instead of Q driver round-trips.
+
+    Same bounding contract as the single-query fusion: each list is cut
+    to its per-query top ``max_list_size`` FIRST (a row_number window —
+    ranks beyond it contribute < 1/(rrf_k + max_list_size) ≈ nothing),
+    so arbitrary score relations stay safe inputs."""
+    from pyspark.sql import Window
+
+    fused = None
+    for i, r in enumerate(ranked):
+        w = Window.partitionBy(query_col).orderBy(
+            F.desc("score"), F.asc(id_col))
+        ranks = (
+            r.withColumn(f"__r{i}", F.row_number().over(w))
+            .filter(F.col(f"__r{i}") <= max_list_size)
+            .select(query_col, id_col, f"__r{i}")
+        )
+        fused = ranks if fused is None else fused.join(
+            ranks, [query_col, id_col], "full_outer")
+    contribs = [
+        F.when(F.col(f"__r{i}").isNotNull(),
+               F.lit(1.0) / (F.lit(rrf_k) + F.col(f"__r{i}")))
+        .otherwise(F.lit(0.0))
+        for i in range(len(ranked))
+    ]
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    w2 = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.select(query_col, id_col, total.alias("rrf_score"))
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .select(query_col, id_col, "rrf_score")
+    )

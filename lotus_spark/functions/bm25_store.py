@@ -223,6 +223,97 @@ def bm25_search_index(
     )
 
 
+def bm25_search_index_batch(
+    spark,
+    path: str,
+    queries: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Batched lexical serving: answer MANY queries in ONE pass over the
+    UNION of the batch's term buckets, per-query identical to
+    :func:`bm25_search_index` (parity-pinned in tests and the
+    ``hybrid_search_stored_batch`` oracle row). ``queries`` maps a query
+    id (stringified into ``query_col``) to its query text; returns
+    ``(query_col, id_col, score)`` with up to ``k`` rows per query (a
+    query whose terms hit no document contributes no rows, exactly as
+    the single call returns an empty frame).
+
+    Why batch: the single-query path's wall at serving time is dominated
+    by FIXED per-job overhead (bucket lookup + postings read + termdf
+    broadcast + top-k — several small Spark jobs per query,
+    BENCH_serving.json), not by the bounded bytes it reads. Concurrent
+    queries' bucket sets overlap (popular terms), so one scan of the
+    bucket UNION serves the whole batch: each posting row fans out to
+    the queries containing its term via a broadcast of the tiny
+    (query, term) membership relation, scores accumulate per
+    ``(query, id)`` with the SAME rounded-decimal partials as the
+    single path, and the per-query top-k is one window over a bounded
+    relation. Q queries cost ONE job of scheduling instead of Q — the
+    lexical twin of ``ann.knn_topk_ivfpq_batch``, and the same reason
+    production BM25 stacks batch their query traffic."""
+    from pyspark.sql import Window
+
+    meta = read_bm25_meta(spark, path)
+    if not int(meta["n_docs"]):
+        raise ValueError("bm25_search_index_batch: the index is empty")
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    if len({str(qid) for qid in queries}) != len(queries):
+        raise ValueError(
+            "bm25_search_index_batch: query ids collide after str() — "
+            f"{sorted(str(q) for q in queries)}; use distinct string ids")
+    qterms: dict[str, list[str]] = {}
+    for qid, text in queries.items():
+        terms = sorted(set(str(text).strip().lower().split()))
+        if not terms:
+            raise ValueError(f"empty query for id {qid!r}")
+        qterms[str(qid)] = terms
+    all_terms = sorted({t for ts in qterms.values() for t in ts})
+    buckets = _term_buckets(spark, all_terms, meta["n_buckets"])
+
+    posts = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+    )
+    tdf = (
+        spark.read.parquet(f"{path}/termdf")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+    )
+    membership = spark.createDataFrame(
+        [(qid, t) for qid, ts in qterms.items() for t in ts],
+        f"{query_col} string, term string")
+    n = float(meta["n_docs"])
+    avgdl = float(meta["total_dl"]) / float(meta["n_docs"])
+    hits = (posts.join(F.broadcast(tdf), "term")
+            .join(F.broadcast(membership), "term"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    partial = (
+        idf * (F.col("tf") * (1.0 + k1))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = (
+        hits.withColumn("p", F.round(partial, 9).cast("decimal(28,10)"))
+        .groupBy(query_col, "id")
+        .agg(F.sum("p").cast("double").alias("score"))
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_col, F.col("id").alias(meta["id_col"]), "score")
+    )
+
+
 def append_bm25_index(
     spark, path: str, new_df: DataFrame,
     text_col: str | None = None, id_col: str | None = None,

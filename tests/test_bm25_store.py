@@ -53,6 +53,41 @@ def test_stored_search_matches_inhand_bm25(spark, tmp_path):
     assert len(dl) == len(DOCS) and dl[6] == 0 and dl[8] == 0
 
 
+def test_batch_search_matches_singles(spark, tmp_path):
+    """bm25_search_index_batch == Q independent bm25_search_index calls,
+    per query, ids AND scores bit-identical — including a query whose
+    terms miss the corpus entirely (no rows, like the single's empty
+    frame) and validation of empty/colliding query ids."""
+    from lotus_spark.functions.bm25_store import bm25_search_index_batch
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs, path, "text", "doc_id", n_buckets=8)
+    queries = {
+        "q0": QUERY,
+        "q1": "pasta cooking",
+        "q2": "the lazy fox",
+        "q3": "zzz qqq",  # vocabulary miss: zero rows expected
+    }
+    got = bm25_search_index_batch(spark, path, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"]))
+    for qid, text in queries.items():
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_search_index(spark, path, text, k=5).collect()]
+        assert by_q.get(qid, []) == want, qid
+    assert "q3" not in by_q
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search_index_batch(spark, path, {})
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_search_index_batch(spark, path, {"a": "   "})
+    with pytest.raises(ValueError, match="collide"):
+        bm25_search_index_batch(spark, path, {1: QUERY, "1": QUERY})
+
+
 def test_append_equals_fresh_write(spark, tmp_path):
     from lotus_spark.functions.bm25 import bm25_search
 

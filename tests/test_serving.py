@@ -66,6 +66,61 @@ def test_hybrid_search_index_matches_inhand_fusion(spark, tmp_path):
                             rerank_k=None)
 
 
+def test_hybrid_batch_matches_singles(spark, tmp_path):
+    """hybrid_search_index_batch == Q independent hybrid_search_index
+    calls with the same knobs, per query — ids and rrf_scores equal,
+    including a query whose lexical terms miss the corpus (the vector
+    list alone feeds its fusion, exactly as the single path fuses an
+    empty lexical frame)."""
+    from lotus_spark.functions.ann import (
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+    from lotus_spark.functions.bm25_store import write_bm25_index
+    from lotus_spark.functions.serving import (
+        hybrid_search_index, hybrid_search_index_batch,
+    )
+
+    docs, emb, _qv = _corpus(spark)
+    vecs = {r["doc_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    bm_path = str(tmp_path / "bm")
+    iv_path = str(tmp_path / "iv")
+    write_bm25_index(docs, bm_path, "text", "doc_id", n_buckets=8)
+    indexed, cents = ivf_index(emb, "embedding", n_cells=2, seed=9,
+                               method="deterministic", id_col="doc_id")
+    encoded, books = pq_index(indexed, "embedding", "doc_id", m=4,
+                              nbits=2, seed=5)
+    write_ivfpq_index(encoded, iv_path, cents, books)
+
+    queries = {
+        "q0": (QUERY, vecs[0]),
+        "q1": ("pasta cooking text", vecs[5]),
+        "q2": ("zzz qqq", vecs[3]),  # lexical vocabulary miss
+    }
+    knobs = dict(k=6, lexical_k=5, vector_k=5, n_probe=2,
+                 rerank_k=len(DOCS), vector_id_col="doc_id")
+    got = hybrid_search_index_batch(
+        spark, bm_path, iv_path, queries, **knobs).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["rrf_score"]))
+    for qid, (text, qv) in queries.items():
+        want = [(r["doc_id"], r["rrf_score"]) for r in
+                hybrid_search_index(spark, bm_path, iv_path, text, qv,
+                                    **knobs).collect()]
+        assert by_q.get(qid, []) == want, qid
+
+    with pytest.raises(ValueError, match="rerank_k=None"):
+        hybrid_search_index_batch(spark, bm_path, iv_path, queries,
+                                  rerank_k=None)
+    with pytest.raises(ValueError, match="non-empty"):
+        hybrid_search_index_batch(spark, bm_path, iv_path, {})
+    with pytest.raises(ValueError, match="expected"):
+        hybrid_search_index_batch(spark, bm_path, iv_path,
+                                  {"a": "just text"})
+
+
 def test_cluster_map_cdc_stability_and_sync(spark, tmp_path):
     """apply_snapshot_to_cluster_index: deletes shrink map AND index in
     step; surviving members KEEP their cluster ids even when the
