@@ -104,6 +104,18 @@ def _score_pairs(
     return pairs.drop("__le", "__re")
 
 
+def thresholds_to_buckets(tau_pos: float, tau_neg: float,
+                          n_q: int) -> tuple[int, int]:
+    """Map learned (τ⁺, τ⁻) onto quantile-bucket cutoffs: accept buckets
+    ``>= k_accept``, reject buckets ``<= k_reject``, gray in between.
+    Pure arithmetic shared by :func:`_evaluate_plan` and the plan-choice
+    property test (tests/test_cascades.py) so the test exercises the
+    operator's real routing math, not a re-derivation."""
+    k_accept = int(np.ceil(tau_pos * n_q)) - 1 if tau_pos <= 1.0 else n_q + 1
+    k_reject = int(np.floor(tau_neg * n_q)) - 1 if tau_neg > 0.0 else -1
+    return k_accept, min(k_reject, k_accept - 1)
+
+
 def _evaluate_plan(
     pairs: DataFrame,
     plan: str,
@@ -161,9 +173,7 @@ def _evaluate_plan(
         cascade_args.precision_target,
         cascade_args.failure_probability,
     )
-    k_accept = int(np.ceil(tau_pos * n_q)) - 1 if tau_pos <= 1.0 else n_q + 1
-    k_reject = int(np.floor(tau_neg * n_q)) - 1 if tau_neg > 0.0 else -1
-    k_reject = min(k_reject, k_accept - 1)
+    k_accept, k_reject = thresholds_to_buckets(tau_pos, tau_neg, n_q)
     gray = bucketed.filter(
         (F.col("__bucket") > k_reject) & (F.col("__bucket") < k_accept)
     ).count()

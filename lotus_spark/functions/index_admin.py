@@ -128,15 +128,21 @@ def detect_index_kind(spark, path: str) -> str:
     from lotus_spark.functions.index_cdc import _fs
 
     jvm, fs, p = _fs(spark, path)
-    base = None
-    for name, k in _SIDECAR_KINDS.items():
-        if fs.exists(p(f"{path}/{name}")):
-            base = k
-            break
-    if base is None:
+    found = [k for name, k in _SIDECAR_KINDS.items()
+             if fs.exists(p(f"{path}/{name}"))]
+    if not found:
         raise ValueError(
             f"detect_index_kind: no index sidecar at {path} — looked "
             f"for {sorted(_SIDECAR_KINDS)}")
+    if len(found) > 1:
+        # e.g. an index written over a stale dir of another layout:
+        # silently picking one would leave the other's corruption
+        # unchecked — make the operator name the kind explicitly
+        raise ValueError(
+            f"detect_index_kind: AMBIGUOUS — {path} carries sidecars "
+            f"for {sorted(found)}; pass kind= explicitly (and clean up "
+            "the stale layout)")
+    base = found[0]
     if base == "minhash" and fs.exists(p(f"{path}.clusters")):
         return "cluster"
     if base == "ivfpq" and fs.exists(p(f"{path}.clusters")):
@@ -258,7 +264,8 @@ def validate_index(spark, path: str, kind: str | None = None
             # scores silently diverge from the maintenance tables
             dmism = (posts.select("id", "dl").distinct()
                      .join(dl.withColumnRenamed("dl", "dl2"), "id")
-                     .filter(F.col("dl") != F.col("dl2")).count())
+                     .filter(F.col("dl") != F.col("dl2"))
+                     .select("id").distinct().count())
             rows.append(_row(
                 "postings_dl_matches_doclens", dmism == 0,
                 f"{dmism} ids whose posting dl disagrees with doclens — "

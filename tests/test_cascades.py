@@ -112,6 +112,85 @@ def test_thresholds_meet_targets_at_failure_probability_over_seeds():
     assert informative >= 0.8 * trials, informative
 
 
+def test_join_plan_choice_meets_recall_and_picks_cheaper_over_seeds():
+    """r13 verdict item 4 — the join-cascade twin of the r13 filter
+    property test above: over many independent simulated pair corpora,
+    replay sem_join_cascade's plan evaluation (quantile bucketing,
+    mixture-weighted per-bucket sampling, learn_filter_thresholds, the
+    REAL thresholds_to_buckets routing arithmetic, min-gray plan choice
+    — reference lotus/sem_ops/sem_join.py:180-341,511-544) with two
+    proxies per corpus: a DISCRIMINATIVE one (map_search_filter on a
+    vocabulary-disjoint join) and a NOISY one (raw similarity). Assert
+    (a) the CHOSEN plan's full-population recall — accepted buckets
+    plus the oracle-correct gray zone — misses the target no more often
+    than the configured failure probability (3-sigma binomial slack,
+    same acceptance line as the filter test), and (b) when both plans
+    qualify, the chooser picks the one with the smaller gray zone (=
+    fewer oracle calls), and that is the discriminative proxy in the
+    overwhelming majority of trials."""
+    from lotus_spark.cascades.join_cascade import thresholds_to_buckets
+
+    delta, target, trials = 0.2, 0.8, 200
+    n_q, is_w, samp_pct = 50, 0.5, 0.1  # CascadeArgs defaults
+    rec_fail = both_qualify = picked_cheaper = picked_discriminative = 0
+
+    def evaluate(scores, labels, rng):
+        """_evaluate_plan's math on an in-memory corpus: bucketize by
+        score quantiles, sample per bucket with the IS mixture, learn
+        thresholds, route via thresholds_to_buckets; returns the gray
+        count and the full-population routing masks."""
+        n = len(scores)
+        edges = np.quantile(scores, [i / n_q for i in range(1, n_q)])
+        bucket = np.searchsorted(edges, scores, side="left")
+        target_n = int(np.clip(round(n * samp_pct), 20, 2000))
+        bucket_scores = (np.arange(n_q) + 1) / n_q
+        prop = np.sqrt(bucket_scores) / np.sqrt(bucket_scores).sum()
+        mix = is_w * prop + (1.0 - is_w) / n_q
+        per_bucket_n = n / n_q
+        fractions = np.minimum(1.0, target_n * mix / max(per_bucket_n, 1.0))
+        take = rng.random(n) < fractions[bucket]
+        if not take.any():
+            take[:20] = True
+        cal_sample = (bucket[take] + 1) / n_q
+        corr = 1.0 / np.maximum(fractions[bucket[take]], 1e-9)
+        tp, tn = learn_filter_thresholds(
+            cal_sample, labels[take], corr, target, target, delta)
+        k_acc, k_rej = thresholds_to_buckets(tp, tn, n_q)
+        accept = bucket >= k_acc
+        gray = (bucket > k_rej) & (bucket < k_acc)
+        return int(gray.sum()), accept, gray
+
+    for seed in range(trials):
+        rng = np.random.default_rng(seed)
+        n = 3000
+        labels = rng.random(n) < 0.3
+        # plan A (map_search_filter stand-in): separable-but-noisy proxy
+        sA = np.clip(labels * 0.6 + 0.2 + rng.normal(0, 0.15, n), 0, 1)
+        # plan B (raw-similarity stand-in): nearly uninformative proxy
+        sB = np.clip(labels * 0.1 + 0.45 + rng.normal(0, 0.2, n), 0, 1)
+        evals = {"A": evaluate(sA, labels, rng),
+                 "B": evaluate(sB, labels, rng)}
+        chosen = min(evals, key=lambda k: evals[k][0])
+        grayn, accept, gray = evals[chosen]
+        predicted = accept | (gray & labels)  # oracle is right on gray
+        if (predicted & labels).sum() / max(labels.sum(), 1) < target:
+            rec_fail += 1
+        # (b) cheaper-plan selection whenever both plans are informative
+        if all(e[1].any() for e in evals.values()):
+            both_qualify += 1
+            if evals[chosen][0] == min(e[0] for e in evals.values()):
+                picked_cheaper += 1
+            if chosen == "A":
+                picked_discriminative += 1
+
+    # same 3-sigma binomial acceptance line as the filter-threshold test
+    assert rec_fail <= (delta + 0.09) * trials, rec_fail
+    assert both_qualify > 0
+    assert picked_cheaper == both_qualify  # min-gray choice, by definition
+    assert picked_discriminative >= 0.9 * both_qualify, (
+        picked_discriminative, both_qualify)
+
+
 def test_filter_cascade_end_to_end_equals_exact(spark):
     rows = [(i, f"doc {i} {'spark' if i % 3 == 0 else 'other'}") for i in range(60)]
     df = spark.createDataFrame(rows, ["id", "text"])

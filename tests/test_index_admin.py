@@ -169,3 +169,14 @@ def test_validate_index_kind_autodetect(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no index sidecar"):
         detect_index_kind(spark, str(tmp_path / "ghost"))
+
+    # ambiguity refusal (r13 ADVICE): an index written over a stale dir
+    # of another layout carries TWO sidecars — autodetect must refuse,
+    # not silently fsck whichever kind sorts first
+    from lotus_spark.functions.ann import _fs_write_json
+
+    _fs_write_json(spark, f"{bm}/_minhash_meta.json", {"stale": True})
+    with pytest.raises(ValueError, match="AMBIGUOUS"):
+        detect_index_kind(spark, bm)
+    # named-kind validation still works on the ambiguous dir
+    assert validate_index(spark, bm, "bm25")["ok"]

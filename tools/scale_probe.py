@@ -318,6 +318,16 @@ def main():
             print(f"# {name} error: {a.get('error') or b.get('error')}",
                   file=sys.stderr)
 
+    # OUTPUT-NORMALIZED flag rule (r13 verdict item 3): a query's wall
+    # may grow with its OUTPUT rows (pair miners legitimately 5-15x when
+    # their pair count grows 10-107x) but not past alpha x that growth —
+    # flag when tF/t1 > alpha * max(1, rowsF/rows1), alpha = 2. On this
+    # box the healthy distribution at 10x input is 0.8-1.6 (fixed
+    # overhead dominates small scales), so alpha=2 separates "output
+    # grew" from "work grew" instead of the old 1.5*factor rule
+    # silently exempting every constant-output row below 15x. The
+    # absolute-time guard stays: sub-second walls are all jitter.
+    ALPHA = 2.0
     queries, flagged = {}, []
     for name in fns:
         a, b = r1.get(name, {}), rf.get(name, {})
@@ -325,14 +335,18 @@ def main():
             round(b["sec"] / a["sec"], 2)
             if a.get("sec") and b.get("sec") else None
         )
+        rows_ratio = (
+            round(b["rows"] / a["rows"], 2)
+            if a.get("rows") and b.get("rows") is not None else None
+        )
+        allowed = round(ALPHA * max(1.0, rows_ratio or 1.0), 2)
         queries[name] = {
             "t1": a.get("sec"), f"t{args.factor}": b.get("sec"),
             "ratio": ratio, "rows1": a.get("rows"),
             f"rows{args.factor}": b.get("rows"),
+            "rows_ratio": rows_ratio, "allowed_ratio": allowed,
         }
-        # flag clearly-superlinear growth; small absolute times are all
-        # fixed overhead and can't flag (ratio < 1 territory)
-        if ratio is not None and ratio > 1.5 * args.factor and (
+        if ratio is not None and ratio > allowed and (
             b.get("sec") or 0
         ) > 1.0:
             flagged.append(name)
