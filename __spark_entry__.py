@@ -5245,11 +5245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key whose q-body imports a module edited this round
         # (functions/bm25.py::rrf_fuse_batch, functions/bm25_store.py::
         # bm25_search_index_batch, functions/serving.py::
-        # hybrid_search_index_batch): 4 keys; (c) ALL 18 keys whose
+        # hybrid_search_index_batch, cascades/join_cascade.py::
+        # thresholds_to_buckets): 5 keys; (c) ALL 18 keys whose
         # newest driver row is r11 (r13 verdict item 2 — after this
-        # run no key's driver row predates r12); (d) 27 stalest
+        # run no key's driver row predates r12); (d) 26 stalest
         # r12-driver-row keys promoted to fill the window (oldest-first
-        # in registry order). 1 + 4 + 18 + 27 = 50.
+        # in registry order). 1 + 5 + 18 + 26 = 50.
         # -- NEW in round 14 ------------------------------------------
         "hybrid_search_stored_batch": q_hybrid_search_stored_batch,
         # -- modules edited this round: importers must be in-window ----
@@ -5259,6 +5260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # functions/bm25.py
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        # cascades/join_cascade.py (thresholds_to_buckets factoring for
+        # the plan-choice property test)
+        "sem_join_cascade_routed": q_sem_join_cascade_routed,
         # -- last driver row == r11: refresh all 18 ---------------------
         "minhash_signature": q_minhash_signature,
         "ngram_stats": q_ngram_stats,
@@ -5305,12 +5309,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_signals": q_quality_signals,
         "sessionize": q_sessionize,
-        "bucketed_join_coalesced": q_bucketed_join_coalesced,
         # -- tail (>50): every key holds an r12 or r13 DRIVER row
         # (CORRECTNESS_r12/r13); all modules imported by these q bodies
         # are byte-untouched since .round_base
         # (CI: test_registry_tail_modules_untouched_this_round).
         # remaining r12-driver-row keys:
+        "bucketed_join_coalesced": q_bucketed_join_coalesced,
         "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "supplier_intersect": q_supplier_intersect,
@@ -5355,7 +5359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_join": q_sem_join,
         "sem_join_cascade": q_sem_join_cascade,
-        "sem_join_cascade_routed": q_sem_join_cascade_routed,
         "sem_pipeline": q_sem_pipeline,
         "sem_topk": q_sem_topk,
         "sem_topk_quicksem": q_sem_topk_quicksem,
@@ -5972,7 +5975,10 @@ def q_hybrid_search_stored(spark, sf_dir):
     (n_probe=8, rerank 40, k=10 per list) match _sql_ivfpq_parts'
     pinned constants. Index build is memoized per process
     (``_hybrid_stored_indexes``) — repeated calls time the query."""
-    from lotus_spark.functions.bm25_store import write_bm25_index  # noqa: F401 — build dep, lives in the memo
+    # marker import (unused here): the index build lives in the
+    # _hybrid_stored_indexes memo, whose bm25_store dependency must
+    # keep this row inside the tail-rotation test's scope
+    from lotus_spark.functions.bm25_store import write_bm25_index
     from lotus_spark.functions.serving import hybrid_search_index
 
     qv = _query_vec(spark, sf_dir)
@@ -6059,7 +6065,10 @@ def q_hybrid_search_stored_batch(spark, sf_dir):
     the same surface). Index build is memoized per process
     (``_hybrid_stored_indexes``) — bench sweeps 2+ time the recurring
     batched query, the same protocol as ``ann_join_ivfpq_stored``."""
-    from lotus_spark.functions.bm25_store import write_bm25_index  # noqa: F401 — build dep, lives in the memo
+    # marker import (unused here): the index build lives in the
+    # _hybrid_stored_indexes memo, whose bm25_store dependency must
+    # keep this row inside the tail-rotation test's scope
+    from lotus_spark.functions.bm25_store import write_bm25_index
     from lotus_spark.functions.serving import hybrid_search_index_batch
 
     emb = _t(spark, sf_dir, "embeddings")

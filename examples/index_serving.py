@@ -133,6 +133,21 @@ def main() -> None:
               [(r["doc_id"], round(r["rrf_score"], 4))
                for r in fused.collect()])
 
+        # 6b. BATCHED hybrid serving (r14): a deployment's query traffic
+        # arrives in batches — answer Q hybrid queries in THREE jobs
+        # (one bucket-union lexical pass, one cell-union ADC pass, one
+        # fusion) instead of Q job ladders; per query identical to 6.
+        from lotus_spark.functions.serving import hybrid_search_index_batch
+
+        texts = {r["doc_id"]: " ".join(r["text"].split()[:4])
+                 for r in docs.filter("doc_id in (1, 2, 3)").collect()}
+        hq = {f"q{i}": (texts[i], queries[f"q{i}"]) for i in (1, 2, 3)}
+        fused_batch = hybrid_search_index_batch(
+            spark, bm_path, path, hq, k=3, n_probe=8)
+        print("batched hybrid top-3 per query:")
+        fused_batch.orderBy("query_id", F.desc("rrf_score")).show(
+            truncate=False)
+
         # 7. FSCK (r13): after any maintenance — append, compact, CDC —
         # run the read-only validate_index before trusting the store.
         # It is bounded (sidecar reads + directory listings + narrow

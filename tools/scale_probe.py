@@ -107,6 +107,15 @@ PROBE_QUERIES = [
     # the min — so repeat 1 pays train+write once per scale dir and the
     # reported ratio is probe + cell join + rerank at 10x the corpus.
     "ann_join_ivfpq_stored",
+    # round 14: the RECURRING batched hybrid-serving row (same memo
+    # protocol as ann_join_ivfpq_stored — repeat 1 pays the two index
+    # builds per scale dir, the reported ratio is the 3-query batch).
+    # The lexical side scans its terms' bucket PARTITIONS, which grow
+    # with the corpus at fixed n_buckets=16 — the honest sizing story
+    # (bm25_store docstring) is to grow n_buckets with the corpus so a
+    # bucket stays a few hundred MB; the ratio here bounds the
+    # fixed-geometry worst case.
+    "hybrid_search_stored_batch",
 ]
 
 
