@@ -5540,7 +5540,7 @@ def q_ngram_stats(spark, sf_dir):
     return ngram_stats(docs, "text", n=2, top_k=20)
 
 
-_SQL_NGRAM_STATS = """
+_SQL_NGRAM_STATS = r"""
 WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
            FROM documents),
 g AS (SELECT doc_id,
