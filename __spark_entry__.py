@@ -3222,13 +3222,18 @@ def _sql_bm25_common(terms: list[str]) -> str:
     return _SQL_BM25_COMMON_TMPL.replace("@TERMS@", lst)
 
 
-_SQL_BM25_COMMON_TMPL = r"""
+# the encode relations alone (tokenize -> postings/doclens/termdf) —
+# shared by the query template below and the stored-index-stats oracle,
+# which aggregates the relations' geometry with no query in play
+_SQL_BM25_RELATIONS = r"""
 tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
         FROM documents),
 post AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok WHERE term != ''
          GROUP BY 1, 2),
 dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok WHERE term != '' GROUP BY 1),
-tdf AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+tdf AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1)"""
+
+_SQL_BM25_COMMON_TMPL = _SQL_BM25_RELATIONS + r""",
 g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
       FROM dlen),
 q AS (SELECT unnest([@TERMS@]) AS term),
@@ -5240,19 +5245,24 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-14 rotation (.round_base = acce815). Window (first 50)
-        # = (a) the NEW r14 row leads — hybrid_search_stored_batch (the
-        # batched stored-serving path, r13 verdict item 1); (b) every
+        # = (a) the NEW r14 rows lead — hybrid_search_stored_batch (the
+        # batched stored-serving path, r13 verdict item 1) and
+        # stored_index_stats (index_admin.py::index_stats geometry
+        # introspection over the same stored layouts); (b) every
         # key whose q-body imports a module edited this round
         # (functions/bm25.py::rrf_fuse_batch, functions/bm25_store.py::
         # bm25_search_index_batch, functions/serving.py::
         # hybrid_search_index_batch, cascades/join_cascade.py::
         # thresholds_to_buckets): 5 keys; (c) ALL 18 keys whose
         # newest driver row is r11 (r13 verdict item 2 — after this
-        # run no key's driver row predates r12); (d) 26 stalest
+        # run no key's driver row predates r12); (d) 25 stalest
         # r12-driver-row keys promoted to fill the window (oldest-first
-        # in registry order). 1 + 5 + 18 + 26 = 50.
+        # in registry order; sessionize, the 26th, yielded its slot to
+        # stored_index_stats — its r12 driver row + CHECKS_r14 row keep
+        # it green in the tail). 2 + 5 + 18 + 25 = 50.
         # -- NEW in round 14 ------------------------------------------
         "hybrid_search_stored_batch": q_hybrid_search_stored_batch,
+        "stored_index_stats": q_stored_index_stats,
         # -- modules edited this round: importers must be in-window ----
         # functions/serving.py + functions/bm25_store.py
         "hybrid_search_stored": q_hybrid_search_stored,
@@ -5308,11 +5318,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "text_stats": q_text_stats,
         "quality_signals": q_quality_signals,
-        "sessionize": q_sessionize,
         # -- tail (>50): every key holds an r12 or r13 DRIVER row
-        # (CORRECTNESS_r12/r13); all modules imported by these q bodies
-        # are byte-untouched since .round_base
-        # (CI: test_registry_tail_modules_untouched_this_round).
+        # (CORRECTNESS_r12/r13) or a CHECKS_r14 row; all modules
+        # imported by these q bodies are byte-untouched since
+        # .round_base (CI: test_registry_tail_modules_untouched_
+        # this_round). sessionize leads the tail: it yielded its window
+        # slot to stored_index_stats (r12 driver row + CHECKS_r14 keep
+        # it green).
+        "sessionize": q_sessionize,
         # remaining r12-driver-row keys:
         "bucketed_join_coalesced": q_bucketed_join_coalesced,
         "part_brand_stats": q_part_brand_stats,
@@ -6102,6 +6115,71 @@ def _sql_hybrid_stored_batch(qvs: dict[str, list[float]]) -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+def q_stored_index_stats(spark, sf_dir):
+    """Geometry/balance statistics of the persisted serving indexes
+    (functions/index_admin.py::index_stats, NEW r14) — the
+    capacity-planning verb over the same memoized stored BM25 + IVF-PQ
+    layouts the serving rows query. The oracle replays every
+    hash-independent metric from the corpus tables (the BM25 encode
+    relations + the IVF cell kmeans chain, the same CTEs the serving
+    oracles pin); the xxhash64 bucket-fill metrics DuckDB cannot replay
+    from the corpus are filtered here and pinned instead by the
+    DuckDB-over-the-written-layout unit test
+    (tests/test_index_admin.py::test_index_stats_bm25_layout_replay).
+    Reference anchor: lotus persists retrieval indexes
+    (lotus/vector_store/faiss_vs.py) but has no layout-introspection
+    verb; this is the production extension the sizing docstrings
+    (bm25_store, ann) defer to."""
+    from lotus_spark.functions.index_admin import index_stats
+
+    bm_path, iv_path = _hybrid_stored_indexes(spark, sf_dir)
+    st = index_stats(spark, bm_path, "bm25").unionByName(
+        index_stats(spark, iv_path, "ivfpq"))
+    return st.filter(~F.col("metric").isin(
+        "n_buckets_occupied", "max_bucket_postings",
+        "min_bucket_postings"))
+
+
+def _sql_stored_index_stats(d: int) -> str:
+    """DuckDB replay of the stored-index geometry from the CORPUS: the
+    bm25 metrics aggregate the encode relations (_SQL_BM25_RELATIONS —
+    the exact CTEs the query oracles pin against the stored scores),
+    the ivfpq metrics aggregate the cell kmeans chain's final
+    assignment (_sql_kmeans_ctes under the shared sampled-training
+    predicate — the exact chain every ivfpq oracle replays). Literal
+    knobs (16 buckets / 16 cells / m=8) mirror _hybrid_stored_indexes."""
+    from lotus_spark.functions.kmeans import train_sample_where
+
+    tw = train_sample_where("vec_id", _PQ_TRAIN_SEED,
+                            _PQ_TRAIN_THRESHOLD)
+    cell_chain = _sql_kmeans_ctes(k=16, iters=3, seed=42, d=d, p="iv_",
+                                  train_where=tw)
+    return f"""
+WITH {cell_chain},
+cellcounts AS (SELECT c, COUNT(*) AS n FROM iv_afinal GROUP BY c),
+{_SQL_BM25_RELATIONS}
+SELECT 'bm25' AS layout, 'n_postings' AS metric,
+       CAST((SELECT COUNT(*) FROM post) AS BIGINT) AS value
+UNION ALL SELECT 'bm25', 'n_terms', (SELECT COUNT(*) FROM tdf)
+UNION ALL SELECT 'bm25', 'max_term_df', (SELECT MAX(df) FROM tdf)
+UNION ALL SELECT 'bm25', 'n_docs_nonempty', (SELECT COUNT(*) FROM dlen)
+UNION ALL SELECT 'bm25', 'n_doclens_rows',
+          (SELECT COUNT(*) FROM documents)
+UNION ALL SELECT 'bm25', 'total_dl',
+          CAST((SELECT COALESCE(SUM(dl), 0) FROM dlen) AS BIGINT)
+UNION ALL SELECT 'bm25', 'n_buckets_total', CAST(16 AS BIGINT)
+UNION ALL SELECT 'ivfpq', 'n_rows', (SELECT COUNT(*) FROM embeddings)
+UNION ALL SELECT 'ivfpq', 'n_cells_total', CAST(16 AS BIGINT)
+UNION ALL SELECT 'ivfpq', 'n_cells_occupied',
+          (SELECT COUNT(*) FROM cellcounts)
+UNION ALL SELECT 'ivfpq', 'max_cell_rows',
+          (SELECT MAX(n) FROM cellcounts)
+UNION ALL SELECT 'ivfpq', 'min_cell_rows',
+          (SELECT MIN(n) FROM cellcounts)
+UNION ALL SELECT 'ivfpq', 'm_subspaces', CAST(8 AS BIGINT)
+"""
+
+
 def q_llm_judge_structured(spark, sf_dir):
     """Structured response_format outputs → typed columns (NEW r12 —
     reference sem_agg.py:471-484 field splitting + llm_as_judge.py:16-115
@@ -6295,6 +6373,10 @@ def oracle_sql() -> dict[str, str]:
                     f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
                     f"WHERE vec_id = {vid}").fetchone()[0]]
         sqls["hybrid_search_stored_batch"] = _sql_hybrid_stored_batch(qvs)
+        # r14: stored-index geometry — bm25 encode relations + the IVF
+        # cell chain aggregated; the xxhash64 bucket metrics are
+        # filtered in the q body and layout-replayed in unit tests
+        sqls["stored_index_stats"] = _sql_stored_index_stats(d=len(qv))
     except Exception:
         pass  # fall back to rows-only checks for the vector-dependent oracles
     sqls["sem_index_roundtrip"] = _sql_sem_index_roundtrip()

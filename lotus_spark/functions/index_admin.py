@@ -349,3 +349,130 @@ def validate_index(spark, path: str, kind: str | None = None
 
     return {"ok": all(r["ok"] for r in rows), "kind": kind,
             "path": path, "checks": rows}
+
+
+def index_stats(spark, path: str, kind: str | None = None):
+    """Geometry / balance statistics for a persisted index layout — the
+    capacity-planning converse of :func:`validate_index` (integrity).
+    Returns a long-form DataFrame ``(layout string, metric string,
+    value bigint)``; read-only and bounded: narrow-column aggregates
+    over the layout's own tables (ids, cells, buckets, counts — never a
+    payload or corpus scan).
+
+    Why it exists: every layout's sizing doc says "grow the partition
+    knob with the corpus" (``bm25_store``: a bucket should stay a few
+    hundred MB; ``ann``: cells should stay balanced; ``dedup_index``: a
+    hot LSH bucket is a candidate-pair hotspot) — this is the operator
+    verb that SHOWS those numbers, so re-bucket / re-train / compact
+    decisions come from measurement instead of guesswork. Skew metrics
+    (``max_*`` vs total/occupied) are the 100 TB early-warning: a
+    bucket or cell holding an outsized share of rows is tomorrow's
+    straggler task.
+
+    ``kind=None`` autodetects from the sidecar
+    (:func:`detect_index_kind`); a detected cluster kind reports the
+    map's stats plus its backing index's in one frame. Metrics are all
+    integers so cross-engine oracle comparison is exact."""
+    if kind is None:
+        kind = detect_index_kind(spark, path)
+    if kind not in KINDS:
+        raise ValueError(f"index_stats: unknown kind {kind!r} "
+                         f"(one of {KINDS})")
+    from lotus_spark.functions.ann import _fs_read_json
+
+    out: list[tuple[str, str, int]] = []
+
+    def _emit(layout: str, pairs: list[tuple[str, int | None]]) -> None:
+        out.extend((layout, m, int(v if v is not None else 0))
+                   for m, v in pairs)
+
+    if kind == "minhash":
+        meta = _fs_read_json(spark, f"{path}/_minhash_meta.json") or {}
+        sigs = spark.read.parquet(f"{path}/sigs")
+        bks = spark.read.parquet(f"{path}/buckets")
+        a = bks.groupBy("band").count().agg(
+            F.count("*").alias("occ"), F.max("count").alias("mx"),
+            F.sum("count").alias("rows")).first()
+        _emit("minhash", [
+            ("n_docs", sigs.count()),
+            ("n_hashes", meta.get("n_hashes", 0)),
+            ("bands", meta.get("bands", 0)),
+            ("n_bucket_rows", a["rows"]),
+            ("n_band_buckets_occupied", a["occ"]),
+            ("max_bucket_ids", a["mx"]),
+        ])
+
+    elif kind == "ivfpq":
+        from lotus_spark.functions.ann import read_ivfpq_index
+
+        stored, cents, books, cell_col = read_ivfpq_index(spark, path)
+        a = stored.groupBy(cell_col).count().agg(
+            F.count("*").alias("occ"), F.max("count").alias("mx"),
+            F.min("count").alias("mn"), F.sum("count").alias("rows")
+        ).first()
+        _emit("ivfpq", [
+            ("n_rows", a["rows"]),
+            ("n_cells_total", len(cents)),
+            ("n_cells_occupied", a["occ"]),
+            ("max_cell_rows", a["mx"]),
+            ("min_cell_rows", a["mn"]),
+            ("m_subspaces", len(books)),
+        ])
+
+    elif kind == "ngram":
+        posts = spark.read.parquet(f"{path}/ngrams")
+        a = posts.groupBy("sh").count().agg(
+            F.count("*").alias("dn"), F.max("count").alias("mx"),
+            F.sum("count").alias("rows")).first()
+        _emit("ngram", [
+            ("n_docs", spark.read.parquet(f"{path}/sizes").count()),
+            ("n_postings", a["rows"]),
+            ("n_distinct_ngrams", a["dn"]),
+            ("max_ngram_df", a["mx"]),
+        ])
+
+    elif kind == "bm25":
+        meta = _fs_read_json(spark, f"{path}/_bm25_meta.json") or {}
+        posts = spark.read.parquet(f"{path}/postings")
+        tdf = spark.read.parquet(f"{path}/termdf")
+        dl = spark.read.parquet(f"{path}/doclens")
+        pb = posts.groupBy("bucket").count().agg(
+            F.count("*").alias("occ"), F.max("count").alias("mx"),
+            F.min("count").alias("mn"), F.sum("count").alias("rows")
+        ).first()
+        ta = tdf.agg(F.count("*").alias("n"),
+                     F.max("df").alias("mx")).first()
+        da = dl.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("ne"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("tdl")).first()
+        _emit("bm25", [
+            ("n_postings", pb["rows"]),
+            ("n_terms", ta["n"]),
+            ("max_term_df", ta["mx"]),
+            ("n_docs_nonempty", da["ne"]),
+            ("n_doclens_rows", da["rows"]),
+            ("total_dl", da["tdl"]),
+            ("n_buckets_total", meta.get("n_buckets", 0)),
+            ("n_buckets_occupied", pb["occ"]),
+            ("max_bucket_postings", pb["mx"]),
+            ("min_bucket_postings", pb["mn"]),
+        ])
+
+    else:  # cluster / embedding_cluster: the map + its backing index
+        cmap = spark.read.parquet(f"{path}.clusters")
+        a = cmap.groupBy("cluster").count().agg(
+            F.count("*").alias("nc"), F.max("count").alias("mx"),
+            F.sum("count").alias("rows")).first()
+        _emit("cluster_map", [
+            ("n_ids", a["rows"]),
+            ("n_clusters", a["nc"]),
+            ("max_cluster_size", a["mx"]),
+        ])
+        base = "minhash" if kind == "cluster" else "ivfpq"
+        return spark.createDataFrame(
+            out, "layout string, metric string, value bigint",
+        ).unionByName(index_stats(spark, path, base))
+
+    return spark.createDataFrame(
+        out, "layout string, metric string, value bigint")

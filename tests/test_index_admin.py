@@ -180,3 +180,119 @@ def test_validate_index_kind_autodetect(spark, tmp_path):
         detect_index_kind(spark, bm)
     # named-kind validation still works on the ambiguous dir
     assert validate_index(spark, bm, "bm25")["ok"]
+
+
+def test_index_stats_bm25_layout_replay(spark, tmp_path):
+    """Every bm25 stats metric — including the xxhash64-bucket ones the
+    DuckDB ORACLE row cannot replay from the corpus — recomputed
+    independently by DuckDB over the WRITTEN layout files (hive
+    partitioning recovers the bucket column from the dir names)."""
+    import duckdb
+
+    from lotus_spark.functions.bm25_store import write_bm25_index
+    from lotus_spark.functions.index_admin import index_stats
+
+    docs = _docs(spark).union(
+        spark.createDataFrame([(99, None)], "doc_id long, text string"))
+    bm = str(tmp_path / "bm")
+    write_bm25_index(docs, bm, "text", "doc_id", n_buckets=4)
+    got = {r["metric"]: r["value"]
+           for r in index_stats(spark, bm).collect()}
+
+    con = duckdb.connect()
+    posts = f"read_parquet('{bm}/postings/*/*.parquet', hive_partitioning=1)"
+    want = con.execute(f"""
+        WITH pb AS (SELECT bucket, COUNT(*) AS n FROM {posts} GROUP BY 1)
+        SELECT (SELECT SUM(n) FROM pb),
+               (SELECT COUNT(*) FROM read_parquet('{bm}/termdf/*/*.parquet',
+                                                  hive_partitioning=1)),
+               (SELECT MAX(df) FROM read_parquet('{bm}/termdf/*/*.parquet',
+                                                 hive_partitioning=1)),
+               (SELECT COUNT(*) FROM read_parquet('{bm}/doclens/*.parquet')
+                WHERE dl > 0),
+               (SELECT COUNT(*) FROM read_parquet('{bm}/doclens/*.parquet')),
+               (SELECT SUM(dl) FROM read_parquet('{bm}/doclens/*.parquet')),
+               (SELECT COUNT(*) FROM pb),
+               (SELECT MAX(n) FROM pb),
+               (SELECT MIN(n) FROM pb)
+    """).fetchone()
+    keys = ("n_postings", "n_terms", "max_term_df", "n_docs_nonempty",
+            "n_doclens_rows", "total_dl", "n_buckets_occupied",
+            "max_bucket_postings", "min_bucket_postings")
+    assert {k: got[k] for k in keys} == dict(zip(keys, map(int, want)))
+    assert got["n_buckets_total"] == 4
+    # the NULL-text doc indexes as dl=0: in doclens rows, not in nonempty
+    assert got["n_doclens_rows"] == got["n_docs_nonempty"] + 1
+
+
+def test_index_stats_other_layouts_and_autodetect(spark, tmp_path):
+    """ivfpq / minhash / ngram / cluster stats vs DuckDB over the
+    layout; kind=None autodetects and a cluster path reports the map
+    AND its backing store in one frame."""
+    import duckdb
+
+    from lotus_spark.functions.cluster_index import (
+        build_cluster_index, build_embedding_cluster_index,
+    )
+    from lotus_spark.functions.decontam_index import write_ngram_index
+    from lotus_spark.functions.index_admin import index_stats
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(16)],
+        "vec_id long, embedding array<double>")
+    iv = str(tmp_path / "iv")
+    build_embedding_cluster_index(spark, emb, iv, "embedding",
+                                  "vec_id", threshold=0.95, n_cells=2,
+                                  m=2, nbits=2)
+    st = {(r["layout"], r["metric"]): r["value"]
+          for r in index_stats(spark, iv).collect()}  # autodetected
+    cells = f"read_parquet('{iv}/__ivf_cell=*/*.parquet', hive_partitioning=1)"
+    n_rows, occ, mx = con.execute(
+        f"SELECT SUM(n), COUNT(*), MAX(n) FROM (SELECT __ivf_cell, "
+        f"COUNT(*) AS n FROM {cells} GROUP BY 1)").fetchone()
+    assert st[("ivfpq", "n_rows")] == int(n_rows)
+    assert st[("ivfpq", "n_cells_occupied")] == int(occ)
+    assert st[("ivfpq", "max_cell_rows")] == int(mx)
+    assert st[("ivfpq", "n_cells_total")] == 2
+    assert st[("ivfpq", "m_subspaces")] == 2
+    nmap, ncl = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT cluster) FROM "
+        f"read_parquet('{iv}.clusters/*.parquet')").fetchone()
+    assert st[("cluster_map", "n_ids")] == int(nmap)
+    assert st[("cluster_map", "n_clusters")] == int(ncl)
+
+    mh = str(tmp_path / "mh")
+    build_cluster_index(spark, _docs(spark), mh, "text", "doc_id",
+                        n_hashes=8, bands=2, shingle_n=2,
+                        jaccard_threshold=0.7)
+    stm = {(r["layout"], r["metric"]): r["value"]
+           for r in index_stats(spark, mh).collect()}
+    nb, occ, mx = con.execute(
+        f"SELECT SUM(n), COUNT(*), MAX(n) FROM (SELECT band, COUNT(*) "
+        f"AS n FROM read_parquet('{mh}/buckets/*.parquet') GROUP BY 1)"
+    ).fetchone()
+    assert stm[("minhash", "n_bucket_rows")] == int(nb)
+    assert stm[("minhash", "n_band_buckets_occupied")] == int(occ)
+    assert stm[("minhash", "max_bucket_ids")] == int(mx)
+    assert stm[("minhash", "n_docs")] == 12
+    assert stm[("minhash", "bands")] == 2
+    # bucket rows = bands x docs (the fsck invariant, seen as geometry)
+    assert stm[("minhash", "n_bucket_rows")] == 2 * 12
+
+    ng = str(tmp_path / "ng")
+    write_ngram_index(_docs(spark), ng, "text", "doc_id", ngram_n=3)
+    stn = {r["metric"]: r["value"]
+           for r in index_stats(spark, ng).collect()}
+    np_, dn, mx = con.execute(
+        f"SELECT SUM(n), COUNT(*), MAX(n) FROM (SELECT sh, COUNT(*) AS n "
+        f"FROM read_parquet('{ng}/ngrams/*.parquet') GROUP BY 1)"
+    ).fetchone()
+    assert stn["n_postings"] == int(np_)
+    assert stn["n_distinct_ngrams"] == int(dn)
+    assert stn["max_ngram_df"] == int(mx)
+    assert stn["n_docs"] == 12
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        index_stats(spark, ng, "nope")
