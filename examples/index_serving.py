@@ -170,6 +170,24 @@ def main() -> None:
               bad[0]["detail"])
         os.rmdir(f"{path}.compact-crashed")
 
+        # 8. GEOMETRY (r14): index_stats is the capacity-planning
+        # converse of the fsck — bucket/cell fill and skew from the
+        # layout's own tables, the numbers the re-bucket / re-train /
+        # compact decisions read. A max_* metric far above the mean is
+        # tomorrow's straggler task.
+        from lotus_spark.functions.index_admin import index_stats
+
+        st = {(r["layout"], r["metric"]): r["value"]
+              for r in index_stats(spark, path).unionByName(
+                  index_stats(spark, bm_path)).collect()}
+        print("index_stats: ivfpq cells "
+              f"{st[('ivfpq', 'n_cells_occupied')]}/"
+              f"{st[('ivfpq', 'n_cells_total')]} occupied, "
+              f"max {st[('ivfpq', 'max_cell_rows')]} rows/cell; bm25 "
+              f"{st[('bm25', 'n_buckets_occupied')]}/"
+              f"{st[('bm25', 'n_buckets_total')]} buckets, max "
+              f"{st[('bm25', 'max_bucket_postings')]} postings/bucket")
+
 
 if __name__ == "__main__":
     main()

@@ -116,6 +116,12 @@ PROBE_QUERIES = [
     # bucket stays a few hundred MB; the ratio here bounds the
     # fixed-geometry worst case.
     "hybrid_search_stored_batch",
+    # round 14: the geometry-introspection row (same memo protocol —
+    # repeat 1 pays the index builds, the reported ratio is the stats
+    # aggregates over the written layouts). Expected law: linear in the
+    # layout's narrow columns (postings/cell rows grow with the
+    # corpus), never in payload bytes.
+    "stored_index_stats",
 ]
 
 
