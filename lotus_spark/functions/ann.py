@@ -342,6 +342,7 @@ def pq_index(
     code_col: str = "pq_codes",
     train_sample: tuple[int, int] | None = None,
     max_train_rows: int | None = 1_000_000,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Product-quantization encoder (FAISS PQ / Jégou et al. 2011): split
     each d-dim vector into ``m`` subvectors and vector-quantize every
@@ -370,29 +371,50 @@ def pq_index(
     per-subspace assignment UDF over every row); nothing shuffles but
     the grouped KMeans update aggregates over the sample.
     """
-    from lotus_spark.functions.kmeans import (
-        pq_train_codebooks,
-        quantize_embedding,
-        quantized_assign_expr,
-    )
+    from lotus_spark.functions.kmeans import pq_train_codebooks
 
-    first = df.select(F.size(emb_col).alias("d")).first()
-    if first is None:
+    # ONE stats job for (row count, dim) — r14: the old shape paid a
+    # .first() job for d plus a second count job inside
+    # _resolve_train_filter; the fused aggregate feeds both (callers
+    # that already know the count pass ``n_rows`` and the train filter
+    # reuses it)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(emb_col)).alias("d"),
+    ).first()
+    if not stats["n"]:
         raise ValueError("empty input")
-    d = first["d"]
+    d = stats["d"]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
     k = 2 ** nbits
     train_filter = _resolve_train_filter(
-        df, id_col, seed, train_sample, max_train_rows)
+        df, id_col, seed, train_sample, max_train_rows,
+        n_rows=stats["n"] if n_rows is None else n_rows)
     cents = pq_train_codebooks(
         df, emb_col, id_col, m, sub, k, iters=3, seed=seed,
         train_filter=train_filter,
     )
     codebooks = [[[int(x) for x in c] for c in cents[s]] for s in range(m)]
-    # encode: ONE lazy map-only pass — quantize once, assign every
-    # subspace slice against its trained codebook
+    return _pq_encode_with(df, emb_col, cents, sub, code_col), codebooks
+
+
+def _pq_encode_with(
+    df: DataFrame, emb_col: str, cents, sub: int, code_col: str
+) -> DataFrame:
+    """The encode half of :func:`pq_index`: ONE lazy map-only pass —
+    quantize once, assign every subspace slice against its trained
+    codebook. Factored out (r14) so a caller that trained codebooks on
+    one frame can encode another (``ann_join_ivfpq`` trains the two
+    quantizers concurrently and encodes the cell-assigned frame after
+    both finish)."""
+    from lotus_spark.functions.kmeans import (
+        quantize_embedding,
+        quantized_assign_expr,
+    )
+
+    m = len(cents)
     out = df.withColumn("__pq_xq", quantize_embedding(F.col(emb_col)))
     for s in range(m):
         out = out.withColumn(
@@ -400,10 +422,9 @@ def pq_index(
             quantized_assign_expr(cents[s])(
                 F.slice(F.col("__pq_xq"), s * sub + 1, sub)),
         )
-    out = out.withColumn(
+    return out.withColumn(
         code_col, F.array(*[F.col(f"__pq_c{s}") for s in range(m)])
     ).drop("__pq_xq", *[f"__pq_c{s}" for s in range(m)])
-    return out, codebooks
 
 
 def _adc_dist_expr(
@@ -1307,16 +1328,63 @@ def ann_join_ivfpq(
             raise ValueError(
                 f"ann_join_ivfpq(prebuilt=...): indexed df lacks {missing}")
     else:
-        coarse, cents = ivf_index(
-            right, right_emb_col, n_cells=n_cells, seed=seed,
-            method="deterministic", id_col=right_id_col,
-            train_sample=train_sample, max_train_rows=max_train_rows,
-        )
-        indexed, books = pq_index(
-            coarse, right_emb_col, right_id_col, m=m, nbits=nbits,
-            seed=pq_seed, code_col=code_col, train_sample=train_sample,
-            max_train_rows=max_train_rows,
-        )
+        # r14 (guide §2.6, overlap independent jobs): the coarse-quantizer
+        # Lloyd's loop and the PQ-codebook Lloyd's loop are independent —
+        # both train from (right id, right emb) only; the cell column the
+        # old sequential shape threaded through pq_index was never read by
+        # training. Run them concurrently so one loop's driver barriers
+        # (init + per-iteration collects) back-fill the other's idle
+        # executors; the map-only PQ encode of the cell-assigned frame
+        # happens after both, exactly as before. Codebooks trained on
+        # ``right`` are value-identical to codebooks trained on the
+        # cell-assigned frame (same rows, same ids, same sample filter),
+        # so every downstream value is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        sess = right.sparkSession
+
+        @inheritable_thread_target(sess)
+        def _train_ivf():
+            return ivf_index(
+                right, right_emb_col, n_cells=n_cells, seed=seed,
+                method="deterministic", id_col=right_id_col,
+                train_sample=train_sample, max_train_rows=max_train_rows,
+            )
+
+        @inheritable_thread_target(sess)
+        def _train_pq():
+            from lotus_spark.functions.kmeans import pq_train_codebooks
+
+            stats = right.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.size(right_emb_col)).alias("d"),
+            ).first()
+            if not stats["n"]:
+                raise ValueError("empty input")
+            d = stats["d"]
+            if d % m != 0:
+                raise ValueError(f"dim {d} not divisible by m={m}")
+            sub = d // m
+            tf = _resolve_train_filter(
+                right, right_id_col, pq_seed, train_sample,
+                max_train_rows, n_rows=stats["n"])
+            pq_cents = pq_train_codebooks(
+                right, right_emb_col, right_id_col, m, sub, 2 ** nbits,
+                iters=3, seed=pq_seed, train_filter=tf,
+            )
+            return pq_cents, sub
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ivf = pool.submit(_train_ivf)
+            f_pq = pool.submit(_train_pq)
+            coarse, cents = f_ivf.result()
+            pq_cents, sub = f_pq.result()
+        books = [[[int(x) for x in c] for c in pq_cents[s]]
+                 for s in range(m)]
+        indexed = _pq_encode_with(
+            coarse, right_emb_col, pq_cents, sub, code_col)
 
     cb = np.asarray(books, dtype=np.int64)        # [m, 2**nbits, sub]
     n_sub, _, sub_d = cb.shape

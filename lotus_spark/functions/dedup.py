@@ -62,15 +62,28 @@ def minhash_expr(col: Column, n_hashes: int = 16,
     batch/stream split as ``simhash_expr``): shingle → polynomial hash →
     per-hash-function min, all inside the scan projection."""
     hashes = F.transform(word_shingles(col, shingle_n), shingle_hash)
-    sigs = []
-    for j in range(n_hashes):
-        a, b = _hash_params(j)
-        sigs.append(
-            F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD))
+
+    # r14: bind the hashed-shingle array to a lambda variable so the
+    # shingle → polynomial-hash subtree evaluates ONCE per row. Catalyst
+    # expressions are trees, not DAGs: referencing ``hashes`` in each of
+    # the n_hashes min-branches duplicated the whole (string-heavy,
+    # interpreted — higher-order functions never reach codegen or its
+    # subexpression elimination) shingle pipeline 16x per row. Measured
+    # 7.07s → 0.71s for the signature pass over sf0.1 documents
+    # (noop sink), output bit-identical.
+    def _sig(H: Column) -> Column:
+        sigs = []
+        for j in range(n_hashes):
+            a, b = _hash_params(j)
+            sigs.append(
+                F.array_min(
+                    F.transform(
+                        H, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MOD))
+                )
             )
-        )
-    return F.array(*sigs)
+        return F.array(*sigs)
+
+    return F.element_at(F.transform(F.array(hashes), _sig), 1)
 
 
 def minhash_band_keys(sig: Column, n_hashes: int, bands: int) -> list[Column]:

@@ -21,9 +21,11 @@ produces bit-identical assignments:
   ``C_cj = (2·S_cj + n_c) div (2·n_c)`` (round-half-up integer division).
   Empty clusters keep their previous centroid.
 
-The per-iteration aggregation runs as ``posexplode → groupBy(c, dim).sum``:
-map-side partial aggregation reduces the shuffle to k×d longs per partition,
-and only k×d totals ever reach the driver — scales to arbitrary row counts.
+The per-iteration aggregation runs as ONE wide ``groupBy(c)`` with d per-dim
+``sum`` columns (r14: replaced the posexplode → groupBy(c, dim) →
+groupBy(c) two-exchange shape): map-side partial aggregation reduces the
+shuffle to k×(d+1) longs per partition through a single exchange, and only
+k×d totals ever reach the driver — scales to arbitrary row counts.
 
 The matching unrolled SQL oracle is generated in ``__spark_entry__.py``.
 """
@@ -163,22 +165,27 @@ def deterministic_kmeans(
             return quantized_assign_expr(centroids)(F.col("__xq"))
 
         for _ in range(iters):
+            # ONE wide aggregate per iteration (r14 optimization, guide
+            # §2.3/§2.4): d per-dim BIGINT sums + the row count, grouped
+            # by cluster — map-side partial aggregation ships k×(d+1)
+            # longs per partition through a SINGLE exchange, replacing
+            # the posexplode (d× the rows) → groupBy(c, dim) →
+            # groupBy(c) two-exchange shape. Integer sums are
+            # order-independent, so the collected totals (and every
+            # centroid derived from them) are bit-identical.
             assigned = q.withColumn("__c", assign_expr(cent))
             sums = (
-                assigned.select("__c", F.posexplode("__xq").alias("__j", "__v"))
-                .groupBy("__c", "__j")
-                .agg(F.sum("__v").alias("__s"), F.count("*").alias("__n"))
-                .groupBy("__c")
+                assigned.groupBy("__c")
                 .agg(
-                    F.max("__n").alias("n"),
-                    F.array_sort(
-                        F.collect_list(F.struct("__j", "__s"))
-                    ).alias("js"),
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("__xq")[j]).alias(f"s{j}")
+                      for j in range(d)],
                 )
                 .collect()
             )
             rows = [
-                (r["__c"], r["n"], [e["__s"] for e in r["js"]]) for r in sums
+                (r["__c"], r["n"], [r[f"s{j}"] for j in range(d)])
+                for r in sums
             ]
             cent = _update_centroids(rows, cent, k)
 
@@ -316,26 +323,25 @@ def pq_train_codebooks(
             return _assign(F.col("__s"), F.col("__v"))
 
         for _ in range(iters):
+            # same single-exchange wide aggregate as deterministic_kmeans
+            # (r14): sub per-dim sums + count grouped by (subspace,
+            # cluster) — one shuffle of m×k×(sub+1) longs per partition
+            # instead of posexplode + two exchanges. Integer sums are
+            # order-independent; totals are bit-identical.
             assigned = ex.withColumn("__c", grouped_assign(cents))
             sums = (
-                assigned.select(
-                    "__s", "__c", F.posexplode("__v").alias("__j", "__val"))
-                .groupBy("__s", "__c", "__j")
-                .agg(F.sum("__val").alias("__sum"),
-                     F.count("*").alias("__n"))
-                .groupBy("__s", "__c")
+                assigned.groupBy("__s", "__c")
                 .agg(
-                    F.max("__n").alias("n"),
-                    F.array_sort(
-                        F.collect_list(F.struct("__j", "__sum"))
-                    ).alias("js"),
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(F.col("__v")[j]).alias(f"s{j}")
+                      for j in range(sub)],
                 )
                 .collect()
             )
             new = cents.copy()
             for s in range(m):
                 rows = [
-                    (r["__c"], r["n"], [e["__sum"] for e in r["js"]])
+                    (r["__c"], r["n"], [r[f"s{j}"] for j in range(sub)])
                     for r in sums if r["__s"] == s
                 ]
                 new[s] = _update_centroids(rows, cents[s], k)
