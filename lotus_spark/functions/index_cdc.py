@@ -191,26 +191,38 @@ def delete_from_ivfpq_index(
     dids = _ids_frame(ids, id_col, "delete_from_ivfpq_index")
 
     # narrow (id, cell) projection; the ids side is a diff — tiny by
-    # construction — so broadcast it
-    matched = (
+    # construction — so broadcast it. ONE aggregate pass (r14, was
+    # three jobs: matched-per-cell count, full stored count, hit-cell
+    # row count): a broadcast LEFT join marks dead rows, and per-cell
+    # (total, dead) counts yield every number the guards need. Values
+    # are identical for the unique-ids input the API requires; a
+    # duplicate-ids call still fails loudly (the empty-index guard or
+    # the rewrite verify), as before.
+    cell_stats = (
         stored.select(id_col, cell_col)
-        .join(F.broadcast(dids), id_col)
-        .groupBy(cell_col).count()
+        .join(F.broadcast(dids.withColumn("__dead", F.lit(1))),
+              id_col, "left")
+        .groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.count("__dead").alias("n_dead"))
+        .collect()
     )
-    per_cell_deleted = {r[cell_col]: r["count"] for r in matched.collect()}
+    per_cell_deleted = {r[cell_col]: r["n_dead"]
+                        for r in cell_stats if r["n_dead"]}
     if not per_cell_deleted:
         return 0
     hit_cells = sorted(per_cell_deleted)
     n_deleted = sum(per_cell_deleted.values())
 
-    if stored.count() == n_deleted:
+    if sum(r["n_rows"] for r in cell_stats) == n_deleted:
         raise ValueError(
             "delete_from_ivfpq_index: the delete would empty the index "
             "(an empty partitioned layout is unreadable) — drop the "
             "index directory instead")
 
     in_hits = F.col(cell_col).isin(hit_cells)
-    n_hit_rows = stored.filter(in_hits).count()
+    n_hit_rows = sum(r["n_rows"] for r in cell_stats
+                     if r[cell_col] in per_cell_deleted)
     survivors = (
         stored.filter(in_hits)
         .join(F.broadcast(dids), on=id_col, how="left_anti")
@@ -285,10 +297,24 @@ def _filtered_rewrite_swap(
     _assert_no_unknown_siblings(spark, path, tables, meta_name, who)
     tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
 
-    n_docs_deleted = (
-        spark.read.parquet(f"{path}/{count_table}")
-        .join(F.broadcast(dids), "id").count()
-    )
+    # ONE aggregate per table (r14, was a separate docs-deleted count
+    # plus per-table before/match count pairs): a broadcast LEFT join
+    # marks matching rows and a single (total, matched) aggregate
+    # yields both guard numbers; ``count_table``'s matched count IS the
+    # docs-deleted number, so the early-return probes one table only.
+    def _table_counts(table: str) -> tuple[int, int]:
+        r = (
+            spark.read.parquet(f"{path}/{table}")
+            .join(F.broadcast(dids.withColumn("__dead", F.lit(1))),
+                  "id", "left")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("__dead").alias("n_match"))
+            .first()
+        )
+        return r["n"], r["n_match"]
+
+    counts = {count_table: _table_counts(count_table)}
+    n_docs_deleted = counts[count_table][1]
     if n_docs_deleted == 0:
         return 0
 
@@ -296,8 +322,7 @@ def _filtered_rewrite_swap(
     for table in tables:
         src = f"{path}/{table}"
         df = spark.read.parquet(src)
-        n_before = df.count()
-        n_match = df.join(F.broadcast(dids), "id").count()
+        n_before, n_match = counts.get(table) or _table_counts(table)
         expected[table] = n_before - n_match
         n_bytes = fs.getContentSummary(p(src)).getLength()
         n_files = max(1, math.ceil(n_bytes / (128 << 20)))
@@ -595,13 +620,20 @@ def apply_snapshot_to_ivfpq_index(
     sample, rebuild (write_ivfpq_index on the new snapshot) instead of
     upserting — the same train-once/add-many judgment FAISS users make.
     """
-    dead, fresh = _split_diff(diff, id_col, change_col)
-    n_deleted = delete_from_ivfpq_index(spark, path, dead, id_col)
-    rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
-    n_up = rows.count()
-    if n_up:
-        append_ivfpq_index(spark, path, rows, emb_col=emb_col)
-    return {"deleted": n_deleted, "upserted": int(n_up)}
+    # the diff lineage is a full snapshot join — persist it once (r14)
+    # instead of recomputing it for the label scan, the delete's
+    # broadcast side and the fresh-rows semi-join
+    diff = diff.persist()
+    try:
+        dead, fresh = _split_diff(diff, id_col, change_col)
+        n_deleted = delete_from_ivfpq_index(spark, path, dead, id_col)
+        rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+        n_up = rows.count()
+        if n_up:
+            append_ivfpq_index(spark, path, rows, emb_col=emb_col)
+        return {"deleted": n_deleted, "upserted": int(n_up)}
+    finally:
+        diff.unpersist(False)
 
 
 def apply_snapshot_to_minhash_index(
@@ -626,14 +658,20 @@ def apply_snapshot_to_minhash_index(
         raise ValueError(
             f"apply_snapshot_to_minhash_index: diff lacks the index id "
             f"column {id_col!r}")
-    dead, fresh = _split_diff(diff, id_col, change_col)
-    n_deleted = delete_from_minhash_index(
-        spark, path, dead.withColumnRenamed(id_col, "id"))
-    rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
-    n_up = rows.count()
-    if n_up:
-        append_minhash_index(spark, path, rows, text_col, id_col)
-    return {"deleted": n_deleted, "upserted": int(n_up)}
+    # same diff persist as the ivfpq apply (r14): one snapshot join,
+    # three consumers
+    diff = diff.persist()
+    try:
+        dead, fresh = _split_diff(diff, id_col, change_col)
+        n_deleted = delete_from_minhash_index(
+            spark, path, dead.withColumnRenamed(id_col, "id"))
+        rows = new_snapshot.join(F.broadcast(fresh), on=id_col, how="semi")
+        n_up = rows.count()
+        if n_up:
+            append_minhash_index(spark, path, rows, text_col, id_col)
+        return {"deleted": n_deleted, "upserted": int(n_up)}
+    finally:
+        diff.unpersist(False)
 
 
 def delete_from_cluster_map(spark, map_dir: str, ids: DataFrame) -> int:
