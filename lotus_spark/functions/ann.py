@@ -427,6 +427,26 @@ def _pq_encode_with(
     ).drop("__pq_xq", *[f"__pq_c{s}" for s in range(m)])
 
 
+def _lit_long_array(xs) -> Column:
+    """A literal ``array<bigint>`` built with ONE py4j round trip
+    (r14): ``F.array(*[F.lit(x) for x in xs])`` costs 2+ gateway calls
+    per element, and the ADC lookup tables build m × 2**nbits of them
+    per query — measured seconds of driver-side PLAN time per batched
+    serving call. ``F.expr`` parses the whole literal list in one call;
+    the resulting Literal values are identical."""
+    return F.expr("array(" + ",".join(f"{int(x)}L" for x in xs) + ")")
+
+
+def _lit_double_array(xs) -> Column:
+    """Literal ``array<double>`` twin of :func:`_lit_long_array`.
+    ``repr(float)`` is the shortest round-trip decimal form, and Spark
+    parses double literals with Java's ``parseDouble`` — bit-exact for
+    every finite value."""
+    return F.expr(
+        "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in xs)
+        + ")")
+
+
 def _adc_dist_expr(
     codebooks: list[list[list[int]]], qq: list[int], code_col: str
 ) -> Column:
@@ -445,7 +465,7 @@ def _adc_dist_expr(
             sum((a - b) * (a - b) for a, b in zip(qsub, cent))
             for cent in codebooks[s]
         ]
-        lut = F.array(*[F.lit(int(x)).cast("long") for x in table])
+        lut = _lit_long_array(table)
         dist_cols.append(F.element_at(lut, F.col(code_col)[s] + 1))
     total = dist_cols[0]
     for c in dist_cols[1:]:
@@ -1029,8 +1049,7 @@ def knn_topk_ivfpq_batch(
             _adc_dist_expr(codebooks, qq, code_col).alias("pq_dist"),
             F.col(cell_col).isin(probes[qid]).alias("__m"),
         ))
-        qvec_lits += [F.lit(str(qid)),
-                      F.array(*[F.lit(float(x)) for x in vec])]
+        qvec_lits += [F.lit(str(qid)), _lit_double_array(vec)]
 
     all_cells = sorted({c for p in probes.values() for c in p})
     pruned = indexed_df.filter(F.col(cell_col).isin(all_cells))
