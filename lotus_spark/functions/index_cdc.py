@@ -230,6 +230,10 @@ def delete_from_ivfpq_index(
 
     jvm, fs, p = _fs(spark, path)
     tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
+    # (r14 note: a pre-write repartition(cell_col) — one file per
+    # rewritten cell — was A/B-measured at ~+0.5s on the apply hot path
+    # for a file-count benefit compact_ivfpq_index already owns; the
+    # delete keeps the cheaper direct write.)
     survivors.write.partitionBy(cell_col).parquet(tmp)
     expected = n_hit_rows - n_deleted
     # every hit row deleted ⇒ the rewrite wrote no partition directories

@@ -50,12 +50,17 @@ def connected_components_edges(edges: DataFrame, max_driver_edges: int = _DRIVER
     ``collect()`` (or the propagation loop's repeated joins) read the
     cache instead of re-scoring every pair."""
     edges = edges.persist()
-    n_edges = edges.count()
-    if n_edges == 0:
+    # ONE job decides the tier AND fetches the driver path's rows (r14,
+    # was a count job followed by a collect job): limit(max+1) bounds
+    # the driver transfer at ~max edges (two longs each — tens of MB at
+    # the 1M default) whether or not the edge set is huge; when the cap
+    # is exceeded the distributed path recomputes from the persisted
+    # edges exactly as before.
+    rows = edges.limit(max_driver_edges + 1).collect()
+    if not rows:
         edges.unpersist(False)
         return edges.sparkSession.createDataFrame([], "id long, component long")
-    if n_edges <= max_driver_edges:
-        rows = edges.collect()
+    if len(rows) <= max_driver_edges:
         edges.unpersist(False)
         parent: dict = {}
 

@@ -28,6 +28,7 @@ from dataclasses import replace as dc_replace
 from typing import Any, Callable, Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from lotus_spark.plans.lazyframe import LazyFrame, OpNode, replace_node_kwargs
 
@@ -419,29 +420,57 @@ class FilterReorderOptimizer:
         self.costs = costs or {}
         self.store = store
 
-    def _selectivity(self, get_sample, node: OpNode) -> Optional[float]:
+    def _selectivities(self, train, ops: list,
+                       run: list[int]) -> dict[int, Optional[float]]:
+        """Estimate every uncached filter's selectivity in ONE Spark job
+        (r14): chain the filters in ``return_all`` mode over the sample
+        (each LM still labels every sample row, exactly as the old
+        one-job-per-filter shape did) and take all keep-counts plus the
+        sample size from a single aggregate. A single job also makes the
+        sample self-consistent by construction, so the separate
+        persist + count pin is unnecessary. The reorder decision this
+        feeds cannot change the surviving row set (conjunctions are
+        order-independent) — only the LM-call count."""
         from lotus_spark.operators.sem_filter import sem_filter
 
-        instr = str(node.args[0])
-        if self.store is not None:
-            cached = self.store.selectivity(instr)
+        sels: dict[int, Optional[float]] = {}
+        pending = []
+        for k in run:
+            instr = str(ops[k].args[0])
+            cached = (self.store.selectivity(instr)
+                      if self.store is not None else None)
             if cached is not None:
-                # the cascade prewarm (or an earlier reorder pass)
-                # already labeled this filter on train — zero new LM calls
-                return cached
+                sels[k] = cached
+            else:
+                pending.append(k)
+        if not pending:
+            return sels
         try:
-            sample, n = get_sample()
-            if n == 0:
-                return None
-            kw = dict(node.kwargs)
-            kw.pop("cascade_args", None)  # plain pass for estimation
-            kept = sem_filter(sample, node.args[0], **kw).count()
-            sel = kept / n
-            if self.store is not None:
-                self.store.put_selectivity(instr, sel)
-            return sel
+            cur = train.limit(self.sample_rows)
+            for k in pending:
+                kw = dict(ops[k].kwargs)
+                kw.pop("cascade_args", None)  # plain pass for estimation
+                kw["return_all"] = True
+                kw["suffix"] = f"__sel_{k}"
+                cur = sem_filter(cur, ops[k].args[0], **kw)
+            row = cur.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col(f"__sel_{k}").cast("long")).alias(f"k{k}")
+                  for k in pending],
+            ).first()
+            n = row["n"]
+            for k in pending:
+                if n == 0:
+                    sels[k] = None
+                    continue
+                sel = (row[f"k{k}"] or 0) / n
+                sels[k] = sel
+                if self.store is not None:
+                    self.store.put_selectivity(str(ops[k].args[0]), sel)
         except Exception:
-            return None
+            for k in pending:
+                sels.setdefault(k, None)
+        return sels
 
     def __call__(self, ops: list[OpNode], train_df: Optional[DataFrame] = None,
                  **_: Any) -> list[OpNode]:
@@ -457,46 +486,31 @@ class FilterReorderOptimizer:
                 return False  # would recalibrate on a different input
             return True
 
-        state: dict = {}
-
-        def get_sample():
-            # pinned lazily: when the store already covers every filter
-            # in the run, no sample is ever materialized
-            if "sample" not in state:
-                s = train.limit(self.sample_rows).persist()
-                state["sample"] = (s, s.count())
-            return state["sample"]
-
         out: list[OpNode] = []
         i = 0
-        try:
-            while i < len(ops):
-                if not reorderable(ops[i]):
-                    out.append(ops[i])
-                    i += 1
-                    continue
-                j = i
-                while j < len(ops) and reorderable(ops[j]):
-                    j += 1
-                run = list(range(i, j))
-                if len(run) > 1:
-                    sels = {k: self._selectivity(get_sample, ops[k])
-                            for k in run}
-                    if all(s is not None for s in sels.values()):
-                        # rank = (1 - sel) / cost, higher first; stable
-                        # on ties (original position breaks them)
-                        def cost(k):
-                            return max(
-                                self.costs.get(str(ops[k].args[0]), 1.0),
-                                1e-9)
+        while i < len(ops):
+            if not reorderable(ops[i]):
+                out.append(ops[i])
+                i += 1
+                continue
+            j = i
+            while j < len(ops) and reorderable(ops[j]):
+                j += 1
+            run = list(range(i, j))
+            if len(run) > 1:
+                sels = self._selectivities(train, ops, run)
+                if all(s is not None for s in sels.values()):
+                    # rank = (1 - sel) / cost, higher first; stable
+                    # on ties (original position breaks them)
+                    def cost(k):
+                        return max(
+                            self.costs.get(str(ops[k].args[0]), 1.0),
+                            1e-9)
 
-                        run = sorted(
-                            run,
-                            key=lambda k: (-(1.0 - sels[k]) / cost(k), k),
-                        )
-                out.extend(ops[k] for k in run)
-                i = j
-        finally:
-            if "sample" in state:
-                state["sample"][0].unpersist()
+                    run = sorted(
+                        run,
+                        key=lambda k: (-(1.0 - sels[k]) / cost(k), k),
+                    )
+            out.extend(ops[k] for k in run)
+            i = j
         return out
