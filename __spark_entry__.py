@@ -5244,40 +5244,78 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-14 rotation (.round_base = acce815). Window (first 50)
-        # = (a) the NEW r14 rows lead — hybrid_search_stored_batch (the
-        # batched stored-serving path, r13 verdict item 1) and
-        # stored_index_stats (index_admin.py::index_stats geometry
-        # introspection over the same stored layouts); (b) every
-        # key whose q-body imports a module edited this round
-        # (functions/bm25.py::rrf_fuse_batch, functions/bm25_store.py::
-        # bm25_search_index_batch, functions/serving.py::
-        # hybrid_search_index_batch, cascades/join_cascade.py::
-        # thresholds_to_buckets): 5 keys; (c) ALL 18 keys whose
-        # newest driver row is r11 (r13 verdict item 2 — after this
-        # run no key's driver row predates r12); (d) 25 stalest
-        # r12-driver-row keys promoted to fill the window (oldest-first
-        # in registry order; sessionize, the 26th, yielded its slot to
-        # stored_index_stats — its r12 driver row + CHECKS_r14 row keep
-        # it green in the tail). 2 + 5 + 18 + 25 = 50.
-        # -- NEW in round 14 ------------------------------------------
+        # Round-14 OPTIMIZATION rotation (.round_base = 394da33). The
+        # round edited functions/ann.py, functions/kmeans.py,
+        # functions/dedup.py, functions/index_cdc.py,
+        # operators/sem_dedup.py and plans/optimizers.py (value-identical
+        # performance work — see OPTIMIZATION_r14.md), so the window
+        # (first 50) holds: (a) the two r14 rows that still lack a
+        # driver row (hybrid_search_stored_batch, stored_index_stats)
+        # plus the stored-serving surface; (b) EVERY registered key
+        # whose q-body imports an edited module (37 keys — they must
+        # earn fresh driver rows on the optimized code); (c) 7 of the
+        # stalest r12-driver-row keys to keep the rotation moving.
+        # Tail keys all hold a CHECKS_r14 row (117/117 re-gate on this
+        # round's tree) and import only byte-untouched modules.
+        # -- r14 rows without a driver row yet + stored serving --------
         "hybrid_search_stored_batch": q_hybrid_search_stored_batch,
         "stored_index_stats": q_stored_index_stats,
-        # -- modules edited this round: importers must be in-window ----
-        # functions/serving.py + functions/bm25_store.py
         "hybrid_search_stored": q_hybrid_search_stored,
         "bm25_index_search": q_bm25_index_search,
-        # functions/bm25.py
         "bm25_search": q_bm25_search,
-        "hybrid_search": q_hybrid_search,
-        # cascades/join_cascade.py (thresholds_to_buckets factoring for
-        # the plan-choice property test)
         "sem_join_cascade_routed": q_sem_join_cascade_routed,
-        # -- last driver row == r11: refresh all 18 ---------------------
+        # -- importers of modules edited this round (must be in-window)
+        "hybrid_search": q_hybrid_search,
         "minhash_signature": q_minhash_signature,
         "ngram_stats": q_ngram_stats,
-        "orders_rollup": q_orders_rollup,
         "pipeline_clean": q_pipeline_clean,
+        "streaming_neardup": q_streaming_neardup,
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,
+        "pipeline_quality": q_pipeline_quality,
+        "neardup_index_lifecycle": q_neardup_index_lifecycle,
+        "embedding_neardup_index": q_embedding_neardup_index,
+        "ann_join_ivfpq_stored": q_ann_join_ivfpq_stored,
+        "ivfpq_cdc": q_ivfpq_cdc,
+        "neardup_index_cdc": q_neardup_index_cdc,
+        "ann_join_ivf": q_ann_join_ivf,
+        "ann_join_ivfpq": q_ann_join_ivfpq,
+        "ann_join_pq": q_ann_join_pq,
+        "filter_reorder": q_filter_reorder,
+        "ivfpq_compacted": q_ivfpq_compacted,
+        "ivfpq_incremental": q_ivfpq_incremental,
+        "ivfpq_roundtrip": q_ivfpq_roundtrip,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
+        "knn_lsh": q_knn_lsh,
+        "knn_pq": q_knn_pq,
+        "sem_dedup": q_sem_dedup,
+        "contamination": q_contamination,
+        "embedding_neardup": q_embedding_neardup,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "leakage_safe_split": q_leakage_safe_split,
+        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "span_dedup": q_span_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "simhash": q_simhash,
+        "strip_boilerplate": q_strip_boilerplate,
+        # -- stalest r12-driver-row keys fill the window ---------------
+        "sessionize": q_sessionize,
+        "cluster_assign_incremental": q_cluster_assign_incremental,
+        "neardup_index": q_neardup_index,
+        "neardup_index_stream": q_neardup_index_stream,
+        "pipeline_ingest": q_pipeline_ingest,
+        "sem_map": q_sem_map,
+        "part_brand_stats": q_part_brand_stats,
+        # -- tail (>50): every key holds a CHECKS_r14 row (full-registry
+        # re-gate at sf0.01 on this round's tree) and/or an r12/r13
+        # driver row; all modules imported by these q bodies are
+        # byte-untouched since .round_base (CI:
+        # test_registry_tail_modules_untouched_this_round).
+        "orders_rollup": q_orders_rollup,
         "range_join": q_range_join,
         "region_revenue": q_region_revenue,
         "sem_cluster_by": q_sem_cluster,
@@ -5285,14 +5323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sem_filter_cascade": q_sem_filter_cascade,
         "sem_sim_join": q_sem_sim_join,
         "snapshot_diff": q_snapshot_diff,
-        "streaming_neardup": q_streaming_neardup,
-        "streaming_neardup_minhash": q_streaming_neardup_minhash,
         "time_rollup": q_time_rollup,
         "top_revenue": q_top_revenue,
         "url_canonicalize": q_url_canonicalize,
         "video_frame_features": q_video_frame_features,
         "warc_roundtrip": q_warc_roundtrip,
-        # -- 27 stalest r12-driver-row keys fill the window -------------
         "warc_export_roundtrip": q_warc_export_roundtrip,
         "embedding_cluster_assign": q_embedding_cluster_assign,
         "sem_search": q_sem_search,
@@ -5318,56 +5353,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": q_top3_orders_per_customer,
         "text_stats": q_text_stats,
         "quality_signals": q_quality_signals,
-        # -- tail (>50): every key holds an r12 or r13 DRIVER row
-        # (CORRECTNESS_r12/r13) or a CHECKS_r14 row; all modules
-        # imported by these q bodies are byte-untouched since
-        # .round_base (CI: test_registry_tail_modules_untouched_
-        # this_round). sessionize leads the tail: it yielded its window
-        # slot to stored_index_stats (r12 driver row + CHECKS_r14 keep
-        # it green).
-        "sessionize": q_sessionize,
-        # remaining r12-driver-row keys:
         "bucketed_join_coalesced": q_bucketed_join_coalesced,
-        "part_brand_stats": q_part_brand_stats,
         "orders_union_extremes": q_orders_union_extremes,
         "supplier_intersect": q_supplier_intersect,
-        "sem_map": q_sem_map,
         "sem_agg": q_sem_agg,
         "sem_partition_agg": q_sem_partition_agg,
         "llm_judge": q_llm_judge,
         "pairwise_judge": q_pairwise_judge,
-        "cluster_assign_incremental": q_cluster_assign_incremental,
         "quality_model_score": q_quality_model_score,
-        "pipeline_quality": q_pipeline_quality,
-        "neardup_index": q_neardup_index,
-        "neardup_index_stream": q_neardup_index_stream,
-        "neardup_index_lifecycle": q_neardup_index_lifecycle,
         "neardup_index_compacted": q_neardup_index_compacted,
-        "embedding_neardup_index": q_embedding_neardup_index,
-        "pipeline_ingest": q_pipeline_ingest,
-        # r13-driver-row keys:
-        "ann_join_ivfpq_stored": q_ann_join_ivfpq_stored,
         "llm_judge_structured": q_llm_judge_structured,
-        "ivfpq_cdc": q_ivfpq_cdc,
-        "neardup_index_cdc": q_neardup_index_cdc,
         "distinct_priorities": q_distinct_priorities,
         "agentic_mapreduce": q_agentic_mapreduce,
-        "ann_join_ivf": q_ann_join_ivf,
-        "ann_join_ivfpq": q_ann_join_ivfpq,
-        "ann_join_pq": q_ann_join_pq,
         "bucketed_join": q_bucketed_join,
         "dedupe_doc_units": q_dedupe_doc_units,
-        "filter_reorder": q_filter_reorder,
-        "ivfpq_compacted": q_ivfpq_compacted,
-        "ivfpq_incremental": q_ivfpq_incremental,
-        "ivfpq_roundtrip": q_ivfpq_roundtrip,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
-        "knn_lsh": q_knn_lsh,
-        "knn_pq": q_knn_pq,
-        "sem_dedup": q_sem_dedup,
         "sem_extract": q_sem_extract,
         "sem_index_roundtrip": q_sem_index_roundtrip,
         "sem_join": q_sem_join,
@@ -5378,22 +5377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_for_training": q_shard_for_training,
         "asof_join": q_asof_join,
         "audio_features": q_audio_features,
-        "contamination": q_contamination,
         "contamination_index": q_contamination_index,
         "customers_no_orders": q_customers_no_orders,
         "data_quality_report": q_data_quality_report,
-        "embedding_neardup": q_embedding_neardup,
         "events_hourly": q_events_hourly,
-        "exact_dedup": q_exact_dedup,
         "image_features": q_image_features,
-        "jaccard_pairs": q_jaccard_pairs,
-        "leakage_safe_split": q_leakage_safe_split,
-        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "span_dedup": q_span_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "simhash": q_simhash,
-        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
