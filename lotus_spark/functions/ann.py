@@ -404,27 +404,23 @@ def _pq_encode_with(
     df: DataFrame, emb_col: str, cents, sub: int, code_col: str
 ) -> DataFrame:
     """The encode half of :func:`pq_index`: ONE lazy map-only pass —
-    quantize once, assign every subspace slice against its trained
-    codebook. Factored out (r14) so a caller that trained codebooks on
-    one frame can encode another (``ann_join_ivfpq`` trains the two
-    quantizers concurrently and encodes the cell-assigned frame after
-    both finish)."""
+    quantize once, assign EVERY subspace in one fused pandas UDF
+    (``kmeans.pq_codes_expr``; r14 replaced the m per-subspace
+    ``quantized_assign_expr`` columns — one Arrow crossing instead of
+    m). Factored out so a caller that trained codebooks on one frame
+    can encode another (``ann_join_ivfpq`` trains the two quantizers
+    concurrently and encodes the cell-assigned frame after both
+    finish)."""
     from lotus_spark.functions.kmeans import (
+        pq_codes_expr,
         quantize_embedding,
-        quantized_assign_expr,
     )
 
-    m = len(cents)
-    out = df.withColumn("__pq_xq", quantize_embedding(F.col(emb_col)))
-    for s in range(m):
-        out = out.withColumn(
-            f"__pq_c{s}",
-            quantized_assign_expr(cents[s])(
-                F.slice(F.col("__pq_xq"), s * sub + 1, sub)),
-        )
-    return out.withColumn(
-        code_col, F.array(*[F.col(f"__pq_c{s}") for s in range(m)])
-    ).drop("__pq_xq", *[f"__pq_c{s}" for s in range(m)])
+    return df.withColumn(
+        code_col,
+        pq_codes_expr(np.asarray(cents, dtype=np.int64))(
+            quantize_embedding(F.col(emb_col))),
+    )
 
 
 def _lit_long_array(xs) -> Column:
@@ -671,6 +667,7 @@ def encode_ivfpq(
     callers decide whether to drop or surface them.
     """
     from lotus_spark.functions.kmeans import (
+        pq_codes_expr,
         quantize_embedding,
         quantized_assign_expr,
     )
@@ -685,15 +682,10 @@ def encode_ivfpq(
             f"centroid dim {cents.shape[1]} != m*sub = {m * sub}")
     out = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
     out = out.withColumn(cell_col, quantized_assign_expr(cents)(F.col("__xq")))
-    for s in range(m):
-        out = out.withColumn(
-            f"__pq_c{s}",
-            quantized_assign_expr(np.asarray(codebooks[s], dtype=np.int64))(
-                F.slice(F.col("__xq"), s * sub + 1, sub)),
-        )
-    return out.withColumn(
-        code_col, F.array(*[F.col(f"__pq_c{s}") for s in range(m)])
-    ).drop("__xq", *[f"__pq_c{s}" for s in range(m)])
+    out = out.withColumn(
+        code_col,
+        pq_codes_expr(np.asarray(codebooks, dtype=np.int64))(F.col("__xq")))
+    return out.drop("__xq")
 
 
 def append_ivfpq_index(

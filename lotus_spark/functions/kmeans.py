@@ -21,11 +21,19 @@ produces bit-identical assignments:
   ``C_cj = (2·S_cj + n_c) div (2·n_c)`` (round-half-up integer division).
   Empty clusters keep their previous centroid.
 
-The per-iteration aggregation runs as ONE wide ``groupBy(c)`` with d per-dim
-``sum`` columns (r14: replaced the posexplode → groupBy(c, dim) →
-groupBy(c) two-exchange shape): map-side partial aggregation reduces the
-shuffle to k×(d+1) longs per partition through a single exchange, and only
-k×d totals ever reach the driver — scales to arbitrary row counts.
+The per-iteration aggregation is ONE fused ``mapInPandas`` pass (r14, 2nd
+cut): each task assigns its rows and accumulates per-cluster integer
+(count, per-dim sum) partials in numpy, emitting ≤k rows per partition;
+the driver merges the ≤ partitions×k partials and derives the new
+centroids. This replaced first the posexplode → two-exchange shape, then
+the single-exchange wide ``groupBy(c).agg(sum×d)`` — the wide-agg shape
+paid ~0.5s/iteration of driver-side py4j plan construction (d separate
+``F.sum(col[j])`` chains) plus an exchange + second AQE stage job for a
+k×(d+1)-long shuffle. Integer sums are associative/commutative, so the
+merged totals (and every centroid derived from them) are bit-identical
+to any aggregation topology. Training-sample partitions are bounded
+(``_bound_train_partitions``), so the driver merge is ≤ cap×k rows —
+a few MB at the 1M-row sample ceiling, independent of corpus size.
 
 The matching unrolled SQL oracle is generated in ``__spark_entry__.py``.
 """
@@ -40,7 +48,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lotus_spark.functions.text import MOD
-from lotus_spark.partitioning import ensure_parallelism
 
 QUANT = 1 << 20
 SHIFT = 2.0
@@ -89,6 +96,31 @@ def train_sample_where(id_col: str, seed: int, threshold: int) -> str:
     return f"(({a} * {id_col} + {b}) % {MOD}) < {int(threshold)}"
 
 
+#: Hard cap on training-sample partitions: bounds the per-iteration
+#: driver merge to ``cap × k`` partial rows (a few MB for any realistic
+#: k/d) no matter how many partitions the corpus scan arrived in.
+TRAIN_MAX_PARTITIONS = 2048
+
+
+def _bound_train_partitions(df: DataFrame) -> DataFrame:
+    """Scale-adaptive partitioning for the pinned training sample
+    (≤ ``max_train_rows`` rows by construction): boost a compacted
+    single-file read up to cluster parallelism (the old
+    ``ensure_parallelism`` behavior), and COALESCE a sample that
+    inherited a 100-TB corpus's tens of thousands of scan partitions
+    down to ``TRAIN_MAX_PARTITIONS`` — the sample is tiny, so task
+    overhead and the per-partition partial rows the driver merges both
+    stay bounded by the cap rather than by corpus partition count."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    cap = max(target, TRAIN_MAX_PARTITIONS)
+    n = df.rdd.getNumPartitions()
+    if n < target:
+        return df.repartition(target)
+    if n > cap:
+        return df.coalesce(cap)
+    return df
+
+
 def _update_centroids(sums: list[tuple], prev: np.ndarray, k: int) -> np.ndarray:
     """New centroids from collected (c, n, [S_j]) rows; round-half-up
     integer division; clusters with no points keep their previous centroid."""
@@ -132,7 +164,7 @@ def deterministic_kmeans(
     q = q.filter(F.col("__xq").isNotNull())
     if train_filter is not None:
         q = q.filter(train_filter)
-    q = ensure_parallelism(q)
+    q = _bound_train_partitions(q)
     q.persist()
     try:
         init_rows = (
@@ -159,41 +191,142 @@ def deterministic_kmeans(
         cent = np.asarray([r["__xq"] for r in init_rows], dtype=np.int64)
         d = cent.shape[1]
 
-        def assign_expr(centroids: np.ndarray):
-            # single source for the assignment arithmetic (the SQL
-            # oracles replay it; two hand-synced copies invited drift)
-            return quantized_assign_expr(centroids)(F.col("__xq"))
-
+        xq_only = q.select("__xq")
         for _ in range(iters):
-            # ONE wide aggregate per iteration (r14 optimization, guide
-            # §2.3/§2.4): d per-dim BIGINT sums + the row count, grouped
-            # by cluster — map-side partial aggregation ships k×(d+1)
-            # longs per partition through a SINGLE exchange, replacing
-            # the posexplode (d× the rows) → groupBy(c, dim) →
-            # groupBy(c) two-exchange shape. Integer sums are
-            # order-independent, so the collected totals (and every
-            # centroid derived from them) are bit-identical.
-            assigned = q.withColumn("__c", assign_expr(cent))
-            sums = (
-                assigned.groupBy("__c")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.col("__xq")[j]).alias(f"s{j}")
-                      for j in range(d)],
-                )
-                .collect()
-            )
-            rows = [
-                (r["__c"], r["n"], [r[f"s{j}"] for j in range(d)])
-                for r in sums
+            # ONE fused mapInPandas job per iteration (r14, guide
+            # §1.2/§2.4/§4.2): each task assigns its rows against the
+            # broadcast-by-closure centroids AND accumulates per-cluster
+            # integer (count, per-dim sum) partials in numpy — no
+            # exchange, no d-column aggregate expression tree, one
+            # single-stage job. The driver merges ≤ partitions×k partial
+            # rows (bounded by _bound_train_partitions). Integer sums
+            # are order-independent, so the merged totals — and every
+            # centroid derived from them — are bit-identical to the
+            # former groupBy shape (and to the SQL oracle replica).
+            rows = xq_only.mapInPandas(
+                _plain_iter_partials(cent), "c int, n long, s array<bigint>"
+            ).collect()
+            cnt = np.zeros(k, dtype=np.int64)
+            tot = np.zeros((k, d), dtype=np.int64)
+            for r in rows:
+                cnt[r["c"]] += r["n"]
+                tot[r["c"]] += np.asarray(r["s"], dtype=np.int64)
+            merged = [
+                (int(c), int(cnt[c]), tot[c].tolist())
+                for c in np.nonzero(cnt)[0]
             ]
-            cent = _update_centroids(rows, cent, k)
+            cent = _update_centroids(merged, cent, k)
 
         out = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
-        out = out.withColumn(cluster_col, assign_expr(cent)).drop("__xq")
+        out = out.withColumn(
+            cluster_col, quantized_assign_expr(cent)(F.col("__xq"))
+        ).drop("__xq")
         return out, cent
     finally:
         q.unpersist()
+
+
+def _plain_iter_partials(centroids: np.ndarray):
+    """mapInPandas factory for one ``deterministic_kmeans`` iteration:
+    assign every ``__xq`` row to its nearest centroid (same int64
+    arithmetic and argmin tie order as :func:`quantized_assign_expr`)
+    and emit ≤k per-partition partial rows ``(c, n, s)`` — the
+    per-cluster row count and per-dim BIGINT sums."""
+    C = np.asarray(centroids, dtype=np.int64).copy()
+    k, d = C.shape
+
+    def part(batches):
+        import pandas as pd
+
+        n_acc = np.zeros(k, dtype=np.int64)
+        s_acc = np.zeros((k, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            X = np.stack(pdf["__xq"].to_numpy()).astype(np.int64)
+            # [n, k, d] diffs are int64-exact (<= ~2^50 per distance);
+            # np.argmin ties to the smallest cluster id, matching
+            # quantized_assign_expr
+            dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            c = np.argmin(dists, axis=1)
+            n_acc += np.bincount(c, minlength=k)
+            np.add.at(s_acc, c, X)
+        if seen:
+            nz = np.nonzero(n_acc)[0]
+            yield pd.DataFrame({
+                "c": nz.astype(np.int32),
+                "n": n_acc[nz],
+                "s": [s_acc[i].tolist() for i in nz],
+            })
+
+    return part
+
+
+def _pq_iter_partials(cents: np.ndarray):
+    """mapInPandas factory for one grouped-PQ iteration over the
+    ``(__s, __v)`` subspace explosion: per-subspace assignment (same
+    arithmetic as the former grouped pandas UDF) + per-(subspace,
+    cluster) integer partials, ≤ m×k rows per partition."""
+    C = np.asarray(cents, dtype=np.int64).copy()
+    m, k, sub = C.shape
+
+    def part(batches):
+        import pandas as pd
+
+        n_acc = np.zeros((m, k), dtype=np.int64)
+        s_acc = np.zeros((m, k, sub), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            S = pdf["__s"].to_numpy().astype(np.int64)
+            X = np.stack(pdf["__v"].to_numpy()).astype(np.int64)
+            for s in np.unique(S):
+                mask = S == s
+                Xs = X[mask]
+                dists = ((Xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                c = np.argmin(dists, axis=1)
+                n_acc[s] += np.bincount(c, minlength=k)
+                np.add.at(s_acc[s], c, Xs)
+        if seen:
+            ss, cs = np.nonzero(n_acc)
+            yield pd.DataFrame({
+                "s": ss.astype(np.int32),
+                "c": cs.astype(np.int32),
+                "n": n_acc[ss, cs],
+                "v": [s_acc[s, c].tolist() for s, c in zip(ss, cs)],
+            })
+
+    return part
+
+
+def _pq_init_topk(m: int, k: int):
+    """mapInPandas factory for the grouped-PQ init: per partition, the
+    k smallest ``(h, id)`` rows of each subspace (any row outside a
+    partition's per-subspace top-k cannot be in the global top-k, so
+    the driver merge below is an EXACT replay of the former
+    ``row_number() over (partition by s order by h, id) <= k``
+    window — without its exchange + sort)."""
+
+    def part(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[["__s", "__h", "__id", "__v"]]
+            acc = pdf if acc is None else pd.concat((acc, pdf))
+            # keep the running accumulator bounded at m×k rows
+            acc = (acc.sort_values(["__s", "__h", "__id"], kind="mergesort")
+                      .groupby("__s", sort=False).head(k))
+        if acc is not None:
+            yield acc
+
+    return part
 
 
 def quantize_vector(vec, shift: float = SHIFT, quant: int = QUANT) -> list[int]:
@@ -228,6 +361,40 @@ def quantized_assign_expr(centroids: np.ndarray):
     return _assign
 
 
+def pq_codes_expr(cents) -> "F.Column":
+    """All-m-subspace PQ encode in ONE pandas UDF (r14): replaces the m
+    per-subspace ``quantized_assign_expr`` columns over ``F.slice``
+    views — one Arrow column in, one plan node, one boundary crossing
+    instead of m. Value-identical: subspace s scores slice
+    ``[s*sub, (s+1)*sub)`` against codebook s with the same int64
+    arithmetic and argmin tie order. NULL quantized embeddings encode
+    as an array of m NULL codes — exactly what ``F.array`` of m NULL
+    per-subspace assignments produced."""
+    C = np.asarray(cents, dtype=np.int64).copy()  # [m, k, sub]
+    m, _, sub = C.shape
+
+    @F.pandas_udf("array<int>")
+    def _enc(xq_s):
+        import pandas as pd
+
+        valid = xq_s.notna().to_numpy()
+        out = np.full(len(xq_s), None, dtype=object)
+        if valid.any():
+            X = np.stack(xq_s[valid].to_numpy()).astype(np.int64)
+            Xs = X.reshape(len(X), m, sub)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                d = ((Xs[:, s, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d, axis=1)
+            for pos, c in zip(np.nonzero(valid)[0], codes):
+                out[pos] = c.tolist()
+        for i in np.nonzero(~valid)[0]:
+            out[i] = [None] * m
+        return pd.Series(out, dtype=object)
+
+    return _enc
+
+
 def pq_train_codebooks(
     df: DataFrame,
     emb_col: str,
@@ -252,13 +419,11 @@ def pq_train_codebooks(
     ~m× the per-job scheduling overhead (measured 8x fewer Spark jobs
     for m=8). Returns centroids [m, k, sub] int64.
     """
-    from pyspark.sql import Window
-
     q = df.withColumn("__xq", quantize_embedding(F.col(emb_col)))
     q = q.filter(F.col("__xq").isNotNull())  # NULLs cannot train
     if train_filter is not None:
         q = q.filter(train_filter)
-    q = ensure_parallelism(q)
+    q = _bound_train_partitions(q)
     subs = F.array(*[
         F.struct(F.lit(s).alias("s"),
                  F.slice("__xq", s * sub + 1, sub).alias("v"))
@@ -282,19 +447,30 @@ def pq_train_codebooks(
             * F.pmod(F.col(id_col), F.lit(MOD))
             + F.element_at(b_arr, F.col("__s") + 1)
         ) % F.lit(MOD)
-        w = Window.partitionBy("__s").orderBy("__h", id_col)
+        # init: per-partition per-subspace top-k in one fused
+        # mapInPandas job, exact-merged on the driver — replaces the
+        # row_number window (exchange + full sort) with a single-stage
+        # job whose collected rows are bounded at partitions×m×k
         init_rows = (
             ex.withColumn("__h", h)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .select("__s", "__rn", "__v")
+            .select("__s", "__h",
+                    F.col(id_col).cast("long").alias("__id"), "__v")
+            .mapInPandas(
+                _pq_init_topk(m, k),
+                "__s int, __h bigint, __id bigint, __v array<bigint>")
             .collect()
         )
+        per_s: dict[int, list] = {s: [] for s in range(m)}
+        for r in init_rows:
+            per_s[r["__s"]].append((r["__h"], r["__id"], r["__v"]))
         counts = [0] * m
         cents = np.zeros((m, k, sub), dtype=np.int64)
-        for r in init_rows:
-            cents[r["__s"], r["__rn"] - 1] = r["__v"]
-            counts[r["__s"]] += 1
+        for s in range(m):
+            # the global k smallest (h, id) per subspace — exactly the
+            # rows the former window's rn <= k selected, in rn order
+            for i, (_, _, v) in enumerate(sorted(per_s[s])[:k]):
+                cents[s, i] = v
+                counts[s] += 1
         if any(c < k for c in counts):
             raise ValueError(
                 f"pq_train_codebooks: training input has only "
@@ -303,48 +479,31 @@ def pq_train_codebooks(
                    else "")
             )
 
-        def grouped_assign(C: np.ndarray):
-            Cc = C.copy()
-
-            @F.pandas_udf("int")
-            def _assign(s_s, v_s):
-                import pandas as pd
-
-                S = s_s.to_numpy().astype(np.int64)
-                X = np.stack(v_s.to_numpy()).astype(np.int64)
-                out = np.empty(len(S), dtype=np.int32)
-                for s in np.unique(S):
-                    mask = S == s
-                    d = ((X[mask][:, None, :] - Cc[s][None, :, :]) ** 2
-                         ).sum(axis=2)
-                    out[mask] = np.argmin(d, axis=1).astype(np.int32)
-                return pd.Series(out)
-
-            return _assign(F.col("__s"), F.col("__v"))
-
+        sv_only = ex.select("__s", "__v")
         for _ in range(iters):
-            # same single-exchange wide aggregate as deterministic_kmeans
-            # (r14): sub per-dim sums + count grouped by (subspace,
-            # cluster) — one shuffle of m×k×(sub+1) longs per partition
-            # instead of posexplode + two exchanges. Integer sums are
-            # order-independent; totals are bit-identical.
-            assigned = ex.withColumn("__c", grouped_assign(cents))
-            sums = (
-                assigned.groupBy("__s", "__c")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[F.sum(F.col("__v")[j]).alias(f"s{j}")
-                      for j in range(sub)],
-                )
-                .collect()
-            )
+            # ONE fused mapInPandas job per iteration (r14, same shape
+            # as deterministic_kmeans): per-subspace assignment + the
+            # per-(subspace, cluster) integer partials accumulate in
+            # the task, the driver merges ≤ partitions×m×k rows.
+            # Integer sums are order-independent; totals (and the
+            # centroids derived) are bit-identical to the former
+            # grouped wide aggregate.
+            rows = sv_only.mapInPandas(
+                _pq_iter_partials(cents),
+                "s int, c int, n long, v array<bigint>",
+            ).collect()
+            n_acc = np.zeros((m, k), dtype=np.int64)
+            t_acc = np.zeros((m, k, sub), dtype=np.int64)
+            for r in rows:
+                n_acc[r["s"], r["c"]] += r["n"]
+                t_acc[r["s"], r["c"]] += np.asarray(r["v"], dtype=np.int64)
             new = cents.copy()
             for s in range(m):
-                rows = [
-                    (r["__c"], r["n"], [r[f"s{j}"] for j in range(sub)])
-                    for r in sums if r["__s"] == s
+                merged = [
+                    (int(c), int(n_acc[s, c]), t_acc[s, c].tolist())
+                    for c in np.nonzero(n_acc[s])[0]
                 ]
-                new[s] = _update_centroids(rows, cents[s], k)
+                new[s] = _update_centroids(merged, cents[s], k)
             cents = new
         return cents
     finally:
