@@ -373,25 +373,26 @@ def pq_index(
     """
     from lotus_spark.functions.kmeans import pq_train_codebooks
 
-    # ONE stats job for (row count, dim) — r14: the old shape paid a
-    # .first() job for d plus a second count job inside
-    # _resolve_train_filter; the fused aggregate feeds both (callers
-    # that already know the count pass ``n_rows`` and the train filter
-    # reuses it)
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.size(emb_col)).alias("d"),
-    ).first()
-    if not stats["n"]:
+    # (n, d) probes that never scan the embedding column (r14, 2nd
+    # cut): n prunes to the narrowest input columns (a metadata-cheap
+    # scan), d reads ONE non-null row. The former fused aggregate
+    # computed min(size(emb)) over every row — a full pass of the
+    # heaviest column just to learn its dimension, which at corpus
+    # scale costs more than the training it feeds.
+    n_total = df.count() if n_rows is None else n_rows
+    if not n_total:
         raise ValueError("empty input")
-    d = stats["d"]
+    drow = (df.select(F.size(emb_col).alias("__d"))
+            .filter(F.col("__d").isNotNull()).first())
+    if drow is None:
+        raise ValueError("empty input")  # no non-NULL embeddings to train
+    d = drow["__d"]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
     k = 2 ** nbits
     train_filter = _resolve_train_filter(
-        df, id_col, seed, train_sample, max_train_rows,
-        n_rows=stats["n"] if n_rows is None else n_rows)
+        df, id_col, seed, train_sample, max_train_rows, n_rows=n_total)
     cents = pq_train_codebooks(
         df, emb_col, id_col, m, sub, k, iters=3, seed=seed,
         train_filter=train_filter,
@@ -1368,19 +1369,22 @@ def ann_join_ivfpq(
         def _train_pq():
             from lotus_spark.functions.kmeans import pq_train_codebooks
 
-            stats = right.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(F.size(right_emb_col)).alias("d"),
-            ).first()
-            if not stats["n"]:
+            # same narrow (n, d) probes as pq_index (r14, 2nd cut):
+            # never scan the embedding column to learn its dimension
+            n_total = right.count()
+            if not n_total:
                 raise ValueError("empty input")
-            d = stats["d"]
+            drow = (right.select(F.size(right_emb_col).alias("__d"))
+                    .filter(F.col("__d").isNotNull()).first())
+            if drow is None:
+                raise ValueError("empty input")
+            d = drow["__d"]
             if d % m != 0:
                 raise ValueError(f"dim {d} not divisible by m={m}")
             sub = d // m
             tf = _resolve_train_filter(
                 right, right_id_col, pq_seed, train_sample,
-                max_train_rows, n_rows=stats["n"])
+                max_train_rows, n_rows=n_total)
             pq_cents = pq_train_codebooks(
                 right, right_emb_col, right_id_col, m, sub, 2 ** nbits,
                 iters=3, seed=pq_seed, train_filter=tf,
