@@ -702,17 +702,21 @@ def jaccard_sim_pairs(
         if block_col is None:
             post = post.withColumn("__blk", F.lit(1))
         base = post.withColumn("__c", F.pmod(F.hash("id"), F.lit(s)))
-        as_l = base.withColumn(
-            "__cj", F.explode(F.sequence(F.col("__c"), F.lit(s - 1)))
+        # Both sides emitted from ONE explode: row with chunk c joins group
+        # (min(c,j), max(c,j)) for every j, as L when j >= c (its own row /
+        # right neighbors) else R. A two-branch union here would reference
+        # the posting subtree twice and Catalyst plans are trees, not DAGs —
+        # the corpus-wide shingle-hash pass would execute once per branch.
+        sides = base.select(
+            "__blk", "__c", "id", "sh",
+            F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("__j"),
         ).select(
-            "__blk", F.col("__c").alias("__ci"), "__cj",
-            F.lit("L").alias("__side"), "id", "sh",
-        )
-        as_r = base.filter(F.col("__c") > 0).withColumn(
-            "__ci", F.explode(F.sequence(F.lit(0), F.col("__c") - 1))
-        ).select(
-            "__blk", "__ci", F.col("__c").alias("__cj"),
-            F.lit("R").alias("__side"), "id", "sh",
+            "__blk",
+            F.least("__c", "__j").alias("__ci"),
+            F.greatest("__c", "__j").alias("__cj"),
+            F.when(F.col("__j") >= F.col("__c"), F.lit("L"))
+            .otherwise(F.lit("R")).alias("__side"),
+            "id", "sh",
         )
 
         def _count_chunk_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -758,7 +762,7 @@ def jaccard_sim_pairs(
             )
 
         return (
-            as_l.unionByName(as_r)
+            sides
             .groupBy("__blk", "__ci", "__cj")
             .applyInPandas(_count_chunk_pair, "a long, b long, jaccard double")
             .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
