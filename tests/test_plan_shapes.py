@@ -482,3 +482,19 @@ def test_ngram_index_probe_shuffles_only_hashes(spark, tmp_path, docs):
     assert "BroadcastNestedLoopJoin" not in plan
     for args, cols in exchanges(plan):
         assert "text" not in cols, (args, cols)
+
+
+def test_jaccard_block_path_single_shingle_pass(spark, docs):
+    """The block-local jaccard plan must hash shingles in ONE map pass:
+    emitting the L/R chunk-pair sides as a union would reference the
+    posting subtree twice (Catalyst plans are trees), running the
+    corpus-wide shingle pass once per branch — the r14 fix emits both
+    sides from a single explode."""
+    from lotus_spark.functions.dedup import jaccard_sim_pairs
+
+    out = jaccard_sim_pairs(docs, "text", "doc_id", shingle_n=2,
+                            threshold=0.3, block_col="lang",
+                            algorithm="block", chunks=4)
+    plan = formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "Union" not in plan, plan
