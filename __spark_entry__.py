@@ -5141,11 +5141,18 @@ def q_answer_cache_map(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     first = sem_map(docs.filter(F.col("lang") == "en"), instr, lm=lm())
+    # persist: the hits/misses union references the cache subtree from
+    # BOTH branches and their differently-pruned broadcasts defeat
+    # ReuseExchange — without the pin, the cache-BUILD sem_map (an LM
+    # pass) executes once per branch, i.e. the answer cache would pay
+    # its own build twice. The cache table is bounded by distinct
+    # prompts, so pinning it is scale-safe (multi-consumer-intermediate
+    # convention, as in q_shard_for_training).
     cache = (
         first.select("lang", "_map").distinct()
         .select(F.sha2(F.col("lang"), 256).alias("prompt_hash"),
                 F.col("_map").alias("answer"))
-    )
+    ).persist()
     hits, misses = join_answer_cache(docs, "lang", cache,
                                      answer_col="answer")
     miss_out = sem_map(misses, instr, lm=lm()).withColumnRenamed(
