@@ -5147,7 +5147,7 @@ def q_answer_cache_map(spark, sf_dir):
     # pass) executes once per branch, i.e. the answer cache would pay
     # its own build twice. The cache table is bounded by distinct
     # prompts, so pinning it is scale-safe (multi-consumer-intermediate
-    # convention, as in q_shard_for_training).
+    # convention, as in q_pipeline_clean).
     cache = (
         first.select("lang", "_map").distinct()
         .select(F.sha2(F.col("lang"), 256).alias("prompt_hash"),
