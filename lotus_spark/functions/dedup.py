@@ -131,41 +131,78 @@ def _rep_components(
     already happened (``reps`` holds one row per distinct text)."""
     from lotus_spark.operators.sem_dedup import connected_components_edges
 
-    sigd = minhash_signature(reps, col, n_hashes, shingle_n)
-    sigd = sigd.withColumn("__shingles", word_shingles(F.col(col), shingle_n))
+    edges, sigd = _rep_edges(
+        reps, col, id_col, n_hashes, bands, shingle_n, jaccard_threshold)
+    comps = connected_components_edges(edges)
+    # CC materialized (persisted or collected) the edge rows, so the
+    # signature cache has served all three consumers
+    sigd.unpersist(False)
+    return comps
 
-    band_keys = minhash_band_keys(F.col("minhash"), n_hashes, bands)
-    # both join sides consume `banded`; persist so signature + shingle
-    # computation (the expensive map stage) runs once, not twice
+
+def _rep_edges(
+    reps: DataFrame,
+    col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_n: int,
+    jaccard_threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """The (lazy) verified-edge subtree of :func:`_rep_components`:
+    returns ``(edges, sigd)`` where ``edges`` is the distinct
+    ``(src, dst)`` set of threshold-passing rep pairs and ``sigd`` the
+    persisted per-rep signature cache the caller must unpersist once
+    the edges are materialized. Factored out so the plan-shape test can
+    pin the narrow-exchange claims below without executing CC."""
     from pyspark import StorageLevel
 
-    banded = sigd.withColumn("__band", F.explode(F.array(*band_keys))).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # ONE pinned row per rep (id, minhash, shingles): the band explosion
+    # and both shingle fetches below re-read this cache map-side, so the
+    # expensive signature + shingle map stage runs once — and, unlike
+    # the pre-r14 shape (persist AFTER the band explosion, shingles on
+    # both sides of the band join), the cache holds each row once
+    # instead of bands× and NO exchange in the plan ever carries a
+    # shingle array or a signature. Same narrow-candidate discipline as
+    # ``neardup_join_index`` (tests/test_plan_shapes.py pins both).
+    sigd = (
+        minhash_signature(reps, col, n_hashes, shingle_n)
+        .withColumn("__shingles", word_shingles(F.col(col), shingle_n))
+        .select(F.col(id_col).alias("__rid"), "minhash", "__shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    band_keys = minhash_band_keys(F.col("minhash"), n_hashes, bands)
+    banded = sigd.select(
+        "__rid", F.explode(F.array(*band_keys)).alias("__band"))
 
-    left = banded.select(
-        F.col("__band"),
-        F.col(id_col).alias("src"),
-        F.col("__shingles").alias("__sa"),
-    )
-    right = banded.select(
-        F.col("__band"),
-        F.col(id_col).alias("dst"),
-        F.col("__shingles").alias("__sb"),
-    )
+    # candidate generation joins (band, id) rows only — two longs and a
+    # band string per row — and the pair dedup exchange is two longs
     cand = (
-        left.join(right, "__band")
+        banded.select("__band", F.col("__rid").alias("src"))
+        .join(banded.select("__band", F.col("__rid").alias("dst")),
+              "__band")
         .filter(F.col("src") < F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+        .select("src", "dst")
+        .distinct()
     )
+    # exact-Jaccard verify fetches shingles BY ID, candidate-bounded:
+    # the deduped pair set is usually small, so AQE broadcasts it and
+    # the cached shingle rows stream map-side — shingle arrays cross
+    # zero exchanges on that path (and at most one copy per side on the
+    # sort-merge fallback, versus bands× through the old band join)
+    sa = sigd.select(F.col("__rid").alias("src"),
+                     F.col("__shingles").alias("__sa"))
+    sb = sigd.select(F.col("__rid").alias("dst"),
+                     F.col("__shingles").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     union = F.size(F.array_union(F.col("__sa"), F.col("__sb")))
     edges = (
-        cand.withColumn("__j", inter.cast("double") / union.cast("double"))
+        cand.join(sa, "src").join(sb, "dst")
+        .withColumn("__j", inter.cast("double") / union.cast("double"))
         .filter(F.col("__j") >= jaccard_threshold)
         .select("src", "dst")
     )
-    return connected_components_edges(edges)
+    return edges, sigd
 
 
 def minhash_lsh_dedup(

@@ -424,9 +424,23 @@ def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
         "delete_from_bm25_index")
     meta = read_bm25_meta(spark, path)
     dids = _ids_frame(ids, "id", "delete_from_bm25_index")
+    # ONE (total, matched) aggregate per table (the r14
+    # _filtered_rewrite_swap pattern — dids is distinct by _ids_frame,
+    # so the broadcast LEFT join marks each stored row at most once):
+    # the before/deleted guard pair costs one scan of each table
+    # instead of two, which at corpus scale halves the pre-rewrite
+    # read of the postings table — the index's dominant table.
+    marked = F.broadcast(dids.withColumn("__dead", F.lit(1)))
+
+    def _table_counts(df: DataFrame) -> tuple[int, int]:
+        r = (df.join(marked, "id", "left")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.count("__dead").alias("n_match"))
+             .first())
+        return r["n"], r["n_match"]
+
     doclens = spark.read.parquet(f"{path}/doclens")
-    n_dl_before = doclens.count()
-    n_docs_deleted = doclens.join(F.broadcast(dids), "id").count()
+    n_dl_before, n_docs_deleted = _table_counts(doclens)
     if n_docs_deleted == 0:
         return 0
 
@@ -434,8 +448,7 @@ def delete_from_bm25_index(spark, path: str, ids: DataFrame) -> int:
     tmp = f"{path}.cdcdel-{uuid.uuid4().hex[:8]}"
 
     postings = spark.read.parquet(f"{path}/postings")
-    n_post_before = postings.count()
-    n_post_match = postings.join(F.broadcast(dids), "id").count()
+    n_post_before, n_post_match = _table_counts(postings)
     if n_post_match == n_post_before:
         raise ValueError(
             "delete_from_bm25_index: the delete would empty the postings "
@@ -702,8 +715,14 @@ def delete_from_cluster_map(spark, map_dir: str, ids: DataFrame) -> int:
     jvm, fs, p = _fs(spark, map_dir)
     dids = _ids_frame(ids, "id", "delete_from_cluster_map")
     old = spark.read.parquet(map_dir)
-    n_before = old.count()
-    n_match = old.join(F.broadcast(dids), "id").count()
+    # one (total, matched) aggregate — same fused-guard shape as the
+    # other delete paths: one scan of the map, not two
+    r = (old.join(F.broadcast(dids.withColumn("__dead", F.lit(1))),
+                  "id", "left")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count("__dead").alias("n_match"))
+         .first())
+    n_before, n_match = r["n"], r["n_match"]
     if n_match == 0:
         return 0
 

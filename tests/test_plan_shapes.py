@@ -498,3 +498,25 @@ def test_jaccard_block_path_single_shingle_pass(spark, docs):
     plan = formatted_plan(out)
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_lsh_self_join_exchanges_exclude_shingles(spark, docs):
+    """The r14 ``_rep_components`` restructure: banded-LSH candidate
+    generation self-joins NARROW (band, id) rows and dedupes pairs as
+    two longs; shingle arrays and signatures join back candidate-
+    bounded BY ID from the per-rep cache — so no exchange in the edge
+    plan may carry ``__shingles``, ``minhash`` or document text."""
+    from lotus_spark.functions.dedup import _rep_edges
+
+    edges, sigd = _rep_edges(docs, "text", "doc_id",
+                             n_hashes=8, bands=2, shingle_n=3,
+                             jaccard_threshold=0.5)
+    try:
+        plan = formatted_plan(edges)
+        assert "CartesianProduct" not in plan
+        for args, cols in exchanges(plan):
+            assert "__shingles" not in cols, (args, cols)
+            assert "minhash" not in cols, (args, cols)
+            assert "text" not in cols, (args, cols)
+    finally:
+        sigd.unpersist(False)
