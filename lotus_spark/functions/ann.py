@@ -424,6 +424,21 @@ def _pq_encode_with(
     )
 
 
+def _sql_long_array(xs) -> str:
+    """SQL text of a literal ``array<bigint>`` — the parse-once
+    building block of :func:`_lit_long_array` and the batched-serving
+    SQL assembly (r14 2nd cut)."""
+    return "array(" + ",".join(f"{int(x)}L" for x in xs) + ")"
+
+
+def _sql_double_array(xs) -> str:
+    """SQL text of a literal ``array<double>``. ``repr(float)`` is the
+    shortest round-trip decimal form, and Spark parses double literals
+    with Java's ``parseDouble`` — bit-exact for every finite value."""
+    return ("array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in xs)
+            + ")")
+
+
 def _lit_long_array(xs) -> Column:
     """A literal ``array<bigint>`` built with ONE py4j round trip
     (r14): ``F.array(*[F.lit(x) for x in xs])`` costs 2+ gateway calls
@@ -431,43 +446,45 @@ def _lit_long_array(xs) -> Column:
     per query — measured seconds of driver-side PLAN time per batched
     serving call. ``F.expr`` parses the whole literal list in one call;
     the resulting Literal values are identical."""
-    return F.expr("array(" + ",".join(f"{int(x)}L" for x in xs) + ")")
+    return F.expr(_sql_long_array(xs))
 
 
 def _lit_double_array(xs) -> Column:
-    """Literal ``array<double>`` twin of :func:`_lit_long_array`.
-    ``repr(float)`` is the shortest round-trip decimal form, and Spark
-    parses double literals with Java's ``parseDouble`` — bit-exact for
-    every finite value."""
-    return F.expr(
-        "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in xs)
-        + ")")
+    """Literal ``array<double>`` twin of :func:`_lit_long_array`."""
+    return F.expr(_sql_double_array(xs))
 
 
-def _adc_dist_expr(
+def _adc_dist_sql(
     codebooks: list[list[list[int]]], qq: list[int], code_col: str
-) -> Column:
-    """The ADC scoring expression for ONE quantized query: per subspace,
+) -> str:
+    """SQL text of the ADC score for ONE quantized query: per subspace,
     the L2 distance to every codebook centroid is precomputed
     driver-side and baked in as a literal lookup array; the row score is
-    ``m`` array lookups + adds. Single source for knn_topk_pq and the
-    batched knn_topk_ivfpq_batch so the arithmetic (and the SQL oracles
-    replaying it) cannot drift."""
+    ``m`` array lookups + adds. Emitted as TEXT so a whole serving
+    batch parses in one py4j round trip (r14 2nd cut: the per-Column
+    assembly spent ~0.6s/query in gateway chatter — profiled, ~650
+    socket round trips per query); :func:`_adc_dist_expr` wraps it for
+    single-expression callers, so the arithmetic (and the SQL oracles
+    replaying it) still has exactly one source."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    dist_cols = []
+    parts = []
     for s in range(m):
         qsub = qq[s * sub:(s + 1) * sub]
         table = [
             sum((a - b) * (a - b) for a, b in zip(qsub, cent))
             for cent in codebooks[s]
         ]
-        lut = _lit_long_array(table)
-        dist_cols.append(F.element_at(lut, F.col(code_col)[s] + 1))
-    total = dist_cols[0]
-    for c in dist_cols[1:]:
-        total = total + c
-    return total
+        parts.append(
+            f"element_at({_sql_long_array(table)}, `{code_col}`[{s}] + 1)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def _adc_dist_expr(
+    codebooks: list[list[list[int]]], qq: list[int], code_col: str
+) -> Column:
+    """:func:`_adc_dist_sql` as a Column — ONE parse per query."""
+    return F.expr(_adc_dist_sql(codebooks, qq, code_col))
 
 
 def knn_topk_pq(
@@ -1030,24 +1047,36 @@ def knn_topk_ivfpq_batch(
         raise ValueError("empty codebooks")
     sub = len(codebooks[0][0])
 
-    probes, entries, qvec_lits = {}, [], []
+    # The whole batch's per-query entries (ADC lookup tables, probed-
+    # cell masks) and the query-vector map assemble as SQL TEXT and
+    # parse in ONE py4j round trip each (r14 2nd cut): the per-Column
+    # assembly paid ~650 gateway round trips PER QUERY (profiled at
+    # ~1.2 ms each — seconds of driver latency per batch before any job
+    # ran). The parsed Literal/In/element_at trees are identical.
+    def _sql_str(x) -> str:
+        return "'" + str(x).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    probes, entry_sqls, qvec_sqls = {}, [], []
     for qid, vec in queries.items():
         qq = quantize_vector(vec)
         if len(qq) != m * sub:
             raise ValueError(
                 f"query {qid!r} dim {len(qq)} != m*sub = {m * sub}")
         probes[qid] = rank_cells_quantized(centroids, vec, n_probe)
-        entries.append(F.struct(
-            F.lit(str(qid)).alias(query_col),
-            _adc_dist_expr(codebooks, qq, code_col).alias("pq_dist"),
-            F.col(cell_col).isin(probes[qid]).alias("__m"),
-        ))
-        qvec_lits += [F.lit(str(qid)), _lit_double_array(vec)]
+        cells = ",".join(str(int(c)) for c in probes[qid])
+        entry_sqls.append(
+            f"named_struct({_sql_str(query_col)}, {_sql_str(qid)}, "
+            f"'pq_dist', {_adc_dist_sql(codebooks, qq, code_col)}, "
+            f"'__m', `{cell_col}` IN ({cells}))")
+        qvec_sqls += [_sql_str(qid), _sql_double_array(vec)]
 
     all_cells = sorted({c for p in probes.values() for c in p})
     pruned = indexed_df.filter(F.col(cell_col).isin(all_cells))
     cand = (
-        pruned.select(id_col, F.explode(F.array(*entries)).alias("__e"))
+        pruned.select(
+            id_col,
+            F.explode(F.expr("array(" + ",".join(entry_sqls) + ")"))
+            .alias("__e"))
         .select(id_col, "__e.*").filter(F.col("__m")).drop("__m")
     )
     w = Window.partitionBy(query_col).orderBy(
@@ -1060,7 +1089,8 @@ def knn_topk_ivfpq_batch(
                       .select(query_col, id_col)
     from lotus_spark.functions.vectors import pair_cosine
 
-    qv = F.element_at(F.create_map(*qvec_lits), F.col(query_col))
+    qv = F.element_at(
+        F.expr("map(" + ",".join(qvec_sqls) + ")"), F.col(query_col))
     # rerank over the probed-cells union (`pruned`), NOT the full index:
     # every shortlist id comes from `pruned`, so the output is identical,
     # and the rerank scan inherits the same cell partition-pruning the
