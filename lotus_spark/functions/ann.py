@@ -647,6 +647,13 @@ def write_ivfpq_index(
         "codebooks": [
             [[int(x) for x in cent] for cent in book] for book in codebooks
         ],
+        # the layout's exact read schema (captured by inference ONCE
+        # here) so every probe can skip the per-query footer-inference
+        # job (guide §7.3 fixed driver latency). Appends/compaction/CDC
+        # preserve the schema and carry or copy the sidecar; pre-r14
+        # sidecars lack the field and readers fall back to inference.
+        "table_schema":
+            indexed_df.sparkSession.read.parquet(path).schema.json(),
     }
     _fs_write_json(indexed_df.sparkSession, f"{path}/_ivfpq_meta.json", meta)
 
@@ -658,11 +665,30 @@ def read_ivfpq_index(
     (encoded df incl. the partition cell column, centroids, codebooks,
     cell_col). The scan stays partition-prunable — compose directly
     with :func:`knn_topk_ivfpq`."""
+    df, meta = _read_ivfpq_index_with_meta(spark, path)
+    return df, meta["centroids"], meta["codebooks"], meta["cell_col"]
+
+
+def _read_ivfpq_index_with_meta(spark, path: str) -> tuple[DataFrame, dict]:
+    """:func:`read_ivfpq_index`'s core, returning the RAW meta dict
+    alongside the frame: the serving paths also need ``code_col``, and
+    re-reading the sidecar (centroids + codebooks ride in it) costs
+    ~50ms of py4j byte transfer per query. The scan schema is PINNED
+    from the sidecar when recorded (``write_ivfpq_index``) so the read
+    skips the footer-inference job; partition discovery (cell pruning)
+    is unchanged, and pre-r14 sidecars fall back to inference."""
     meta = _fs_read_json(spark, f"{path}/_ivfpq_meta.json")
     if meta is None:
         raise FileNotFoundError(f"{path}/_ivfpq_meta.json")
-    df = spark.read.parquet(path)
-    return df, meta["centroids"], meta["codebooks"], meta["cell_col"]
+    sch = meta.get("table_schema")
+    reader = spark.read
+    if sch:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(_json.loads(sch)))
+    return reader.parquet(path), meta
 
 
 def encode_ivfpq(

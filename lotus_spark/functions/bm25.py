@@ -190,6 +190,23 @@ def bm25_search(
     )
 
 
+def _rrf_contribs_sql(n_lists: int, rrf_k: int) -> str:
+    """SQL text of the summed per-list RRF contributions over the rank
+    columns ``__r0..__r{n-1}`` — ONE ``F.expr`` parse where the
+    per-Column when/otherwise loop paid ~100 py4j round trips per list
+    (guide §7.3; the r14 ADC/BM25 SQL-text precedent). Same
+    left-associated sum, int rank arithmetic and double division as the
+    former Column build — the analyzed tree is byte-identical (pinned
+    by tests/test_bm25.py::test_rrf_contribs_sql_tree_matches_columns),
+    so single and batch fusion keep scoring in lockstep."""
+    return " + ".join(
+        f"CASE WHEN `__r{i}` IS NOT NULL"
+        f" THEN {1.0!r}D / ({int(rrf_k)} + `__r{i}`)"
+        f" ELSE {0.0!r}D END"
+        for i in range(n_lists)
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str,
@@ -208,25 +225,16 @@ def rrf_fuse(
     sorts a bounded list: the API stays safe when handed an arbitrary
     score relation instead of a pre-cut top-N list. A rank beyond
     max_list_size contributes < 1/(rrf_k + max_list_size) ≈ nothing."""
-    from pyspark.sql import Window
-
     fused = None
     for i, r in enumerate(ranked):
         bounded = r.orderBy(F.desc("score"), F.asc(id_col)).limit(max_list_size)
-        w = Window.orderBy(F.desc("score"), F.asc(id_col))
         ranks = bounded.select(
-            id_col, F.row_number().over(w).alias(f"__r{i}"))
+            id_col, F.expr(
+                f"row_number() OVER (ORDER BY score DESC, `{id_col}` ASC)"
+            ).alias(f"__r{i}"))
         fused = ranks if fused is None else fused.join(
             ranks, id_col, "full_outer")
-    contribs = [
-        F.when(F.col(f"__r{i}").isNotNull(),
-               F.lit(1.0) / (F.lit(rrf_k) + F.col(f"__r{i}")))
-        .otherwise(F.lit(0.0))
-        for i in range(len(ranked))
-    ]
-    total = contribs[0]
-    for c in contribs[1:]:
-        total = total + c
+    total = F.expr(_rrf_contribs_sql(len(ranked), rrf_k))
     return (
         fused.select(id_col, total.alias("rrf_score"))
         .orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
@@ -252,33 +260,23 @@ def rrf_fuse_batch(
     to its per-query top ``max_list_size`` FIRST (a row_number window —
     ranks beyond it contribute < 1/(rrf_k + max_list_size) ≈ nothing),
     so arbitrary score relations stay safe inputs."""
-    from pyspark.sql import Window
-
     fused = None
     for i, r in enumerate(ranked):
-        w = Window.partitionBy(query_col).orderBy(
-            F.desc("score"), F.asc(id_col))
         ranks = (
-            r.withColumn(f"__r{i}", F.row_number().over(w))
+            r.withColumn(f"__r{i}", F.expr(
+                f"row_number() OVER (PARTITION BY `{query_col}`"
+                f" ORDER BY score DESC, `{id_col}` ASC)"))
             .filter(F.col(f"__r{i}") <= max_list_size)
             .select(query_col, id_col, f"__r{i}")
         )
         fused = ranks if fused is None else fused.join(
             ranks, [query_col, id_col], "full_outer")
-    contribs = [
-        F.when(F.col(f"__r{i}").isNotNull(),
-               F.lit(1.0) / (F.lit(rrf_k) + F.col(f"__r{i}")))
-        .otherwise(F.lit(0.0))
-        for i in range(len(ranked))
-    ]
-    total = contribs[0]
-    for c in contribs[1:]:
-        total = total + c
-    w2 = Window.partitionBy(query_col).orderBy(
-        F.desc("rrf_score"), F.asc(id_col))
+    total = F.expr(_rrf_contribs_sql(len(ranked), rrf_k))
     return (
         fused.select(query_col, id_col, total.alias("rrf_score"))
-        .withColumn("__rk", F.row_number().over(w2))
+        .withColumn("__rk", F.expr(
+            f"row_number() OVER (PARTITION BY `{query_col}`"
+            f" ORDER BY rrf_score DESC, `{id_col}` ASC)"))
         .filter(F.col("__rk") <= k)
         .select(query_col, id_col, "rrf_score")
     )

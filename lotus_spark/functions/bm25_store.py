@@ -128,6 +128,18 @@ def write_bm25_index(
         "n_buckets": int(n_buckets),
         "n_docs": n_docs,
         "total_dl": total_dl,
+        # the query tables' exact read schemas (captured by inference
+        # ONCE here, at build time) so every serving query can skip the
+        # per-call footer-inference job (~0.1s of fixed driver latency
+        # per table per query at sf0.1 — guide §7.3). The lifecycle
+        # verbs (append/compact/CDC delete) rewrite tables
+        # schema-preserving and carry the meta dict forward; sidecars
+        # written before this field existed fall back to inference in
+        # _read_index_table.
+        "table_schemas": {
+            t: df.sparkSession.read.parquet(f"{path}/{t}").schema.json()
+            for t in ("postings", "termdf")
+        },
     })
     postings.unpersist()
 
@@ -141,6 +153,51 @@ def read_bm25_meta(spark, path: str) -> dict:
             f"no {_META} sidecar at {path} — not a BM25 index "
             "(write_bm25_index creates it)")
     return meta
+
+
+def _read_index_table(spark, path: str, table: str, meta: dict) -> DataFrame:
+    """One of the index's parquet query tables, with the schema PINNED
+    from the sidecar when recorded there (``write_bm25_index``):
+    ``spark.read.parquet`` otherwise runs a footer-inference job before
+    a serving query reads a single posting — pure fixed driver latency
+    (guide §7.3). Partition discovery (the bucket pruning) is
+    unchanged; pre-r14 sidecars lack the field and fall back to
+    inference. Maintenance verbs keep reading with inference — their
+    guards should see the files as they are, not as the sidecar says
+    they should be."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    sch = (meta.get("table_schemas") or {}).get(table)
+    reader = spark.read
+    if sch:
+        reader = reader.schema(StructType.fromJson(_json.loads(sch)))
+    return reader.parquet(f"{path}/{table}")
+
+
+def _bm25_partial_sql(n: float, avgdl: float, k1: float, b: float) -> str:
+    """SQL text of the per-(doc, term) Okapi partial over the posting
+    columns (tf, dl) and the broadcast term df, with the sidecar corpus
+    stats folded in as literals — parsed in ONE ``F.expr`` call where
+    the per-Column assembly paid ~300 py4j round trips per query
+    (guide §7.3; the r14 ADC-serving precedent). The parse yields the
+    IDENTICAL expression tree — same association, same double literals
+    (``repr`` is the shortest round-trip form and Spark parses it with
+    Java ``parseDouble``, bit-exact) — pinned by
+    tests/test_bm25_store.py::test_bm25_partial_sql_tree_matches_columns,
+    so the decimal partials stay byte-identical to ``bm25.bm25_search``
+    and the DuckDB oracle."""
+    d = "{!r}D".format  # D-suffixed double literal, parseDouble-exact
+    idf = (f"LN({d(1.0)} + ({d(float(n))} - df + {d(0.5)})"
+           f" / (df + {d(0.5)}))")
+    # operand order mirrors the former Column build exactly (Python's
+    # __rmul__/__radd__ put the Column first), so the analyzed tree is
+    # byte-identical, not merely value-identical
+    partial = (f"{idf} * (tf * {d(1.0 + k1)})"
+               f" / (tf + (dl * {d(float(b))} / {d(float(avgdl))}"
+               f" + {d(1.0 - b)}) * {d(float(k1))})")
+    return f"CAST(round({partial}, 9) AS DECIMAL(28,10))"
 
 
 _BUCKET_CACHE: dict[tuple[str, int], int] = {}
@@ -194,12 +251,12 @@ def bm25_search_index(
     buckets = _term_buckets(spark, terms, meta["n_buckets"])
 
     posts = (
-        spark.read.parquet(f"{path}/postings")
+        _read_index_table(spark, path, "postings", meta)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
     tdf = (
-        spark.read.parquet(f"{path}/termdf")
+        _read_index_table(spark, path, "termdf", meta)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .select("term", "df")
@@ -207,16 +264,8 @@ def bm25_search_index(
     n = float(meta["n_docs"])
     avgdl = float(meta["total_dl"]) / float(meta["n_docs"])
     hits = posts.join(F.broadcast(tdf), "term")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    partial = (
-        idf * (F.col("tf") * (1.0 + k1))
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-    )
     return (
-        hits.withColumn("p", F.round(partial, 9).cast("decimal(28,10)"))
+        hits.withColumn("p", F.expr(_bm25_partial_sql(n, avgdl, k1, b)))
         .groupBy("id").agg(F.sum("p").cast("double").alias("score"))
         .orderBy(F.desc("score"), F.asc("id")).limit(k)
         .withColumnRenamed("id", meta["id_col"])
@@ -254,8 +303,6 @@ def bm25_search_index_batch(
     relation. Q queries cost ONE job of scheduling instead of Q — the
     lexical twin of ``ann.knn_topk_ivfpq_batch``, and the same reason
     production BM25 stacks batch their query traffic."""
-    from pyspark.sql import Window
-
     meta = read_bm25_meta(spark, path)
     if not int(meta["n_docs"]):
         raise ValueError("bm25_search_index_batch: the index is empty")
@@ -275,12 +322,12 @@ def bm25_search_index_batch(
     buckets = _term_buckets(spark, all_terms, meta["n_buckets"])
 
     posts = (
-        spark.read.parquet(f"{path}/postings")
+        _read_index_table(spark, path, "postings", meta)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(all_terms))
     )
     tdf = (
-        spark.read.parquet(f"{path}/termdf")
+        _read_index_table(spark, path, "termdf", meta)
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(all_terms))
         .select("term", "df")
@@ -292,23 +339,15 @@ def bm25_search_index_batch(
     avgdl = float(meta["total_dl"]) / float(meta["n_docs"])
     hits = (posts.join(F.broadcast(tdf), "term")
             .join(F.broadcast(membership), "term"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    partial = (
-        idf * (F.col("tf") * (1.0 + k1))
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-    )
     scored = (
-        hits.withColumn("p", F.round(partial, 9).cast("decimal(28,10)"))
+        hits.withColumn("p", F.expr(_bm25_partial_sql(n, avgdl, k1, b)))
         .groupBy(query_col, "id")
         .agg(F.sum("p").cast("double").alias("score"))
     )
-    w = Window.partitionBy(query_col).orderBy(
-        F.desc("score"), F.asc("id"))
     return (
-        scored.withColumn("__rk", F.row_number().over(w))
+        scored.withColumn("__rk", F.expr(
+            f"row_number() OVER (PARTITION BY `{query_col}`"
+            f" ORDER BY score DESC, id ASC)"))
         .filter(F.col("__rk") <= k)
         .select(query_col, F.col("id").alias(meta["id_col"]), "score")
     )

@@ -53,7 +53,7 @@ def hybrid_search_index(
     RRF needs a rank order, and raw ADC distances rank differently per
     probe geometry (pass an int to bound the exact rerank instead)."""
     from lotus_spark.functions.ann import (
-        _fs_read_json, knn_topk_ivfpq, read_ivfpq_index,
+        _read_ivfpq_index_with_meta, knn_topk_ivfpq,
     )
     from lotus_spark.functions.bm25 import rrf_fuse
     from lotus_spark.functions.bm25_store import (
@@ -68,11 +68,11 @@ def hybrid_search_index(
     lex = bm25_search_index(spark, bm25_path, query_text, k=lexical_k,
                             k1=k1, b=b)
 
-    stored, cents, books, cell_col = read_ivfpq_index(spark, ivfpq_path)
-    meta = _fs_read_json(spark, f"{ivfpq_path}/_ivfpq_meta.json") or {}
+    stored, meta = _read_ivfpq_index_with_meta(spark, ivfpq_path)
     vec = knn_topk_ivfpq(
-        stored, cents, books, query_vec, k=vector_k, n_probe=n_probe,
-        id_col=vector_id_col, cell_col=cell_col,
+        stored, meta["centroids"], meta["codebooks"], query_vec,
+        k=vector_k, n_probe=n_probe,
+        id_col=vector_id_col, cell_col=meta["cell_col"],
         code_col=meta.get("code_col", "pq_codes"), rerank_k=rerank_k,
     ).select(F.col(vector_id_col).alias(out_id), "score")
 
@@ -118,7 +118,7 @@ def hybrid_search_index_batch(
     bounded by index geometry; per-query WALL now amortizes with the
     batch size (BENCH_serving.json ``batch`` rows)."""
     from lotus_spark.functions.ann import (
-        _fs_read_json, knn_topk_ivfpq_batch, read_ivfpq_index,
+        _read_ivfpq_index_with_meta, knn_topk_ivfpq_batch,
     )
     from lotus_spark.functions.bm25 import rrf_fuse_batch
     from lotus_spark.functions.bm25_store import (
@@ -142,12 +142,13 @@ def hybrid_search_index_batch(
         spark, bm25_path, {qid: tv[0] for qid, tv in queries.items()},
         k=lexical_k, k1=k1, b=b, query_col=query_col)
 
-    stored, cents, books, cell_col = read_ivfpq_index(spark, ivfpq_path)
-    meta = _fs_read_json(spark, f"{ivfpq_path}/_ivfpq_meta.json") or {}
+    stored, meta = _read_ivfpq_index_with_meta(spark, ivfpq_path)
     vec = knn_topk_ivfpq_batch(
-        stored, cents, books, {qid: tv[1] for qid, tv in queries.items()},
+        stored, meta["centroids"], meta["codebooks"],
+        {qid: tv[1] for qid, tv in queries.items()},
         k=vector_k, n_probe=n_probe, id_col=vector_id_col,
-        cell_col=cell_col, code_col=meta.get("code_col", "pq_codes"),
+        cell_col=meta["cell_col"],
+        code_col=meta.get("code_col", "pq_codes"),
         rerank_k=rerank_k, query_col=query_col,
     ).select(query_col, F.col(vector_id_col).alias(out_id), "score")
 

@@ -38,6 +38,25 @@ def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+_UDF_CACHE: dict = {}
+
+
+def _session_udf(name: str, factory):
+    """Build a parameter-free pandas UDF ONCE per (name, SparkSession)
+    and reuse the wrapped object: each ``@F.pandas_udf`` call pays
+    ~25ms of py4j registration/pickling (r14, measured), and the rerank
+    joins construct their scoring column on every query. Keyed on the
+    active session so a restarted session gets a fresh JVM binding; at
+    most a handful of entries per process."""
+    from pyspark.sql import SparkSession
+
+    key = (name, id(SparkSession.getActiveSession()))
+    udf = _UDF_CACHE.get(key)
+    if udf is None:
+        udf = _UDF_CACHE[key] = factory()
+    return udf
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array columns (double)."""
     return F.aggregate(
@@ -108,6 +127,11 @@ def unit_vector(a: Column) -> Column:
     """Row-normalized copy of an array column (zero vectors pass through
     unchanged), as a vectorized pandas UDF — value-identical to
     ``transform(a, x -> x / l2_norm(a))`` with the fold-order norm."""
+    return _session_udf("unit_vector", _make_unit_vector_udf)(
+        a.cast("array<double>"))
+
+
+def _make_unit_vector_udf():
     @F.pandas_udf("array<double>")
     def _udf(sa: pd.Series) -> pd.Series:
         def norm_one(v):
@@ -134,46 +158,55 @@ def unit_vector(a: Column) -> Column:
                 pass
         return sa.map(norm_one)
 
-    return _udf(a.cast("array<double>"))
+    return _udf
 
 
 def pair_dot(a: Column, b: Column) -> Column:
     """``dot(a, b)`` as a vectorized pandas UDF — value-identical
     (dim-ordered accumulation of products)."""
-    @F.pandas_udf("double")
-    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        valid = (sa.notna() & sb.notna()).to_numpy()
-        out = np.full(len(sa), np.nan)
-        if valid.any():
-            A = np.stack(sa[valid].to_numpy()).astype(np.float64)
-            B = np.stack(sb[valid].to_numpy()).astype(np.float64)
-            accd = np.zeros(A.shape[0])
-            for j in range(A.shape[1]):
-                accd = accd + A[:, j] * B[:, j]
-            out[valid] = accd
-        res = pd.Series(out)
-        return res.where(pd.Series(valid), None)
+    def _make():
+        @F.pandas_udf("double")
+        def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            valid = (sa.notna() & sb.notna()).to_numpy()
+            out = np.full(len(sa), np.nan)
+            if valid.any():
+                A = np.stack(sa[valid].to_numpy()).astype(np.float64)
+                B = np.stack(sb[valid].to_numpy()).astype(np.float64)
+                accd = np.zeros(A.shape[0])
+                for j in range(A.shape[1]):
+                    accd = accd + A[:, j] * B[:, j]
+                out[valid] = accd
+            res = pd.Series(out)
+            return res.where(pd.Series(valid), None)
 
-    return _udf(a.cast("array<double>"), b.cast("array<double>"))
+        return _udf
+
+    return _session_udf("pair_dot", _make)(
+        a.cast("array<double>"), b.cast("array<double>"))
 
 
 def pair_cosine(a: Column, b: Column) -> Column:
     """``cosine_sim(a, b)`` as a vectorized pandas UDF — value-identical."""
-    @F.pandas_udf("double")
-    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        valid = (sa.notna() & sb.notna()).to_numpy()
-        out = np.full(len(sa), np.nan)
-        if valid.any():
-            A = np.stack(sa[valid].to_numpy()).astype(np.float64)
-            B = np.stack(sb[valid].to_numpy()).astype(np.float64)
-            n = A.shape[0]
-            accd = np.zeros(n)
-            for j in range(A.shape[1]):
-                accd = accd + A[:, j] * B[:, j]
-            na = np.sqrt(_fold_dot_norm(A, np))
-            nb = np.sqrt(_fold_dot_norm(B, np))
-            out[valid] = np.where((na == 0.0) | (nb == 0.0), 0.0, accd / (na * nb))
-        res = pd.Series(out)
-        return res.where(pd.Series(valid), None)
+    def _make():
+        @F.pandas_udf("double")
+        def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            valid = (sa.notna() & sb.notna()).to_numpy()
+            out = np.full(len(sa), np.nan)
+            if valid.any():
+                A = np.stack(sa[valid].to_numpy()).astype(np.float64)
+                B = np.stack(sb[valid].to_numpy()).astype(np.float64)
+                n = A.shape[0]
+                accd = np.zeros(n)
+                for j in range(A.shape[1]):
+                    accd = accd + A[:, j] * B[:, j]
+                na = np.sqrt(_fold_dot_norm(A, np))
+                nb = np.sqrt(_fold_dot_norm(B, np))
+                out[valid] = np.where(
+                    (na == 0.0) | (nb == 0.0), 0.0, accd / (na * nb))
+            res = pd.Series(out)
+            return res.where(pd.Series(valid), None)
 
-    return _udf(a.cast("array<double>"), b.cast("array<double>"))
+        return _udf
+
+    return _session_udf("pair_cosine", _make)(
+        a.cast("array<double>"), b.cast("array<double>"))

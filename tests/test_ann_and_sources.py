@@ -1508,3 +1508,50 @@ def test_video_frame_features_matches_duckdb_oracle(spark):
     assert list(a.columns) == list(b.columns)
     assert len(a) == len(b) and len(a) > 0
     assert a.equals(b)
+
+
+def test_ivfpq_sidecar_schema_pin_matches_inference(spark, tmp_path):
+    """write_ivfpq_index records the layout's read schema in the
+    sidecar (r14: the pinned read skips the per-query footer-inference
+    job); the pinned frame must see exactly what inference would have
+    seen, keep its partition pruning, and pre-r14 sidecars (no field)
+    must fall back to inference."""
+    import numpy as np
+
+    from lotus_spark.functions.ann import (
+        _fs_read_json, _fs_write_json, _read_ivfpq_index_with_meta,
+        ivf_index, pq_index, write_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        ["vec_id", "embedding"])
+    indexed, cents = ivf_index(df, "embedding", n_cells=4, seed=9,
+                               method="deterministic", id_col="vec_id")
+    encoded, books = pq_index(indexed, "embedding", "vec_id", m=4,
+                              nbits=2, seed=5)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(encoded, path, cents, books)
+
+    stored, meta = _read_ivfpq_index_with_meta(spark, path)
+    assert "table_schema" in meta
+    inferred = spark.read.parquet(path)
+    assert stored.schema == inferred.schema
+    assert sorted(map(tuple, stored.select("vec_id").collect())) \
+        == sorted(map(tuple, inferred.select("vec_id").collect()))
+    # pinned read keeps partition pruning
+    from tests.test_plan_shapes import formatted_plan
+
+    plan = formatted_plan(stored.filter(F.col(meta["cell_col"]).isin([0])))
+    scan = plan[plan.index("Scan parquet"):]
+    assert "PartitionFilters" in scan and meta["cell_col"] in scan
+    # a pre-r14 sidecar without the field falls back to inference
+    legacy = {k: v for k, v in
+              _fs_read_json(spark, f"{path}/_ivfpq_meta.json").items()
+              if k != "table_schema"}
+    _fs_write_json(spark, f"{path}/_ivfpq_meta.json", legacy)
+    fallback, meta2 = _read_ivfpq_index_with_meta(spark, path)
+    assert meta2.get("table_schema") is None
+    assert fallback.schema == inferred.schema

@@ -65,3 +65,37 @@ def test_rrf_fuse_prefers_doc_present_in_both_lists(spark):
     scores = dict(out)
     assert scores[2] == pytest.approx(1 / 62 + 1 / 61)
     assert scores[1] == pytest.approx(1 / 61)
+
+
+def test_rrf_contribs_sql_tree_matches_columns(spark):
+    """The r14 SQL-texted RRF contribution sum (_rrf_contribs_sql, one
+    F.expr parse instead of a per-Column when/otherwise loop) must keep
+    producing the BYTE-IDENTICAL analyzed tree the Column build
+    produced, so single and batch fusion keep scoring in lockstep."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from lotus_spark.functions.bm25 import _rrf_contribs_sql
+
+    df = spark.createDataFrame(
+        [("q1", 5, 1, 2, 3)],
+        "query_id string, doc_id long, __r0 int, __r1 int, __r2 int")
+    strip = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731
+    for n_lists, rrf_k in [(2, 60), (3, 17)]:
+        # the pre-r14 Column build, verbatim
+        contribs = [
+            F.when(F.col(f"__r{i}").isNotNull(),
+                   F.lit(1.0) / (F.lit(rrf_k) + F.col(f"__r{i}")))
+            .otherwise(F.lit(0.0))
+            for i in range(n_lists)
+        ]
+        total = contribs[0]
+        for c in contribs[1:]:
+            total = total + c
+        new = F.expr(_rrf_contribs_sql(n_lists, rrf_k))
+        po = df.select(total.alias("rrf_score"))._jdf.queryExecution() \
+            .analyzed().toString()
+        pn = df.select(new.alias("rrf_score"))._jdf.queryExecution() \
+            .analyzed().toString()
+        assert strip(po) == strip(pn), (po, pn)

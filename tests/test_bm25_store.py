@@ -239,3 +239,69 @@ def test_testdata_corpus_roundtrip(spark, tmp_path):
             bm25_search(docs, "text", "doc_id",
                         "spark window merge join", k=10).collect()]
     assert got == want
+
+
+def test_bm25_partial_sql_tree_matches_columns(spark):
+    """The r14 SQL-texted Okapi partial (_bm25_partial_sql, one F.expr
+    parse instead of ~300 py4j round trips) must keep producing the
+    BYTE-IDENTICAL analyzed expression tree the per-Column build
+    produced — same association, same operand order, same double
+    literals — so the decimal partials (and the DuckDB oracle replay)
+    cannot drift."""
+    import re
+
+    from lotus_spark.functions.bm25_store import _bm25_partial_sql
+
+    df = spark.createDataFrame([(1, 2, 10, 3)],
+                               "id long, tf bigint, dl int, df bigint")
+    strip = lambda s: re.sub(r"#\d+", "#", s)  # noqa: E731
+    for n, avgdl, k1, b in [(1234.0, 17.345678901234, 1.2, 0.75),
+                            (7.0, 3.3333333333333335, 1.6, 0.6)]:
+        # the pre-r14 Column build, verbatim
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        partial = (
+            idf * (F.col("tf") * (1.0 + k1))
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        )
+        old = F.round(partial, 9).cast("decimal(28,10)")
+        new = F.expr(_bm25_partial_sql(n, avgdl, k1, b))
+        po = df.select(old.alias("p"))._jdf.queryExecution() \
+            .analyzed().toString()
+        pn = df.select(new.alias("p"))._jdf.queryExecution() \
+            .analyzed().toString()
+        assert strip(po) == strip(pn), (po, pn)
+
+
+def test_sidecar_schema_pin_matches_inference(spark, tmp_path):
+    """write_bm25_index records the query tables' schemas in the
+    sidecar; the pinned read must see exactly what inference would have
+    seen (columns, types, order), and survive the lifecycle verbs that
+    rewrite tables and carry the meta forward."""
+    from lotus_spark.functions.bm25_store import _read_index_table
+
+    docs = _docs(spark)
+    path = str(tmp_path / "bm")
+    write_bm25_index(docs, path, "text", "doc_id", n_buckets=8)
+    meta = read_bm25_meta(spark, path)
+    assert set(meta["table_schemas"]) == {"postings", "termdf"}
+    for t in ("postings", "termdf"):
+        pinned = _read_index_table(spark, path, t, meta)
+        inferred = spark.read.parquet(f"{path}/{t}")
+        assert pinned.schema == inferred.schema, t
+        assert sorted(map(tuple, pinned.collect())) \
+            == sorted(map(tuple, inferred.collect())), t
+    # append rewrites termdf and carries the sidecar dict forward
+    append_bm25_index(
+        spark, path,
+        _docs(spark, [(100, "fresh spark window text")]))
+    meta2 = read_bm25_meta(spark, path)
+    assert meta2["table_schemas"] == meta["table_schemas"]
+    # a pre-r14 sidecar without the field falls back to inference
+    legacy = {k: v for k, v in meta.items() if k != "table_schemas"}
+    fallback = _read_index_table(spark, path, "postings", legacy)
+    assert fallback.schema == spark.read.parquet(f"{path}/postings").schema
