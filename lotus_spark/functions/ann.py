@@ -439,6 +439,11 @@ def _sql_double_array(xs) -> str:
             + ")")
 
 
+def _sql_str(x) -> str:
+    """SQL text of a string literal (single-quoted, escaped)."""
+    return "'" + str(x).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _lit_long_array(xs) -> Column:
     """A literal ``array<bigint>`` built with ONE py4j round trip
     (r14): ``F.array(*[F.lit(x) for x in xs])`` costs 2+ gateway calls
@@ -1079,9 +1084,6 @@ def knn_topk_ivfpq_batch(
     # assembly paid ~650 gateway round trips PER QUERY (profiled at
     # ~1.2 ms each — seconds of driver latency per batch before any job
     # ran). The parsed Literal/In/element_at trees are identical.
-    def _sql_str(x) -> str:
-        return "'" + str(x).replace("\\", "\\\\").replace("'", "\\'") + "'"
-
     probes, entry_sqls, qvec_sqls = {}, [], []
     for qid, vec in queries.items():
         qq = quantize_vector(vec)

@@ -332,9 +332,18 @@ def bm25_search_index_batch(
         .filter(F.col("term").isin(all_terms))
         .select("term", "df")
     )
-    membership = spark.createDataFrame(
-        [(qid, t) for qid, ts in qterms.items() for t in ts],
-        f"{query_col} string, term string")
+    # the (query, term) membership relation as an inline VALUES table
+    # (LocalRelation), not createDataFrame: the latter plans a
+    # Python-RDD scan, so EVERY execution of the broadcast spun up a
+    # Python worker just to emit these few rows — this keeps the
+    # lexical serving path entirely JVM-side (guide §4: eliminate the
+    # boundary) and parses in one call
+    from lotus_spark.functions.ann import _sql_str
+
+    rows = ",".join(f"({_sql_str(qid)}, {_sql_str(t)})"
+                    for qid, ts in qterms.items() for t in ts)
+    membership = spark.sql(
+        f"SELECT * FROM VALUES {rows} AS t(`{query_col}`, term)")
     n = float(meta["n_docs"])
     avgdl = float(meta["total_dl"]) / float(meta["n_docs"])
     hits = (posts.join(F.broadcast(tdf), "term")
