@@ -3591,7 +3591,9 @@ def q_streaming_heavy_hitters(spark, sf_dir):
     import uuid
 
     from lotus_spark.streaming.ops import (
+        input_sized_state_partitions,
         read_parquet_stream,
+        scoped_shuffle_partitions,
         streaming_heavy_hitters,
     )
 
@@ -3606,11 +3608,14 @@ def q_streaming_heavy_hitters(spark, sf_dir):
         stream, "text", "ts", window="1 minute", capacity=64, k=5
     )
     qname = f"oracle_hh_{uuid.uuid4().hex[:8]}"
-    q = (
-        hh.writeStream.format("memory").queryName(qname)
-        .outputMode("update").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    n_state = input_sized_state_partitions(  # guide §2.2
+        spark, f"{sf_dir}/documents.parquet")
+    with scoped_shuffle_partitions(spark, n_state):
+        q = (
+            hh.writeStream.format("memory").queryName(qname)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
         .alias("window_start"),
@@ -3974,7 +3979,11 @@ def q_neardup_index_stream(spark, sf_dir):
     from lotus_spark.functions.dedup_index import (
         neardup_matches_stream, write_minhash_index,
     )
-    from lotus_spark.streaming.ops import read_parquet_stream
+    from lotus_spark.streaming.ops import (
+        input_sized_state_partitions,
+        read_parquet_stream,
+        scoped_shuffle_partitions,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     d = tempfile.mkdtemp(prefix="mh_idx_stream_")
@@ -3990,9 +3999,12 @@ def q_neardup_index_stream(spark, sf_dir):
         out = neardup_matches_stream(spark, path, stream, "text",
                                      "doc_id", "ts", threshold=0.5)
         qname = f"oracle_mhidx_{uuid.uuid4().hex[:8]}"
-        q = (out.writeStream.format("memory").queryName(qname)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
+        n_state = input_sized_state_partitions(  # guide §2.2
+            spark, f"{sf_dir}/documents.parquet")
+        with scoped_shuffle_partitions(spark, n_state):
+            q = (out.writeStream.format("memory").queryName(qname)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
         got = spark.table(qname)
         return spark.createDataFrame(
             [(r["doc_id"], r["match_id"], r["est_jaccard"])
@@ -5577,7 +5589,9 @@ def q_streaming_doc_stats(spark, sf_dir):
     import uuid
 
     from lotus_spark.streaming.ops import (
+        input_sized_state_partitions,
         read_parquet_stream,
+        scoped_shuffle_partitions,
         windowed_doc_stats,
     )
 
@@ -5590,11 +5604,17 @@ def q_streaming_doc_stats(spark, sf_dir):
     )
     stats = windowed_doc_stats(stream, "text", "ts", window="1 minute")
     qname = f"oracle_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        stats.writeStream.format("memory").queryName(qname)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    # state-store partition count derived from per-trigger input bytes
+    # (guide §2.2): every micro-batch commits every state partition, so
+    # a core-count-sized default is pure fixed overhead here
+    n_state = input_sized_state_partitions(
+        spark, f"{sf_dir}/documents.parquet")
+    with scoped_shuffle_partitions(spark, n_state):
+        q = (
+            stats.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
         .alias("window_start"),
@@ -5648,7 +5668,9 @@ def q_streaming_sessions(spark, sf_dir):
     import uuid
 
     from lotus_spark.streaming.ops import (
+        input_sized_state_partitions,
         read_parquet_stream,
+        scoped_shuffle_partitions,
         sessionized_stats,
     )
 
@@ -5660,11 +5682,16 @@ def q_streaming_sessions(spark, sf_dir):
     out = sessionized_stats(stream, "ts", "user_id", gap="30 minutes",
                             watermark="0 seconds")
     qname = f"oracle_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    # input-derived state-partition count (guide §2.2): the session
+    # state machinery commits every partition per micro-batch
+    n_state = input_sized_state_partitions(
+        spark, f"{sf_dir}/events.parquet")
+    with scoped_shuffle_partitions(spark, n_state):
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     return spark.table(qname).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
@@ -5713,7 +5740,9 @@ def q_streaming_neardup(spark, sf_dir):
 
     from lotus_spark.functions.dedup import simhash_expr
     from lotus_spark.streaming.ops import (
+        input_sized_state_partitions,
         read_parquet_stream,
+        scoped_shuffle_partitions,
         streaming_neardup,
     )
 
@@ -5730,16 +5759,24 @@ def q_streaming_neardup(spark, sf_dir):
     # the single-parquet-file source yields ONE scan partition per
     # micro-batch; round-robin repartition spreads the fingerprint
     # expression (the dominant cost) across cores before the dedup
-    # shuffle — a production multi-file ingest gets this for free
-    stream = stream.repartition(32)
+    # shuffle — a production multi-file ingest gets this for free.
+    # defaultParallelism = the session's core count (scale-adaptive),
+    # not a constant tuned to this box (r15, guide §2)
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
     out = streaming_neardup(stream, "text", "ts", watermark="10 minutes",
                             bits=16, n_bits=30)
     qname = f"oracle_neardup_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    # input-derived state-partition count (guide §2.2); the fingerprint
+    # stage keeps the repartition parallelism above — only the dedup
+    # state exchange narrows
+    n_state = input_sized_state_partitions(
+        spark, f"{sf_dir}/documents.parquet")
+    with scoped_shuffle_partitions(spark, n_state):
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     surv = spark.table(qname)
     bucket = F.pmod(simhash_expr(F.col("text"), n_bits=30),
                     F.lit(2 ** 16)).cast("long")
@@ -5783,7 +5820,9 @@ def q_streaming_neardup_minhash(spark, sf_dir):
 
     from lotus_spark.functions.dedup import minhash_expr
     from lotus_spark.streaming.ops import (
+        input_sized_state_partitions,
         read_parquet_stream,
+        scoped_shuffle_partitions,
         streaming_neardup_minhash,
     )
 
@@ -5794,17 +5833,21 @@ def q_streaming_neardup_minhash(spark, sf_dir):
     stream = stream.withColumn(  # +60: epoch-0 rows are "late", see above
         "ts", F.timestamp_seconds(F.col("doc_id") % 600 + 60)
     )
-    stream = stream.repartition(32)  # one-file source: see above
+    # one-file source: see q_streaming_neardup (core-count round-robin)
+    stream = stream.repartition(spark.sparkContext.defaultParallelism)
     out = streaming_neardup_minhash(
         stream, "text", "ts", watermark="10 minutes",
         n_hashes=16, bands=1, shingle_n=3,
     )
     qname = f"oracle_neardup_mh_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(qname)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    n_state = input_sized_state_partitions(  # guide §2.2, see above
+        spark, f"{sf_dir}/documents.parquet")
+    with scoped_shuffle_partitions(spark, n_state):
+        q = (
+            out.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
     surv = spark.table(qname)
     sig = minhash_expr(F.col("text"), n_hashes=16, shingle_n=3)
     return surv.select(

@@ -162,8 +162,21 @@ def assign_clusters_against_index(
 
     Pass ``corpus_df`` (the indexed corpus table) to probe with the
     exact-Jaccard tier — required for strict batch equality; without it
-    the estimator tier is used (see module docstring)."""
+    the estimator tier is used (see module docstring).
+
+    Plan shape (r15, guide §1.2): ONE connected-components round over
+    [increment rep-pair edges ∪ (rep, corpus cluster) match edges]
+    replaces the old two-round chain (the increment's self-clustering
+    CC, then a second CC over lifted cluster↔cluster edges), the probe
+    runs over the exact-collapse REPRESENTATIVES only (a duplicate text
+    has its rep's signature, bands and matches, so its edges were
+    redundant after the lift), and the reps' pinned signature cache
+    feeds the probe (``query_sigs``) so the 16-hash shingle fold runs
+    once per rep overall. Equality argument in :func:`_merge_assign`."""
+    from pyspark import StorageLevel
+
     from lotus_spark.functions.ann import _fs_read_json
+    from lotus_spark.functions.dedup import _rep_edges
 
     meta = read_minhash_meta(spark, path)
     cmeta = _fs_read_json(spark, f"{path}.clusters/{_CMETA}")
@@ -174,55 +187,89 @@ def assign_clusters_against_index(
     thr = float(cmeta["jaccard_threshold"])
     _require_integral_id(increment, id_col,
                          "assign_clusters_against_index")
-    _require_disjoint_increment(increment, read_cluster_map(spark, path),
-                                id_col, "assign_clusters_against_index")
-
-    local = minhash_clusters(
-        increment, text_col, id_col, n_hashes=meta["n_hashes"],
-        bands=meta["bands"], shingle_n=meta["shingle_n"],
-        jaccard_threshold=thr,
-    ).select(F.col(id_col), F.col("cluster_id").cast("long").alias("__lcl"))
-    # consumed by the edge build AND the assignment join: pin the
-    # clustering result once (localCheckpoint, the same contract the
-    # ANN join tiers use) instead of re-running the banded pipeline
-    local = local.localCheckpoint(eager=True)
-
-    matches = neardup_join_index(
-        spark, path, increment, text_col, id_col, threshold=thr,
-        verify="exact" if corpus_df is not None else "estimate",
-        corpus_df=corpus_df,
-    ).select(F.col(id_col), F.col("match_id").alias("__mid"))
-
     cmap = read_cluster_map(spark, path)
-    return _merge_assign(local, matches, cmap, id_col, cluster_col)
+    _require_disjoint_increment(increment, cmap, id_col,
+                                "assign_clusters_against_index")
+
+    # exact-collapse prefix (the hot-bucket guard) — the same algebra
+    # minhash_clusters runs: one aggregate + skew-splittable join, one
+    # cached copy serving both the rep extraction and the final
+    # member-expansion join
+    grp = increment.groupBy(text_col).agg(F.min(id_col).alias("__rep"))
+    tagged = increment.join(
+        grp.withColumnRenamed(text_col, "__gcol"),
+        F.col(text_col).eqNullSafe(F.col("__gcol")),
+    ).drop("__gcol").persist(StorageLevel.MEMORY_AND_DISK)
+    reps = tagged.filter(F.col(id_col) == F.col("__rep")).drop("__rep")
+
+    local_edges, sigd = _rep_edges(
+        reps, text_col, id_col, meta["n_hashes"], meta["bands"],
+        meta["shingle_n"], thr)
+    # the probe reuses the rep signature cache _rep_edges pinned — the
+    # shingle→hash fold runs once per rep across self-cluster AND probe
+    rep_sigs = sigd.select(F.col("__rid").alias(id_col), "minhash")
+    matches = neardup_join_index(
+        spark, path, reps, text_col, id_col, threshold=thr,
+        verify="exact" if corpus_df is not None else "estimate",
+        corpus_df=corpus_df, query_sigs=rep_sigs,
+    ).select(F.col(id_col).alias("__node"),
+             F.col("match_id").alias("__mid"))
+
+    members = tagged.select(F.col(id_col), F.col("__rep").alias("__node"))
+    out = _merge_assign(members, local_edges, matches, cmap,
+                        id_col, cluster_col)
+    # the CC inside _merge_assign materialized the edge union, so the
+    # signature cache has served all its consumers
+    sigd.unpersist(False)
+    return out
 
 
 def _merge_assign(
-    local: DataFrame, matches: DataFrame, cmap: DataFrame,
-    id_col: str, cluster_col: str,
+    members: DataFrame, local_edges: DataFrame, matches: DataFrame,
+    cmap: DataFrame, id_col: str, cluster_col: str,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared merge core for both modalities: lift (increment doc ↔
-    corpus doc) match edges to CLUSTER nodes, run connected components
-    over the day-bounded merge graph, and emit (assignments,
-    corpus_remap). ``local`` = (id_col, __lcl); ``matches`` = (id_col,
-    __mid); ``cmap`` = the persisted (id, cluster) map."""
+    """Shared merge core for both modalities — ONE connected-components
+    round (r15; was two: the increment self-clustering CC, then a second
+    CC over lifted (local cluster ↔ corpus cluster) edges): the
+    increment's verified pair edges and the (increment node ↔ corpus
+    cluster) match edges union into a single graph and one CC computes
+    every final id directly.
+
+    Equality with the two-round shape: the old final id was the min over
+    a merged component's local-cluster minima and corpus-cluster ids; a
+    local cluster's minimum is itself the min of its member node ids, and
+    the match edges connect exactly the same components (a member's
+    matches are its representative's matches), so one CC over
+    [node-pair edges ∪ (node, corpus-cluster) edges] yields the same min
+    per component. Corpus-cluster ids are disjoint from increment ids by
+    the disjointness guard, so the two node namespaces cannot collide.
+    Singletons are absent from the CC output and coalesce to their own
+    node id, exactly as before.
+
+    ``members`` = (id_col, __node) mapping every increment row to its CC
+    node — the exact-collapse representative for the text modality, the
+    row id itself for the embedding modality; ``local_edges`` =
+    (src, dst) node-pair edges within the increment; ``matches`` =
+    (__node, __mid) verified index matches; ``cmap`` = the persisted
+    (id, cluster) map."""
     from lotus_spark.operators.sem_dedup import connected_components_edges
 
-    edges = (
+    match_edges = (
         matches
-        .join(local, id_col)
         .join(cmap.select(F.col("id").alias("__mid"),
-                          F.col("cluster").alias("__ccl")), "__mid")
-        .select(F.col("__lcl").alias("src"), F.col("__ccl").alias("dst"))
+                          F.col("cluster").alias("dst")), "__mid")
+        .select(F.col("__node").alias("src"), F.col("dst"))
         .distinct()
     )
+    edges = local_edges.select("src", "dst").unionByName(match_edges)
     comps = connected_components_edges(edges)  # (id, component) of nodes
 
     assignments = (
-        local.join(comps.withColumnRenamed("id", "__lcl"), "__lcl", "left")
+        members.join(comps.withColumnRenamed("id", "__node"),
+                     "__node", "left")
         .select(
             F.col(id_col),
-            F.coalesce(F.col("component"), F.col("__lcl"))
+            F.coalesce(F.col("component"), F.col("__node"))
             .cast("long").alias(cluster_col),
         )
     )
@@ -431,6 +478,8 @@ def assign_embedding_clusters_against_index(
     from lotus_spark.functions.ann import _fs_read_json
     from lotus_spark.functions.dedup_index import embedding_neardup_index
 
+    from lotus_spark.functions.dedup import embedding_neardup_pairs
+
     cmeta = _fs_read_json(spark, f"{path}.clusters/{_CMETA}")
     if cmeta is None:
         raise FileNotFoundError(
@@ -439,23 +488,29 @@ def assign_embedding_clusters_against_index(
     thr = float(cmeta["threshold"])
     _require_integral_id(increment, id_col,
                          "assign_embedding_clusters_against_index")
+    cmap = spark.read.parquet(f"{path}.clusters")
     _require_disjoint_increment(
-        increment, spark.read.parquet(f"{path}.clusters"), id_col,
+        increment, cmap, id_col,
         "assign_embedding_clusters_against_index")
 
-    local = embedding_clusters(
+    # one CC round over [pair edges ∪ match edges] (r15, see
+    # _merge_assign) — the embedding modality's CC node is the row id
+    # itself (no exact-collapse prefix here)
+    local_edges = embedding_neardup_pairs(
         increment, emb_col, id_col, threshold=thr, block_col=block_col,
-    ).select(F.col(id_col), F.col("cluster_id").alias("__lcl"))
-    local = local.localCheckpoint(eager=True)
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
 
     matches = embedding_neardup_index(
         spark, path, increment, id_col, emb_col,
         index_id_col=cmeta["id_col"], index_emb_col=cmeta["emb_col"],
         threshold=thr, n_probe=n_probe, k=k, rerank_k=rerank_k,
-    ).select(F.col(id_col), F.col("match_id").alias("__mid"))
+    ).select(F.col(id_col).alias("__node"),
+             F.col("match_id").alias("__mid"))
 
-    cmap = spark.read.parquet(f"{path}.clusters")
-    return _merge_assign(local, matches, cmap, id_col, cluster_col)
+    members = increment.select(F.col(id_col),
+                               F.col(id_col).alias("__node"))
+    return _merge_assign(members, local_edges, matches, cmap,
+                         id_col, cluster_col)
 
 
 def apply_embedding_cluster_assignments(

@@ -264,6 +264,7 @@ def neardup_join_index(
     corpus_df: DataFrame | None = None,
     corpus_text_col: str | None = None,
     corpus_id_col: str | None = None,
+    query_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe: which indexed corpus docs does each ``query_df`` row
     near-duplicate? Signature + band keys for the increment are
@@ -271,6 +272,19 @@ def neardup_join_index(
     (the corpus side is the narrow ``buckets`` table — two columns,
     never text or signatures). Returns (id_col, match_col, score_col),
     one row per verified (increment, corpus) pair.
+
+    ``query_sigs`` (r15): a precomputed ``(id_col, "minhash")`` frame
+    holding each query row's signature under THIS index's pinned
+    parameters. When given, band keys and the estimator's query-side
+    signatures derive from it instead of re-running the shingle→hash
+    fold over the text — a caller that already computed the identical
+    expressions (``assign_clusters_against_index`` signs the increment
+    for its self-clustering pass) threads them here so the expensive
+    fold runs once per row overall. Pass a PINNED frame (persist /
+    localCheckpoint): the probe consumes it in two plan branches, and
+    an unpinned lazy frame would re-execute its lineage per branch —
+    exactly the duplication this parameter removes. Every query row
+    must appear in it (missing rows silently probe nothing).
 
     ``verify`` picks the candidate-verification tier:
 
@@ -310,8 +324,23 @@ def neardup_join_index(
             "verify='exact' needs corpus_df (the indexed corpus table; "
             "only candidate-matched ids' rows are joined)")
     n_hashes = meta["n_hashes"]
-    qb, qs = _encode(query_df, text_col, id_col, n_hashes,
-                     meta["bands"], meta["shingle_n"])
+    if query_sigs is not None:
+        from lotus_spark.functions.dedup import minhash_band_keys
+
+        missing = [c for c in (id_col, "minhash")
+                   if c not in query_sigs.columns]
+        if missing:
+            raise ValueError(
+                f"neardup_join_index: query_sigs lacks columns {missing} "
+                f"(expected ({id_col!r}, 'minhash'))")
+        sig = query_sigs.select(F.col(id_col).alias("id"), "minhash")
+        band_keys = minhash_band_keys(F.col("minhash"), n_hashes,
+                                      meta["bands"])
+        qb = sig.select(F.explode(F.array(*band_keys)).alias("band"), "id")
+        qs = sig
+    else:
+        qb, qs = _encode(query_df, text_col, id_col, n_hashes,
+                         meta["bands"], meta["shingle_n"])
     corpus_buckets = spark.read.parquet(f"{path}/buckets")
     cand = (
         qb.withColumnRenamed("id", "__qid")

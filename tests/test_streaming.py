@@ -662,3 +662,66 @@ def test_cleanup_crashed_epoch_prefix_is_exact(spark, tmp_path):
     assert all(p.exists() for p in keepers)
     assert not (idx / "_staging" / "batch-1").exists()
     assert (idx / "_staging" / "batch-2" / "junk").exists()
+
+
+def test_input_sized_state_partitions(spark, tmp_path, monkeypatch):
+    """r15: the state-store partition count is derived from per-trigger
+    input bytes (one partition per target_bytes, floor/cap-clamped), and
+    the env pin overrides the derivation outright."""
+    from lotus_spark.streaming.ops import input_sized_state_partitions
+
+    src = tmp_path / "tiny.parquet"
+    spark.range(10).coalesce(1).write.parquet(str(src))
+    monkeypatch.delenv("LOTUS_STREAM_STATE_PARTITIONS", raising=False)
+    # a KB-scale file derives the floor, never the session core count
+    assert input_sized_state_partitions(spark, str(src)) == 1
+    # one partition per target_bytes once input exceeds it
+    n_bytes = sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
+    assert n_bytes > 64  # sanity: the parquet footer alone exceeds this
+    got = input_sized_state_partitions(spark, str(src), target_bytes=64)
+    import math
+
+    assert got == min(8192, math.ceil(n_bytes / 64))
+    # cap clamps the derivation
+    assert input_sized_state_partitions(
+        spark, str(src), target_bytes=1, cap=16) == 16
+    # a missing path contributes nothing (derives the floor)
+    assert input_sized_state_partitions(
+        spark, str(tmp_path / "absent.parquet")) == 1
+    # env pin wins over everything
+    monkeypatch.setenv("LOTUS_STREAM_STATE_PARTITIONS", "7")
+    assert input_sized_state_partitions(spark, str(src)) == 7
+
+
+def test_scoped_shuffle_partitions_restores(spark):
+    """The scope restores the session's shuffle-partition conf on exit,
+    including the exception path — a leaked shrink would silently
+    de-parallelize every later batch query in the session."""
+    from lotus_spark.streaming.ops import scoped_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_shuffle_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    with pytest.raises(RuntimeError, match="boom"):
+        with scoped_shuffle_partitions(spark, 5):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_streaming_dedup_state_partition_invariance(spark, stream_dir):
+    """The watermark-evicted dedup's SURVIVOR KEY SET is identical at 1
+    and 8 state partitions (the r15 input-derived sizing must be free to
+    pick either): partitioning moves keys between state stores, never
+    changes which keys exist."""
+    from lotus_spark.streaming.ops import scoped_shuffle_partitions
+
+    got = {}
+    for n in (1, 8):
+        stream = read_parquet_stream(spark, stream_dir, SCHEMA)
+        out = streaming_dedup(stream, ["body"], "ts")
+        with scoped_shuffle_partitions(spark, n):
+            table = _run(spark, out.select("body"), f"t_sp{n}")
+        got[n] = sorted(r["body"] for r in table.collect())
+    assert got[1] == got[8]
+    assert len(got[1]) == 3  # the exact-dup pair collapsed

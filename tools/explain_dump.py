@@ -1,11 +1,11 @@
-"""Dump .explain("formatted") output for named queries to plans/r14/.
+"""Dump .explain("formatted") output for named queries to plans/<round>/.
 
 Usage: python tools/explain_dump.py <suffix> <query> [query...]
        (suffix = "before" | "after"; sf dir from $SPARK_GRAFT_SF_DIR,
         default sf0.1 — plan shape is data-size independent, but the
         bench runs at sf0.1 so AQE-relevant sizes match that scale)
 
-Writes plans/r14/<query>_<suffix>.txt. Building some queries' frames
+Writes plans/$SPARK_GRAFT_ROUND/<query>_<suffix>.txt (default r15). Building some queries' frames
 executes setup Spark jobs (quantizer training, index writes) — that is
 part of the query under test and is fine; only the plan text is kept.
 """
@@ -29,7 +29,8 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(ROOT, "plans", "r14")
+    out_dir = os.path.join(ROOT, "plans",
+                           os.environ.get("SPARK_GRAFT_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")

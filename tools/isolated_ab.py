@@ -41,11 +41,19 @@ def run_one(name: str) -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
-    if name == "streaming_doc_stats":
+    micro = {
+        "streaming_doc_stats": bench.bench_streaming,
+        "mhindex_probe": bench.bench_index_probe,
+        "decontam_probe": bench.bench_decontam_probe,
+        "cluster_assign_probe": bench.bench_cluster_assign,
+    }
+    if name in micro:
+        mfn = micro[name]
+
         def fn(s, d):
             class _N:
                 def count(self_inner):
-                    return bench.bench_streaming(s, d)
+                    return mfn(s, d)
             return _N()
     else:
         fn = entry.queries()[name]
