@@ -5606,9 +5606,11 @@ def q_streaming_doc_stats(spark, sf_dir):
     qname = f"oracle_stream_{uuid.uuid4().hex[:8]}"
     # state-store partition count derived from per-trigger input bytes
     # (guide §2.2): every micro-batch commits every state partition, so
-    # a core-count-sized default is pure fixed overhead here
+    # a core-count-sized default is pure fixed overhead here. floor=1:
+    # the token/quality expressions aggregate map-side (partials), so
+    # the state op only merges ~one row per window
     n_state = input_sized_state_partitions(
-        spark, f"{sf_dir}/documents.parquet")
+        spark, f"{sf_dir}/documents.parquet", floor=1)
     with scoped_shuffle_partitions(spark, n_state):
         q = (
             stats.writeStream.format("memory").queryName(qname)
@@ -5768,9 +5770,10 @@ def q_streaming_neardup(spark, sf_dir):
     qname = f"oracle_neardup_{uuid.uuid4().hex[:8]}"
     # input-derived state-partition count (guide §2.2); the fingerprint
     # stage keeps the repartition parallelism above — only the dedup
-    # state exchange narrows
+    # state exchange narrows, and its per-row state work is an O(1)
+    # lookup (floor=1: partitions are pure commit overhead here)
     n_state = input_sized_state_partitions(
-        spark, f"{sf_dir}/documents.parquet")
+        spark, f"{sf_dir}/documents.parquet", floor=1)
     with scoped_shuffle_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory").queryName(qname)
@@ -5841,7 +5844,7 @@ def q_streaming_neardup_minhash(spark, sf_dir):
     )
     qname = f"oracle_neardup_mh_{uuid.uuid4().hex[:8]}"
     n_state = input_sized_state_partitions(  # guide §2.2, see above
-        spark, f"{sf_dir}/documents.parquet")
+        spark, f"{sf_dir}/documents.parquet", floor=1)
     with scoped_shuffle_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory").queryName(qname)

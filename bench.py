@@ -181,7 +181,7 @@ def bench_streaming(spark, sf_dir: str) -> int:
     # (q_streaming_doc_stats): every micro-batch commits every state
     # partition, so the count must track data, not cores (guide §2.2)
     n_state = input_sized_state_partitions(
-        spark, f"{sf_dir}/documents.parquet")
+        spark, f"{sf_dir}/documents.parquet", floor=1)
     with scoped_shuffle_partitions(spark, n_state):
         q = (
             stats.writeStream.format("memory").queryName(qname)

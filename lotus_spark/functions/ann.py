@@ -1484,11 +1484,18 @@ def ann_join_ivfpq(
         F.col(right_id_col).alias(id_out),
         F.col(code_col).alias("__pq_codes"),
     )
-    # keep the cell id on each candidate: the rerank stage joins the
-    # right embeddings back on (cell, id) so the scan of the indexed
-    # table inherits the ADC pass's cell pruning (dynamic partition
-    # pruning on a write_ivfpq_index layout) instead of re-scanning the
-    # full index per join — one extra int through the rank window.
+    # PREBUILT path: keep the cell id on each candidate — the rerank
+    # stage joins the right embeddings back on (cell, id) so the scan
+    # of the stored index inherits the ADC pass's cell pruning (dynamic
+    # partition pruning on a write_ivfpq_index layout) instead of
+    # re-scanning the full index per join; one extra int through the
+    # rank window. NON-prebuilt path (r15, guide §1.2): there is no
+    # partitioned layout to prune, so carrying the cell would only
+    # force a SECOND quantize+assign pass over the full right side (the
+    # rerank source would have to recompute `indexed`'s cell column) —
+    # rerank joins the RAW right table by id alone instead; ids are
+    # unique (the join contract), so the matched rows are identical.
+    keep_cell = prebuilt is not None
     pairs = lx.join(right_sel, "__ivfpq_cell")
 
     out_fields = StructType(
@@ -1515,29 +1522,41 @@ def ann_join_ivfpq(
             pdf["pq_dist"] = (diff * diff).sum(axis=(1, 2))  # int64-exact
             yield pdf
 
+    cell_cols = ["__ivfpq_cell"] if keep_cell else []
     scored = pairs.mapInPandas(adc, schema=out_fields).select(
-        left_id_col, id_out, "__ivfpq_cell",
-        "pq_dist")   # narrow into the rank window (ids + one int cell)
+        left_id_col, id_out, *cell_cols,
+        "pq_dist")   # narrow into the rank window (ids [+ one int cell])
     w = Window.partitionBy(left_id_col).orderBy(
         F.asc("pq_dist"), F.asc(id_out))
     ranked = scored.withColumn("_rank", F.row_number().over(w))
     if rerank_k is None:
         return left.join(
-            ranked.filter(F.col("_rank") <= K).drop("__ivfpq_cell"),
+            ranked.filter(F.col("_rank") <= K).drop(*cell_cols),
             left_id_col)
     shortlist = ranked.filter(F.col("_rank") <= rerank_k) \
-                      .select(left_id_col, id_out, "__ivfpq_cell")
-    # rerank source = the probed-cell subset, not the full index: every
-    # shortlist id came from a probed cell, so joining on (cell, id) is
-    # exact and lets the indexed-side scan prune to those cells (DPP on
-    # a partitioned layout) — the same pruning the ADC pass already paid.
-    remb = indexed.select(
-        F.col("__ivf_cell").alias("__ivfpq_cell"),
-        F.col(right_id_col).alias(id_out),
-        F.col(right_emb_col).alias("__r_emb"),
-    )
+                      .select(left_id_col, id_out, *cell_cols)
+    if keep_cell:
+        # rerank source = the probed-cell subset of the stored layout:
+        # every shortlist id came from a probed cell, so joining on
+        # (cell, id) is exact and lets the indexed-side scan prune to
+        # those cells (DPP) — the same pruning the ADC pass already paid.
+        remb = indexed.select(
+            F.col("__ivf_cell").alias("__ivfpq_cell"),
+            F.col(right_id_col).alias(id_out),
+            F.col(right_emb_col).alias("__r_emb"),
+        )
+        rejoined = shortlist.join(
+            remb, ["__ivfpq_cell", id_out]).drop("__ivfpq_cell")
+    else:
+        # no stored layout to prune: fetch embeddings from the RAW right
+        # table by id — no recompute of the cell-assign pass (see above)
+        remb = right.select(
+            F.col(right_id_col).alias(id_out),
+            F.col(right_emb_col).alias("__r_emb"),
+        )
+        rejoined = shortlist.join(remb, id_out)
     exact = (
-        shortlist.join(remb, ["__ivfpq_cell", id_out]).drop("__ivfpq_cell")
+        rejoined
         .join(lq, left_id_col)
         .withColumn(
             score_out,

@@ -73,7 +73,7 @@ def input_sized_state_partitions(
     spark: SparkSession,
     *paths: str,
     target_bytes: int = 32 << 20,
-    floor: int = 1,
+    floor: int | None = None,
     cap: int = 8192,
 ) -> int:
     """Data-derived state-store / shuffle partition count for a streaming
@@ -95,6 +95,20 @@ def input_sized_state_partitions(
     expensive fingerprint/token expressions run BEFORE the state
     exchange) keeps its scan/repartition parallelism.
 
+    ``floor`` picks the small-input regime by the state operator's
+    per-partition COMPUTE, not its commit cost (measured sweep at sf0.1,
+    OPTIMIZATION_r15.md): the default ``None`` = ``min(8,
+    defaultParallelism)`` suits operators that do O(rows) work inside
+    each state partition per micro-batch — session-window sort-merge,
+    per-key ``applyInPandasWithState`` functions, stream-static joins
+    planned under the same conf — which serialize on one core below it
+    (streaming_sessions measured 2.4s at 1 partition vs 1.6s at 4-8).
+    Pass ``floor=1`` for O(1)-per-row state lookups
+    (``dropDuplicatesWithinWatermark``), where extra partitions are pure
+    commit overhead (streaming_neardup measured 2.0s at 1 vs 3.0s at 8)
+    and the expensive fingerprint expressions run map-side BEFORE the
+    state exchange anyway.
+
     ``LOTUS_STREAM_STATE_PARTITIONS`` overrides the derivation outright —
     the production pin for deployments that know their steady-state key
     cardinality; ``floor``/``cap`` bound the derived count.
@@ -102,6 +116,8 @@ def input_sized_state_partitions(
     env = os.environ.get("LOTUS_STREAM_STATE_PARTITIONS")
     if env:
         return max(1, int(env))
+    if floor is None:
+        floor = max(1, min(8, spark.sparkContext.defaultParallelism))
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     total = 0

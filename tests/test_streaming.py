@@ -673,12 +673,17 @@ def test_input_sized_state_partitions(spark, tmp_path, monkeypatch):
     src = tmp_path / "tiny.parquet"
     spark.range(10).coalesce(1).write.parquet(str(src))
     monkeypatch.delenv("LOTUS_STREAM_STATE_PARTITIONS", raising=False)
-    # a KB-scale file derives the floor, never the session core count
-    assert input_sized_state_partitions(spark, str(src)) == 1
+    # a KB-scale file derives the floor, never the session core count:
+    # floor=1 for O(1)-per-row state ops, default (None) = the compute
+    # floor min(8, defaultParallelism) for O(rows) state operators
+    assert input_sized_state_partitions(spark, str(src), floor=1) == 1
+    compute_floor = max(1, min(8, spark.sparkContext.defaultParallelism))
+    assert input_sized_state_partitions(spark, str(src)) == compute_floor
     # one partition per target_bytes once input exceeds it
     n_bytes = sum(f.stat().st_size for f in src.rglob("*") if f.is_file())
     assert n_bytes > 64  # sanity: the parquet footer alone exceeds this
-    got = input_sized_state_partitions(spark, str(src), target_bytes=64)
+    got = input_sized_state_partitions(spark, str(src), target_bytes=64,
+                                       floor=1)
     import math
 
     assert got == min(8192, math.ceil(n_bytes / 64))
@@ -687,7 +692,7 @@ def test_input_sized_state_partitions(spark, tmp_path, monkeypatch):
         spark, str(src), target_bytes=1, cap=16) == 16
     # a missing path contributes nothing (derives the floor)
     assert input_sized_state_partitions(
-        spark, str(tmp_path / "absent.parquet")) == 1
+        spark, str(tmp_path / "absent.parquet"), floor=1) == 1
     # env pin wins over everything
     monkeypatch.setenv("LOTUS_STREAM_STATE_PARTITIONS", "7")
     assert input_sized_state_partitions(spark, str(src)) == 7
