@@ -5263,43 +5263,26 @@ SELECT 'total=' || CAST(COALESCE(SUM(n), 0) AS VARCHAR) AS line FROM k
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Round-14 OPTIMIZATION rotation (.round_base = 394da33). The
-        # round edited functions/ann.py, functions/kmeans.py,
-        # functions/dedup.py, functions/index_cdc.py,
-        # operators/sem_dedup.py and plans/optimizers.py (value-identical
-        # performance work — see OPTIMIZATION_r14.md), so the window
-        # (first 50) holds: (a) the two r14 rows that still lack a
-        # driver row (hybrid_search_stored_batch, stored_index_stats)
-        # plus the stored-serving surface; (b) EVERY registered key
-        # whose q-body imports an edited module (37 keys — they must
-        # earn fresh driver rows on the optimized code); (c) 7 of the
-        # stalest r12-driver-row keys to keep the rotation moving.
-        # Tail keys all hold a CHECKS_r14 row (117/117 re-gate on this
-        # round's tree) and import only byte-untouched modules.
-        # -- r14 rows without a driver row yet + stored serving --------
-        "hybrid_search_stored_batch": q_hybrid_search_stored_batch,
-        "stored_index_stats": q_stored_index_stats,
-        "hybrid_search_stored": q_hybrid_search_stored,
-        "bm25_index_search": q_bm25_index_search,
-        "bm25_search": q_bm25_search,
-        "sem_join_cascade_routed": q_sem_join_cascade_routed,
-        # -- importers of modules edited this round (must be in-window)
+        # Round-15 OPTIMIZATION rotation (.round_base = 5bfa686). The
+        # round edited functions/ann.py, functions/cluster_index.py,
+        # functions/dedup_index.py and streaming/ops.py (value-identical
+        # performance work — see OPTIMIZATION_r15.md), so the window
+        # (first 50) holds: (a) EVERY registered key whose q-body
+        # imports an edited module (27 keys — they must earn fresh
+        # driver rows on the optimized code) plus the two streaming
+        # rows whose q-bodies changed state-partition floors this
+        # round; (b) ALL 13 keys whose newest driver row is r11 and
+        # the 8 stalest r12-driver-row keys. Tail keys all hold a
+        # CHECKS_r14 row (117/117 re-gate) and a CHECKS_r15 row
+        # (full-registry re-gate on this round's final tree) and
+        # import only byte-untouched modules.
+        # -- importers of functions/ann.py (edited this round) ---------
         "hybrid_search": q_hybrid_search,
-        "minhash_signature": q_minhash_signature,
-        "ngram_stats": q_ngram_stats,
-        "pipeline_clean": q_pipeline_clean,
-        "streaming_neardup": q_streaming_neardup,
-        "streaming_neardup_minhash": q_streaming_neardup_minhash,
-        "pipeline_quality": q_pipeline_quality,
-        "neardup_index_lifecycle": q_neardup_index_lifecycle,
-        "embedding_neardup_index": q_embedding_neardup_index,
-        "ann_join_ivfpq_stored": q_ann_join_ivfpq_stored,
-        "ivfpq_cdc": q_ivfpq_cdc,
-        "neardup_index_cdc": q_neardup_index_cdc,
-        "ann_join_ivf": q_ann_join_ivf,
         "ann_join_ivfpq": q_ann_join_ivfpq,
+        "ann_join_ivfpq_stored": q_ann_join_ivfpq_stored,
+        "ann_join_ivf": q_ann_join_ivf,
         "ann_join_pq": q_ann_join_pq,
-        "filter_reorder": q_filter_reorder,
+        "ivfpq_cdc": q_ivfpq_cdc,
         "ivfpq_compacted": q_ivfpq_compacted,
         "ivfpq_incremental": q_ivfpq_incremental,
         "ivfpq_roundtrip": q_ivfpq_roundtrip,
@@ -5309,31 +5292,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_rerank": q_knn_ivfpq_rerank,
         "knn_lsh": q_knn_lsh,
         "knn_pq": q_knn_pq,
-        "sem_dedup": q_sem_dedup,
-        "contamination": q_contamination,
-        "embedding_neardup": q_embedding_neardup,
-        "exact_dedup": q_exact_dedup,
-        "jaccard_pairs": q_jaccard_pairs,
-        "leakage_safe_split": q_leakage_safe_split,
-        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "span_dedup": q_span_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
-        "simhash": q_simhash,
-        "strip_boilerplate": q_strip_boilerplate,
-        # -- stalest r12-driver-row keys fill the window ---------------
-        "sessionize": q_sessionize,
-        "cluster_assign_incremental": q_cluster_assign_incremental,
+        "embedding_neardup_index": q_embedding_neardup_index,
+        # -- importers of functions/dedup_index.py ---------------------
         "neardup_index": q_neardup_index,
+        "neardup_index_cdc": q_neardup_index_cdc,
         "neardup_index_stream": q_neardup_index_stream,
+        "neardup_index_compacted": q_neardup_index_compacted,
         "pipeline_ingest": q_pipeline_ingest,
-        "sem_map": q_sem_map,
-        "part_brand_stats": q_part_brand_stats,
-        # -- tail (>50): every key holds a CHECKS_r14 row (full-registry
-        # re-gate at sf0.01 on this round's tree) and/or an r12/r13
-        # driver row; all modules imported by these q bodies are
-        # byte-untouched since .round_base (CI:
-        # test_registry_tail_modules_untouched_this_round).
+        "neardup_index_lifecycle": q_neardup_index_lifecycle,
+        # -- importers of functions/cluster_index.py -------------------
+        "cluster_assign_incremental": q_cluster_assign_incremental,
+        "embedding_cluster_assign": q_embedding_cluster_assign,
+        # -- importers of streaming/ops.py + changed streaming q-bodies
+        "streaming_sessions": q_streaming_sessions,
+        "streaming_doc_stats": q_streaming_doc_stats,
+        "streaming_heavy_hitters": q_streaming_heavy_hitters,
+        "streaming_neardup": q_streaming_neardup,
+        "streaming_neardup_minhash": q_streaming_neardup_minhash,
+        # -- stalest driver rows: all 13 r11 keys ----------------------
         "orders_rollup": q_orders_rollup,
         "range_join": q_range_join,
         "region_revenue": q_region_revenue,
@@ -5347,19 +5323,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "video_frame_features": q_video_frame_features,
         "warc_roundtrip": q_warc_roundtrip,
+        # -- 9 stalest r12-driver-row keys fill the window -------------
         "warc_export_roundtrip": q_warc_export_roundtrip,
-        "embedding_cluster_assign": q_embedding_cluster_assign,
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,
         "pipeline_pack": q_pipeline_pack,
-        "streaming_sessions": q_streaming_sessions,
         "pipeline_curate": q_pipeline_curate,
         "weighted_sample": q_weighted_sample,
         "answer_cache_map": q_answer_cache_map,
-        "streaming_doc_stats": q_streaming_doc_stats,
-        "streaming_heavy_hitters": q_streaming_heavy_hitters,
         "write_shards": q_write_shards,
+        # -- tail (>50): every key holds a CHECKS_r14 row and earns a
+        # CHECKS_r15 row (full-registry re-gates at sf0.01); all modules
+        # imported by these q bodies are byte-untouched since
+        # .round_base (CI: test_registry_tail_modules_untouched_this_round).
         "hash_split": q_hash_split,
+        "hybrid_search_stored_batch": q_hybrid_search_stored_batch,
+        "stored_index_stats": q_stored_index_stats,
+        "hybrid_search_stored": q_hybrid_search_stored,
+        "bm25_index_search": q_bm25_index_search,
+        "bm25_search": q_bm25_search,
+        "sem_join_cascade_routed": q_sem_join_cascade_routed,
+        "minhash_signature": q_minhash_signature,
+        "ngram_stats": q_ngram_stats,
+        "pipeline_clean": q_pipeline_clean,
+        "pipeline_quality": q_pipeline_quality,
+        "filter_reorder": q_filter_reorder,
+        "sem_dedup": q_sem_dedup,
+        "contamination": q_contamination,
+        "embedding_neardup": q_embedding_neardup,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_pairs": q_jaccard_pairs,
+        "leakage_safe_split": q_leakage_safe_split,
+        "minhash_dedup_keepbest": q_minhash_dedup_keepbest,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "span_dedup": q_span_dedup,
+        "paragraph_dedup": q_paragraph_dedup,
+        "simhash": q_simhash,
+        "strip_boilerplate": q_strip_boilerplate,
+        "sessionize": q_sessionize,
+        "sem_map": q_sem_map,
+        "part_brand_stats": q_part_brand_stats,
         "mix_to_weights": q_mix_to_weights,
         "stratified_sample": q_stratified_sample,
         "quantile_filter": q_quantile_filter,
@@ -5380,7 +5383,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_judge": q_llm_judge,
         "pairwise_judge": q_pairwise_judge,
         "quality_model_score": q_quality_model_score,
-        "neardup_index_compacted": q_neardup_index_compacted,
         "llm_judge_structured": q_llm_judge_structured,
         "distinct_priorities": q_distinct_priorities,
         "agentic_mapreduce": q_agentic_mapreduce,
