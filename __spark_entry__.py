@@ -5323,7 +5323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "video_frame_features": q_video_frame_features,
         "warc_roundtrip": q_warc_roundtrip,
-        # -- 9 stalest r12-driver-row keys fill the window -------------
+        # -- 8 stalest r12-driver-row keys fill the window -------------
         "warc_export_roundtrip": q_warc_export_roundtrip,
         "sem_search": q_sem_search,
         "sem_search_rerank": q_sem_search_rerank,

@@ -52,6 +52,14 @@ from lotus_spark.functions.dedup_index import (
 
 _CMETA = "_cluster_meta.json"
 
+# one-slot park for the exact-collapse cache that
+# assign_clusters_against_index leaves behind (its returned assignments
+# frame reads the cache lazily AFTER the call returns, so the function
+# cannot unpersist inline without forcing a recompute inside the
+# caller's action); the next assign call retires it, bounding a
+# long-lived session at one lingering cache — see the park-site comment
+_LINGERING_COLLAPSE_CACHE: list = []
+
 _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -191,6 +199,9 @@ def assign_clusters_against_index(
     _require_disjoint_increment(increment, cmap, id_col,
                                 "assign_clusters_against_index")
 
+    while _LINGERING_COLLAPSE_CACHE:  # retire the previous call's park
+        _LINGERING_COLLAPSE_CACHE.pop().unpersist(False)
+
     # exact-collapse prefix (the hot-bucket guard) — the same algebra
     # minhash_clusters runs: one aggregate + skew-splittable join, one
     # cached copy serving both the rep extraction and the final
@@ -221,6 +232,16 @@ def assign_clusters_against_index(
     # the CC inside _merge_assign materialized the edge union, so the
     # signature cache has served all its consumers
     sigd.unpersist(False)
+    # the collapse cache still has ONE lazy consumer after return — the
+    # assignments frame reads it when the caller materializes — so an
+    # inline unpersist here would recompute the aggregate+join inside
+    # the caller's action (+5 AQE stage-jobs, measured). Instead the
+    # cache is parked and the NEXT assign call retires it: a long-lived
+    # snapshot-CDC loop (index_cdc calls this once per increment) keeps
+    # at most one lingering increment cache instead of one per call
+    # (single-writer discipline is already this index's contract, so
+    # the one-slot park is not racing concurrent assigns)
+    _LINGERING_COLLAPSE_CACHE.append(tagged)
     return out
 
 

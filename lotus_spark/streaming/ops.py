@@ -137,7 +137,15 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
     caller's value after. The conf is read once at query start (it pins
     the state-store partition count into the checkpoint), so the scope
     only needs to cover ``.start()``; wrapping the whole drain keeps the
-    restore exception-safe."""
+    restore exception-safe.
+
+    Session-global, NOT thread-local: any OTHER query planned in this
+    session while the scope is open (a batch job on another driver
+    thread, a second stream's start) silently inherits the shrunk count
+    — possibly 1 — and serializes its shuffles. Every call site in this
+    package drains its query synchronously inside the scope; keep that
+    single-planner discipline, or pin the other query's partitioning
+    explicitly (repartition / its own scope) before overlapping."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
     try:

@@ -246,3 +246,39 @@ def test_string_ids_and_overlapping_increments_raise(spark, tmp_path):
             spark.createDataFrame([(3, [1.0, 0.0])],
                                   "doc_id long, emb array<float>"),
             "emb", "doc_id")
+
+
+def test_assign_retires_previous_collapse_cache(spark, tmp_path):
+    """The exact-collapse cache outlives its call by design (the
+    returned assignments frame reads it lazily), parked in the
+    module-level one-slot holder; the NEXT assign call must retire it
+    so a long-lived CDC loop holds at most one lingering increment
+    cache, never one per increment."""
+    from lotus_spark.functions import cluster_index as ci
+
+    corpus = _rows(spark, [
+        (0, A_TEXT), (1, B_TEXT),
+        (2, "completely different text about pasta and cooking"),
+    ])
+    path = str(tmp_path / "cl")
+    build_cluster_index(spark, corpus, path, "text", "doc_id", **PARAMS)
+
+    ci._LINGERING_COLLAPSE_CACHE.clear()
+    a1, _ = assign_clusters_against_index(
+        spark, path, _rows(spark, [(10, C_TEXT)]), "text", "doc_id",
+        corpus_df=corpus)
+    a1.count()  # caller materializes; the cache has now served everyone
+    assert len(ci._LINGERING_COLLAPSE_CACHE) == 1
+    parked = ci._LINGERING_COLLAPSE_CACHE[0]
+    assert parked.storageLevel.useMemory  # still cached after the call
+
+    a2, _ = assign_clusters_against_index(
+        spark, path,
+        _rows(spark, [(11, "a fresh unique document with its own words")]),
+        "text", "doc_id", corpus_df=corpus)
+    a2.count()
+    # the first call's park was retired, the second call's replaced it
+    assert not parked.storageLevel.useMemory
+    assert len(ci._LINGERING_COLLAPSE_CACHE) == 1
+    assert ci._LINGERING_COLLAPSE_CACHE[0] is not parked
+    ci._LINGERING_COLLAPSE_CACHE.pop().unpersist(False)

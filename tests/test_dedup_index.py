@@ -707,3 +707,47 @@ def test_compact_minhash_index_releases_stream_cache(spark, tmp_path):
     )
     compact_minhash_index(spark, path)
     assert path not in _STREAM_STATIC_CACHE
+
+
+def test_neardup_join_index_query_sigs_parity(spark, tmp_path):
+    """The r15 ``query_sigs`` fast path (a caller threads precomputed
+    signatures so the shingle→hash fold runs once overall) must return
+    exactly what the recompute branch returns — same pairs, same scores
+    — under BOTH verify tiers. The derived band keys and estimator
+    signatures must reproduce ``_encode``'s expressions bit-for-bit;
+    full row coverage of the sig frame is the documented caller
+    contract (missing rows probe nothing), so the parity set here also
+    pins that a covering frame loses no pair."""
+    from lotus_spark.functions.dedup import minhash_expr
+    from lotus_spark.functions.dedup_index import (
+        neardup_join_index, read_minhash_meta, write_minhash_index,
+    )
+
+    path = str(tmp_path / "mh")
+    write_minhash_index(_docs(spark, BASE), path, "text", "doc_id",
+                        n_hashes=16, bands=4)
+    meta = read_minhash_meta(spark, path)
+    inc = _docs(spark, [
+        (101, "the quick brown fox jumps over the lazy dog near the "
+              "river shore"),
+        (102, "spark dataframes shuffle data between executors during "
+              "wide joins"),
+        (103, "quantum chemistry basis sets converge slowly for heavy "
+              "atoms"),
+    ])
+    sigs = inc.select(
+        "doc_id",
+        minhash_expr(F.col("text"), meta["n_hashes"],
+                     meta["shingle_n"]).alias("minhash"),
+    ).persist()
+    try:
+        for kw in ({"verify": "estimate"},
+                   {"verify": "exact", "corpus_df": _docs(spark, BASE)}):
+            base = neardup_join_index(spark, path, inc, "text", "doc_id",
+                                      threshold=0.5, **kw)
+            fast = neardup_join_index(spark, path, inc, "text", "doc_id",
+                                      threshold=0.5, query_sigs=sigs, **kw)
+            assert sorted(map(tuple, base.collect())) == \
+                   sorted(map(tuple, fast.collect())), kw
+    finally:
+        sigs.unpersist()
